@@ -1,0 +1,286 @@
+"""Vector-search query surface (reference parity + variants).
+
+The reference's corpus is a single in-memory chunks table
+(/root/reference/app.py:65-73); the Spark-native analog is
+``documents ⋈ embeddings`` on ``doc_id = vec_id`` (FIXTURES.md §B).
+
+Plan shape (the part that matters at 100 TB): every top-k query scores
+the *embeddings table only* (narrow scan: key + vector), takes the
+distributed top-k (TakeOrderedAndProject — per-partition heaps, no
+shuffle of the corpus), and only then joins the k surviving rows to
+``documents`` for their text — so the wide text column is read for k
+rows, not N, and the join is a broadcast of k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    parse_vector,
+    vector_literal,
+    vector_to_csv,
+)
+from quick_and_easy_vectordb_spark.operators.search import batch_knn
+from quick_and_easy_vectordb_spark.queries.common import (
+    QUERY_VEC,
+    sql_cosine,
+    sql_dot,
+    sql_l2,
+    sql_vec,
+)
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+_Q = sql_vec(QUERY_VEC)
+_EMB = "embedding::DOUBLE[]"
+
+
+def _topk(
+    spark: SparkSession, sf_dir: str, scorer, k: int, descending: bool
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select("vec_id", scorer(F.col("embedding"), q).alias("similarity"))
+    order = [
+        F.desc("similarity") if descending else F.asc("similarity"),
+        F.asc("vec_id"),
+    ]
+    top = scored.orderBy(*order).limit(k)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return top.join(docs, top.vec_id == docs.doc_id).select(
+        "doc_id", "text", "lang", "similarity"
+    )
+
+
+def _topk_oracle(score_expr: str, k: int, direction: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT vec_id, {score_expr} AS similarity FROM embeddings
+), top AS (
+  SELECT * FROM scored ORDER BY similarity {direction}, vec_id LIMIT {k}
+)
+SELECT d.doc_id, d.text, d.lang, t.similarity
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+"""
+
+
+@query(
+    "vdb_topk_dot",
+    oracle=_topk_oracle(sql_dot(_EMB, _Q), 5, "DESC"),
+    tags=("parity", "vector", "topk"),
+    bench=True,
+)
+def vdb_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parity query: raw dot-product similarity (NOT cosine —
+    /root/reference/app.py:45), top-5 (the reference's default k,
+    app.py:40), deterministic id tiebreak (documented deviation from the
+    reference's unstable pandas sort, SURVEY.md §1.4.3)."""
+    return _topk(spark, sf_dir, dot_product, 5, True)
+
+
+@query(
+    "vdb_topk_cosine",
+    oracle=_topk_oracle(sql_cosine(_EMB, _Q), 10, "DESC"),
+    tags=("vector", "topk"),
+    bench=True,
+)
+def vdb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 — the normalized variant the reference lacks
+    (SURVEY.md §2b 'cosine + L2 variants')."""
+    return _topk(spark, sf_dir, cosine_similarity, 10, True)
+
+
+@query(
+    "vdb_topk_l2",
+    oracle=_topk_oracle(sql_l2(_EMB, _Q), 10, "ASC"),
+    tags=("vector", "topk"),
+)
+def vdb_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean nearest-10 (ascending distance)."""
+    return _topk(spark, sf_dir, l2_distance, 10, False)
+
+
+@query(
+    "vdb_threshold_filter",
+    oracle=f"""
+SELECT vec_id, {sql_cosine(_EMB, _Q)} AS score
+FROM embeddings
+WHERE {sql_cosine(_EMB, _Q)} >= 0.15
+""",
+    tags=("vector", "filter"),
+)
+def vdb_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-threshold search: every row with cosine ≥ τ. A pure
+    filter — fully pushed into the scan stage, no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id", cosine_similarity(F.col("embedding"), q).alias("score")
+    )
+    return scored.filter(F.col("score") >= 0.15)
+
+
+@query(
+    "vdb_batch_knn",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         {sql_cosine('c.embedding::DOUBLE[]', 'q.qv')} AS score
+  FROM embeddings c CROSS JOIN q
+), r AS (
+  SELECT query_id, corpus_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+  FROM s
+)
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, score FROM r WHERE rank <= 3
+""",
+    tags=("vector", "knn", "window", "join"),
+    bench=True,
+)
+def vdb_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 3 nearest corpus vectors for each of 5 query vectors.
+    The query side is broadcast into a nested-loop join so the corpus
+    (the 100 TB side) is never shuffled; per-query top-k via window
+    row_number (operators/search.py:batch_knn)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    res = batch_knn(
+        queries_df,
+        corpus,
+        k=3,
+        query_id="query_id",
+        query_vec="qv",
+        corpus_id="corpus_id",
+        corpus_vec="cv",
+        metric="cosine",
+    )
+    return res.select(
+        "query_id", "corpus_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+@query(
+    "vdb_knn_per_label",
+    oracle=f"""
+WITH s AS (
+  SELECT label, vec_id, {sql_dot(_EMB, _Q)} AS similarity FROM embeddings
+), r AS (
+  SELECT label, vec_id, similarity,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY similarity DESC, vec_id) AS rank
+  FROM s
+)
+SELECT label, vec_id, CAST(rank AS BIGINT) AS rank, similarity FROM r WHERE rank <= 3
+""",
+    tags=("vector", "window"),
+)
+def vdb_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 most similar vectors *within each label*
+    — window partitionBy keeps the shuffle keyed on label only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "label", "vec_id", dot_product(F.col("embedding"), q).alias("similarity")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", "rank", "similarity")
+    )
+
+
+@query(
+    "vdb_append_union",
+    oracle="""
+WITH unioned AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES (900000001, 'en', 21), (900000002, 'xx', 9))
+    AS t(doc_id, lang, n_chars)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM unioned GROUP BY lang
+""",
+    tags=("parity", "union", "agg"),
+)
+def vdb_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity op A1 (append): the reference's pd.concat append
+    (/root/reference/app.py:105-118) becomes a plan-level unionByName —
+    O(1), no table copy — verified here by aggregating the unioned
+    relation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    new_rows = docs.sparkSession.createDataFrame(
+        [(900000001, "en", 21), (900000002, "xx", 9)],
+        schema="doc_id long, lang string, n_chars long",
+    )
+    return (
+        docs.unionByName(new_rows)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "vdb_count",
+    oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT source) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+""",
+    tags=("parity", "agg"),
+)
+def vdb_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity ops G1/F1: row count (the reference's 'Total chunks',
+    app.py:189-190) plus distinct/min/max — metadata-only aggregates
+    that never touch the wide columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "vdb_vector_parse_roundtrip",
+    oracle=f"""
+WITH parsed AS (
+  SELECT vec_id,
+         list_transform(
+           string_split(array_to_string(embedding::DOUBLE[], ','), ','),
+           x -> trim(x)::DOUBLE
+         ) AS v
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, {sql_dot('v', 'v')} AS norm_sq
+FROM parsed
+""",
+    tags=("parity", "source", "csv"),
+)
+def vdb_vector_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity op L1 (CSV vector parse): serialize each embedding to the
+    reference's quoted-CSV wire format ("0.1,0.2,...") and parse it
+    back (functions/vector.py:parse_vector ⟷ app.py:56 np.fromstring).
+    Shortest-repr double formatting makes the roundtrip lossless, which
+    the self-dot-product certifies."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    parsed = parse_vector(vector_to_csv(F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        F.size(parsed).alias("dim"),
+        dot_product(parsed, parsed).alias("norm_sq"),
+    )

@@ -1,0 +1,48 @@
+"""Table catalog over the driver's parquet star schema.
+
+``load_table(spark, sf_dir, name)`` is the single entry point every
+query uses; it returns a lazy DataFrame straight off the parquet scan so
+Catalyst can push filters and prune columns into the file source (the
+dominant win at 100 TB — e.g. a query that never touches ``embedding``
+must not read the ~0.3 KB/row vector payload).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table. No caching, no collect — the
+    optimizer sees the raw file source."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can
+    reference them by name (mirrors the driver's DuckDB view setup)."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
