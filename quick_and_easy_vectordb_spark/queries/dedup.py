@@ -1,1 +1,220 @@
-"""(populated below)"""
+"""Deduplication query surface (SURVEY.md §2b M4; north-star
+LLM-pipeline operators). All engines' hashes are md5-over-explicit-
+string encodings, so every query here — including full MinHash-LSH —
+is deterministic and oracle-checked in ANSI SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.text import word_shingles
+from quick_and_easy_vectordb_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from quick_and_easy_vectordb_spark.queries.common import sql_cosine
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- SQL
+# DuckDB fragments that mirror functions/text.py exactly.
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Shingle CTE chain over a relation R(doc_id, text) — mirrors
+# functions.text.word_shingles(n=3): distinct word 3-grams, whole-text
+# fallback for docs shorter than 3 words, empty text excluded.
+SQL_SHINGLES = f"""
+norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> ''),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks)
+"""
+
+NUM_HASHES, BANDS, JACCARD_T = 12, 4, 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5({SQL_NORM}) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS n_copies
+FROM u GROUP BY 1
+""",
+    tags=("dedup", "agg"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash of normalized text. The corpus is
+    unioned with an id-shifted copy of itself so every group genuinely
+    has duplicates to collapse (the raw table is dup-free); the
+    canonical survivor is min(id). One shuffle on a 32-byte hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return exact_dedup(docs.unionByName(shifted), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+mh AS (
+  SELECT doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.id_a
+JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_T}
+""",
+    tags=("dedup", "minhash", "lsh", "join"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: 12 min-hashes over word
+    3-shingles → 4 bands of 3 → band-bucket equi-join for candidates →
+    exact-Jaccard verify ≥ 0.5. No pairwise blowup anywhere: candidates
+    come from equi-joins on band keys (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    return jaccard_pairs(docs, cands, "text", "doc_id", 3, JACCARD_T)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+blocked AS (SELECT d.source, s.doc_id, s.shingle
+            FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM blocked a
+  JOIN blocked b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.id_a
+JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.3
+""",
+    tags=("dedup", "jaccard", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity ≥ 0.3 between documents sharing
+    a blocking key (source). The shingle equi-join *within source* is
+    the blocking that keeps this O(Σ block-pair shingles), not O(N²) —
+    at 100 TB the block key would be an LSH band or URL host."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = docs.select(
+        "source",
+        "doc_id",
+        F.explode(word_shingles("text", 3)).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src"), F.col("doc_id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("source").alias("src"), F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(b, (a.src == b.src) & (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    res = (
+        inter.join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return res.filter(F.col("jaccard") >= 0.3).select("id_a", "id_b", "jaccard")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> ''),
+words AS (SELECT doc_id, unnest(list_distinct(w)) AS wd FROM toks),
+wh AS (SELECT doc_id, md5(wd) AS h FROM words WHERE wd <> ''),
+votes AS (
+  SELECT doc_id, t.b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, CAST(t.b // 4 AS INTEGER) + 1, 1)) - 1)
+                        >> CAST(3 - t.b % 4 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS b) t
+  GROUP BY doc_id, t.b
+)
+SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM votes GROUP BY doc_id
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (distinct-word ±1 votes on
+    md5 bits — integer-exact, engine-independent). Near-dups share
+    signatures within small Hamming distance; bucketing by prefix makes
+    that an equi-join at scale (operators/dedup.py:simhash_signatures)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_signatures(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_cosine('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.35
+""",
+    tags=("dedup", "vector", "join"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dups: cosine ≥ 0.35 within label blocks.
+    Blocked self-equi-join — comparisons are O(Σ block²), never the
+    full N² cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "embedding", "vec_id", "label", 0.35)
