@@ -1,1 +1,206 @@
-"""(populated below)"""
+"""Event-time windowing query surface over ``events`` (SURVEY.md §2b
+'event-time tumbling/sliding windows'; batch semantics here, the same
+operators run under Structured Streaming in streaming/windows.py).
+
+Window starts are emitted as epoch seconds/micros (BIGINT), not
+timestamps — numerically identical across engines regardless of
+timezone rendering. All aggregates are integer or decimal-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.numeric import dsum
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+_DSUM_VAL = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "ev_tumbling_hour",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_DSUM_VAL} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window-time", "agg"),
+    bench=True,
+)
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type — the
+    Structured-Streaming-compatible aggregation (F.window), with
+    map-side partial aggregation; epoch-aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_sliding_window",
+    oracle=f"""
+WITH expanded AS (
+  SELECT CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 AS BIGINT) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start, event_type, COUNT(*) AS n_events, {_DSUM_VAL} AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+    tags=("events", "window-time", "agg"),
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 minutes (each event lands in
+    exactly 2 windows). Spark's F.window handles the fan-out natively;
+    the oracle replicates it with an explicit 2-way expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_sessionize",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid
+""",
+    tags=("events", "window", "session"),
+    bench=True,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → running sum = session id → per-session
+    stats. One shuffle keyed on user_id; microsecond-exact integer
+    arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | ((F.col("us") - F.lag("us").over(order)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_s").over(run))
+    return sess.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )
+
+
+@query(
+    "ev_topk_per_type",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT event_type, event_id, user_id, value, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 5
+""",
+    tags=("events", "window", "topk"),
+)
+def ev_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events by value within each event type (grouped top-n
+    window; shuffle keyed on event_type only)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "ev_daily_type_matrix",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+       COUNT(*) AS n_total,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+    tags=("events", "agg", "pivot"),
+)
+def ev_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix: conditional-aggregation pivot (one pass,
+    one shuffle — the scalable alternative to a true PIVOT) plus a
+    distinct-user count."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            cnt("click"),
+            cnt("view"),
+            cnt("purchase"),
+            cnt("signup"),
+            cnt("error"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,1 +1,351 @@
-"""(populated below)"""
+"""Relational query surface over the TPC-H-ish star schema
+(SURVEY.md §2b M5): filters, equi-joins (broadcast + shuffle),
+group-aggregation, window rank, rollup, set ops, anti/semi joins,
+scalar functions.
+
+Numeric discipline: every SUM/AVG over doubles goes through
+functions/numeric.py (decimal-exact, order-independent) so results are
+bit-stable under any partitioning — and hash-identical to the DuckDB
+oracle, which mirrors the same decimal arithmetic.
+
+Scale notes are per-query docstrings; the common themes:
+- dimension tables (region, nation, supplier) are broadcast —
+  no shuffle of the fact table for dimension joins;
+- aggregations rely on map-side partial aggregation (exact decimal
+  sums are associative, so partials compose correctly);
+- top-n uses TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.numeric import davg, dsum
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+# DuckDB mirrors of dsum/davg (functions/numeric.py). The decimal sum
+# is cast to double THROUGH VARCHAR: DuckDB's direct decimal→double
+# cast is not correctly rounded (1 ulp off on some values), while its
+# string→double parse is — matching Java's BigDecimal.doubleValue()
+# (what Spark uses), so both engines land on the identical double.
+def _dsum(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"{_dsum(expr)} / COUNT({expr})"
+
+
+@query(
+    "rel_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_davg('l_quantity')} AS avg_qty,
+       {_davg('l_extendedprice')} AS avg_price,
+       {_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "agg", "filter"),
+    bench=True,
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter-aggregate with
+    map-side combine. The shipdate predicate pushes into the parquet
+    scan; only 4 narrow columns are read beyond the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_q3_shipping_topn",
+    oracle=f"""
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("relational", "join", "agg", "topk"),
+    bench=True,
+)
+def rel_q3_shipping_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join, grouped revenue, top-10. The
+    customer side is filtered before the join (segment predicate pushed
+    to its scan); top-10 is TakeOrderedAndProject over the aggregate."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "rel_q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("relational", "join", "agg"),
+    bench=True,
+)
+def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join. region/nation/supplier are broadcast
+    (dimension tables — the fact tables never shuffle for them); only
+    the orders⋈lineitem join shuffles, on the orderkey."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "rel_window_rank_customers",
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+""",
+    tags=("relational", "window"),
+)
+def rel_window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance within each nation — the grouped
+    top-n window pattern (shuffle keyed on nation only)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "rel_rollup_orders",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+""",
+    tags=("relational", "rollup", "agg"),
+)
+def rel_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status): grand total + per-year + per-(year,status)
+    in one pass — Spark expands grouping sets map-side, so it's still a
+    single shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").cast("long").alias("yr"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "rel_setops_customers",
+    oracle="""
+SELECT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+    tags=("relational", "setops"),
+)
+def rel_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra: (1995 buyers ∩ BUILDING segment) ∖ customers with a
+    pending order. INTERSECT/EXCEPT hash on the single key column."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers_1995 = (
+        o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    pending = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return buyers_1995.intersect(building).exceptAll(pending).distinct()
+
+
+@query(
+    "rel_scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(substr(p_name, 1, 12)) AS name_prefix,
+       p_brand || '/' || p_type AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       abs(p_retailprice - 1000.0) AS price_dev,
+       floor(p_retailprice / 100.0) AS price_bucket,
+       CAST(p_size % 7 AS INTEGER) AS size_mod,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part
+WHERE p_retailprice BETWEEN 500.0 AND 1500.0
+""",
+    tags=("relational", "scalar", "filter"),
+)
+def rel_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar-function surface in one
+    projection — everything stays in whole-stage codegen; the BETWEEN
+    pushes to the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_retailprice") >= 500.0) & (F.col("p_retailprice") <= 1500.0)
+    ).select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 12)).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("double").alias("price_bucket"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+    )
+
+
+@query(
+    "rel_anti_join_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND year(o.o_orderdate) = 1995)
+""",
+    tags=("relational", "join", "anti"),
+)
+def rel_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent 1995 order — LEFT ANTI join (Spark
+    hashes the distinct filtered order keys; nothing wide shuffles;
+    the priority/year predicates push into the orders scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "rel_semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    tags=("relational", "join", "semi"),
+)
+def rel_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order — LEFT SEMI join; the priority
+    filter pushes into the orders scan before the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )

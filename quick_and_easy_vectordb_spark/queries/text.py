@@ -1,1 +1,210 @@
-"""(populated below)"""
+"""Text-analysis query surface (SURVEY.md §2b M4 / north-star text
+ops): corpus statistics, token counting, language ID, quality scoring,
+fingerprinting. All pure Catalyst expressions over ``documents`` —
+these run at scan speed and aggregate with map-side combine, so the
+only shuffle is the final (tiny) groupBy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    bpe_ish_token_count,
+    char_shingles,
+    quality_score,
+    token_count,
+    tokens,
+)
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_NTOK = "CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END"
+
+
+@query(
+    "text_stats_by_lang",
+    oracle=f"""
+WITH d AS (SELECT lang, n_chars, {SQL_NORM} AS t FROM documents),
+d2 AS (SELECT lang, n_chars, {SQL_NTOK} AS n_tok FROM d)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(n_tok) AS avg_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM d2 GROUP BY lang
+""",
+    tags=("text", "agg"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc count, mean char/token
+    lengths, total token budget. Integer sums → exact, engine-stable
+    averages."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", "n_chars", token_count("text").alias("n_tok"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        (F.sum("n_tok").cast("double") / F.count("n_tok")).alias("avg_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, {SQL_NORM} AS t FROM documents)
+SELECT doc_id,
+       CAST({SQL_NTOK} AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM d
+""",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two token-budget estimators per document: whitespace tokens and
+    BPE-ish pre-tokens (letter runs / digit runs / single symbols) —
+    the model-free proxy a pretraining pipeline uses for budget
+    accounting before committing to a real tokenizer pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _sql_hits(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(toks, x -> list_contains({lst}, x)))"
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {SQL_NORM} AS t FROM documents),
+tk AS (SELECT doc_id, lang,
+              CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS toks
+       FROM d),
+h AS (SELECT doc_id, lang,
+             {_sql_hits(LANG_MARKERS['en'])} AS h_en,
+             {_sql_hits(LANG_MARKERS['fr'])} AS h_fr,
+             {_sql_hits(LANG_MARKERS['de'])} AS h_de,
+             {_sql_hits(LANG_MARKERS['es'])} AS h_es
+      FROM tk),
+p AS (SELECT lang,
+             CASE WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es AND h_en > 0 THEN 'en'
+                  WHEN h_fr >= h_de AND h_fr >= h_es AND h_fr > 0 THEN 'fr'
+                  WHEN h_de >= h_es AND h_de > 0 THEN 'de'
+                  WHEN h_es > 0 THEN 'es'
+                  ELSE 'unk' END AS pred
+      FROM h)
+SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+""",
+    tags=("text", "langid", "agg"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (deterministic n-gram heuristic) and
+    its confusion matrix against the labeled ``lang`` column. Languages
+    without whitespace markers (zh) fall out as 'unk' — honest behavior
+    for a whitespace heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def hits(markers: list[str]) -> F.Column:
+        marker_arr = F.array([F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+    h = docs.select(
+        "lang",
+        hits(LANG_MARKERS["en"]).alias("h_en"),
+        hits(LANG_MARKERS["fr"]).alias("h_fr"),
+        hits(LANG_MARKERS["de"]).alias("h_de"),
+        hits(LANG_MARKERS["es"]).alias("h_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_de"))
+            & (F.col("h_en") >= F.col("h_es"))
+            & (F.col("h_en") > 0),
+            "en",
+        )
+        .when((F.col("h_fr") >= F.col("h_de")) & (F.col("h_fr") >= F.col("h_es")) & (F.col("h_fr") > 0), "fr")
+        .when((F.col("h_de") >= F.col("h_es")) & (F.col("h_de") > 0), "de")
+        .when(F.col("h_es") > 0, "es")
+        .otherwise("unk")
+    )
+    return h.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, {SQL_NORM} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST({SQL_NTOK} AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN t = '' THEN 0.0
+              ELSE CAST(len(list_filter(string_split(t, ' '),
+                        x -> list_contains({'[' + ', '.join("'" + w + "'" for w in STOPWORDS_EN) + ']'}, x))) AS DOUBLE)
+                   / len(string_split(t, ' ')) END AS stop_r
+  FROM d),
+s AS (
+  SELECT doc_id,
+         0.4 * least(n_tok / 200.0, 1.0)
+         + 0.3 * (1.0 - least(punct, 0.5) / 0.5)
+         + 0.3 * least(stop_r / 0.4, 1.0) AS quality
+  FROM m)
+SELECT doc_id, quality FROM s WHERE quality >= 0.5
+""",
+    tags=("text", "quality", "filter"),
+    bench=True,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-quality gate: composite score (length / punctuation /
+    stopword terms, functions/text.py:quality_score) with a ≥ 0.5 keep
+    threshold — the canonical 'filter the crawl' operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", quality_score("text").alias("quality"))
+        .filter(F.col("quality") >= 0.5)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8
+              THEN list_distinct(list_transform(range(1, length(t) - 6), i -> substr(t, i, 8)))
+              WHEN length(t) > 0 THEN [t]
+              ELSE [] END AS grams
+  FROM d)
+SELECT doc_id,
+       list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fingerprint
+FROM sh WHERE len(grams) > 0
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: min-md5 over the distinct
+    char-8-gram shingles (a 1-hash MinHash). Computed entirely inside a
+    per-row array expression — zero shuffles, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = char_shingles("text", 8)
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return docs.select("doc_id", fp.alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -31,10 +33,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table. No caching, no collect — the
-    optimizer sees the raw file source."""
+    optimizer sees the raw file source.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as raw nanos (legacy
+    ``nanosAsLong`` conf, set here at runtime so any caller session
+    works) and truncated to a microsecond TimestampType — the same
+    floor-division DuckDB applies to TIMESTAMP_NS, keeping both engines
+    numerically identical."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
