@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries (registry entries
+marked bench=True) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with a noop sink (full computation,
+no driver-side result transfer skewing the numbers). One warmup job
+amortizes JVM/codegen startup out of the per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quick_and_easy_vectordb_spark.queries import QUERIES  # noqa: E402
+from quick_and_easy_vectordb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("qev-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    timings: dict[str, float] = {}
+    for name, qd in bench_queries.items():
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (12 queries: vector topk/knn, "
+                "dedup exact+minhash-lsh, quality filter, TPC-H-ish Q1/Q3/Q5, "
+                "event windows+sessionize, LSH probe)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor building blocks — the 100 TB scale
+path for similarity search (BASELINE.json "Batch index build via
+DataFrame ops"; online ANN serving is explicitly out of scope).
+
+Two families, both pure DataFrame ops:
+
+- Random-hyperplane LSH (SimHash-for-vectors): P fixed hyperplanes →
+  P sign bits → bucket string. Index build = one projection (+ optional
+  partitioned write); query = probe the query's bucket (and its
+  Hamming-≤1 neighbors for recall) with an equi-filter, then exact
+  re-rank inside the bucket. Search cost drops from O(N) to
+  O(N / 2^P · probes).
+- IVF-style coarse quantization: centroid per cell (decimal-exact
+  element-wise mean via posexplode), assign query to nearest centroid,
+  exact search inside that cell only.
+
+Hyperplanes are generated from a fixed integer formula (not an RNG) so
+index build, probe, tests, and the SQL oracle all agree byte-for-byte
+with no shared state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.vector import (
+    dot_product,
+    vector_literal,
+)
+
+__all__ = [
+    "hyperplane",
+    "lsh_signature",
+    "python_lsh_signature",
+    "hamming_neighbors",
+    "write_lsh_index",
+    "centroids_by_key",
+]
+
+_DEC = "decimal(30,10)"
+
+
+def hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane #j: values in
+    [-0.9, 0.9] from a fixed LCG-ish integer formula."""
+    return [((i * 7 + j * 13 + 3) % 19 - 9) / 10.0 for i in range(dim)]
+
+
+def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
+    """Sign-bit bucket string of a vector column: bit j = 1 iff
+    ⟨v, H_j⟩ ≥ 0. One codegen'd projection, no shuffle, no UDF."""
+    vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        F.when(dot_product(vec_col, vector_literal(hyperplane(j, dim))) >= 0, "1")
+        .otherwise("0")
+        for j in range(num_planes)
+    ]
+    return F.concat(*bits)
+
+
+def python_lsh_signature(vec: Sequence[float], num_planes: int) -> str:
+    """The same signature computed driver-side for a literal query
+    vector (used to build the probe predicate)."""
+    dim = len(vec)
+    out = []
+    for j in range(num_planes):
+        h = hyperplane(j, dim)
+        s = 0.0
+        for a, b in zip(vec, h):
+            s += a * b
+        out.append("1" if s >= 0 else "0")
+    return "".join(out)
+
+
+def hamming_neighbors(signature: str, radius: int = 1) -> list[str]:
+    """The multi-probe set: the signature plus every signature at
+    Hamming distance ≤ radius (radius 1 ⇒ P+1 buckets)."""
+    probes = [signature]
+    if radius >= 1:
+        for i in range(len(signature)):
+            flipped = signature[:i] + ("0" if signature[i] == "1" else "1") + signature[i + 1 :]
+            probes.append(flipped)
+    return probes
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH index as parquet partitioned by bucket —
+    probing a bucket then becomes partition pruning: the scan touches
+    only the probed directories, never the full corpus."""
+    (
+        df.withColumn("lsh_bucket", lsh_signature(vec_col, num_planes, dim))
+        .write.partitionBy("lsh_bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def centroids_by_key(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "label",
+) -> DataFrame:
+    """Element-wise mean vector per key, decimal-exact (bit-stable
+    under any partitioning): posexplode → exact decimal sum per
+    (key, pos) → reassemble ordered array.
+
+    Returns (key, centroid: array<double>). Two shuffles on small
+    keyspaces — at scale the (key, pos) shuffle carries dim doubles per
+    input row; for very wide vectors prefer sampling before the mean.
+    """
+    el = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    per_pos = el.groupBy("key", "pos").agg(
+        (F.sum(F.col("val").cast(_DEC)).cast("double") / F.count("val")).alias("c")
+    )
+    return per_pos.groupBy("key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("centroid")
+    )

@@ -1,0 +1,91 @@
+"""Multimodal binary-column plumbing.
+
+Design (north-star "multimodal columns"): image/audio/video payloads
+live as opaque ``binary`` columns beside typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes stream through the Python workers in
+columnar batches (never row-at-a-time py4j).
+
+The actual codec step is STUBBED in this container (no PIL/ffmpeg):
+``decode_image`` raises NotImplementedError by design, and the
+pipeline runs with a deterministic md5-derived fake featureizer whose
+Spark-side plumbing (schema, batching, partitioning) is identical to
+what a real decoder would use — swap ``_fake_features`` for a real
+decode and nothing else changes.
+
+Scale note: payload columns dominate row width, so every operator here
+selects the minimal column set (Parquet column pruning keeps payloads
+out of metadata-only queries), and feature extraction is a pure map —
+no shuffle; partition sizing is governed by files.maxPartitionBytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["with_binary_payload", "decode_image", "extract_binary_features"]
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a ``payload: binary`` column (UTF-8 bytes of the text —
+    the stand-in for real image/audio bytes ingested from object
+    storage)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — NOT implemented in this container (no
+    PIL/opencv). The mapInPandas pipeline around it is real; plug a
+    decoder in here on a cluster with codec libraries installed."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this "
+        "container; extract_binary_features uses the deterministic "
+        "md5-based fake featureizer instead"
+    )
+
+
+def _fake_features(payload: bytes) -> tuple[int, str, int, int]:
+    """Deterministic stand-in for decode+measure: md5-derived pseudo
+    width/height (16 + nibble·8). Engine-independent, so the whole
+    mapInPandas path is oracle-checkable."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + int(h[0], 16) * 8
+    height = 16 + int(h[1], 16) * 8
+    return len(payload), h, width, height
+
+
+def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over payload batches: byte size,
+    content digest, (fake-)decoded dimensions. One Arrow round-trip,
+    zero shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "content_md5": [f[1] for f in feats],
+                    "fake_width": [f[2] for f in feats],
+                    "fake_height": [f[3] for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)

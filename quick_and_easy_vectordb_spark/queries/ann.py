@@ -1,1 +1,167 @@
-"""(populated below)"""
+"""ANN / index-build query surface (SURVEY.md §7 M6 — the scale path).
+
+The LSH hyperplanes are a fixed integer formula, so Spark, the Python
+driver, and the DuckDB oracle all derive identical signatures — the
+entire approximate path is still hash-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.vector import (
+    dot_product,
+    l2_distance,
+    vector_literal,
+)
+from quick_and_easy_vectordb_spark.operators.ann import (
+    centroids_by_key,
+    hamming_neighbors,
+    hyperplane,
+    lsh_signature,
+    python_lsh_signature,
+)
+from quick_and_easy_vectordb_spark.queries.common import (
+    DIM,
+    QUERY_VEC,
+    sql_dot,
+    sql_l2,
+    sql_vec,
+)
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+_EMB = "embedding::DOUBLE[]"
+HIST_PLANES = 16
+PROBE_PLANES = 4
+
+
+def _sql_signature(num_planes: int) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot(_EMB, sql_vec(hyperplane(j, DIM)))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(num_planes)
+    ]
+    return " || ".join(terms)
+
+
+@query(
+    "ann_lsh_bucket_histogram",
+    oracle=f"""
+SELECT {_sql_signature(HIST_PLANES)} AS bucket, COUNT(*) AS n
+FROM embeddings GROUP BY 1
+""",
+    tags=("ann", "lsh", "agg"),
+)
+def ann_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-build statistics: 16-plane bucket histogram — the
+    skew/occupancy profile you inspect before materializing the
+    partitioned index (operators/ann.py:write_lsh_index)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_signature("embedding", HIST_PLANES, DIM).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _probe_list_sql() -> str:
+    sig = python_lsh_signature(QUERY_VEC, PROBE_PLANES)
+    return ", ".join(f"'{s}'" for s in hamming_neighbors(sig, 1))
+
+
+@query(
+    "ann_lsh_probe",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, {_sql_signature(PROBE_PLANES)} AS bucket,
+         {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS similarity
+  FROM embeddings
+)
+SELECT vec_id, bucket, similarity FROM sig
+WHERE bucket IN ({_probe_list_sql()})
+ORDER BY similarity DESC, vec_id LIMIT 5
+""",
+    tags=("ann", "lsh", "topk"),
+    bench=True,
+)
+def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search: compute the query's 4-bit signature
+    driver-side, probe its bucket + all Hamming-1 neighbors (5 of 16
+    buckets ⇒ ~31% of the corpus scored instead of 100%), exact re-rank
+    inside the probed set. With the partitioned index on disk this
+    filter is partition pruning — the other buckets are never read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = python_lsh_signature(QUERY_VEC, PROBE_PLANES)
+    probes = hamming_neighbors(sig, 1)
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id",
+        lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
+        dot_product(F.col("embedding"), q).alias("similarity"),
+    )
+    return (
+        scored.filter(F.col("bucket").isin(probes))
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "ann_ivf_search",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+q AS (
+  SELECT pos.pos AS pos, CAST(v[pos.pos] AS DOUBLE) AS qv
+  FROM (SELECT {sql_vec(QUERY_VEC)} AS v) CROSS JOIN pos
+),
+d AS (
+  SELECT cent.label,
+         CAST(CAST(SUM(CAST((cent.c - q.qv) * (cent.c - q.qv)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist2
+  FROM cent JOIN q ON q.pos = cent.pos
+  GROUP BY cent.label
+),
+best AS (SELECT label FROM d ORDER BY dist2, label LIMIT 1)
+SELECT e.label, e.vec_id, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN best b ON e.label = b.label
+ORDER BY l2_dist, e.vec_id LIMIT 5
+""",
+    tags=("ann", "ivf", "topk", "agg"),
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-stage search: coarse quantizer = decimal-exact
+    per-label centroids (the batch 'train' step, operators/ann.py:
+    centroids_by_key), assign the query to its nearest centroid, exact
+    L2 top-5 inside that one cell — the corpus outside the cell is
+    never scored (and with label-partitioned storage, never read)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label")
+    qv = F.element_at(q, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qv) * (F.col("c") - qv))
+        .groupBy("key")
+        .agg(F.sum(F.col("diff2").cast("decimal(30,10)")).cast("double").alias("dist2"))
+    )
+    best = dist2.orderBy("dist2", "key").limit(1).select(F.col("key").alias("blabel"))
+    return (
+        emb.join(F.broadcast(best), emb.label == F.col("blabel"))
+        .select(
+            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(5)
+    )

@@ -1,1 +1,100 @@
-"""(populated below)"""
+"""Multimodal + UDF-plumbing query surface.
+
+These two queries drive the engine's Python-boundary machinery —
+mapInPandas feature extraction and a pandas-UDF embedder — with
+md5-derived deterministic math, so even the UDF paths are fully
+oracle-checked (the driver's hash compare covers the Arrow round-trip,
+batching, and schema handling, not just JVM expressions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.embed import (
+    HASH_EMBED_DIM,
+    hash_embed_py,
+    make_embed_udf,
+)
+from quick_and_easy_vectordb_spark.functions.vector import dot_product, vector_literal
+from quick_and_easy_vectordb_spark.operators.multimodal import (
+    extract_binary_features,
+    with_binary_payload,
+)
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+_NIB = "strpos('0123456789abcdef', substr(md5({expr}), {n}, 1)) - 1"
+
+
+@query(
+    "mm_binary_features",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(16 + ({_NIB.format(expr='text', n=1)}) * 8 AS BIGINT) AS fake_width,
+       CAST(16 + ({_NIB.format(expr='text', n=2)}) * 8 AS BIGINT) AS fake_height
+FROM documents
+""",
+    tags=("multimodal", "udf", "mapinpandas"),
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: attach a binary payload,
+    stream it through Arrow-batched mapInPandas, emit size + digest +
+    (fake-)decoded dimensions (operators/multimodal.py — the decode
+    stub is swapped for a real codec on a real cluster; the plumbing
+    under test here is identical)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_binary_features(with_binary_payload(docs))
+
+
+_QUERY_TEXT = "vector search engine"
+_QVEC = hash_embed_py(_QUERY_TEXT)
+
+
+def _sql_embed_elem(i: int) -> str:
+    """DuckDB mirror of functions/embed.py:hash_embed_py element i:
+    first 8 md5 nibbles of f'{text}:{i}' as a uint32, / 2^32. All
+    intermediate values are exactly representable doubles, so the
+    result is bit-identical to Python's int(hex, 16) / 2**32."""
+    nib = "(strpos('0123456789abcdef', substr(md5(text || ':{i}'), {n}, 1)) - 1)"
+    terms = " + ".join(
+        f"{nib.format(i=i, n=n)} * {float(2 ** (4 * (8 - n))):.1f}"
+        for n in range(1, 9)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
+def _sql_embed_dot() -> str:
+    # Left-to-right sum chain matches Spark's aggregate fold
+    # (0.0 + t0) + t1 + ... bitwise.
+    return " + ".join(
+        f"{_sql_embed_elem(i)} * {_QVEC[i]!r}" for i in range(HASH_EMBED_DIM)
+    )
+
+
+@query(
+    "mm_embed_hash_knn",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, {_sql_embed_dot()} AS similarity FROM documents
+)
+SELECT doc_id, similarity FROM scored
+ORDER BY similarity DESC, doc_id LIMIT 10
+""",
+    tags=("multimodal", "udf", "embed", "topk"),
+)
+def mm_embed_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship flow with the embedding UDF in the
+    loop (E1→S1→S2, /root/reference/app.py:40-48): embed every doc via
+    the Arrow-batched pandas UDF, dot-score against the embedded query,
+    top-10. The hash backend stands in for DistilBERT
+    (functions/embed.py — identical plumbing, deterministic math)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embed = make_embed_udf("hash", HASH_EMBED_DIM)
+    q = vector_literal(_QVEC)
+    scored = docs.select(
+        "doc_id", dot_product(embed(F.col("text")), q).alias("similarity")
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("doc_id")).limit(10)

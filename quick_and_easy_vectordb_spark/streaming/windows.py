@@ -1,0 +1,106 @@
+"""Event-time streaming over the ``events`` schema.
+
+The reference has no streaming at all (its loop is Streamlit reruns,
+SURVEY.md §2.2); this module is the north-star extension: the SAME
+window aggregations exposed as batch queries in queries/events.py,
+expressed against an unbounded source with watermarks for late data.
+
+Design rules:
+- every aggregation is keyed on (window, low-cardinality key) so state
+  store size is bounded by windows-in-watermark × key cardinality, not
+  by event volume;
+- watermarks bound state eviction AND late-data acceptance: an event
+  later than the watermark delay is dropped deterministically;
+- custom per-key session logic uses applyInPandasWithState (the
+  engine's stateful-UDF surface) with explicit timeouts.
+
+Batch equivalence: with the same input as a bounded file source, each
+streaming query's complete-output equals its batch twin — that
+equivalence is the test strategy (tests/test_streaming.py), mirroring
+how the DuckDB oracle gates the batch surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events (parquet files landing in a
+    directory — the local stand-in for Kafka; swap `.format` and
+    options to move to a real bus, the downstream plan is unchanged)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time counts per type with a late-data watermark —
+    the streaming twin of queries/events.py:ev_tumbling_hour."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window twin of ev_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user via the built-in
+    session_window (state-store-backed, watermark-evicted) — the
+    streaming twin of ev_sessionize. Emits one row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )

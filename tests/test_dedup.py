@@ -1,0 +1,84 @@
+"""Dedup-operator properties on small constructed corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+
+
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # ws/case variant
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization_and_survivor(spark):
+    res = {r.keep_id: r.n_copies for r in exact_dedup(corpus(spark)).collect()}
+    # 1, 2, 5 normalize to the same text → survivor is min id 1 with 3 copies
+    assert res[1] == 3 and res[3] == 1 and res[4] == 1
+    assert len(res) == 3
+
+
+def test_exact_dedup_idempotent(spark):
+    df = corpus(spark)
+    once = exact_dedup(df)
+    survivors = df.join(once.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    twice = exact_dedup(survivors)
+    assert twice.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = corpus(spark)
+    sigs = minhash_signatures(df, num_hashes=12)
+    cands = lsh_candidate_pairs(sigs, 12, 4)
+    verified = jaccard_pairs(df, cands, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    # the exact/whitespace dups must be found; near-dup 1-3 likely too
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    for r in verified.collect():
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = corpus(spark)
+    sigs = {r.id: tuple(r[f"mh{i}"] for i in range(12)) for r in
+            minhash_signatures(df, num_hashes=12).collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_properties(spark):
+    df = corpus(spark)
+    s = {r.id: r.simhash for r in simhash_signatures(df).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in s.values())
+    assert s[1] == s[2] == s[5]  # normalization-equal docs
+    ham13 = sum(a != b for a, b in zip(s[1], s[3]))
+    ham14 = sum(a != b for a, b in zip(s[1], s[4]))
+    assert ham13 < ham14  # near-dup closer than unrelated doc
+
+
+def test_embedding_near_dups_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),  # same vector, different block → not compared
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs
+    assert all(p[0] != 4 and p[1] != 4 for p in pairs)

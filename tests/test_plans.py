@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+These tests pin the plan *shapes* that make the operators viable at
+100 TB (BASELINE.md "Engine targets"): distributed top-k instead of
+global sort, filter/column pushdown into parquet, broadcast of the
+small join side, and no Python in JVM-expressible hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.vector import dot_product, vector_literal
+from quick_and_easy_vectordb_spark.operators.search import batch_knn, top_k_by_dot
+from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "chunk_id")
+    plan = physical(top_k_by_dot(emb, QUERY_VEC, k=5, vector_col="embedding"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = physical(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning_excludes_vector_payload(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.groupBy("label").count()
+    plan = physical(q)
+    # the wide embedding column must not be read for a metadata-only agg
+    assert "embedding" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_batch_knn_broadcasts_query_side(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    plan = physical(batch_knn(q, c, k=2, query_vec="qv", corpus_id="corpus_id", corpus_vec="cv"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan  # corpus side streams, query side is built
+
+
+def test_vector_math_is_jvm_side_no_python(spark, sf_dir):
+    """The dot product must be pure JVM expression eval — no Python
+    worker round-trip. (Note: higher-order functions are NOT whole-
+    stage-codegen'd in Spark 4 — the projection runs as interpreted
+    expression eval — but the scan stays columnar and the constant
+    query vector is folded into the plan.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", dot_product("embedding", vector_literal(QUERY_VEC)).alias("s")
+    )
+    plan = physical(scored)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Batched: true" in plan  # columnar parquet scan
+    assert "aggregate(zip_with" in plan  # folded constant, single pass
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    j = customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+    plan = physical(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

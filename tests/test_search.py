@@ -1,0 +1,76 @@
+"""Search-operator tests: reference parity (k=5 default, desc order,
+deterministic tiebreak — /root/reference/app.py:40-48 with the
+documented tiebreak deviation) and top-k/window properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.operators.search import (
+    batch_knn,
+    threshold_search,
+    top_k_by_dot,
+)
+from tests.conftest import QUERY4
+
+
+def test_topk_order_and_tiebreak(chunks):
+    res = top_k_by_dot(chunks, QUERY4, k=5).collect()
+    # scores: 4→1.75, then a 1.0 tie TRIPLE (1, 5, 6 — id asc), 3→0.75
+    assert [r.chunk_id for r in res] == [4, 1, 5, 6, 3]
+    assert [r.similarity for r in res] == [1.75, 1.0, 1.0, 1.0, 0.75]
+
+
+def test_topk_default_k_is_5(chunks):
+    assert top_k_by_dot(chunks, QUERY4).count() == 5
+
+
+def test_topk_equals_full_sort(chunks):
+    """Property: top-k(k=N) == full sort (TakeOrderedAndProject must
+    agree with a global sort)."""
+    n = chunks.count()
+    topn = [r.chunk_id for r in top_k_by_dot(chunks, QUERY4, k=n).collect()]
+    full = [
+        r.chunk_id
+        for r in chunks.withColumn(
+            "s",
+            sum(F.element_at("vector_embedding", i + 1) * QUERY4[i] for i in range(4)),
+        )
+        .orderBy(F.desc("s"), F.asc("chunk_id"))
+        .collect()
+    ]
+    assert topn == full
+
+
+def test_threshold_search(chunks):
+    res = threshold_search(chunks, QUERY4, 0.7, metric="dot")
+    assert {r.chunk_id for r in res.collect()} == {1, 3, 4, 5, 6}
+
+
+def test_batch_knn_self_is_nearest(chunks):
+    """Each vector's cosine-nearest neighbor is itself (queries limited
+    to pairwise non-colinear vectors — chunks 2 and 5 are parallel, so
+    their cosine ties at 1.0 and the id tiebreak wins instead)."""
+    chunks = chunks.filter(F.col("chunk_id").isin([1, 3, 4, 6]))
+    q = chunks.select(
+        F.col("chunk_id").alias("query_id"), F.col("vector_embedding").alias("qv")
+    )
+    c = chunks.select(
+        F.col("chunk_id").alias("corpus_id"), F.col("vector_embedding").alias("cv")
+    )
+    res = batch_knn(q, c, k=1, query_vec="qv", corpus_id="corpus_id", corpus_vec="cv").collect()
+    assert len(res) == chunks.count()
+    for r in res:
+        assert r.query_id == r.corpus_id and abs(r.score - 1.0) < 1e-12
+
+
+def test_batch_knn_k_bound(chunks):
+    q = chunks.limit(2).select(
+        F.col("chunk_id").alias("query_id"), F.col("vector_embedding").alias("qv")
+    )
+    c = chunks.select(
+        F.col("chunk_id").alias("corpus_id"), F.col("vector_embedding").alias("cv")
+    )
+    res = batch_knn(q, c, k=3, query_vec="qv", corpus_id="corpus_id", corpus_vec="cv")
+    counts = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)

@@ -1,0 +1,112 @@
+"""Structured Streaming tests: batch equivalence of the windowed
+aggregations (the streaming analog of the DuckDB oracle gate) and
+late-data watermark behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+from quick_and_easy_vectordb_spark.streaming.windows import (
+    read_events_stream,
+    stream_tumbling_counts,
+    stream_user_sessions,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events re-written as µs-timestamp parquet files (several
+    files → several stream triggers)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_stream_to_memory(spark, sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_stream_to_memory(
+        spark, stream_tumbling_counts(stream), "t_tumbling"
+    ).collect()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    assert len(out) > 0
+
+
+def test_session_stream_sane(spark, events_dir):
+    # all files in one trigger: with file-per-trigger the unordered
+    # files would advance the watermark past later files' events and
+    # (correctly) drop them — late-data semantics are pinned separately
+    # in test_watermark_drops_late_data
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    out = run_stream_to_memory(
+        spark, stream_user_sessions(stream, watermark="40 days"), "t_sessions"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+    # total events across sessions == total input events
+    assert sum(r.n_events for r in out) == spark.read.parquet(events_dir).count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: the second carries an event older than the
+    watermark → it must NOT create/modify a window in append output."""
+    import time
+
+    d = str(tmp_path / "late")
+    rows1 = [(1, "2024-01-01 10:05:00", 1, "click", 1.0, ""),
+             (2, "2024-01-01 13:00:00", 1, "click", 1.0, "")]
+    rows2 = [(3, "2024-01-01 10:10:00", 1, "click", 1.0, "")]  # 3h late
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+
+    def write(rows, i):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+         .write.mode("append").parquet(d))
+
+    write(rows1, 0)
+    stream = read_events_stream(spark, d, max_files_per_trigger=10)
+    from quick_and_easy_vectordb_spark.streaming.windows import stream_tumbling_counts
+    agg = stream_tumbling_counts(stream, watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        time.sleep(8)
+        write(rows2, 1)
+        time.sleep(8)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_late").collect()
+    # in append mode only windows finalized below the watermark emit;
+    # the 10:00 window was finalized by the 13:00 event's watermark and
+    # the late 10:10 event must not re-emit or inflate it
+    for r in got:
+        if r.window_start == 1704103200:  # 2024-01-01 10:00 UTC
+            assert r.n_events == 1
