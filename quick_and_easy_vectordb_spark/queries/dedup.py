@@ -15,6 +15,7 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_table,
     simhash_signatures,
 )
 from quick_and_easy_vectordb_spark.queries.common import sql_cosine
@@ -107,13 +108,15 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCAR
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: 12 min-hashes over word
-    3-shingles → 4 bands of 3 → band-bucket equi-join for candidates →
-    exact-Jaccard verify ≥ 0.5. No pairwise blowup anywhere: candidates
-    come from equi-joins on band keys (operators/dedup.py)."""
+    3-shingles → 4 bands of 3 → band-bucket candidates → exact-Jaccard
+    verify ≥ 0.5. No pairwise blowup anywhere; the shared shingle table
+    is persisted so text is shingled exactly once (at cluster scale
+    this intermediate would be a checkpointed parquet table)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES)
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    return jaccard_pairs(docs, cands, "text", "doc_id", 3, JACCARD_T)
+    return jaccard_pairs(sh, cands, JACCARD_T)
 
 
 @query(

@@ -204,3 +204,28 @@ def ev_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ev_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json", "agg"),
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON handling: extract a field from the ``props``
+    JSON column (get_json_object — JVM-side JSON path eval, no UDF) and
+    aggregate it per event type. Integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

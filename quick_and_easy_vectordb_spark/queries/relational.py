@@ -349,3 +349,101 @@ def rel_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_mktsegment"
     )
+
+
+@query(
+    "rel_outer_join_counts",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey),
+sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+       FROM supplier GROUP BY s_nationkey)
+SELECT n.n_name,
+       COALESCE(cn.n_customers, 0) AS n_customers,
+       COALESCE(sn.n_suppliers, 0) AS n_suppliers
+FROM nation n
+LEFT JOIN cn ON cn.nk = n.n_nationkey
+FULL OUTER JOIN sn ON sn.nk = n.n_nationkey
+""",
+    tags=("relational", "join", "outer"),
+)
+def rel_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface: LEFT + FULL OUTER with COALESCE'd nulls —
+    nations keep their row even with zero customers/suppliers."""
+    n = load_table(spark, sf_dir, "nation")
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        n.join(cn, n.n_nationkey == cn.cnk, "left")
+        .join(sn, n.n_nationkey == F.col("snk"), "full_outer")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "rel_cube_orders",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+""",
+    tags=("relational", "cube", "agg"),
+)
+def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (year × priority): all four grouping sets in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "rel_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER)
+         AS days_to_2002
+FROM orders
+WHERE o_orderkey % 97 = 0
+""",
+    tags=("relational", "date", "scalar"),
+)
+def rel_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: component extraction, truncation,
+    day arithmetic. (Spark's dayofweek is 1=Sunday; DuckDB's dow is
+    0=Sunday — aligned via −1.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.lit("2002-01-01 00:00:00").cast("timestamp").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days_to_2002"),
+    )

@@ -10,6 +10,7 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_table,
     simhash_signatures,
 )
 
@@ -42,9 +43,10 @@ def test_exact_dedup_idempotent(spark):
 
 def test_minhash_lsh_finds_near_dups(spark):
     df = corpus(spark)
-    sigs = minhash_signatures(df, num_hashes=12)
+    sh = shingle_table(df)
+    sigs = minhash_signatures(sh, num_hashes=12)
     cands = lsh_candidate_pairs(sigs, 12, 4)
-    verified = jaccard_pairs(df, cands, threshold=0.5)
+    verified = jaccard_pairs(sh, cands, threshold=0.5)
     pairs = {(r.id_a, r.id_b) for r in verified.collect()}
     # the exact/whitespace dups must be found; near-dup 1-3 likely too
     assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
@@ -55,7 +57,7 @@ def test_minhash_lsh_finds_near_dups(spark):
 def test_minhash_identical_docs_identical_signatures(spark):
     df = corpus(spark)
     sigs = {r.id: tuple(r[f"mh{i}"] for i in range(12)) for r in
-            minhash_signatures(df, num_hashes=12).collect()}
+            minhash_signatures(shingle_table(df), num_hashes=12).collect()}
     assert sigs[1] == sigs[2] == sigs[5]
     assert sigs[1] != sigs[4]
 
