@@ -1,0 +1,106 @@
+"""As-of join: for each left row, the most recent right row with
+``right.ts <= left.ts`` within the same key group.
+
+Spark has no ASOF JOIN operator (DuckDB and kdb+ do), and the naive
+formulations melt at scale: a range join ``l.ts >= r.ts`` explodes to
+O(|L|·|R|) per key before the "latest" filter, and a per-key
+``collect_list`` + UDF serializes whole key groups through Python.
+
+This implementation is the union-and-window technique:
+
+1. union both sides into one relation tagged with origin, aligning
+   schemas (left payload nulled on right rows and vice versa);
+2. one window partitioned by key, ordered by ts with the default
+   ``RANGE UNBOUNDED PRECEDING AND CURRENT ROW`` frame, computing
+   ``max(struct(right_ts, right_payload))`` over right-origin rows —
+   the running "latest right row so far";
+3. keep left-origin rows and unpack the struct.
+
+Cost: ONE shuffle (the window partition-by), sort within partitions,
+zero row multiplication. At 100 TB this is the same plan shape as any
+keyed window aggregation; skewed keys behave exactly like any skewed
+window (mitigate by pre-bucketing hot keys if needed).
+
+Determinism: the RANGE frame includes all ts-peers, and ``max`` over a
+struct is order-insensitive (lexicographic by field position, ts
+first), so ties resolve identically on any partitioning and any
+engine — no dependence on sort stability.
+
+Reference context: the reference app (app.py:1-193) has no join of any
+kind; this operator is part of the pipeline extension surface
+(SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. Returns every ``left`` row plus:
+
+    - ``<right_ts><suffix>``: greatest right timestamp <= the left
+      row's timestamp within the key group (null if none), and
+    - each ``right_payload`` column as ``<name><suffix>``, taken from
+      that matched right row (ties on right ts resolved by the
+      payload's own ordering, deterministically).
+
+    Rows with no match keep nulls — filter them out for inner-as-of.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(right_payload)
+
+    l_cols = [c for c in left.columns if c not in keys]
+    matched_struct = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]
+    )
+
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c).alias(c) for c in l_cols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(matched_struct.alias("__m")).schema["__m"].dataType
+        ).alias("__m"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c).alias(c) for c in l_cols]).alias("__l")
+            ).schema["__l"].dataType
+        ).alias("__l"),
+        matched_struct.alias("__m"),
+    )
+
+    # Default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) makes
+    # equal-ts right rows visible to the left row — ASOF's `>=`.
+    w = Window.partitionBy(*keys).orderBy("__t")
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "__match", F.max("__m").over(w)
+    )
+
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col(f"__l.{c}").alias(c) for c in l_cols]
+        + [F.col("__match.__ts").alias(f"{right_ts}{suffix}")]
+        + [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in payload]
+    )
+    return merged.filter(F.col("__is_left") == 1).select(*out_cols)

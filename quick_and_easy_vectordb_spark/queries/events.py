@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
+from quick_and_easy_vectordb_spark.operators.asof import asof_join
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -228,4 +229,87 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "ev_asof_join",
+    oracle="""
+WITH cp AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(click_ts) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_ts
+  FROM cp
+)
+SELECT event_id, user_id, ts, last_click_ts,
+       CAST(date_diff('microsecond', last_click_ts, ts) AS BIGINT) AS gap_us
+FROM m
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+""",
+    tags=("events", "asof-join", "window"),
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (Spark has no native one): each purchase matched to
+    the user's most recent click at-or-before it, via the
+    union-and-window technique in operators/asof.py — ONE shuffle on
+    user_id, zero row multiplication (a naive range join is O(|L|·|R|)
+    per key before the 'latest' filter). The RANGE frame plus
+    order-insensitive MAX makes equal-timestamp ties deterministic on
+    any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id", suffix="_click")
+    return joined.filter(F.col("ts_click").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("last_click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("gap_us"),
+    )
+
+
+@query(
+    "ev_heavy_hitters_salted",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n, {_DSUM_VAL} AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n DESC, user_id
+LIMIT 20
+""",
+    tags=("events", "agg", "skew", "topk"),
+)
+def ev_heavy_hitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users via TWO-PHASE SALTED aggregation: phase 1
+    groups by (user_id, hash(event_id) % 16) so a pathologically hot
+    user's rows spread over 16 reducers; phase 2 re-aggregates the 16
+    partials per user. Decimal partial sums are associative, so the
+    two-level total is bit-identical to a one-shot aggregation (the
+    oracle). Same answer, no hot-key straggler at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
     )

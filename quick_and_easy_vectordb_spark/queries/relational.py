@@ -447,3 +447,227 @@ def rel_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
         ).alias("days_to_2002"),
     )
+
+
+@query(
+    "rel_q4_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+  AND o_orderdate < TIMESTAMP '2001-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "join", "semi", "exists"),
+)
+def rel_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a residual
+    non-equi predicate (l_shipdate > o_orderdate). The date filter on
+    orders is pushed to the parquet scan before the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    sel = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "rel_q18_large_orders",
+    oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(CAST(big.qdec AS VARCHAR) AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qdec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,10))) > 200) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    tags=("relational", "join", "having", "agg"),
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem FIRST
+    (map-side combine shrinks it ~4×), HAVING-filter, then join the
+    small survivor set to orders and customer — never join raw
+    lineitem to customer."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qdec"))
+        .filter(F.col("qdec") > 200)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qdec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "rel_q19_disjunctive",
+    oracle=f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("relational", "join", "broadcast", "disjunctive"),
+)
+def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates across a
+    BROADCAST equi-join (part is the dim side — no shuffle of
+    lineitem). Catalyst extracts p_brand IN (...) as a pushable
+    conjunct from the OR; the rest evaluates as a post-join residual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def arm(brand: str, smax: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(
+        arm("Brand#12", 15, 1, 21)
+        | arm("Brand#23", 25, 10, 30)
+        | arm("Brand#3", 35, 20, 40)
+    )
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "rel_pivot_segment_year",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       {", ".join(
+           f'''CAST(CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN CAST(o_totalprice AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE) AS "{s}"'''
+           for s in _SEGMENTS
+       )}
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1
+""",
+    tags=("relational", "pivot", "agg"),
+)
+def rel_pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: yearly order revenue cross-tabbed by market segment.
+    The segment list is given explicitly so Spark skips the
+    distinct-values pre-pass (one job instead of two) and the output
+    schema is static — required for streaming reuse and for the
+    oracle's conditional-aggregation mirror."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(dsum("o_totalprice"))
+    )
+
+
+@query(
+    "rel_window_lag_running",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_idx,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS VARCHAR)
+            AS DOUBLE) AS run_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("relational", "window", "lag", "running"),
+)
+def rel_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: LAG (previous order price), order
+    index, and a running decimal-exact spend total — one window, one
+    shuffle on o_custkey shared by all three functions. The (date,
+    orderkey) ordering is a total order, so the default RANGE frame
+    equals ROWS and results are partition-count-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.row_number().over(w).cast("long").alias("order_idx"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(w)
+        .cast("double")
+        .alias("run_spend"),
+    )
+
+
+@query(
+    "rel_median_by_priority",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       AVG(v) AS median_price
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "window", "percentile"),
+)
+def rel_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median order price per priority, built from row_number +
+    count windows and an average of the one-or-two middle values —
+    deterministic across engines (interpolating percentile_cont
+    implementations differ in float op order; approx_percentile is
+    the right call at 100 TB but is not oracle-comparable).
+    Note: partitioning by a 5-value key makes 5 giant window
+    partitions at scale — exactness here trades away parallelism."""
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.avg("v").alias("median_price"),
+    )
