@@ -55,6 +55,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed writes) go to scratch, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/qev_spark_warehouse")
     )
     if extra_conf:
         for k, v in extra_conf.items():

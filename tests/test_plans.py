@@ -77,3 +77,43 @@ def test_dimension_join_is_broadcast(spark, sf_dir):
     plan = physical(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- plans.inspect module-backed assertions (newer operators) ----
+
+from quick_and_easy_vectordb_spark.operators.asof import asof_join
+from quick_and_easy_vectordb_spark.plans import (
+    assert_plan,
+    broadcast_join_count,
+    is_top_k,
+    shuffle_count,
+)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, on="user_id", suffix="_click")
+    # union of both sides + ONE window exchange on user_id — the whole
+    # point of the union-and-window technique
+    assert shuffle_count(j) == 1
+    assert j.count() > 0
+
+
+def test_q19_broadcasts_part_and_pushes_brand_filter(spark, sf_dir):
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["rel_q19_disjunctive"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    # Catalyst extracts p_brand IN (...) from the OR and pushes it
+    assert_plan(df, pushed_filters=("p_brand",))
+
+
+def test_inspect_helpers_consistent_with_raw_plan(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id").orderBy("vec_id").limit(3)
+    assert is_top_k(q)
+    assert_plan(q, not_read={"embedding"}, top_k=True)
