@@ -32,10 +32,19 @@ def main() -> None:
     spark = get_spark("qev-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+
+    # Warmup: run every bench query once at the smallest scale factor.
+    # Whole-stage codegen compiles per query *shape* (several seconds of
+    # JIT for wide decimal aggregates), so this moves one-time JVM/
+    # compiler cost out of the timed loop — the timings below measure
+    # steady-state engine throughput, which is the quantity that
+    # extrapolates to a long-running cluster.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for qd in bench_queries.values():
+        qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name, qd in bench_queries.items():
         t0 = time.perf_counter()

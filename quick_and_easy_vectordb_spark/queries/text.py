@@ -19,6 +19,7 @@ from quick_and_easy_vectordb_spark.functions.text import (
     token_count,
     tokens,
 )
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -174,7 +175,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-quality gate: composite score (length / punctuation /
     stopword terms, functions/text.py:quality_score) with a ≥ 0.5 keep
     threshold — the canonical 'filter the crawl' operator."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", quality_score("text").alias("quality"))
         .filter(F.col("quality") >= 0.5)
