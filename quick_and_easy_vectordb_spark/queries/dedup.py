@@ -74,14 +74,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
 WITH {SQL_SHINGLES},
+hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS sig
-  FROM sh CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
   GROUP BY doc_id, s.seed
 ),
 bands AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS key
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
   FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 ),
 cand AS (
