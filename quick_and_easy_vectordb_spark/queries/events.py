@@ -313,3 +313,54 @@ def ev_heavy_hitters_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "ev_range_join",
+    oracle="""
+SELECT p.event_id, COUNT(*) AS n_nearby_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    tags=("events", "range-join"),
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN by interval bucketing: clicks land in one 5-minute
+    bucket; each purchase probes its bucket ±1 via a tiny explode, so
+    the range condition becomes an EQUI-join on (user, bucket) plus a
+    residual |Δt| <= 5 min filter. A naive range join degenerates to a
+    per-user cross product; this shape shuffles each row at most 3x
+    and scales linearly. Every qualifying click is counted exactly
+    once (its single bucket is always within the probed 3)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_s = 300
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.col("ts").cast("long") / bucket_s).cast("long").alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_uid"),
+        F.unix_micros("ts").alias("p_us"),
+        F.explode(
+            F.sequence(
+                (F.col("ts").cast("long") / bucket_s).cast("long") - 1,
+                (F.col("ts").cast("long") / bucket_s).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_uid") == F.col("c_uid")) & (purchases.bucket == clicks.bucket),
+    ).filter(
+        F.abs(F.col("c_us") - F.col("p_us")) <= bucket_s * 1_000_000
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks")
+    )

@@ -676,3 +676,34 @@ def rel_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_orders"),
         F.avg("v").alias("median_price"),
     )
+
+
+@query(
+    "rel_argmax_per_group",
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM r JOIN nation ON n_nationkey = c_nationkey
+WHERE rn = 1
+""",
+    tags=("relational", "window", "argmax", "join"),
+)
+def rel_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group (richest customer per nation): row_number with
+    an explicit custkey tiebreak (max_by/arg_max have unspecified tie
+    order — not oracle-safe), then a broadcast join to the nation dim
+    for the k surviving rows only."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.join(F.broadcast(n), top.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_name", "c_acctbal"
+    )

@@ -14,6 +14,9 @@ rows, not N, and the join is a broadcast of k rows.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -283,4 +286,81 @@ def vdb_vector_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(parsed).alias("dim"),
         dot_product(parsed, parsed).alias("norm_sq"),
+    )
+
+
+_ONES = sql_vec([1.0] * len(QUERY_VEC))
+
+
+@query(
+    "vdb_vector_stats",
+    oracle=f"""
+SELECT vec_id,
+       sqrt(list_dot_product({_EMB}, {_EMB})) AS l2_norm,
+       list_max({_EMB}) AS max_val,
+       list_min({_EMB}) AS min_val,
+       CAST(list_position({_EMB}, list_max({_EMB})) AS BIGINT) AS argmax_idx,
+       list_dot_product({_EMB}, {_ONES}) / len(embedding) AS mean_val
+FROM embeddings
+""",
+    tags=("vector", "array-fns"),
+)
+def vdb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the vector column: L2 norm, min/max
+    element, 1-based argmax, mean — all JVM-side array expressions.
+    The mean is computed as dot(v, ones)/len so its float fold order
+    is the (verified engine-identical) dot-product fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    ones = vector_literal([1.0] * len(QUERY_VEC))
+    return emb.select(
+        "vec_id",
+        F.sqrt(dot_product(e, e)).alias("l2_norm"),
+        F.array_max(e).alias("max_val"),
+        F.array_min(e).alias("min_val"),
+        F.array_position(e, F.array_max(e)).alias("argmax_idx"),
+        (dot_product(e, ones) / F.size("embedding")).alias("mean_val"),
+    )
+
+
+@query(
+    "vdb_topk_cosine_arrow",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {sql_cosine(_EMB, _Q)} AS s FROM embeddings
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM scored ORDER BY s DESC, vec_id LIMIT 5
+""",
+    tags=("vector", "topk", "pandas-udf"),
+)
+def vdb_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine via an ARROW-VECTORIZED pandas UDF (the Python
+    fast path: one numpy matmul per Arrow batch, ~100x a row-at-a-time
+    UDF). Scores differ from the JVM fold only in float rounding order,
+    so the query returns (rank, id) — the ranking — which must match
+    the declarative plan's oracle exactly. Demonstrates that the UDF
+    surface plugs into the same TakeOrderedAndProject top-k plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(QUERY_VEC, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def cos(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = (
+        emb.select("vec_id", cos("embedding").alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(5)
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "vec_id"
     )
