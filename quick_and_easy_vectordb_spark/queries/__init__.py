@@ -28,3 +28,4 @@ from quick_and_easy_vectordb_spark.queries import relational  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import events  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import ann  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import multimodal  # noqa: F401,E402
+from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402

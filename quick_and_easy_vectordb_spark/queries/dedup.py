@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.text import word_shingles
+from quick_and_easy_vectordb_spark.operators.graph import dup_clusters
 from quick_and_easy_vectordb_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -70,10 +71,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs.unionByName(shifted), "text", "doc_id")
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {SQL_SHINGLES},
+# CTE chain from documents to verified near-dup pairs (id_a, id_b,
+# jaccard) — shared by dedup_minhash_lsh and dedup_clusters.
+SQL_VERIFIED_PAIRS = f"""{SQL_SHINGLES},
 hp AS (
   SELECT doc_id,
          ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
@@ -101,13 +101,22 @@ inter AS (
   JOIN sh s1 ON s1.doc_id = c.id_a
   JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT i.id_a, i.id_b,
-       CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN cnt ca ON ca.doc_id = i.id_a
-JOIN cnt cb ON cb.doc_id = i.id_b
-WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_T}
+),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.id_a
+  JOIN cnt cb ON cb.doc_id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_T}
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS}
+SELECT id_a, id_b, jaccard FROM pairs
 """,
     tags=("dedup", "minhash", "lsh", "join"),
     bench=True,
@@ -227,3 +236,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     full N² cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, "embedding", "vec_id", "label", 0.35)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {SQL_VERIFIED_PAIRS},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u)
+SELECT MIN(id) AS keep_id,
+       COUNT(*) AS n_members,
+       list_sort(list(id)) AS members
+FROM comp GROUP BY component
+""",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step pairwise dedup stops
+    short of: verified MinHash-LSH pairs collapsed into connected
+    components (iterative min-label propagation, operators/graph.py),
+    one row per cluster with the canonical keep id. The DuckDB oracle
+    computes the same components via a recursive-CTE transitive
+    closure — feasible at oracle scale, quadratic-per-cluster at
+    production scale, which is exactly why the Spark side iterates
+    label propagation instead."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(sh, cands, JACCARD_T)
+    return dup_clusters(pairs)

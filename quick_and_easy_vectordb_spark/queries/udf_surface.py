@@ -1,0 +1,123 @@
+"""UDF/UDAF/UDTF surface queries — the Python extension points, each
+Arrow-batched (never row-at-a-time):
+
+- scalar pandas UDF     → vdb_topk_cosine_arrow (queries/vector.py)
+- grouped-AGG pandas UDF (the UDAF surface) → udf_grouped_agg_median
+- grouped-MAP applyInPandas                 → udf_grouped_map_gaps
+- mapInPandas (stream of batches)           → mm_binary_features
+  (queries/multimodal.py)
+- approximate sketch (HLL++)                → udf_approx_distinct
+  (rows-only check: sketch estimates are engine-specific by design)
+
+The reference's only "UDF" is its embed function + two pandas .apply
+lambdas (reference app.py:27-37, :45, :56); this module is the
+generalized, oracle-checked version of that extension surface.
+Exactness discipline: every oracle-checked UDF here computes in
+integer space (epoch micros, char counts), so Python/numpy results
+are bit-identical to the SQL oracle — float reductions in numpy do
+NOT match engine fold order and are only safe rows-only or rank-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+
+@query(
+    "udf_grouped_agg_median",
+    oracle="""
+SELECT lang, median(n_chars) AS median_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+    tags=("udf", "udaf", "agg"),
+)
+def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Spark's UDAF surface): exact
+    per-language median of an integer column. Arrow ships each group's
+    column to one numpy call; n_chars is int so np.median's half-sum
+    is exact and matches DuckDB's interpolated median bit-for-bit."""
+
+    @pandas_udf("double")
+    def int_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        # pandas UDAFs can't mix with JVM aggregates in one agg(), so
+        # the row count is a (trivial) second pandas UDAF
+        return len(v)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        int_median("n_chars").alias("median_chars"),
+        group_size("n_chars").alias("n_docs"),
+    )
+
+
+@query(
+    "udf_grouped_map_gaps",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+""",
+    tags=("udf", "grouped-map", "applyInPandas"),
+)
+def udf_grouped_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user max inter-event gap. The
+    whole per-user slice lands in one pandas frame (the operator class
+    for per-entity imperative logic that window functions can't
+    express); all math in integer micros → exact oracle parity.
+    Single-event users yield a null gap, matching SQL MAX over an
+    empty lag set."""
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(pdf["us"].to_numpy())
+        mg = int(np.diff(us).max()) if len(us) > 1 else None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(us)],
+                "max_gap_us": [mg],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", F.unix_micros("ts").alias("us"))
+        .groupBy("user_id")
+        .applyInPandas(gaps, "user_id long, n_events long, max_gap_us long")
+    )
+
+
+@query(
+    "udf_approx_distinct",
+    oracle=None,  # HLL++ estimates are engine-specific → rows-only check
+    tags=("udf", "sketch", "agg"),
+)
+def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type, alongside the
+    exact count so the estimate error is visible in the result. At
+    100 TB the sketch is mergeable across partitions in fixed memory —
+    the exact distinct shuffles every key. No SQL oracle: sketch
+    estimates differ by implementation (deterministic per engine,
+    not across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
