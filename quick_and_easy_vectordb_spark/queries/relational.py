@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import davg, dsum
+from quick_and_easy_vectordb_spark.operators.merge import upsert
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -707,3 +708,52 @@ def rel_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(n), top.c_nationkey == n.n_nationkey).select(
         "n_name", "c_custkey", "c_name", "c_acctbal"
     )
+
+
+@query(
+    "rel_merge_upsert",
+    oracle="""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+         'UPDATED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate,
+         'INSERTED'
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+       COALESCE(u.o_orderdate, t.o_orderdate) AS o_orderdate,
+       COALESCE(u.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+FROM orders t FULL OUTER JOIN upd u ON u.o_orderkey = t.o_orderkey
+""",
+    tags=("relational", "merge", "dml"),
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/merge.py): a changeset derived
+    from the table itself — price corrections on every 97th order plus
+    brand-new rows cloned from every 101st — applied in one full-outer
+    keyed join. Matched rows take the update, unmatched stay, new keys
+    append; the oracle is the equivalent FULL OUTER + COALESCE."""
+    o = load_table(spark, sf_dir, "orders")
+    corrections = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("UPDATED").alias("o_orderpriority"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("INSERTED").alias("o_orderpriority"),
+    )
+    return upsert(o, corrections.unionByName(inserts), on="o_orderkey")
