@@ -165,3 +165,62 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(5)
     )
+
+
+RECALL_K = 20
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {_sql_signature(PROBE_PLANES)} AS bucket,
+         {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS similarity
+  FROM embeddings
+),
+approx AS (
+  SELECT vec_id FROM scored WHERE bucket IN ({_probe_list_sql()})
+  ORDER BY similarity DESC, vec_id LIMIT {RECALL_K}
+),
+exact AS (
+  SELECT vec_id FROM scored ORDER BY similarity DESC, vec_id LIMIT {RECALL_K}
+)
+SELECT CAST({RECALL_K} AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) AS DOUBLE)
+         / {RECALL_K} AS recall
+""",
+    tags=("ann", "lsh", "metric"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QUALITY as a first-class query: recall@20 of the
+    multi-probe LSH search against the exact brute-force top-20 —
+    the accept/reject metric for any ANN index build (probe more
+    buckets → higher recall, more scan; this quantifies the trade).
+    Both sides are deterministic, so even the quality metric is
+    oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    sig = python_lsh_signature(QUERY_VEC, PROBE_PLANES)
+    probes = hamming_neighbors(sig, 1)
+    scored = emb.select(
+        "vec_id",
+        lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
+        dot_product(F.col("embedding"), q).alias("similarity"),
+    ).persist()
+    approx = (
+        scored.filter(F.col("bucket").isin(probes))
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    exact = (
+        scored.orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    return approx.join(exact, "vec_id").agg(
+        F.lit(RECALL_K).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / RECALL_K).alias("recall"),
+    )

@@ -757,3 +757,125 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("INSERTED").alias("o_orderpriority"),
     )
     return upsert(o, corrections.unionByName(inserts), on="o_orderkey")
+
+
+@query(
+    "rel_q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS yr,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+    tags=("relational", "join", "multiway", "agg"),
+)
+def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join measuring trade volume between two
+    nations by year. Join order matters at scale: dims (customer,
+    supplier, nation) reduce via broadcast; the two big tables
+    (lineitem ⋈ orders) meet in the only real shuffle. The nation
+    IN-filters prune through the joins down to the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "rel_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("relational", "join", "topn", "agg"),
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    The returnflag filter prunes lineitem AT THE SCAN (~1/3 survives)
+    before any join; the final top-20 is TakeOrderedAndProject over
+    the aggregated (small) result, with revenue-then-key tiebreak for
+    determinism."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "rel_q14_promo_share",
+    oracle=f"""
+SELECT 100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {_dsum('l_extendedprice * (1 - l_discount)')} AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+""",
+    tags=("relational", "join", "conditional-agg"),
+)
+def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation
+    across a broadcast join, one scalar out. Both decimal sums ride the
+    same shuffle-free partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return j.agg(
+        (F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_share")
+    )

@@ -104,3 +104,20 @@ def stream_user_sessions(
             "n_events",
         )
     )
+
+
+def stream_dedup_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming EXACT DEDUP on event_id: emit each id's first arrival,
+    drop replays — the streaming twin of the batch dedup family for an
+    at-least-once source (Kafka replays, retried producers).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state-store entry per
+    id only until the watermark passes its event time, so state is
+    bounded by (arrival rate × watermark horizon) instead of growing
+    with the whole stream — the property that makes exactly-once
+    semantics viable on an unbounded source."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -110,3 +110,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
     for r in got:
         if r.window_start == 1704103200:  # 2024-01-01 10:00 UTC
             assert r.n_events == 1
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """Replayed event_ids (same file content written twice) must come
+    out exactly once, matching batch dropDuplicates."""
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_dedup_events,
+    )
+
+    src = str(tmp_path / "dup_events")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # replay every event once
+
+    assert spark.read.parquet(src).count() == 400
+
+    stream = read_events_stream(spark, src)
+    # dedup streams emit rows as they arrive -> append mode (complete
+    # is only for aggregations)
+    q = (
+        stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_dedup")
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    want = sorted(r.event_id for r in ev.select("event_id").collect())
+    assert got == want
