@@ -253,6 +253,7 @@ FROM m
 WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
 """,
     tags=("events", "asof-join", "window"),
+    bench=True,
 )
 def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN (Spark has no native one): each purchase matched to

@@ -732,6 +732,7 @@ SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
 FROM orders t FULL OUTER JOIN upd u ON u.o_orderkey = t.o_orderkey
 """,
     tags=("relational", "merge", "dml"),
+    bench=True,
 )
 def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (operators/merge.py): a changeset derived
