@@ -175,10 +175,24 @@ def jaccard_pairs(
 
     |A∩B| via an equi-join of exploded shingles restricted to candidate
     pairs; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Output:
-    (id_a, id_b, jaccard) for pairs clearing the threshold. Work is
-    proportional to candidate-pair shingles, not corpus².
+    (id_a, id_b, jaccard) for pairs clearing the threshold.
+
+    The shingle relation is first SEMI-FILTERED to candidate docs via a
+    broadcast of the (tiny) candidate id set — candidates are a
+    vanishing fraction of the corpus, so the intersection join and the
+    counts aggregate run over candidate shingles only instead of
+    shuffling the full corpus shingle table twice. Work is proportional
+    to candidate-pair shingles, not corpus size.
     """
-    sh = shingles
+    # candidates feeds BOTH the broadcast id-set and the pair join —
+    # persist so the (expensive) upstream LSH pipeline runs once
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingles.join(cand_ids, "id", "left_semi")
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))

@@ -44,6 +44,7 @@ def connected_components(
     ``edges`` appear; isolated vertices (no edges) are the caller's
     no-op case.
     """
+    edges = edges.persist()  # scanned twice below (forward + reversed)
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
