@@ -25,7 +25,7 @@ from quick_and_easy_vectordb_spark.functions.numeric import davg, dsum
 from quick_and_easy_vectordb_spark.operators.merge import upsert
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
-from quick_and_easy_vectordb_spark.sources.catalog import load_table
+from quick_and_easy_vectordb_spark.sources.catalog import load_table, register_views
 
 # DuckDB mirrors of dsum/davg (functions/numeric.py). The decimal sum
 # is cast to double THROUGH VARCHAR: DuckDB's direct decimal→double
@@ -880,3 +880,35 @@ def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         (F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_share")
     )
+
+
+@query(
+    "rel_q6_sql_surface",
+    oracle=f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate < TIMESTAMP '2001-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("relational", "sql", "agg"),
+)
+def rel_q6_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 expressed as PURE Spark SQL over registered views —
+    the engine's second query language (same Catalyst plan as the
+    DataFrame API; sources/catalog.py:register_views mirrors the
+    oracle's view setup). The Spark SQL text and the DuckDB oracle
+    differ only in the decimal-to-double cast spelling."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2001-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
