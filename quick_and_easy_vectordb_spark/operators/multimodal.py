@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["with_binary_payload", "decode_image", "extract_binary_features"]
+__all__ = [
+    "with_binary_payload",
+    "decode_image",
+    "extract_binary_features",
+    "sample_frames",
+    "resize_images",
+]
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -89,3 +95,75 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling plumbing: ONE input row fans out to
+    ``n_frames`` output rows (the UDTF/flatMap shape) inside a single
+    mapInPandas pass — a real sampler would seek+decode n timestamps
+    per payload; the stub derives each frame's digest as
+    md5(payload || ':' || idx), keeping the whole fan-out
+    deterministic and oracle-checkable. No shuffle: row expansion
+    happens inside the map stage, and downstream per-frame operators
+    see an ordinary (doc_id, frame_idx)-keyed relation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(bytes(payload) + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing (decode → scale → re-encode in a real cluster):
+    per-row map emitting the target dims and a digest binding payload
+    to the resize parameters — md5(payload || 'WxH'). Pure map stage,
+    Arrow-batched, no shuffle."""
+    tag = f":{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_w": width,
+                    "out_h": height,
+                    "resized_md5": [
+                        hashlib.md5(bytes(p) + tag).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)

@@ -20,6 +20,7 @@ from quick_and_easy_vectordb_spark.functions.vector import dot_product, vector_l
 from quick_and_easy_vectordb_spark.operators.multimodal import (
     extract_binary_features,
     with_binary_payload,
+    sample_frames,
 )
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -98,3 +99,22 @@ def mm_embed_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", dot_product(embed(F.col("text")), q).alias("similarity")
     )
     return scored.orderBy(F.desc("similarity"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+       md5(text || ':' || CAST(i.i AS VARCHAR)) AS frame_md5
+FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) i
+""",
+    tags=("multimodal", "frames", "udtf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: every document payload yields 4 frame
+    rows from one mapInPandas pass (operators/multimodal.py:
+    sample_frames) — the row-expanding UDTF shape a video pipeline
+    needs. The stub digest md5(payload||':'||idx) makes the Python
+    fan-out bit-comparable to the oracle's cross join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(with_binary_payload(docs), n_frames=4)

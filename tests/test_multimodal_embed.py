@@ -66,3 +66,35 @@ def test_distilbert_backend_gated(spark):
 def test_unknown_backend_rejected():
     with pytest.raises(ValueError):
         make_embed_udf("nope")
+
+
+def test_sample_frames_fanout_shape(spark):
+    from quick_and_easy_vectordb_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "doc_id long, text string"
+    )
+    out = sample_frames(with_binary_payload(docs), n_frames=3).collect()
+    assert len(out) == 6  # 2 docs x 3 frames
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(by_doc[1]) == [0, 1, 2] and sorted(by_doc[2]) == [0, 1, 2]
+    # digests differ per frame and per doc
+    assert len({r.frame_md5 for r in out}) == 6
+
+
+def test_resize_images_binds_params(spark):
+    from quick_and_easy_vectordb_spark.operators.multimodal import (
+        resize_images,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "img")], "doc_id long, text string")
+    a = resize_images(with_binary_payload(docs), 224, 224).first()
+    b = resize_images(with_binary_payload(docs), 336, 336).first()
+    assert (a.out_w, a.out_h) == (224, 224)
+    assert a.resized_md5 != b.resized_md5  # params are part of the digest
