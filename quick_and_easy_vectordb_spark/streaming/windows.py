@@ -121,3 +121,40 @@ def stream_dedup_events(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_click_attribution(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM JOIN with an event-time range constraint: each
+    purchase joins every click by the same user within the preceding
+    ``horizon``. Both sides carry watermarks and the join condition
+    bounds click_ts relative to purchase_ts, so the state store can
+    evict a buffered click once purchase-side event time passes
+    click_ts + horizon + watermark — without the time bound the state
+    grows forever (Spark rejects unbounded stream-stream inner joins
+    on append output). Batch-equivalent to the same join on the
+    bounded table (tests/test_streaming.py)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_uid = c_uid AND click_ts >= purchase_ts - INTERVAL {horizon}"
+            " AND click_ts <= purchase_ts"
+        ),
+    ).select("purchase_id", "p_uid", "purchase_ts", "click_ts")

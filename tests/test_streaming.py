@@ -142,3 +142,46 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     got = sorted(r.event_id for r in out.select("event_id").collect())
     want = sorted(r.event_id for r in ev.select("event_id").collect())
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_click_attribution,
+    )
+
+    # single trigger: with file-per-trigger the unordered files would
+    # advance the watermark past later files' events (late-drop
+    # semantics are pinned in test_watermark_drops_late_data)
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    q = (
+        stream_click_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_ts)
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_uid", "ts AS purchase_ts"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_uid", "ts AS click_ts"
+    )
+    want = {
+        (r.purchase_id, r.click_ts)
+        for r in p.join(
+            c,
+            F.expr(
+                "p_uid = c_uid AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+                " AND click_ts <= purchase_ts"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
