@@ -224,3 +224,67 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         (F.count(F.lit(1)).cast("double") / RECALL_K).alias("recall"),
     )
+
+
+NPROBE = 2
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+q AS (
+  SELECT pos.pos AS pos, CAST(v[pos.pos] AS DOUBLE) AS qv
+  FROM (SELECT {sql_vec(QUERY_VEC)} AS v) CROSS JOIN pos
+),
+d AS (
+  SELECT cent.label,
+         CAST(CAST(SUM(CAST((cent.c - q.qv) * (cent.c - q.qv)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist2
+  FROM cent JOIN q ON q.pos = cent.pos
+  GROUP BY cent.label
+),
+best AS (SELECT label FROM d ORDER BY dist2, label LIMIT {NPROBE})
+SELECT e.label, e.vec_id, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN best b ON e.label = b.label
+ORDER BY l2_dist, e.vec_id LIMIT 5
+""",
+    tags=("ann", "ivf", "multiprobe", "topk"),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: probe the TWO nearest centroid cells instead
+    of one — the standard recall lever when the true neighbor falls
+    just across a cell boundary. Cost scales linearly with nprobe
+    (2/n_cells of the corpus scored); the probed-cell join stays a
+    broadcast of the tiny centroid winner set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label")
+    qv = F.element_at(q, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qv) * (F.col("c") - qv))
+        .groupBy("key")
+        .agg(F.sum(F.col("diff2").cast("decimal(30,10)")).cast("double").alias("dist2"))
+    )
+    best = (
+        dist2.orderBy("dist2", "key").limit(NPROBE).select(F.col("key").alias("blabel"))
+    )
+    return (
+        emb.join(F.broadcast(best), emb.label == F.col("blabel"))
+        .select(
+            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(5)
+    )
