@@ -168,6 +168,7 @@ def jaccard_pairs(
     shingles: DataFrame,
     candidates: DataFrame,
     threshold: float = 0.5,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs over a
     (id, shingle) relation (build it with :func:`shingle_table` and
@@ -177,22 +178,29 @@ def jaccard_pairs(
     pairs; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Output:
     (id_a, id_b, jaccard) for pairs clearing the threshold.
 
-    The shingle relation is first SEMI-FILTERED to candidate docs via a
-    broadcast of the (tiny) candidate id set — candidates are a
-    vanishing fraction of the corpus, so the intersection join and the
-    counts aggregate run over candidate shingles only instead of
-    shuffling the full corpus shingle table twice. Work is proportional
-    to candidate-pair shingles, not corpus size.
+    With ``prefilter`` (the at-scale default), the shingle relation is
+    first SEMI-FILTERED to candidate docs: candidates are a vanishing
+    fraction of a large corpus, so the intersection join and counts
+    aggregate run over candidate shingles only instead of shuffling
+    the full corpus shingle table twice. The filter costs one extra
+    materialization of the candidate set, which only amortizes on
+    corpora whose shingle table dwarfs it — callers with SMALL inputs
+    (unit tests, small scale factors) pass ``prefilter=False``, the
+    same size-based call Spark itself makes via its broadcast
+    threshold. Results are identical either way.
     """
-    # candidates feeds BOTH the broadcast id-set and the pair join —
-    # persist so the (expensive) upstream LSH pipeline runs once
-    candidates = candidates.persist()
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("id"))
-        .unionByName(candidates.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = shingles.join(cand_ids, "id", "left_semi")
+    if prefilter:
+        # candidates feeds BOTH the id-set and the pair join — persist
+        # so the (expensive) upstream LSH pipeline runs once
+        candidates = candidates.persist()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = shingles.join(cand_ids, "id", "left_semi")
+    else:
+        sh = shingles
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))

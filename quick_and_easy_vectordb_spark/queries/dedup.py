@@ -19,6 +19,8 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
     shingle_table,
     simhash_signatures,
 )
+import os
+
 from quick_and_easy_vectordb_spark.queries.common import sql_cosine
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -43,6 +45,22 @@ sh AS (
 """
 
 NUM_HASHES, BANDS, JACCARD_T = 12, 4, 0.5
+
+# Size-based plan choice for jaccard_pairs(prefilter=...): the
+# candidate semi-filter only amortizes when the corpus shingle table
+# dwarfs the candidate materialization cost — same logic as Spark's
+# broadcast-join threshold, decided from file size (no extra job).
+_PREFILTER_BYTES = 64 * 1024 * 1024
+
+
+def _corpus_is_big(sf_dir: str) -> bool:
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            > _PREFILTER_BYTES
+        )
+    except OSError:
+        return True
 
 
 @query(
@@ -131,7 +149,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    return jaccard_pairs(sh, cands, JACCARD_T)
+    return jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
 
 
 @query(
@@ -274,5 +292,5 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    pairs = jaccard_pairs(sh, cands, JACCARD_T)
+    pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
     return dup_clusters(pairs)
