@@ -158,3 +158,43 @@ def stream_click_attribution(
             " AND click_ts <= purchase_ts"
         ),
     ).select("purchase_id", "p_uid", "purchase_ts", "click_ts")
+
+
+def stream_user_running_totals(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """CUSTOM STATEFUL operator via applyInPandasWithState: per-user
+    running event count + value total, carried in an explicit
+    GroupState across micro-batches — the surface for stateful logic
+    that session_window/aggregations can't express (per-entity
+    accumulators, custom eviction, ML feature state). Each batch emits
+    the key's updated totals ('update' mode); state is a tiny
+    (count, sum) tuple per user, so the store size is bounded by the
+    user cardinality, not the event volume."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, total_value double",
+            "n long, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -185,3 +185,42 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_running_totals_equal_batch(spark, events_dir):
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_user_running_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        stream_user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # multiple batches -> several emissions per user; the LAST one is
+    # the final running total
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rn FROM t_totals)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in final.items():
+        assert n == batch[uid][0]
+        assert abs(total - batch[uid][1]) < 1e-6  # python vs JVM fold order
