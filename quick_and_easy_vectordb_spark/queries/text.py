@@ -209,3 +209,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint")).filter(
         F.col("fingerprint").isNotNull()
     )
+
+
+@query(
+    "text_top_bigrams",
+    oracle=f"""
+WITH d AS (SELECT {SQL_NORM} AS t FROM documents),
+toks AS (SELECT string_split(t, ' ') AS w FROM d WHERE t <> ''),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+""",
+    tags=("text", "ngram", "topk", "agg"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams: explode n-grams → count →
+    distributed top-k. Map-side partial counts collapse each partition
+    to one row per distinct bigram before the single shuffle, and the
+    final ORDER BY+LIMIT is TakeOrderedAndProject — the shape that
+    makes corpus vocabulary statistics cheap at any scale."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )

@@ -44,3 +44,21 @@ def test_empty_bootstrap(spark):
     df = empty_chunks(spark)
     assert df.schema == CHUNKS_SCHEMA
     assert df.isEmpty()
+
+
+def test_malformed_vector_elements_surface_as_nulls(spark, tmp_path):
+    """ANSI-mode-safe parse (SURVEY.md §1.4.5 deliberate fix): a
+    garbage element becomes NULL inside the array instead of crashing
+    the job or silently truncating like np.fromstring."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "chunk_id,document_id,chunk_text,vector_embedding\n"
+        '1,doc1,"ok","0.1,0.2,0.3"\n'
+        '2,doc1,"bad middle element","0.1,abc,0.3"\n'
+        '3,doc1,"empty vector",""\n'
+    )
+    df = read_chunks_csv(spark, str(p))
+    rows = {r.chunk_id: r.vector_embedding for r in df.collect()}
+    assert rows[1] == [0.1, 0.2, 0.3]
+    assert rows[2][0] == 0.1 and rows[2][1] is None and rows[2][2] == 0.3
+    assert rows[3] is None or rows[3] == []

@@ -117,3 +117,19 @@ def test_inspect_helpers_consistent_with_raw_plan(spark, sf_dir):
     q = emb.select("vec_id").orderBy("vec_id").limit(3)
     assert is_top_k(q)
     assert_plan(q, not_read={"embedding"}, top_k=True)
+
+
+def test_tpch_joins_broadcast_dims_single_shuffle(spark, sf_dir):
+    """The star-schema joins must broadcast every dim side and shuffle
+    exactly once (the final aggregation) — the plan shape that keeps a
+    100 TB fact scan from re-shuffling through each join."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    for name, min_bc in [
+        ("rel_q5_region_revenue", 3),
+        ("rel_q7_nation_volume", 3),
+        ("rel_q10_returned_items", 2),
+    ]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert broadcast_join_count(df) >= min_bc, name
+        assert shuffle_count(df) <= 2, name
