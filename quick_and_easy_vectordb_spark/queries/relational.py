@@ -912,3 +912,81 @@ def rel_q6_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """)
+
+
+@query(
+    "rel_string_functions",
+    oracle="""
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS edit_dist,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       reverse(c_name) AS name_rev,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       split_part(c_name, '#', 2) AS name_num,
+       repeat(c_mktsegment[1:1], 3) AS seg_tripled
+FROM customer
+WHERE c_custkey % 53 = 0
+""",
+    tags=("relational", "string", "scalar"),
+)
+def rel_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep string-function surface: edit distance (levenshtein — the
+    fuzzy-match primitive), padding, character translation, reversal,
+    substring position, field splitting, repetition. All JVM
+    codegen'd; the modulo filter keeps oracle output compact."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 53 == 0)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000000"))
+        .cast("long")
+        .alias("edit_dist"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.substring_index("c_name", "#", -1).alias("name_num"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_tripled"),
+    )
+
+
+@query(
+    "rel_stats_aggregates",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         {_dsum('o_totalprice')} AS sx,
+         {_dsum('o_totalprice * o_totalprice')} AS sxx
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       (sxx - sx * sx / n) / (n - 1) AS variance,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev
+FROM s
+""",
+    tags=("relational", "stats", "agg"),
+)
+def rel_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with ENGINE-EXACT math: built-in
+    stddev/variance use streaming (Welford) accumulation whose float
+    rounding differs per engine and per partitioning, so this computes
+    the two-pass textbook formula from decimal-exact power sums —
+    identical on any engine, any partition count. (At 100 TB the same
+    one-shuffle shape; the decimal sums are the same cost as Q1's.)"""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(tp).alias("sx"),
+        dsum(tp * tp).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        var.alias("variance"),
+        F.sqrt(var).alias("stddev"),
+    )

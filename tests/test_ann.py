@@ -81,3 +81,47 @@ def test_write_lsh_index_partitioned(spark, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("lsh_bucket") == some_bucket)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or pruned.count() > 0
+
+
+def test_lsh_index_write_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """End-to-end index lifecycle: materialize the bucket-partitioned
+    index, probe via partition pruning (only probed directories read),
+    get the SAME top-5 as the scan-everything probe query."""
+    import os
+
+    from quick_and_easy_vectordb_spark.functions.vector import (
+        dot_product,
+        vector_literal,
+    )
+    from quick_and_easy_vectordb_spark.operators.ann import (
+        hamming_neighbors,
+        python_lsh_signature,
+        write_lsh_index,
+    )
+    from quick_and_easy_vectordb_spark.plans import formatted_plan
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+    from quick_and_easy_vectordb_spark.queries.common import DIM, QUERY_VEC
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    idx = str(tmp_path / "lsh_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_lsh_index(emb, idx, "embedding", num_planes=4, dim=DIM)
+    # one directory per occupied bucket
+    assert any(d.startswith("lsh_bucket=") for d in os.listdir(idx))
+
+    probes = hamming_neighbors(python_lsh_signature(QUERY_VEC, 4), 1)
+    indexed = spark.read.parquet(idx).filter(F.col("lsh_bucket").isin(probes))
+    plan = formatted_plan(indexed)
+    assert "PartitionFilters" in plan  # pruning, not a full scan + filter
+
+    got = (
+        indexed.select(
+            "vec_id",
+            dot_product(F.col("embedding"), vector_literal(QUERY_VEC)).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    want = QUERIES["ann_lsh_probe"].fn(spark, sf_dir).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
