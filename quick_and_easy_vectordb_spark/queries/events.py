@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
 from quick_and_easy_vectordb_spark.operators.asof import asof_join
+from quick_and_easy_vectordb_spark.operators.skew import salted_join
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -364,4 +365,36 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_nearby_clicks")
+    )
+
+
+@query(
+    "ev_salted_join",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey AS user_id, c_mktsegment
+  FROM customer WHERE c_custkey < 150
+)
+SELECT d.c_mktsegment, COUNT(*) AS n_events, {_DSUM_VAL} AS total_value
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY d.c_mktsegment
+""",
+    tags=("events", "join", "skew", "salted"),
+)
+def ev_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED JOIN (operators/skew.py): the skewed fact side (events,
+    hot users) joins a small user dim with an 8-way salt so a hot
+    user's rows spread over 8 reducers instead of one straggler.
+    The salt is derived from event_id and never escapes; the result
+    is hash-identical to the plain join the oracle runs."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(ev, dim, on="user_id", num_salts=8, salt_src="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total_value"),
     )
