@@ -398,3 +398,48 @@ def ev_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "ev_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS reached_signup,
+       COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS signup_then_click,
+       COUNT(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END)
+         AS full_funnel
+FROM firsts
+""",
+    tags=("events", "funnel", "sequence", "agg"),
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analytics: per-user first-touch times via ONE
+    conditional-MIN aggregation (no joins, no per-step passes), then
+    ordered-step counts signup → click → purchase. The whole funnel is
+    two aggregations on one shuffle by user — the shape that holds at
+    any event volume (a per-step self-join funnel grows with steps²)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_click") > F.col("t_signup")
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("reached_signup"),
+        F.count(F.when(step2, 1)).alias("signup_then_click"),
+        F.count(F.when(step3, 1)).alias("full_funnel"),
+    )
