@@ -990,3 +990,34 @@ def rel_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("variance"),
         F.sqrt(var).alias("stddev"),
     )
+
+
+@query(
+    "rel_grouping_sets",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       COUNT(*) AS n,
+       {_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    tags=("relational", "grouping-sets", "agg"),
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than cube/rollup: exactly
+    the three listed sets, not the power set) with GROUPING() markers
+    disambiguating real NULLs from set-placeholder NULLs. All sets
+    compute in one shuffle via Catalyst's Expand. Expressed through
+    the SQL front end."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)

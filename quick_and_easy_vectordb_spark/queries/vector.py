@@ -364,3 +364,41 @@ def vdb_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "vec_id"
     )
+
+
+@query(
+    "vdb_vector_arith",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, {_EMB} AS e, sqrt(list_dot_product({_EMB}, {_EMB})) AS nrm
+  FROM embeddings WHERE vec_id % 17 = 0
+)
+SELECT vec_id,
+       list_transform(e, x -> x / nrm) AS unit,
+       list_transform(list_zip(e, {_Q}), p -> p[1] + 0.5 * p[2]) AS axpy,
+       list_transform(e, x -> CASE WHEN x < 0 THEN 0.0 ELSE x END) AS relu
+FROM n
+""",
+    tags=("vector", "arith", "array-fns"),
+)
+def vdb_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector arithmetic as array expressions: L2
+    normalization, axpy (v + 0.5·q — the update step of iterative
+    algorithms), and ReLU clamping. Per-element float ops are
+    position-independent, so full output ARRAYS hash-match the oracle
+    (unlike cross-element reductions, which only match via the shared
+    fold shape)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 17 == 0
+    )
+    e = F.col("embedding").cast("array<double>")
+    q = vector_literal(QUERY_VEC)
+    nrm = F.sqrt(dot_product(e, e))
+    return emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x / nrm).alias("unit"),
+        F.zip_with(e, q, lambda x, y: x + 0.5 * y).alias("axpy"),
+        F.transform(
+            e, lambda x: F.when(x < 0, F.lit(0.0)).otherwise(x)
+        ).alias("relu"),
+    )
