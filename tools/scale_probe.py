@@ -1,0 +1,145 @@
+"""Measured scaling probe: run key operator shapes at 1x and 10x
+synthetic data and report the wall-clock ratio.
+
+Run: python tools/scale_probe.py   (writes SCALING.md)
+
+A linear operator on a machine with idle cores should scale at <= 10x
+wall-clock for 10x data (less when the small run underutilizes cores).
+Superlinear growth exposes a shape problem (quadratic join, driver
+bottleneck, spill). Data is generated deterministically with
+spark.range + hash math — no external inputs, so the probe runs
+anywhere. This complements bench.py (fixed driver datasets): bench
+measures absolute speed, this measures the GROWTH EXPONENT of each
+operator family, which is what survives extrapolation to 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from quick_and_easy_vectordb_spark.functions.numeric import dsum  # noqa: E402
+from quick_and_easy_vectordb_spark.operators.asof import asof_join  # noqa: E402
+from quick_and_easy_vectordb_spark.operators.dedup import (  # noqa: E402
+    minhash_signatures,
+    shingle_table,
+)
+from quick_and_easy_vectordb_spark.session import get_spark  # noqa: E402
+
+BASE_ROWS = 2_000_000
+BASE_DOCS = 20_000
+SCALE = 10
+
+
+def synth_fact(spark: SparkSession, n: int) -> DataFrame:
+    """lineitem-ish fact: deterministic hash-derived columns."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.hash("id"), F.lit(100_000)).alias("key"),
+        (F.pmod(F.hash("id", F.lit(1)), F.lit(10_000)) / 100.0).alias("price"),
+        (F.pmod(F.hash("id", F.lit(2)), F.lit(100)) / 100.0).alias("disc"),
+        F.pmod(F.hash("id", F.lit(3)), F.lit(4)).alias("flag"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.pmod(F.hash("id", F.lit(4)), F.lit(10**12))
+        ).alias("ts"),
+    )
+
+
+def synth_docs(spark: SparkSession, n: int) -> DataFrame:
+    """documents-ish corpus: ~40 hash-derived words per doc."""
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.hash("id", F.lit(i)), F.lit(5000)).cast("string")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(i) for i in range(40)]).alias("text"),
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def noop(df: DataFrame) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark("qev-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    probes = {
+        "scan_filter_decimal_agg (Q1 shape)": lambda n: noop(
+            synth_fact(spark, n)
+            .filter(F.col("disc") < 0.9)
+            .groupBy("flag")
+            .agg(dsum(F.col("price") * (1 - F.col("disc"))).alias("rev"),
+                 F.count(F.lit(1)).alias("cnt"))
+        ),
+        "window_asof_join": lambda n: noop(
+            asof_join(
+                synth_fact(spark, n).select("key", "ts", "id"),
+                synth_fact(spark, n // 4).select("key", "ts"),
+                on="key",
+            )
+        ),
+        "salted_heavy_hitters": lambda n: noop(
+            synth_fact(spark, n)
+            .withColumn("salt", F.pmod(F.hash("id"), F.lit(16)))
+            .groupBy("key", "salt")
+            .agg(F.count(F.lit(1)).alias("pn"))
+            .groupBy("key")
+            .agg(F.sum("pn").alias("n"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(20)
+        ),
+        "minhash_signatures": lambda n: noop(
+            minhash_signatures(
+                shingle_table(synth_docs(spark, n // 100), "text", "doc_id"), 12
+            )
+        ),
+        "topk_scan (search shape)": lambda n: noop(
+            synth_fact(spark, n)
+            .orderBy(F.desc("price"), F.asc("id"))
+            .limit(5)
+        ),
+    }
+
+    lines = [
+        "# SCALING — measured 1x→10x growth of the core operator shapes",
+        "",
+        f"`python tools/scale_probe.py`: deterministic synthetic data via",
+        f"`spark.range` ({BASE_ROWS:,} fact rows / {BASE_DOCS:,} docs at 1x,",
+        f"{SCALE}x that at 10x), local[32]. Ratio <= {SCALE} means at-worst-linear",
+        "wall-clock growth; well under it means the 1x run underutilized",
+        "cores. Superlinear would expose a shape problem (quadratic join,",
+        "driver bottleneck, spill).",
+        "",
+        "| operator shape | 1x sec | 10x sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, fn in probes.items():
+        fn(BASE_ROWS // 10)  # warm codegen per shape
+        t1 = timed(lambda: fn(BASE_ROWS))
+        t10 = timed(lambda: fn(BASE_ROWS * SCALE))
+        ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
+        lines.append(f"| {name} | {t1} | {t10} | {ratio}x |")
+        print(f"{name}: {t1}s -> {t10}s ({ratio}x)")
+
+    lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("SCALING.md written")
+
+
+if __name__ == "__main__":
+    main()
