@@ -198,3 +198,38 @@ def stream_user_running_totals(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_upsert_sink(
+    dedup_stream: DataFrame,
+    target_path: str,
+    key: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Streaming MERGE sink: each micro-batch is upserted into a
+    parquet target via foreachBatch + operators/merge.upsert — the
+    exactly-once ingestion endpoint (replays handled upstream by
+    stream_dedup_events, key collisions resolved update-wins here).
+    foreachBatch gives the batch DataFrame API inside streaming, so
+    the SAME merge operator serves both worlds. On plain parquet each
+    batch rewrites the target snapshot (fine for dimension-sized
+    state); Delta/Iceberg would make it file-incremental with no code
+    change above the writer.
+
+    Returns the started StreamingQuery; caller awaits/stops it."""
+    from quick_and_easy_vectordb_spark.operators.merge import upsert
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+            # materialize before overwriting what it was read from
+            merged = upsert(target, batch, on=key).localCheckpoint()
+        except Exception:  # first batch: no target yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(target_path)
+
+    w = dedup_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

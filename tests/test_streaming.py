@@ -224,3 +224,38 @@ def test_stateful_running_totals_equal_batch(spark, events_dir):
     for uid, (n, total) in final.items():
         assert n == batch[uid][0]
         assert abs(total - batch[uid][1]) < 1e-6  # python vs JVM fold order
+
+
+def test_stream_upsert_sink_end_to_end(spark, tmp_path):
+    """streaming -> dedup -> merge-upsert -> parquet: replayed events
+    land exactly once; a re-keyed second wave updates in place."""
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_dedup_events,
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # replay
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=100)
+    q = stream_upsert_sink(stream_dedup_events(stream), tgt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(tgt)
+    assert out.count() == 100  # replays collapsed
+    assert out.select("event_id").distinct().count() == 100
+
+    # second wave: same keys, changed value -> update wins, count stable
+    wave2 = ev.limit(10).withColumn("value", F.lit(-1.0))
+    src2 = str(tmp_path / "src2")
+    wave2.write.mode("overwrite").parquet(src2)
+    stream2 = read_events_stream(spark, src2, max_files_per_trigger=100)
+    q2 = stream_upsert_sink(stream_dedup_events(stream2), tgt)
+    q2.awaitTermination(120)
+
+    out2 = spark.read.parquet(tgt)
+    assert out2.count() == 100
+    assert out2.filter(F.col("value") == -1.0).count() == 10
