@@ -19,6 +19,7 @@ from quick_and_easy_vectordb_spark.functions.text import (
     token_count,
     tokens,
 )
+from quick_and_easy_vectordb_spark.operators.sampling import deterministic_split
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -245,4 +246,32 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
+    )
+
+
+@query(
+    "text_train_val_split",
+    oracle="""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 4))::BIGINT < 6554
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n
+FROM b GROUP BY lang, split
+""",
+    tags=("text", "sampling", "split"),
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split (operators/sampling.py): ~10% val
+    via content-hash bucketing — the SAME rows land in val on any
+    engine, partitioning, or rerun (sample() would reshuffle
+    membership every time). Map-only, no shuffle beyond the count.
+    Output: per-(lang, split) row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", 0.1, "split-v1")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -133,3 +133,14 @@ def test_tpch_joins_broadcast_dims_single_shuffle(spark, sf_dir):
         df = QUERIES[name].fn(spark, sf_dir)
         assert broadcast_join_count(df) >= min_bc, name
         assert shuffle_count(df) <= 2, name
+
+
+def test_scatter_preserves_scan_pushdown(spark, sf_dir):
+    """ensure_parallelism sits ABOVE the filter, so the shipdate
+    predicate must still reach the parquet scan despite the
+    repartition exchange (the subtle way to lose pushdown is to
+    repartition the raw scan before filtering)."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["rel_q1_pricing_summary"].fn(spark, sf_dir)
+    assert_plan(df, pushed_filters=("l_shipdate",))
