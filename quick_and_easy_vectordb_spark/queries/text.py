@@ -6,7 +6,7 @@ only shuffle is the final (tiny) groupBy."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.text import (
@@ -274,4 +274,53 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         deterministic_split(docs, "doc_id", 0.1, "split-v1")
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+PACK_BUDGET = 2048
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, CAST({SQL_NTOK} AS BIGINT) AS n_tok FROM d),
+runs AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM tok
+)
+SELECT CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM runs GROUP BY 1
+""",
+    tags=("text", "packing", "window"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for pretraining batches: documents stream in
+    id order into ~{PACK_BUDGET}-token bins via a running token count
+    (bin = cumulative-before-doc // budget — contiguous, deterministic,
+    one window). A bin can overrun by one document's tail; exact
+    bin-capacity packing is a sequential constraint no engine
+    parallelizes — the cumsum formulation is the scalable standard.
+    NOTE the single global window: at 100 TB, pack per shard
+    (partitionBy on a corpus shard key) so each shard's window
+    parallelizes; the global form here keeps the oracle simple."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", token_count("text").cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    runs = tok.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        runs.select(
+            F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
     )
