@@ -121,3 +121,24 @@ def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "udf_approx_quantiles",
+    oracle=None,  # t-digest/GK sketch estimates are engine-specific
+    tags=("udf", "sketch", "quantile"),
+)
+def udf_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of order
+    value per priority, beside the exact median for error visibility.
+    The sketch is mergeable in fixed memory per partition — at 100 TB
+    this is THE way to get quantiles (exact percentile_cont needs a
+    per-group global sort); rel_median_by_priority shows the exact
+    construction where oracle-bit-parity matters more than scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p50_p90_p99"
+        ),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
