@@ -443,3 +443,47 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(step2, 1)).alias("signup_then_click"),
         F.count(F.when(step3, 1)).alias("full_funnel"),
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(floor(epoch(ts) / 86400)) AS BIGINT) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) - f.cohort_day AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+WHERE day_offset IN (0, 1, 7)
+GROUP BY cohort_day, day_offset
+""",
+    tags=("events", "cohort", "retention", "agg"),
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION: users grouped by first-seen day, counted again
+    at day offsets 0/1/7 — the canonical product-analytics rollup. Two
+    shuffles total (first-seen agg, then the distinct+count on the
+    joined activity); the firsts side is the distinct-user set, joined
+    back broadcast-or-shuffle as AQE sees fit. Day arithmetic in
+    integer epoch-days — exact."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (day - F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset").isin(0, 1, 7))
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

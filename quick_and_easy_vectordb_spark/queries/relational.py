@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import davg, dsum
+from quick_and_easy_vectordb_spark.operators.diff import table_diff
 from quick_and_easy_vectordb_spark.operators.merge import upsert
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
@@ -1021,3 +1022,60 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
+
+
+@query(
+    "rel_table_diff",
+    oracle="""
+WITH newsnap AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, 'N', o_totalprice FROM orders
+  WHERE o_orderkey % 41 = 0
+),
+oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice <> n.o_totalprice
+                 OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+       END AS change,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+            ELSE n.o_orderstatus END AS o_orderstatus,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+            ELSE n.o_totalprice END AS o_totalprice
+FROM oldsnap o FULL OUTER JOIN newsnap n ON n.o_orderkey = o.o_orderkey
+WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus)
+""",
+    tags=("relational", "diff", "cdc"),
+)
+def rel_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE DIFF / CDC (operators/diff.py): compare the orders
+    snapshot against a synthetic successor (every 11th row deleted,
+    every 37th repriced, a cloned batch added) and emit only the
+    added/removed/changed rows - the changeset a downstream
+    incremental consumer (merge.upsert) would apply. One full-outer
+    shuffle; change detection via md5 row hashes, O(1) per row
+    regardless of width."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 41 == 0).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    return table_diff(o, new, on="o_orderkey")

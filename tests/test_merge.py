@@ -52,3 +52,26 @@ def test_upsert_composite_key(spark):
     out = {(r.id, r.region): r.val
            for r in upsert(target, updates, ["id", "region"]).collect()}
     assert out == {(1, "us"): 5.0, (1, "eu"): 60.0}
+
+
+def test_table_diff_classifies_changes(spark):
+    from quick_and_easy_vectordb_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "id long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged -> dropped
+         (2, "b2", 2.0),     # changed
+         (4, "d", 4.0),      # null -> value is a change
+         (5, "e", 5.0)],     # added
+        "id long, name string, val double",
+    )
+    out = {r.id: (r.change, r.name) for r in table_diff(old, new, "id").collect()}
+    assert out == {
+        2: ("changed", "b2"),
+        3: ("removed", "c"),
+        4: ("changed", "d"),
+        5: ("added", "e"),
+    }
