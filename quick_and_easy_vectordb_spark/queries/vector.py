@@ -402,3 +402,208 @@ def vdb_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, lambda x: F.when(x < 0, F.lit(0.0)).otherwise(x)
         ).alias("relu"),
     )
+
+
+# ---- int8 scalar quantization ------------------------------------
+# q_i = floor(x_i * 127 / maxabs + 0.5) (half-up, engine-exact);
+# int dot products are exact, so the quantized ranking is identical
+# on any engine — the whole compression path is oracle-checkable.
+
+_SQL_MAXABS = "list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))"
+
+
+@query(
+    "vdb_quantized_search",
+    oracle=f"""
+WITH q AS (SELECT {sql_vec(QUERY_VEC)} AS qv),
+params AS (
+  SELECT vec_id, {_SQL_MAXABS} AS ma, {_EMB} AS e FROM embeddings
+),
+quant AS (
+  SELECT vec_id, ma,
+         list_transform(e, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS qe
+  FROM params WHERE ma > 0
+),
+qq AS (
+  SELECT list_transform(qv, x -> CAST(floor(x * 127.0 /
+           list_max(list_transform(qv, y -> abs(y))) + 0.5) AS BIGINT)) AS qqv
+  FROM q
+),
+scored AS (
+  SELECT vec_id, CAST(list_dot_product(qe, qqv) AS BIGINT) AS iscore
+  FROM quant CROSS JOIN qq
+)
+SELECT vec_id, iscore FROM scored ORDER BY iscore DESC, vec_id LIMIT 5
+""",
+    tags=("vector", "quantization", "topk"),
+)
+def vdb_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION search: per-vector symmetric
+    quantization (127/maxabs scale, half-up rounding) shrinks the
+    vector payload 8x — at 100 TB that is 8x less scan I/O and cache
+    footprint, the standard first compression step of any vector
+    store. Integer dot products are exact, so the quantized ranking
+    is bit-stable and fully oracle-checked (float reranking of the
+    top candidates would follow in a two-stage deployment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    ma = F.array_max(F.transform(e, F.abs))
+    qe = F.transform(e, lambda x: F.floor(x * 127.0 / ma + 0.5).cast("long"))
+
+    qmax = max(abs(v) for v in QUERY_VEC)
+    qq = vector_literal(
+        [float(__import__("math").floor(v * 127.0 / qmax + 0.5)) for v in QUERY_VEC]
+    )
+    iscore = F.aggregate(
+        F.zip_with(qe, qq, lambda a, b: a * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.filter(ma > 0)
+        .select("vec_id", iscore.alias("iscore"))
+        .orderBy(F.desc("iscore"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---- cursor pagination (search_after) ----------------------------
+
+_PAGE_AFTER = 2  # deterministic cursor: rank-2's (score, id) boundary
+
+
+@query(
+    "vdb_search_after",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {sql_dot(_EMB, _Q)} AS similarity FROM embeddings
+),
+cursor AS (
+  SELECT similarity AS cs, vec_id AS cid FROM scored
+  ORDER BY similarity DESC, vec_id LIMIT 1 OFFSET {_PAGE_AFTER - 1}
+)
+SELECT s.vec_id, s.similarity
+FROM scored s CROSS JOIN cursor
+WHERE s.similarity < cursor.cs
+   OR (s.similarity = cursor.cs AND s.vec_id > cursor.cid)
+ORDER BY s.similarity DESC, s.vec_id LIMIT 5
+""",
+    tags=("vector", "pagination", "topk"),
+)
+def vdb_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURSOR PAGINATION (search_after): page N+1 of a ranked search
+    resumes strictly after a (score, id) cursor instead of
+    OFFSET-scanning — the filter pushes ahead of the top-k, so deep
+    pages cost the same as page one (OFFSET re-sorts and discards at
+    every page; at corpus scale that is the difference between
+    pagination working and not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id", dot_product(F.col("embedding"), q).alias("similarity")
+    ).persist()
+    cur = (
+        scored.orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(_PAGE_AFTER)
+        .orderBy(F.asc("similarity"), F.desc("vec_id"))
+        .limit(1)
+        .select(
+            F.col("similarity").alias("cs"), F.col("vec_id").alias("cid")
+        )
+    )
+    return (
+        scored.join(F.broadcast(cur))
+        .filter(
+            (F.col("similarity") < F.col("cs"))
+            | (
+                (F.col("similarity") == F.col("cs"))
+                & (F.col("vec_id") > F.col("cid"))
+            )
+        )
+        .select("vec_id", "similarity")
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---- hybrid lexical + vector search (RRF) ------------------------
+
+_HYBRID_TERMS = ("join", "hash", "scan")
+_RRF_K = 60
+
+
+@query(
+    "vdb_hybrid_rrf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+lex AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"len(list_filter(w, x -> x = '{t}'))" for t in _HYBRID_TERMS)}
+              AS BIGINT) AS lex_score
+  FROM toks
+),
+lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS r_lex
+  FROM lex
+),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY {sql_dot(_EMB, _Q)} DESC, vec_id) AS r_vec
+  FROM embeddings
+),
+fused AS (
+  SELECT l.doc_id,
+         1.0 / ({_RRF_K} + l.r_lex) + 1.0 / ({_RRF_K} + v.r_vec) AS rrf
+  FROM lexr l JOIN vecr v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    tags=("vector", "hybrid", "rrf", "topk"),
+)
+def vdb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH via Reciprocal Rank Fusion: a lexical ranking
+    (integer term-frequency score over the query terms) fused with the
+    vector ranking as 1/(60+r_lex) + 1/(60+r_vec) — the standard
+    score-scale-free fusion. Ranks are integers and RRF is two exact
+    divisions, so even the fusion arithmetic is bit-stable across
+    engines. Each leg ranks independently (both are
+    TakeOrderedAndProject-able); only the tiny fused join meets."""
+    from quick_and_easy_vectordb_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    lex_score = None
+    for t in _HYBRID_TERMS:
+        term = F.size(F.filter(w, lambda x: x == F.lit(t)))  # noqa: B023
+        lex_score = term if lex_score is None else lex_score + term
+    lex = docs.select("doc_id", lex_score.cast("long").alias("lex_score"))
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    vecr = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(dot_product(F.col("embedding"), q)), F.asc("vec_id")
+            )
+        )
+        .alias("r_vec"),
+    )
+    fused = lexr.join(vecr, "doc_id").select(
+        "doc_id",
+        (
+            1.0 / (F.lit(_RRF_K) + F.col("r_lex"))
+            + 1.0 / (F.lit(_RRF_K) + F.col("r_vec"))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
