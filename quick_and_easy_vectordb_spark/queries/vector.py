@@ -607,3 +607,42 @@ def vdb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "vdb_filtered_search",
+    oracle=f"""
+WITH scored AS (
+  SELECT e.vec_id, d.lang, d.n_chars, {sql_dot("e.embedding::DOUBLE[]", _Q)} AS similarity
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND d.n_chars >= 200
+)
+SELECT vec_id, lang, n_chars, similarity
+FROM scored ORDER BY similarity DESC, vec_id LIMIT 5
+""",
+    tags=("vector", "filtered-search", "topk"),
+)
+def vdb_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (the filtered-ANN problem):
+    top-5 among English docs of >= 200 chars. PRE-filter strategy:
+    the metadata predicate pushes to the documents scan, the
+    surviving id set joins the vector table BEFORE scoring, and the
+    top-k heap sees only qualifying rows — versus post-filtering a
+    top-k that can return < k rows. At index scale the same shape
+    works per LSH/IVF cell."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    return (
+        joined.select(
+            "vec_id",
+            "lang",
+            "n_chars",
+            dot_product(F.col("embedding"), q).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )
