@@ -1079,3 +1079,34 @@ def rel_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, new, on="o_orderkey")
+
+
+@query(
+    "rel_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WHERE c_custkey % 29 = 0
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("relational", "window", "distribution"),
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile buckets (ntile),
+    percent_rank, cume_dist per market segment. All three are ratios
+    of integer rank/count — exact identical doubles on any engine —
+    and share one window (one shuffle). Total ordering via the
+    (acctbal, custkey) tiebreak keeps bucket boundaries
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 29 == 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -19,6 +19,7 @@ from quick_and_easy_vectordb_spark.functions.text import (
     token_count,
     tokens,
 )
+from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
 from quick_and_easy_vectordb_spark.operators.sampling import deterministic_split
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
@@ -324,3 +325,33 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("bin_tokens"),
         )
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0 AND length(text) > 0),
+st AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+  FROM d
+)
+SELECT doc_id AS document_id,
+       CAST((s - 1) // 150 AS BIGINT) AS chunk_idx,
+       CAST(doc_id * 10000 + (s - 1) // 150 AS BIGINT) AS chunk_id,
+       substr(text, CAST(s AS BIGINT), 200) AS chunk_text
+FROM st
+""",
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT CHUNKING (operators/chunking.py) — the stage the
+    reference implies but never built (PyPDF2 pinned, never imported;
+    chunks arrive pre-made via CSV, app.py:51-58): 200-char windows
+    with 50-char overlap, exploded JVM-side, deterministic packed
+    chunk ids. This output IS the reference's chunks-table shape,
+    ready for the embed UDF."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 31 == 0
+    )
+    return chunk_documents(docs, chunk_size=200, overlap=50)

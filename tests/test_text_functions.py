@@ -56,3 +56,23 @@ def test_punct_and_quality_bounds(spark):
     good = one(spark, "the cat and the dog of the house " * 30, quality_score("text"))
     bad = one(spark, "@#$% ^&* ()!! " * 30, quality_score("text"))
     assert good > bad
+
+
+def test_chunk_documents_overlap_and_ids(spark):
+    from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 450), (2, "short"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.document_id, []).append(r)
+    # 450 chars, step 150 -> starts 1,151,301 (+ tail window at 451? no: 451 > 450)
+    assert len(by_doc[1]) == 3
+    assert by_doc[1][0].chunk_text == "a" * 200
+    assert len(by_doc[1][2].chunk_text) == 150  # tail kept, short
+    assert [r.chunk_id for r in by_doc[1]] == [10000, 10001, 10002]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short"
+    assert 3 not in by_doc  # empty doc yields nothing
