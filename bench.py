@@ -56,7 +56,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall seconds (14 queries: vector topk/knn, "
+                "metric": "headline-suite wall seconds (15 queries: chunk-embed-search pipeline, vector topk/knn, "
                 "dedup exact+minhash-lsh, quality filter, TPC-H-ish Q1/Q3/Q5, "
                 "event windows+sessionize+asof, merge-upsert, LSH probe)",
                 "value": total,

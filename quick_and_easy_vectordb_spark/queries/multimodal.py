@@ -118,3 +118,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out bit-comparable to the oracle's cross join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return sample_frames(with_binary_payload(docs), n_frames=4)
+
+
+# ---- generalized hash-embed SQL (any text column) ----------------
+
+def sql_embed_elem(i: int, col: str) -> str:
+    """DuckDB mirror of hash_embed_py element i over column ``col``."""
+    nib = f"(strpos('0123456789abcdef', substr(md5({col} || ':{i}'), {{n}}, 1)) - 1)"
+    terms = " + ".join(
+        f"{nib.format(n=n)} * {float(2 ** (4 * (8 - n))):.1f}" for n in range(1, 9)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
+def sql_embed_dot(col: str, qvec) -> str:
+    """Left-to-right fold of dot(hash_embed(col), qvec) — matches the
+    Spark aggregate fold bitwise."""
+    return " + ".join(
+        f"{sql_embed_elem(i, col)} * {qvec[i]!r}" for i in range(len(qvec))
+    )
+
+
+@query(
+    "vdb_end_to_end_pipeline",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 13 = 0 AND length(text) > 0),
+st AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+  FROM d
+),
+chunks AS (
+  SELECT CAST(doc_id * 10000 + (s - 1) // 150 AS BIGINT) AS chunk_id,
+         doc_id AS document_id,
+         substr(text, CAST(s AS BIGINT), 200) AS chunk_text
+  FROM st
+),
+scored AS (
+  SELECT chunk_id, document_id,
+         {sql_embed_dot("chunk_text", _QVEC)} AS similarity
+  FROM chunks
+)
+SELECT chunk_id, document_id, similarity
+FROM scored ORDER BY similarity DESC, chunk_id LIMIT 5
+""",
+    tags=("parity", "pipeline", "chunking", "embed", "topk"),
+    bench=True,
+)
+def vdb_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE APP AS ONE DATAFRAME GRAPH: raw documents →
+    overlapping chunks (operators/chunking.py — the stage the
+    reference left unbuilt) → per-chunk embedding via the Arrow
+    pandas UDF (functions/embed.py, reference app.py:27-37 plumbing)
+    → dot-score against the embedded query → top-5 with id tiebreak
+    (app.py:40-48). One lazy plan end to end: Catalyst prunes unused
+    document columns into the scan, the chunk fan-out and UDF run
+    map-side, and the only data movement is the final top-k reduce.
+    Every stage is deterministic, so the COMPLETE pipeline —
+    including the Python embed — hash-matches the oracle."""
+    from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 13 == 0) & (F.length("text") > 0)
+    )
+    chunks = chunk_documents(docs, chunk_size=200, overlap=50)
+    embed = make_embed_udf("hash", HASH_EMBED_DIM)
+    q = vector_literal(_QVEC)
+    scored = chunks.select(
+        "chunk_id",
+        "document_id",
+        dot_product(embed(F.col("chunk_text")), q).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("chunk_id")).limit(5)
