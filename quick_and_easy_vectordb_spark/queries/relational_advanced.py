@@ -211,3 +211,187 @@ def rel_q2_min_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "rel_q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("relational", "subquery", "distinct-agg", "anti-join"),
+)
+def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): how many
+    distinct suppliers ship each surviving (brand, type, size) combo,
+    excluding blacklisted suppliers via NOT IN.
+
+    NOT IN over a non-nullable key decorrelates to a LEFT ANTI join;
+    the blacklist (suppliers with negative balance) is tiny and
+    broadcast, so the exclusion costs no shuffle. The part-attribute
+    filter is also a broadcast join. The only shuffle is the final
+    COUNT(DISTINCT) aggregation, which Spark plans as a two-phase
+    partial-distinct expand — no row leaves its partition carrying
+    duplicate (group, suppkey) pairs."""
+    bad_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        ensure_parallelism(li)
+        .join(F.broadcast(bad_sup), li["l_suppkey"] == bad_sup["s_suppkey"], "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "rel_q21_sole_problem_supplier",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+""",
+    tags=("relational", "subquery", "exists", "agg"),
+)
+def rel_q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_returnflag='R' stands in for the missing
+    receipt/commit dates): per supplier, how many finished
+    multi-supplier orders where THIS supplier was the only one whose
+    lines were returned.
+
+    The EXISTS + NOT EXISTS pair would naively be two extra self-joins
+    of lineitem. Decorrelated Spark plan: one per-order aggregate
+    computing (distinct suppliers, distinct suppliers-with-R); then
+    `EXISTS other-supplier` == n_supp >= 2 and `NOT EXISTS
+    other-R-supplier` == n_r_supp == 1 (l1 itself has R). lineitem is
+    shuffled twice on l_orderkey (agg + join-back) instead of three
+    times, the two correlated predicates become integer comparisons,
+    and AQE can co-locate the agg with the join since both hash on
+    l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ord_stats = (
+        ensure_parallelism(li)
+        .groupBy(F.col("l_orderkey").alias("st_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_r_supp"),
+        )
+    )
+    fin_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(fin_orders, l1["l_orderkey"] == fin_orders["o_orderkey"])
+        .join(ord_stats, F.col("l_orderkey") == ord_stats["st_orderkey"])
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "rel_q22_idle_customers",
+    oracle=f"""
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    AND c_acctbal > 0.0
+),
+avg_bal AS (SELECT {_davg('c_acctbal')} AS ab FROM eligible)
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {_dsum('c.c_acctbal')} AS totacctbal
+FROM eligible c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+    tags=("relational", "subquery", "anti-join", "agg"),
+)
+def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey stands in for the phone country
+    code; "idle" = no order since 2000, since every customer in the
+    fixture has SOME order): per nation, count and total balance of
+    customers in three segments whose balance beats the segment-wide
+    positive average but who placed no recent order.
+
+    The scalar AVG subquery is a 1-row decimal-exact aggregate
+    broadcast-crossed into the filter (davg ⇒ the threshold double is
+    identical on both engines). NOT EXISTS(recent orders) is a LEFT
+    ANTI join on o_custkey — at 100 TB that anti join shuffles both
+    sides on custkey; there is no smaller correct plan since the
+    order set per customer is unbounded, but the date predicate
+    pushes into the orders scan and the side projects to the single
+    join column (pruning keeps the shuffle narrow)."""
+    eligible = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+            & (F.col("c_acctbal") > 0.0)
+        )
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = eligible.agg(davg("c_acctbal").alias("ab"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, eligible["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
