@@ -355,3 +355,193 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 31 == 0
     )
     return chunk_documents(docs, chunk_size=200, overlap=50)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring: BM25 and TF-IDF keyword extraction.
+#
+# Both use the "rational idf" (N - df + 0.5) / (df + 0.5) instead of the
+# classical ln(...) form: natural log is NOT guaranteed bitwise-identical
+# between Java's Math.log and DuckDB's libm, while +,-,*,/ are IEEE
+# exact-rounded everywhere — so the rational form keeps every per-row
+# score hash-comparable across engines. Ranking behavior is equivalent
+# for scoring fixed query terms (idf is per-term constant, monotone in
+# df either way); documented engine deviation from Lucene's BM25.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("query", "table", "spark")
+BM25_K1 = "1.2"
+# (1 - b) and b with b = 0.75, pre-folded so both engines evaluate the
+# identical literal expression tree.
+BM25_DL_NORM = "(0.25 + 0.75 * (dl / avgdl))"
+
+
+def _sql_tf(term: str) -> str:
+    return f"len(list_filter(w, x -> x = '{term}'))"
+
+
+def _bm25_term_score(tf: str, idf: str) -> str:
+    return f"({idf} * ({tf} * 2.2 / ({tf} + {BM25_K1} * {BM25_DL_NORM})))"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_NORM} AS t FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS w
+  FROM d
+),
+feat AS (
+  SELECT doc_id, len(w) AS dl,
+         {_sql_tf('query')} AS tf1,
+         {_sql_tf('table')} AS tf2,
+         {_sql_tf('spark')} AS tf3
+  FROM tok
+),
+corpus AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(dl AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS avgdl,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM feat
+),
+scored AS (
+  SELECT f.doc_id,
+         {_bm25_term_score('tf1', '((n - df1 + 0.5) / (df1 + 0.5))')}
+       + {_bm25_term_score('tf2', '((n - df2 + 0.5) / (df2 + 0.5))')}
+       + {_bm25_term_score('tf3', '((n - df3 + 0.5) / (df3 + 0.5))')}
+         AS score
+  FROM feat f, corpus
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query over the documents corpus
+    (k1=1.2, b=0.75, rational idf — see module comment).
+
+    Plan: one scan computes per-doc (dl, tf per term) as pure
+    Catalyst array expressions; one tiny aggregate reduces the corpus
+    to a single row (N, avgdl, df per term) which broadcast-crosses
+    back into the per-doc frame; scoring is then per-row arithmetic
+    and the top-10 is TakeOrderedAndProject. Two passes over the
+    token arrays total, zero wide shuffles — the corpus statistics
+    row is the only data movement, so this scales to any corpus size.
+    avgdl is decimal-exact (dsum/count) for cross-engine hashing."""
+    from quick_and_easy_vectordb_spark.functions.numeric import dsum
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+
+    # NB: a two-parameter lambda in F.filter means (element, index) to
+    # Spark — close over the term instead of passing it as a default.
+    def tf_col(term: str) -> F.Column:
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    feat = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("dl"),
+        *[tf_col(t).alias(f"tf{i + 1}") for i, t in enumerate(BM25_TERMS)],
+    )
+    corpus = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0)).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> F.Column:
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n") - df + 0.5) / (df + 0.5)
+        dl_norm = 0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))
+        return idf * (tf * 2.2 / (tf + 1.2 * dl_norm))
+
+    return (
+        feat.join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (term_score(1) + term_score(2) + term_score(3)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_NORM} AS t FROM documents WHERE doc_id % 7 = 0
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d WHERE t <> '')
+  GROUP BY doc_id, term
+),
+corpus AS (SELECT COUNT(*) AS n FROM d),
+idf AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+weighted AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((n - df + 0.5) / (df + 0.5)) AS weight
+  FROM tf JOIN idf ON tf.term = idf.term, corpus
+)
+SELECT doc_id, term, weight,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY weight DESC, term
+       ) AS BIGINT) AS rank
+FROM weighted
+QUALIFY rank <= 3
+""",
+    tags=("text", "retrieval", "tfidf", "window"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 highest-weighted terms per
+    document (rational idf — see module comment), over a 1-in-7
+    deterministic document sample.
+
+    Plan: explode tokens once → (doc, term, tf) partial-aggregated
+    map-side; term-level df is a second small aggregate over the
+    vocabulary (≪ corpus, broadcast back); per-doc top-3 is a
+    window row_number over the (doc, term) frame — the shuffle is
+    keyed by doc_id and each partition sorts only its own docs'
+    terms. At 100 TB the vocabulary table stays broadcastable
+    (vocab grows sub-linearly) and nothing else is corpus-wide."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    weighted = (
+        tf.join(F.broadcast(idf.withColumnRenamed("term", "i_term")),
+                F.col("term") == F.col("i_term"))
+        .join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
