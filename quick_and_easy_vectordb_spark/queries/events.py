@@ -487,3 +487,79 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "ev_resample_gapfill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS day_value
+  FROM events
+  WHERE user_id % 5 = 0
+  GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+)
+SELECT g.user_id, g.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       CAST(CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM grid g
+LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+""",
+    tags=("events", "resample", "gapfill", "window"),
+)
+def ev_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per sampled user, a dense
+    daily grid from their first to last active day, with missing days
+    forward-filled from the last observed daily total and flagged.
+
+    The dense grid is generated distributed — sequence(d0, d1) per
+    user then explode, so each user's grid materializes on whichever
+    partition holds the user (no driver-side calendar). Days are
+    epoch-day integers (exact on both engines; no timestamp-timezone
+    ambiguity). The forward fill is one window pass per user ordered
+    by day — `last(value, ignorenulls)` over an unbounded-preceding
+    frame, Spark's running-state idiom for LOCF imputation. Everything
+    shuffles once on user_id; grid join and window share the
+    partitioning. Gap-fill like this is the standard feature-
+    engineering step before sequence models consume sparse activity
+    data."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    daily = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(dsum("value").alias("day_value"))
+    bounds = daily.groupBy(F.col("user_id").alias("b_user")).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        F.col("b_user"), F.explode(F.sequence("d0", "d1")).alias("g_day")
+    )
+    w = (
+        Window.partitionBy("b_user")
+        .orderBy("g_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            daily,
+            (daily["user_id"] == grid["b_user"]) & (daily["day"] == grid["g_day"]),
+            "left",
+        )
+        .select(
+            F.col("b_user").alias("user_id"),
+            F.col("g_day").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        )
+    )

@@ -21,7 +21,7 @@ Scale stance shared by all three:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import davg, dsum
@@ -394,4 +394,51 @@ def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "rel_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS trailing_30d_total,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_30d_orders
+FROM orders
+WHERE o_custkey % 97 = 0
+""",
+    tags=("relational", "window", "range-frame"),
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames: per customer, each order's
+    trailing-30-day spend and order count — the frame is defined by
+    the ORDER BY *value* (order date within 30 days), not row offsets,
+    so irregular order spacing is handled exactly.
+
+    Spark's rangeBetween needs a numeric sort key, so the date is
+    ordered as epoch seconds with a 2 592 000-second frame — identical
+    semantics to DuckDB's INTERVAL RANGE frame and immune to timezone
+    rendering. RANGE frames treat equal sort keys as peers (all
+    included), so ties are deterministic without a tiebreak. The sum
+    is decimal-exact inside the frame. One shuffle on o_custkey; the
+    per-partition frame scan is O(rows + frame width)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 97 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
     )
