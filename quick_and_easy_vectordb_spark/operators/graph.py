@@ -18,9 +18,14 @@ the plan doesn't grow exponentially with iterations (at cluster scale
 use ``checkpoint`` to reliable storage instead).
 
 This is the standard "hash-to-min" formulation (cf. the large-graph
-literature on MapReduce connected components); for adversarial
-long-chain graphs use the large-star/small-star variant — near-dup
-graphs don't need it.
+literature on MapReduce connected components), accelerated with
+pointer jumping (path halving): after each neighbor-propagation step,
+every vertex re-labels itself with its label's label —
+``label(v) <- label(label(v))`` — so label chains collapse
+geometrically and convergence takes O(log diameter) rounds instead of
+O(diameter). On near-dup graphs (dense, diameter 2-4) the extra join
+per round is noise; on adversarial long chains it is the difference
+between 10 rounds and 1000.
 """
 
 from __future__ import annotations
@@ -36,13 +41,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """Return (id, component) for every vertex in ``edges``, where
     ``component`` is the minimum vertex id reachable from ``id``.
 
     Deterministic: min-labels are order-insensitive. Vertices only in
     ``edges`` appear; isolated vertices (no edges) are the caller's
-    no-op case.
+    no-op case. ``pointer_jumping`` adds the path-halving step (one
+    extra label-table self-join per round) that bounds rounds by
+    O(log diameter) — disable only for known-low-diameter graphs
+    where the extra small join costs more than it saves.
     """
     edges = edges.persist()  # scanned twice below (forward + reversed)
     sym = edges.select(
@@ -66,8 +75,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("label"))
             .select(F.col("u").alias("lu"), "label")
-            .localCheckpoint()
         )
+        if pointer_jumping:
+            # Path halving: label <- label(label). Every label IS a
+            # vertex id (it is a min over vertex ids), so the lookup
+            # join always hits; min(old, hop) keeps monotonicity.
+            hop = new_labels.select(
+                F.col("lu").alias("ju"), F.col("label").alias("jlabel")
+            )
+            new_labels = (
+                new_labels.join(hop, F.col("label") == F.col("ju"), "inner")
+                .select(
+                    "lu",
+                    F.least(F.col("label"), F.col("jlabel")).alias("label"),
+                )
+            )
+        new_labels = new_labels.localCheckpoint()
         nl = new_labels.select(
             F.col("lu").alias("nu"), F.col("label").alias("nlabel")
         )

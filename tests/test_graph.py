@@ -33,3 +33,35 @@ def test_dup_clusters_shape(spark):
     rows = {r.keep_id: r for r in dup_clusters(edges).collect()}
     assert rows[3].n_members == 3 and rows[3].members == [3, 5, 9]
     assert rows[20].n_members == 2 and rows[20].members == [20, 21]
+
+
+def test_cc_pointer_jumping_beats_diameter(spark):
+    # A 120-vertex chain has diameter 120; pointer jumping must
+    # converge well within 12 rounds (~log2). Without it, 12 rounds
+    # of pure propagation cannot reach the far end.
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_cc_plain_propagation_is_diameter_bound(spark):
+    # Sanity check of the contrast: plain propagation with the same
+    # round budget must NOT finish a 120-chain — proving the pointer
+    # jump is what buys the convergence above.
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            edges, max_iter=12, pointer_jumping=False
+        ).collect()
+    }
+    assert set(comp.values()) != {0}
