@@ -259,3 +259,67 @@ def test_stream_upsert_sink_end_to_end(spark, tmp_path):
     out2 = spark.read.parquet(tgt)
     assert out2.count() == 100
     assert out2.filter(F.col("value") == -1.0).count() == 10
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir):
+    from quick_and_easy_vectordb_spark.streaming.ingest import stream_static_enrich
+
+    dim = (
+        spark.read.parquet(events_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = stream_static_enrich(stream, dim, on="event_type").groupBy(
+        "event_type", "type_weight"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_stream_to_memory(spark, enriched, "t_enrich").collect()
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, "event_type")
+        .groupBy("event_type", "type_weight")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    assert len(out) > 0
+
+
+def test_stream_vector_ingest_exactly_once(spark, tmp_path):
+    from quick_and_easy_vectordb_spark.operators.search import top_k_by_dot
+    from quick_and_easy_vectordb_spark.streaming.ingest import (
+        canonicalize_vectors,
+        stream_vector_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.repartition(5).write.mode("overwrite").parquet(src)
+
+    q = stream_vector_ingest(spark, src, store, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(store)
+    assert got.count() == emb.count()
+    assert dict(got.dtypes)["embedding"] == "array<double>"
+    assert dict(got.dtypes)["norm"] == "double"
+
+    # The streamed corpus must answer searches identically to batch
+    # canonicalization of the same source.
+    qv = [0.1] * len(emb.first().embedding)
+    stream_top = top_k_by_dot(
+        got, qv, k=5, vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", "similarity").collect()
+    batch_top = top_k_by_dot(
+        canonicalize_vectors(spark.read.parquet(src)),
+        qv, k=5, vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "similarity").collect()
+    assert [tuple(r) for r in stream_top] == [tuple(r) for r in batch_top]
+
+    # Restarting against the same checkpoint re-ingests nothing.
+    q2 = stream_vector_ingest(spark, src, store, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(store).count() == emb.count()
