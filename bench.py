@@ -56,9 +56,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall seconds (15 queries: chunk-embed-search pipeline, vector topk/knn, "
-                "dedup exact+minhash-lsh, quality filter, TPC-H-ish Q1/Q3/Q5, "
-                "event windows+sessionize+asof, merge-upsert, LSH probe)",
+                "metric": f"headline-suite wall seconds ({len(timings)} queries: "
+                "chunk-embed-search pipeline, vector topk/knn, "
+                "dedup exact+minhash-lsh, quality filter + BM25, "
+                "TPC-H-ish Q1/Q3/Q5/Q21, event windows+sessionize+asof, "
+                "merge-upsert, LSH probe)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

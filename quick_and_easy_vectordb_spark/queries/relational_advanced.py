@@ -288,6 +288,7 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY s.s_name
 """,
     tags=("relational", "subquery", "exists", "agg"),
+    bench=True,
 )
 def rel_q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (l_returnflag='R' stands in for the missing

@@ -424,6 +424,7 @@ ORDER BY score DESC, doc_id
 LIMIT 10
 """,
     tags=("text", "retrieval", "bm25", "topk"),
+    bench=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for a fixed 3-term query over the documents corpus
