@@ -144,3 +144,40 @@ def test_scatter_preserves_scan_pushdown(spark, sf_dir):
 
     df = QUERIES["rel_q1_pricing_summary"].fn(spark, sf_dir)
     assert_plan(df, pushed_filters=("l_shipdate",))
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The 100 TB selective-join path: when a dim-side filter is
+    selective but the fact side is too big to broadcast, Catalyst's
+    runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter,
+    on by default in session.py) builds a bloom filter from the dim
+    side and row-level-prunes the fact scan BEFORE the join shuffle.
+
+    At fixture scale every join broadcasts and the size thresholds
+    (creation side <= 10 MB, application side >= 10 GB scan) suppress
+    injection, so this test simulates scale by forcing a shuffle join
+    and zeroing the application threshold — then asserts the filter
+    actually lands in the optimized plan (bloom_filter_agg on the
+    build side, might_contain on the probe side)."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+        j = (
+            li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_type")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

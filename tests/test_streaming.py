@@ -323,3 +323,61 @@ def test_stream_vector_ingest_exactly_once(spark, tmp_path):
     q2 = stream_vector_ingest(spark, src, store, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(store).count() == emb.count()
+
+
+def test_incremental_lsh_index_equals_batch_rebuild(spark, tmp_path):
+    """Index maintained incrementally across micro-batches must be
+    row-identical to a from-scratch batch build over the same corpus
+    (same lsh_signature expression ⇒ same buckets), and compaction
+    must shrink the streaming sink's file count without changing a
+    single row."""
+    import glob
+
+    from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
+    from quick_and_easy_vectordb_spark.streaming.index_maintenance import (
+        compact_lsh_index,
+        read_lsh_index,
+        stream_lsh_index_maintenance,
+    )
+    from quick_and_easy_vectordb_spark.streaming.ingest import canonicalize_vectors
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    # 6 source files + maxFilesPerTrigger=2 → 3 micro-batches
+    emb.repartition(6).write.mode("overwrite").parquet(src)
+
+    q = stream_lsh_index_maintenance(spark, src, idx, ckpt, num_planes=4, dim=dim)
+    q.awaitTermination(120)
+
+    incremental = read_lsh_index(spark, idx).select("vec_id", "lsh_bucket")
+    batch = (
+        canonicalize_vectors(spark.read.parquet(src))
+        .withColumn("lsh_bucket", lsh_signature("embedding", 4, dim))
+        .select("vec_id", "lsh_bucket")
+    )
+    assert sorted(map(tuple, incremental.collect())) == sorted(map(tuple, batch.collect()))
+
+    # restart with same checkpoint: no duplicate index entries
+    q2 = stream_lsh_index_maintenance(spark, src, idx, ckpt, num_planes=4, dim=dim)
+    q2.awaitTermination(120)
+    assert read_lsh_index(spark, idx).count() == emb.count()
+
+    # probing one bucket prunes the scan to that partition directory
+    bucket = read_lsh_index(spark, idx).first().lsh_bucket
+    probe = read_lsh_index(spark, idx).filter(F.col("lsh_bucket") == bucket)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split("PartitionFilters")[1][:200]
+
+    # compaction: fewer files, identical content
+    before = len(glob.glob(f"{idx}/lsh_bucket=*/*.parquet"))
+    compacted = str(tmp_path / "index_compacted")
+    compact_lsh_index(spark, idx, compacted, files_per_bucket=1)
+    after = len(glob.glob(f"{compacted}/lsh_bucket=*/*.parquet"))
+    n_buckets = read_lsh_index(spark, idx).select("lsh_bucket").distinct().count()
+    assert after == n_buckets < before
+    assert sorted(
+        map(tuple, read_lsh_index(spark, compacted).select("vec_id", "lsh_bucket").collect())
+    ) == sorted(map(tuple, incremental.collect()))
