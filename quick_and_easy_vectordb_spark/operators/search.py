@@ -40,6 +40,7 @@ __all__ = [
     "top_k_by_dot",
     "threshold_search",
     "batch_knn",
+    "mmr_rerank",
 ]
 
 _METRICS = {
@@ -147,3 +148,65 @@ def batch_knn(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_col: str = "qsim",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank of a small candidate pool:
+    greedily pick k items maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in selected} sim(d, s)``
+    (cosine for the diversity term), tiebreak id-ascending at every
+    step. The reference has nothing like this (search is plain top-k,
+    app.py:40-48); it's the standard diversified-retrieval operator.
+
+    Scale contract: MMR is inherently sequential in k, so the
+    DISTRIBUTED part is producing the pool (TakeOrderedAndProject
+    top-k' over the full corpus); this rerank is O(k * k') on a
+    k'-row frame that fits on any node. Each greedy step is pure
+    DataFrame algebra (anti-join the picked set, max-cosine against
+    it, argmax with tiebreak) — ~k tiny stages, no collect, no UDF,
+    deterministic under any partitioning.
+    """
+    p = pool.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col(sim_col).alias("cqsim"),
+    )
+    first = p.orderBy(F.desc("cqsim"), F.asc("cid")).limit(1)
+    selected = first.select(
+        F.col("cid").alias("sid"),
+        F.col("cvec").alias("svec"),
+        F.lit(1).cast("long").alias("rank"),
+        F.col("cqsim").alias("mmr_score"),
+    )
+    for r in range(2, k + 1):
+        sel_ids = selected.select(F.col("sid").alias("xid"))
+        cand = p.join(sel_ids, p["cid"] == F.col("xid"), "left_anti")
+        scored = (
+            cand.crossJoin(selected.select(F.col("svec").alias("pvec")))
+            .groupBy("cid", "cqsim")
+            .agg(F.max(cosine_similarity(F.col("cvec"), F.col("pvec"))).alias("maxdiv"))
+            .withColumn(
+                "score",
+                F.lit(lam) * F.col("cqsim") - F.lit(1.0 - lam) * F.col("maxdiv"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("score"), F.asc("cid"))
+            .limit(1)
+            .select(F.col("cid").alias("pid"), F.col("score").alias("pscore"))
+        )
+        picked = p.join(F.broadcast(pick), p["cid"] == F.col("pid")).select(
+            F.col("cid").alias("sid"),
+            F.col("cvec").alias("svec"),
+            F.lit(r).cast("long").alias("rank"),
+            F.col("pscore").alias("mmr_score"),
+        )
+        selected = selected.unionByName(picked)
+    return selected.select("rank", F.col("sid").alias(id_col), "mmr_score")

@@ -27,6 +27,7 @@ from quick_and_easy_vectordb_spark.queries import text  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import relational  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import relational_advanced  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import relational_tpch_rest  # noqa: F401,E402
+from quick_and_easy_vectordb_spark.queries import curation  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import events  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import ann  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import multimodal  # noqa: F401,E402

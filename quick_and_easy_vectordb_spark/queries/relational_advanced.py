@@ -604,3 +604,33 @@ def rel_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.expr("k div 10")).alias("n_decades"),
         )
     )
+
+
+@query(
+    "rel_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.5)       AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "percentile", "agg"),
+)
+def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: same sort + same
+    ``lo + (hi-lo)*frac`` interpolation — verified bitwise identical
+    on this fixture). Exact percentile shuffles all group values to
+    the aggregator; at 100 TB swap in approx_percentile (t-digest,
+    rows-only check — see udf_approx_quantiles) and keep this as the
+    small-group/high-accuracy path."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+    )

@@ -646,3 +646,67 @@ def vdb_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def _mmr_oracle(pool_k: int, k: int, lam: float) -> str:
+    """Unrolled greedy-MMR oracle: stage i picks the argmax of
+    lam*qsim - (1-lam)*max_cosine_to_selected over the not-yet-picked
+    pool, id-ascending tiebreak — the loop in operators/search.py
+    mmr_rerank, expressed as k chained CTE stages (plain ANSI SQL, no
+    recursion: aggregates aren't allowed in recursive terms)."""
+    div = sql_cosine("p.v", "s.v")
+    parts = [
+        f"""WITH pool AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {sql_cosine(_EMB, _Q)} AS qsim
+  FROM embeddings
+  ORDER BY qsim DESC, vec_id
+  LIMIT {pool_k}
+),
+s1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, qsim AS mmr_score
+       FROM pool ORDER BY qsim DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT p.vec_id, {lam} * p.qsim - {1.0 - lam} * MAX({div}) AS score
+  FROM pool p, pool s
+  WHERE s.vec_id IN (SELECT vec_id FROM sel{r - 1})
+    AND p.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  GROUP BY p.vec_id, p.qsim
+),
+s{r} AS (SELECT CAST({r} AS BIGINT) AS rank, vec_id, score AS mmr_score
+         FROM c{r} ORDER BY score DESC, vec_id LIMIT 1),
+sel{r} AS (SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM s{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, mmr_score FROM s{r}" for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@query(
+    "vdb_mmr_rerank",
+    oracle=_mmr_oracle(pool_k=20, k=5, lam=0.5),
+    tags=("vector", "topk", "rerank", "diversity"),
+)
+def vdb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 via Maximal Marginal Relevance over a top-20
+    cosine candidate pool. The pool is the distributed part
+    (TakeOrderedAndProject over the corpus — same plan as
+    vdb_topk_cosine); the greedy rerank runs as k tiny DataFrame
+    stages on the 20-row pool (operators/search.py:mmr_rerank)."""
+    from quick_and_easy_vectordb_spark.operators.search import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), vector_literal(QUERY_VEC)).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(20)
+    )
+    return mmr_rerank(pool, k=5, lam=0.5)

@@ -74,3 +74,26 @@ def test_batch_knn_k_bound(chunks):
     res = batch_knn(q, c, k=3, query_vec="qv", corpus_id="corpus_id", corpus_vec="cv")
     counts = res.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_mmr_rerank_greedy_semantics(spark):
+    """Hand-checkable MMR: 4 candidates where plain top-3 would pick
+    three near-duplicates; MMR must interleave the diverse item."""
+    from quick_and_easy_vectordb_spark.operators.search import mmr_rerank
+
+    # qsim ordering: a (0.99) > a2 (0.98) > a3 (0.97) > b (0.60);
+    # a/a2/a3 are near-identical vectors, b is orthogonal to them.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [0.999, 0.001, 0.0], 0.98),
+        (3, [0.998, 0.002, 0.0], 0.97),
+        (4, [0.0, 1.0, 0.0], 0.60),
+    ]
+    pool = spark.createDataFrame(rows, "vec_id long, embedding array<double>, qsim double")
+    got = mmr_rerank(pool, k=3, lam=0.5).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [1, 4, 2]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # rank-1 score is the raw query similarity
+    assert got[0].mmr_score == 0.99
+    # later picks are penalized: score = 0.5*qsim - 0.5*max_div
+    assert got[1].mmr_score < 0.60
