@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
 from quick_and_easy_vectordb_spark.operators.asof import asof_join
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.operators.skew import salted_join
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -562,4 +563,58 @@ def ev_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
             F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
+    )
+
+
+@query(
+    "ev_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS ssq,
+         COUNT(value) AS n
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, s / n AS mean,
+         sqrt((ssq - s * s / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.std AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs((e.value - m.mean) / m.std) > 3.0
+""",
+    tags=("events", "stats", "outliers"),
+)
+def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): the anomaly-flagging pass
+    a metrics pipeline runs over event values. The moments are
+    decimal-exact sums (sum, sum-of-squares) so mean/std are the
+    IDENTICAL doubles on any engine/partitioning — the naive
+    two-pass-free variance formula (ssq - s²/n)/(n-1) is safe here
+    precisely because the sums are exact, sqrt is correctly rounded,
+    and every subsequent op is a single deterministic double op.
+
+    Plan: one shuffle for the per-type moments (map-side combine →
+    |types| rows), broadcast back, per-row filter at scan speed."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    stats = ev.groupBy("event_type").agg(
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("ssq"),
+        F.count("value").alias("n"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
     )

@@ -710,3 +710,110 @@ def vdb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return mmr_rerank(pool, k=5, lam=0.5)
+
+
+# --- binary (sign-bit) quantization: 64 dims -> two 32-bit words ----
+# Packed per-dimension sign bits; 16x smaller than float32 vectors
+# (the memory/IO lever that makes billion-vector prefilters scan-able).
+# Two BIGINT words of 32 bits each: bit b of word j is dim 32j+b.
+# DuckDB checks BIGINT shift overflow at bit 63, so 32-bit words keep
+# every intermediate comfortably exact on both engines.
+
+_QW = [
+    sum(1 << i for i in range(32) if QUERY_VEC[j * 32 + i] > 0) for j in (0, 1)
+]
+
+
+def _spark_sign_word(vec: str, j: int):
+    return F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> "
+        f"acc + IF(element_at({vec}, {j * 32} + i + 1) > 0D, shiftleft(1L, i), 0L))"
+    )
+
+
+def _sql_sign_word(vec: str, j: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, 33), i -> "
+        f"CASE WHEN {vec}[{j * 32} + i] > 0 THEN (1::BIGINT << (i - 1)) "
+        f"ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+_SQL_HAMMING = (
+    f"CAST(bit_count(xor({_sql_sign_word('embedding', 0)}, {_QW[0]})) AS BIGINT) + "
+    f"CAST(bit_count(xor({_sql_sign_word('embedding', 1)}, {_QW[1]})) AS BIGINT)"
+)
+
+
+@query(
+    "vdb_binary_quantized_search",
+    oracle=f"""
+SELECT vec_id, {_SQL_HAMMING} AS hamming
+FROM embeddings
+ORDER BY hamming, vec_id
+LIMIT 10
+""",
+    tags=("vector", "quantization", "topk"),
+)
+def vdb_binary_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary quantization search: pack each 64-dim vector
+    into 64 sign bits (two 32-bit words), rank by Hamming distance to
+    the packed query (bit_count of XOR — 2 instructions per word vs 64
+    multiply-adds for a float dot product). All-integer scoring →
+    bit-identical everywhere, TakeOrderedAndProject top-k plan. At
+    scale the packed words live as their own tiny column (16x smaller
+    than float32), so the prefilter scan never touches the float
+    payload."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ham = (
+        F.bit_count(_spark_sign_word("embedding", 0).bitwiseXOR(F.lit(_QW[0])))
+        + F.bit_count(_spark_sign_word("embedding", 1).bitwiseXOR(F.lit(_QW[1])))
+    ).cast("long")
+    return (
+        emb.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "vdb_binary_rerank",
+    oracle=f"""
+WITH pre AS (
+  SELECT vec_id, embedding, {_SQL_HAMMING} AS hamming
+  FROM embeddings
+  ORDER BY hamming, vec_id
+  LIMIT 50
+)
+SELECT vec_id, {sql_cosine(_EMB, _Q)} AS cosine
+FROM pre
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+""",
+    tags=("vector", "quantization", "rerank", "topk"),
+    bench=True,
+)
+def vdb_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: cheap Hamming prefilter to 50 candidates
+    (integer ops over the packed sign bits), then exact cosine rerank
+    of just those 50 — the standard quantize-then-rerank recall
+    pattern. The expensive float scoring touches 50 rows instead of
+    the whole corpus; both stages are TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ham = (
+        F.bit_count(_spark_sign_word("embedding", 0).bitwiseXOR(F.lit(_QW[0])))
+        + F.bit_count(_spark_sign_word("embedding", 1).bitwiseXOR(F.lit(_QW[1])))
+    ).cast("long")
+    pre = (
+        emb.select("vec_id", "embedding", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return (
+        pre.select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), vector_literal(QUERY_VEC)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
