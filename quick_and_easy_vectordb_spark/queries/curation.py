@@ -218,3 +218,184 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(p) / F.count(F.lit(1))).alias("avg_bigram_p"),
         )
     )
+
+
+def _word_ngrams(col, n: int):
+    """Distinct word n-grams as array<string>; docs shorter than *n*
+    words yield an empty array (too short to share an n-gram — the
+    right semantics for decontamination, unlike word_shingles' fallback)."""
+    w = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SQL_NGRAMS4 = (
+    f"list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 1), "
+    f"i -> array_to_string(w[i:i+3], ' ')))"
+)
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest({_SQL_NGRAMS4}) AS ng FROM d),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM g JOIN bench USING (ng)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+""",
+    tags=("pipeline", "curation", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares a word 4-gram with the held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval suite). This is the
+    GPT-3-style n-gram-overlap scrub every serious pretraining
+    pipeline runs before training; the flagged ids feed an anti-join.
+
+    Plan shape at 100 TB: the benchmark n-gram set is tiny relative
+    to the corpus (eval suites are MBs, corpora are TBs), so it is
+    DISTINCT-ed and *broadcast* — the corpus-side exploded n-gram
+    stream is matched map-side with zero shuffle of corpus data; only
+    the (rare) hits shuffle into the per-doc count."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = docs.select("doc_id", F.explode(_word_ngrams("text", 4)).alias("ng"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    return (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repeats and \b only —
+# no lookaround, no backreferences.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=rf"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' tel 555-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM p
+)
+SELECT doc_id, redacted,
+       CAST(len(regexp_extract_all(redacted, '<EMAIL>|<IP>|<PHONE>')) AS BIGINT)
+         AS n_redacted
+FROM r
+""",
+    tags=("pipeline", "curation", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails, IPv4 addresses and phone numbers
+    to typed placeholders and count redactions per document. The test
+    corpus carries no PII, so a deterministic contact line derived
+    from doc_id is appended first (same expression on both engines) —
+    the redaction logic itself is exactly what runs in production.
+
+    Pure regexp_replace chain: scan-speed, zero shuffles, and the
+    patterns are restricted to the Java-regex ∩ RE2 common subset so
+    any engine agrees byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad(((F.col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(redacted, F.lit("<EMAIL>|<IP>|<PHONE>"))
+        .cast("long")
+        .alias("n_redacted"),
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS w
+           FROM documents WHERE {SQL_NORM} <> ''),
+t AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS tri
+      FROM d),
+s AS (SELECT doc_id, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq FROM t)
+SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri, CAST(n_uniq AS BIGINT) AS n_uniq,
+       CAST(n_tri - n_uniq AS DOUBLE) / n_tri AS rep_ratio
+FROM s WHERE n_tri > n_uniq
+""",
+    tags=("pipeline", "curation", "quality"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: fraction of duplicated word trigrams per
+    document — the cheap "is this doc degenerate boilerplate/spam"
+    quality signal (Gopher/RefinedWeb-style repetition filters).
+    Emits only documents that repeat at least one trigram.
+
+    All-integer trigram counting inside one Catalyst projection (no
+    explode — the arrays never leave the row), then a single exact
+    int/int→double division; zero shuffles, scan speed."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = docs.select(
+        "doc_id",
+        F.size(tri).cast("long").alias("n_tri"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n_uniq"),
+    )
+    return s.filter(F.col("n_tri") > F.col("n_uniq")).select(
+        "doc_id",
+        "n_tri",
+        "n_uniq",
+        ((F.col("n_tri") - F.col("n_uniq")).cast("double") / F.col("n_tri")).alias(
+            "rep_ratio"
+        ),
+    )

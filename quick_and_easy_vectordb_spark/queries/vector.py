@@ -817,3 +817,25 @@ def vdb_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "vdb_range_search",
+    oracle=f"""
+SELECT vec_id, {sql_cosine(_EMB, _Q)} AS cosine
+FROM embeddings
+WHERE {sql_cosine(_EMB, _Q)} >= 0.2
+""",
+    tags=("vector", "range"),
+)
+def vdb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every vector with cosine ≥ τ to the
+    query — the "give me ALL sufficiently-similar items" variant of
+    top-k (dedup candidate pulls, recommendation fan-out). Unlike
+    top-k there is no global ordering step at all: the plan is a pure
+    scan → project → filter, embarrassingly parallel, zero shuffles,
+    and the threshold comparison is on the per-row fold cosine that
+    is bitwise identical across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos = cosine_similarity(F.col("embedding"), vector_literal(QUERY_VEC))
+    return emb.select("vec_id", cos.alias("cosine")).filter(F.col("cosine") >= 0.2)
