@@ -111,10 +111,14 @@ def parse_vector(col: Column | str) -> Column:
 def vector_to_csv(col: Column | str, precision: int | None = None) -> Column:
     """Serialize ``array<numeric>`` → ``"0.1,0.2,..."`` (inverse of
     :func:`parse_vector`; matches the reference's working quoted-CSV wire
-    format, SURVEY.md §1.4.4)."""
+    format, SURVEY.md §1.4.4). ``precision`` rounds each element first
+    — via ``F.round``, NOT ``format_number``, whose grouping separators
+    ("1,234.57") would corrupt the comma-delimited wire format."""
     col = F.col(col) if isinstance(col, str) else col
     elems = (
-        F.transform(col, lambda x: F.format_number(x.cast("double"), precision))
+        F.transform(
+            col, lambda x: F.round(x.cast("double"), precision).cast("string")
+        )
         if precision is not None
         else F.transform(col, lambda x: x.cast("double").cast("string"))
     )

@@ -104,6 +104,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()  # persisted at entry; don't leak blocks in long sessions
     return labels.select(F.col("lu").alias("id"), F.col("label").alias("component"))
 
 

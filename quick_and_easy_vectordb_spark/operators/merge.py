@@ -5,12 +5,15 @@ semantics (reference app.py:105-118 — duplicate chunk_ids accumulate
 silently). This operator is the engine's keyed-DML surface:
 
     upsert(target, updates, key) =
-        matched rows  -> replaced by the update row
+        matched rows  -> replaced by the update row (whole row — an
+                         update NULL in a non-key column nulls out the
+                         target value, SQL MERGE "UPDATE SET *")
         unmatched     -> kept from target
         new keys      -> appended
 
-Implemented as ONE full-outer shuffle join on the key with per-column
-COALESCE — the plan a MERGE INTO compiles to on any SQL engine. With
+Implemented as ONE full-outer shuffle join on the key with a
+join-hit marker deciding each column (the matched side wins wholesale,
+not per-column COALESCE) — the plan a MERGE INTO compiles to. With
 Delta/Iceberg the same logical op additionally rewrites only touched
 files; on plain parquet, pair it with writers.write_corpus to
 materialize the merged snapshot (at scale: partition-align target and
@@ -26,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["upsert"]
@@ -36,24 +39,43 @@ def upsert(
     target: DataFrame,
     updates: DataFrame,
     on: str | Sequence[str],
+    dedup_order: Sequence | None = None,
 ) -> DataFrame:
-    """Full-outer keyed merge; update wins per column via COALESCE.
-    ``updates`` must carry the same columns as ``target``."""
+    """Full-outer keyed merge; on a key match the update row wins
+    wholesale (including NULLs in non-key columns — SQL MERGE
+    "UPDATE SET *" semantics, decided by a join-hit marker rather than
+    per-column COALESCE). ``updates`` must carry the same columns as
+    ``target``.
+
+    Duplicate keys in ``updates`` fan out to one output row each (a
+    full-outer join cannot collapse them); pass ``dedup_order`` (column
+    names / Column sort expressions, e.g. ``[F.desc("ts")]``) to keep
+    only the first-ranked update row per key before merging."""
     keys = [on] if isinstance(on, str) else list(on)
     missing = set(target.columns) - set(updates.columns)
     if missing:
         raise ValueError(f"updates missing target columns: {sorted(missing)}")
 
+    if dedup_order is not None:
+        w = Window.partitionBy(*keys).orderBy(*dedup_order)
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     u = updates.select(
         [F.col(c).alias(f"__u_{c}") for c in target.columns]
-    )
+    ).withColumn("__u_hit", F.lit(True))
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"__u_{k}").eqNullSafe(F.col(k)) for k in keys],
     )
     return target.join(u, cond, "full_outer").select(
         [
-            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            F.when(F.col("__u_hit"), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
             for c in target.columns
         ]
     )

@@ -209,4 +209,10 @@ def mmr_rerank(
             F.col("pscore").alias("mmr_score"),
         )
         selected = selected.unionByName(picked)
+        # The greedy loop re-unions `selected` every pick; without
+        # truncation the plan nests r unions of (anti-join + crossJoin +
+        # agg) and analysis cost grows superlinearly in k. Checkpoint
+        # every few picks so arbitrary k stays safe.
+        if r % 4 == 0:
+            selected = selected.localCheckpoint()
     return selected.select("rank", F.col("sid").alias(id_col), "mmr_score")

@@ -274,7 +274,7 @@ reach(u, v) AS (
 comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u)
 SELECT MIN(id) AS keep_id,
        COUNT(*) AS n_members,
-       list_sort(list(id)) AS members
+       array_to_string(list_sort(list(id)), ',') AS members
 FROM comp GROUP BY component
 """,
     tags=("dedup", "graph", "iterative"),
@@ -293,4 +293,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
-    return dup_clusters(pairs)
+    clusters = dup_clusters(pairs)
+    # CSV-join the member list: the driver's canonicalizer cannot sort
+    # array-typed pandas columns (round-1 CORRECTNESS err); bigint→string
+    # is deterministic on both engines.
+    return clusters.select(
+        "keep_id",
+        "n_members",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )

@@ -724,12 +724,12 @@ WITH upd AS (
          'INSERTED'
   FROM orders WHERE o_orderkey % 101 = 0
 )
-SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-       COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
-       COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-       COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
-       COALESCE(u.o_orderdate, t.o_orderdate) AS o_orderdate,
-       COALESCE(u.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+SELECT CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
 FROM orders t FULL OUTER JOIN upd u ON u.o_orderkey = t.o_orderkey
 """,
     tags=("relational", "merge", "dml"),
@@ -739,8 +739,9 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (operators/merge.py): a changeset derived
     from the table itself — price corrections on every 97th order plus
     brand-new rows cloned from every 101st — applied in one full-outer
-    keyed join. Matched rows take the update, unmatched stay, new keys
-    append; the oracle is the equivalent FULL OUTER + COALESCE."""
+    keyed join. Matched rows take the update row wholesale (NULLs
+    included), unmatched stay, new keys append; the oracle is the
+    equivalent FULL OUTER with a join-hit CASE per column."""
     o = load_table(spark, sf_dir, "orders")
     corrections = o.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",

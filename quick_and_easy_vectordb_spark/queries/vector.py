@@ -372,12 +372,20 @@ def vdb_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH n AS (
   SELECT vec_id, {_EMB} AS e, sqrt(list_dot_product({_EMB}, {_EMB})) AS nrm
   FROM embeddings WHERE vec_id % 17 = 0
+),
+a AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / nrm) AS unit,
+         list_transform(list_zip(e, {_Q}), p -> p[1] + 0.5 * p[2]) AS axpy,
+         list_transform(e, x -> CASE WHEN x < 0 THEN 0.0 ELSE x END) AS relu
+  FROM n
 )
 SELECT vec_id,
-       list_transform(e, x -> x / nrm) AS unit,
-       list_transform(list_zip(e, {_Q}), p -> p[1] + 0.5 * p[2]) AS axpy,
-       list_transform(e, x -> CASE WHEN x < 0 THEN 0.0 ELSE x END) AS relu
-FROM n
+       CAST(unnest(range(len(unit))) AS BIGINT) AS pos,
+       unnest(unit) AS unit,
+       unnest(axpy) AS axpy,
+       unnest(relu) AS relu
+FROM a
 """,
     tags=("vector", "arith", "array-fns"),
 )
@@ -385,22 +393,34 @@ def vdb_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise vector arithmetic as array expressions: L2
     normalization, axpy (v + 0.5·q — the update step of iterative
     algorithms), and ReLU clamping. Per-element float ops are
-    position-independent, so full output ARRAYS hash-match the oracle
-    (unlike cross-element reductions, which only match via the shared
-    fold shape)."""
+    position-independent and bitwise-identical cross-engine; the
+    output is posexploded to scalar ``(vec_id, pos, unit, axpy,
+    relu)`` rows because the driver's canonicalizer cannot sort
+    array-typed pandas columns (round-1 CORRECTNESS err). DuckDB side
+    co-unnests the three lists positionally — same rows."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 17 == 0
     )
     e = F.col("embedding").cast("array<double>")
     q = vector_literal(QUERY_VEC)
     nrm = F.sqrt(dot_product(e, e))
-    return emb.select(
+    arrays = emb.select(
         "vec_id",
         F.transform(e, lambda x: x / nrm).alias("unit"),
         F.zip_with(e, q, lambda x, y: x + 0.5 * y).alias("axpy"),
         F.transform(
             e, lambda x: F.when(x < 0, F.lit(0.0)).otherwise(x)
         ).alias("relu"),
+    )
+    return arrays.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("unit", "axpy", "relu")).alias("pos", "z"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.unit").alias("unit"),
+        F.col("z.axpy").alias("axpy"),
+        F.col("z.relu").alias("relu"),
     )
 
 

@@ -75,16 +75,19 @@ def compact_lsh_index(
     dest_path: str,
     files_per_bucket: int = 1,
 ) -> None:
-    """Rewrite the index with ``files_per_bucket`` files per bucket
-    directory. One shuffle, keyed on the bucket (hash-distributing
-    buckets across executors so a hot bucket doesn't serialize the
-    whole rewrite), then a partitioned write that preserves the
-    pruning layout exactly."""
+    """Rewrite the index with approximately ``files_per_bucket`` files
+    per bucket directory. One shuffle, keyed on the bucket
+    (hash-distributing buckets across executors so a hot bucket doesn't
+    serialize the whole rewrite), then a partitioned write that
+    preserves the pruning layout exactly.
+
+    "Approximately": ``repartition`` hash-distributes the (bucket,
+    salt) tuples, so distinct tuples can collide into the same shuffle
+    partition and a bucket directory may get fewer (or unevenly packed)
+    files. The pruning layout (one directory per bucket) is exact
+    either way; only the per-directory file count is best-effort."""
     df = read_lsh_index(spark, index_path)
     n_buckets = max(1, df.select("lsh_bucket").distinct().count())
-    # Hash-distribute on (bucket, salt): each bucket maps to exactly
-    # ``files_per_bucket`` shuffle partitions, so the partitioned write
-    # emits that many files per bucket directory.
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(files_per_bucket))
     (
         df.repartition(files_per_bucket * n_buckets, F.col("lsh_bucket"), salt)

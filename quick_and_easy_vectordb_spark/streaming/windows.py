@@ -22,6 +22,7 @@ how the DuckDB oracle gates the batch surface.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -221,12 +222,19 @@ def stream_upsert_sink(
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
+        # Only a missing target (first batch) may fall through to
+        # "merged = batch"; any other failure (schema mismatch, transient
+        # FS error) must propagate so the batch retries instead of
+        # overwriting the target with just this micro-batch. Note plain
+        # parquet overwrite is not atomic — an interrupted overwrite can
+        # leave a partial target; Delta/Iceberg close that hole.
         try:
             target = spark.read.parquet(target_path)
+        except AnalysisException:  # first batch: no target yet
+            merged = batch
+        else:
             # materialize before overwriting what it was read from
             merged = upsert(target, batch, on=key).localCheckpoint()
-        except Exception:  # first batch: no target yet
-            merged = batch
         merged.write.mode("overwrite").parquet(target_path)
 
     w = dedup_stream.writeStream.foreachBatch(apply_batch).outputMode("update")

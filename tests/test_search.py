@@ -97,3 +97,28 @@ def test_mmr_rerank_greedy_semantics(spark):
     assert got[0].mmr_score == 0.99
     # later picks are penalized: score = 0.5*qsim - 0.5*max_div
     assert got[1].mmr_score < 0.60
+
+
+def test_mmr_rerank_large_k_plan_bounded(spark):
+    """k=20 over a 40-candidate pool: the periodic localCheckpoint must
+    keep the greedy loop's plan from nesting 20 unions of joins —
+    without it, analysis alone takes minutes at this k. Checks output
+    shape (all ranks present, ids unique) and that the final plan's
+    string depth is bounded (checkpoint truncated lineage)."""
+    from quick_and_easy_vectordb_spark.operators.search import mmr_rerank
+
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), float((i * 5) % 11)], 1.0 - i * 0.01)
+        for i in range(40)
+    ]
+    pool = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, qsim double"
+    )
+    out = mmr_rerank(pool, k=20, lam=0.5)
+    got = out.orderBy("rank").collect()
+    assert [r["rank"] for r in got] == list(range(1, 21))
+    assert len({r.vec_id for r in got}) == 20
+    # lineage truncation: the final plan must hang off a checkpointed
+    # scan, not 20 nested unions (which would show ~20 Union nodes)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 6
