@@ -7,11 +7,18 @@ Two backends behind one factory:
   forward pass, truncation at 512 tokens, mean-pool of
   ``last_hidden_state`` over ALL token positions including [CLS]/[SEP]
   (the reference's exact pooling, app.py:37; no attention-mask
-  weighting — SURVEY.md §1.4.6). Implemented as an Arrow-batched
-  pandas UDF with a per-executor lazy model singleton (the distributed
-  analog of the reference's @st.cache_resource, app.py:13). Requires
-  torch+transformers at runtime; raises a clear ImportError here where
-  they are not installed.
+  weighting of *content* tokens — SURVEY.md §1.4.6). Implemented as an
+  Arrow-batched pandas UDF with a per-executor lazy model singleton
+  (the distributed analog of the reference's @st.cache_resource,
+  app.py:13). Texts are length-bucketed and run as PADDED BATCHES with
+  a mask-weighted mean — mathematically identical to the reference's
+  per-text all-positions mean, because for each text the mask==1
+  positions are exactly its unpadded positions (specials included):
+  ``(hidden·mask).sum(L) / mask.sum(L) == hidden[:len].mean(L)``.
+  This restores GPU/batch throughput that a per-text loop throws away,
+  without changing the pooling semantics. Requires torch+transformers
+  at runtime; raises a clear ImportError here where they are not
+  installed.
 - ``backend="hash"`` (default): a deterministic, dependency-free
   stand-in with the same UDF plumbing — element i of the vector is
   ``int(md5(f"{text}:{i}")[:8], 16) / 2^32`` ∈ [0, 1). Fully
@@ -33,11 +40,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["hash_embed_py", "make_embed_udf", "HASH_EMBED_DIM"]
+__all__ = [
+    "hash_embed_py",
+    "make_embed_udf",
+    "masked_mean_np",
+    "length_buckets",
+    "HASH_EMBED_DIM",
+    "EMBED_BATCH_SIZE",
+]
 
 HASH_EMBED_DIM = 8
+EMBED_BATCH_SIZE = 32
 
 _MODEL_CACHE: dict[str, object] = {}
+
+
+def masked_mean_np(hidden, mask):
+    """Mask-weighted mean pooling, numpy reference: ``hidden`` (B, L, H)
+    padded hidden states, ``mask`` (B, L) 0/1 attention mask →
+    (B, H). For every row this equals the mean over that row's unpadded
+    positions (specials included) — i.e. the reference's per-text
+    all-positions pooling (app.py:37) — because mask==1 selects exactly
+    those positions. Shared by the torch path (same expression on
+    tensors) and the parity unit test (torch-free)."""
+    m = mask[:, :, None].astype(hidden.dtype)
+    return (hidden * m).sum(axis=1) / m.sum(axis=1)
+
+
+def length_buckets(lengths: list[int], batch_size: int) -> list[list[int]]:
+    """Group indices into batches of at most ``batch_size``, ordered by
+    sequence length, so each padded batch wastes minimal compute on pad
+    positions (the classic length-bucketing schedule). Deterministic:
+    ties break on index."""
+    order = sorted(range(len(lengths)), key=lambda i: (lengths[i], i))
+    return [
+        order[i : i + batch_size] for i in range(0, len(order), batch_size)
+    ]
 
 
 def hash_embed_py(text: str, dim: int = HASH_EMBED_DIM) -> list[float]:
@@ -83,15 +121,24 @@ def make_embed_udf(backend: str = "hash", dim: int = HASH_EMBED_DIM) -> Column:
                     "distilbert-base-uncased"
                 ).eval()
             tok, model = _MODEL_CACHE["tok"], _MODEL_CACHE["model"]
-            outs = []
+            clean = list(texts.fillna(""))
+            # tokenize once (no padding), then length-bucket and run
+            # padded batches; mask-weighted mean == per-text mean over
+            # all unpadded positions (see module docstring)
+            enc = tok(clean, truncation=True, max_length=512)
+            lens = [len(ids) for ids in enc["input_ids"]]
+            outs: list[list[float] | None] = [None] * len(clean)
             with torch.no_grad():
-                for t in texts.fillna(""):
-                    enc = tok(t, return_tensors="pt", truncation=True,
-                              max_length=512, padding=True)
-                    hidden = model(**enc).last_hidden_state
-                    # mean over ALL positions incl. special tokens —
-                    # exact reference pooling (app.py:37)
-                    outs.append(hidden.mean(dim=1).squeeze(0).numpy().tolist())
+                for bucket in length_buckets(lens, EMBED_BATCH_SIZE):
+                    batch = tok.pad(
+                        {k: [enc[k][i] for i in bucket] for k in enc},
+                        return_tensors="pt",
+                    )
+                    hidden = model(**batch).last_hidden_state
+                    mask = batch["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+                    pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1)
+                    for j, i in enumerate(bucket):
+                        outs[i] = pooled[j].numpy().tolist()
             return pd.Series(outs)
 
         return embed
