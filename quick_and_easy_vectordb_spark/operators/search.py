@@ -40,6 +40,7 @@ __all__ = [
     "top_k_by_dot",
     "threshold_search",
     "batch_knn",
+    "lsh_batch_knn",
     "mmr_rerank",
 ]
 
@@ -132,13 +133,81 @@ def batch_knn(
     partition scores all queries locally and the window only shuffles
     Q·(partition-local top-k) candidate rows, which AQE coalesces.
 
-    For query sets too large to broadcast, chunk the query side and
-    union the results, or LSH-prefilter (operators/ann.py) so the join
-    is an equi-join on bucket id instead of a cross product.
+    For query sets too large to broadcast, use :func:`lsh_batch_knn` —
+    the LSH-prefiltered variant whose join is a shuffle equi-join on
+    bucket id instead of a cross product — or chunk the query side and
+    union the results if exact recall is required.
     """
     scorer, desc = _METRICS[metric]
     joined = corpus.crossJoin(F.broadcast(queries))
     scored = joined.withColumn(score_col, scorer(F.col(corpus_vec), F.col(query_vec)))
+    order = [
+        F.desc(score_col) if desc else F.asc(score_col),
+        F.asc(corpus_id),
+    ]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_batch_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    num_planes: int = 4,
+    dim: int = 64,
+    probe_radius: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    corpus_vec: str = "vec",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Approximate batch kNN for query sets too large to broadcast —
+    the escape hatch :func:`batch_knn`'s docstring promises.
+
+    Both sides get the deterministic random-hyperplane LSH signature
+    (operators/ann.py:lsh_signature); each query additionally probes
+    its Hamming-≤``probe_radius`` neighbor buckets (bit flips built as
+    native substring/concat expressions — no UDF). The join is then a
+    plain shuffle EQUI-JOIN on the bucket string, so at 100 TB it
+    hash-partitions both sides by bucket instead of replicating either:
+    cost O(|corpus|/2^P · probes) candidate pairs, versus batch_knn's
+    broadcast nested loop which requires the whole query set on every
+    executor. Candidates dedupe (one corpus row can match several
+    probes of one query — identical rows, so the dedup is
+    deterministic), then exact per-query top-k by window row_number
+    with id tiebreak. Approximate: corpus rows outside the probed
+    buckets are never scored (recall measured by ann_recall_at_k).
+    """
+    from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
+
+    scorer, desc = _METRICS[metric]
+    c = corpus.withColumn(
+        "__bucket", lsh_signature(corpus_vec, num_planes, dim)
+    )
+    qsig = lsh_signature(query_vec, num_planes, dim)
+    probes = [qsig]
+    if probe_radius >= 1:
+        for j in range(num_planes):
+            bit = F.substring(qsig, j + 1, 1)
+            probes.append(
+                F.concat(
+                    F.substring(qsig, 1, j),
+                    F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring(qsig, j + 2, num_planes - j - 1),
+                )
+            )
+    qp = queries.withColumn("__bucket", F.explode(F.array(*probes)))
+    scored = (
+        qp.join(c, "__bucket")
+        .withColumn(score_col, scorer(F.col(corpus_vec), F.col(query_vec)))
+        .drop("__bucket")
+        .dropDuplicates([query_id, corpus_id])
+    )
     order = [
         F.desc(score_col) if desc else F.asc(score_col),
         F.asc(corpus_id),

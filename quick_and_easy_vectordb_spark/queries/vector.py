@@ -28,8 +28,10 @@ from quick_and_easy_vectordb_spark.functions.vector import (
     vector_literal,
     vector_to_csv,
 )
-from quick_and_easy_vectordb_spark.operators.search import batch_knn
+from quick_and_easy_vectordb_spark.operators.ann import hyperplane
+from quick_and_easy_vectordb_spark.operators.search import batch_knn, lsh_batch_knn
 from quick_and_easy_vectordb_spark.queries.common import (
+    DIM,
     QUERY_VEC,
     sql_cosine,
     sql_dot,
@@ -161,6 +163,91 @@ def vdb_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df,
         corpus,
         k=3,
+        query_id="query_id",
+        query_vec="qv",
+        corpus_id="corpus_id",
+        corpus_vec="cv",
+        metric="cosine",
+    )
+    return res.select(
+        "query_id", "corpus_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+def _lsh_knn_sig_sql(expr: str, num_planes: int) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot(expr, sql_vec(hyperplane(j, DIM)))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(num_planes)
+    ]
+    return " || ".join(terms)
+
+
+def _lsh_knn_flips_sql(sig: str, num_planes: int) -> str:
+    flips = [sig]
+    for j in range(num_planes):
+        flips.append(
+            f"substr({sig}, 1, {j}) || "
+            f"(CASE WHEN substr({sig}, {j + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr({sig}, {j + 2})"
+        )
+    return "[" + ", ".join(flips) + "]"
+
+
+_LSH_KNN_PLANES = 4
+
+
+@query(
+    "vdb_batch_knn_lsh",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+         {_lsh_knn_sig_sql('embedding::DOUBLE[]', _LSH_KNN_PLANES)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {_lsh_knn_sig_sql('embedding::DOUBLE[]', _LSH_KNN_PLANES)} AS qsig
+  FROM embeddings WHERE vec_id % 50 = 0
+), p AS (
+  SELECT query_id, qv,
+         unnest({_lsh_knn_flips_sql('qsig', _LSH_KNN_PLANES)}) AS bucket
+  FROM q
+), cand AS (
+  SELECT DISTINCT p.query_id, c.corpus_id, {sql_cosine('c.cv', 'p.qv')} AS score
+  FROM p JOIN c USING (bucket)
+), r AS (
+  SELECT query_id, corpus_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+  FROM cand
+)
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, score FROM r WHERE rank <= 3
+""",
+    tags=("vector", "knn", "lsh", "join", "window"),
+    bench=True,
+)
+def vdb_batch_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered batch kNN (operators/search.py:lsh_batch_knn):
+    every 50th vector queries the whole corpus, but instead of
+    broadcasting the query set into a nested loop, both sides are
+    bucketed by a 4-plane LSH signature and each query multi-probes its
+    Hamming-1 neighborhood — the join is a shuffle EQUI-JOIN on the
+    bucket string (plan-asserted in tests/test_plans.py), the shape
+    that survives query sets too large to broadcast. Deterministic
+    hyperplanes make even this approximate path oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    res = lsh_batch_knn(
+        queries_df,
+        corpus,
+        k=3,
+        num_planes=_LSH_KNN_PLANES,
+        dim=DIM,
+        probe_radius=1,
         query_id="query_id",
         query_vec="qv",
         corpus_id="corpus_id",

@@ -53,6 +53,35 @@ def test_batch_knn_broadcasts_query_side(spark, sf_dir):
     assert "BuildRight" in plan  # corpus side streams, query side is built
 
 
+def test_lsh_batch_knn_is_bucket_equijoin(spark, sf_dir):
+    """The large-query-set escape hatch must NOT be a nested loop: both
+    sides carry an LSH bucket string and the join is a shuffle (or
+    broadcast-hash at test scale) EQUI-join on it — the shape that
+    hash-partitions by bucket at 100 TB instead of replicating a side."""
+    from quick_and_easy_vectordb_spark.operators.search import lsh_batch_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    plan = physical(
+        lsh_batch_knn(
+            q, c, k=3, num_planes=4, dim=64,
+            query_vec="qv", corpus_id="corpus_id", corpus_vec="cv",
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on the bucket key (any hash-based strategy qualifies)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "__bucket" in plan
+
+
 def test_vector_math_is_jvm_side_no_python(spark, sf_dir):
     """The dot product must be pure JVM expression eval — no Python
     worker round-trip. (Note: higher-order functions are NOT whole-
