@@ -56,6 +56,77 @@ def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_tumbling_hour_streamed",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_DSUM_VAL} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "window-time", "agg"),
+)
+def ev_tumbling_hour_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_tumbling_hour actually executed THROUGH Structured Streaming:
+    the events parquet is read as a file-source stream, aggregated with
+    the identical windowed plan (streaming/windows.py:
+    stream_tumbling_counts shape + decimal-exact value sum), run to
+    completion with availableNow, and the memory-sink result compared
+    to the same DuckDB oracle as the batch query — promoting the
+    stream/batch-equivalence pytest into a driver-checked CORRECTNESS
+    row. Complete output mode: every window is final once the
+    availableNow backlog drains, so no watermark is needed for
+    correctness here (the incremental-state path with watermarks is
+    exercised in tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    sink = "ev_tumbling_hour_streamed_sink"
+    spark.catalog.dropTempView(sink)  # no-op when absent; allows re-runs
+    # The file stream source requires a DIRECTORY; the fixture is a
+    # single parquet file, so stage a symlink dir (no data copy).
+    src_path = os.path.abspath(f"{sf_dir}/events.parquet")
+    if not os.path.isdir(src_path):
+        d = tempfile.mkdtemp(prefix="ev_stream_src_")
+        os.symlink(src_path, os.path.join(d, "events.parquet"))
+        src_path = d
+    # Same nanos handling as the batch reader (sources/catalog.py):
+    # ts is parquet TIMESTAMP(NANOS) → read as raw long, floor to µs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(src_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
     "ev_sliding_window",
     oracle=f"""
 WITH expanded AS (
