@@ -105,6 +105,13 @@ _CHECK_PRIORITY = [
     "rel_q8_market_share",
     "rel_q9_profit_by_nation_year",
     # ---- ~50-entry prefix boundary; below here is round-3 rotation ----
+    # new round-2 queries (oracle-green via tools/check.py this round;
+    # first in line for driver rows if the prefix runs past 50)
+    "dedup_keep_best",
+    "ev_mad_outliers",
+    "ev_stream_dedup_ingest",
+    "text_domain_mix_sample",
+    "vdb_gram_matrix",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

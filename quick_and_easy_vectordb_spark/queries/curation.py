@@ -399,3 +399,58 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_ratio"
         ),
     )
+
+
+@query(
+    "text_domain_mix_sample",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_lang) AS BIGINT) // COUNT(*) AS tgt FROM c),
+k AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN c USING (lang) CROSS JOIN t
+  WHERE (d.doc_id * {_KNUTH}) % {_M32} * c.n_lang < t.tgt * {_M32}
+  GROUP BY d.lang
+)
+SELECT c.lang, c.n_lang AS n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM c LEFT JOIN k USING (lang)
+""",
+    tags=("pipeline", "sampling", "curation", "mixture"),
+)
+def text_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each language toward a
+    UNIFORM target share (tgt = total // n_langs docs per lang) via the
+    same integer-exact Knuth-hash Bernoulli draw as
+    text_weighted_sample — accept iff ``draw · n_lang < tgt · 2^32``,
+    i.e. keep probability min(1, tgt/n_lang), membership reproducible
+    on any engine/partitioning. This is the "hit the target training
+    mix" step that follows quality filtering in a pretraining pipeline
+    (over-represented domains thinned, under-represented kept whole).
+
+    Plan: one tiny per-lang count (map-side combine), broadcast of the
+    |langs|-row rate table back onto the corpus, per-row integer filter
+    at scan speed, one final count — the corpus itself never shuffles.
+    Output is the per-lang before/after audit table. (Integer products
+    stay < 2^63 for corpora < ~2^31 docs per lang; at the extreme,
+    promote the cross-multiply to DECIMAL.)"""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    target = counts.agg(
+        F.expr("sum(n_lang) div count(*)").alias("tgt")
+    )
+    draw = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)
+    kept = (
+        docs.join(F.broadcast(counts), "lang")
+        .join(F.broadcast(target))
+        .filter(draw * F.col("n_lang") < F.col("tgt") * F.lit(_M32))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

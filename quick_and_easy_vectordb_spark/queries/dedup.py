@@ -5,11 +5,11 @@ is deterministic and oracle-checked in ANSI SQL."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quick_and_easy_vectordb_spark.functions.text import word_shingles
-from quick_and_easy_vectordb_spark.operators.graph import dup_clusters
+from quick_and_easy_vectordb_spark.functions.text import quality_score, word_shingles
+from quick_and_easy_vectordb_spark.operators.graph import connected_components, dup_clusters
 from quick_and_easy_vectordb_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -303,4 +303,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("members", lambda x: x.cast("string")), ","
         ).alias("members"),
+    )
+
+
+from quick_and_easy_vectordb_spark.queries.text import SQL_QUALITY_CTES
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {SQL_VERIFIED_PAIRS},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+{SQL_QUALITY_CTES},
+ranked AS (
+  SELECT comp.component AS cluster_id, comp.id AS keep_id, qs.quality,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY qs.quality DESC, comp.id) AS rn,
+         COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+  FROM comp JOIN qs ON qs.doc_id = comp.id
+)
+SELECT cluster_id, keep_id, quality AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+    tags=("dedup", "curation", "graph", "window"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution with a QUALITY survivor rule — what
+    production pipelines actually do (keep the best-written duplicate,
+    not the lowest id): verified MinHash-LSH pairs → connected
+    components → per-cluster argmax of quality_score (tiebreak min id).
+    Composes the dedup family with the curation family; the per-cluster
+    pick is one window row_number over the (tiny) membership table, so
+    the added cost over dedup_clusters is a broadcast-sized join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+    cc = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("qid"), quality_score("text").alias("quality")
+    )
+    m = cc.join(q, cc.id == F.col("qid"))
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("id").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+            "n_members",
+        )
     )

@@ -127,6 +127,61 @@ def ev_tumbling_hour_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_stream_dedup_ingest",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "streaming", "dedup", "exactly-once"),
+)
+def ev_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest, oracle-checked: the events file is
+    staged TWICE into the stream source directory (simulating an
+    at-least-once source replaying every record), streamed through
+    exact dedup on event_id (streaming/windows.py:stream_dedup_events
+    semantics) into an append-mode memory sink, then counted per type.
+    The oracle is the single-copy count — the row only matches if the
+    streaming dedup dropped every replay, which is the exactly-once
+    property itself as a CORRECTNESS row."""
+    import os
+    import tempfile
+
+    sink = "ev_stream_dedup_ingest_sink"
+    spark.catalog.dropTempView(sink)
+    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="ev_stream_replay_")
+    os.symlink(src_file, os.path.join(d, "events_a.parquet"))
+    os.symlink(src_file, os.path.join(d, "events_b.parquet"))  # the replay
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        # one file per micro-batch so the replay arrives in a LATER
+        # batch and the dedup must hold state across batches
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        src.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
     "ev_sliding_window",
     oracle=f"""
 WITH expanded AS (
@@ -634,6 +689,55 @@ def ev_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
             F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
+    )
+
+
+@query(
+    "ev_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - med.med) / (1.4826 * mad.mad) AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.mad > 0
+  AND abs((e.value - med.med) / (1.4826 * mad.mad)) > 3.5
+""",
+    tags=("events", "stats", "outliers", "percentile"),
+)
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation — the
+    companion to ev_zscore_outliers for heavy-tailed value
+    distributions where mean/std are themselves dragged by the
+    outliers: robust_z = (v − median) / (1.4826·MAD), flag |z| > 3.5
+    (the Iglewicz–Hoberg convention). Exact medians (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, same interpolation —
+    see rel_exact_percentiles) keep it oracle-checkable.
+
+    Plan: two grouped exact percentiles (each shuffles only the
+    (type, value) pairs), broadcast of the |types|-row stats back, then
+    a scan-speed filter. At 100 TB swap percentile → approx_percentile
+    and keep the identical downstream algebra."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
     )
 
 

@@ -28,6 +28,28 @@ from quick_and_easy_vectordb_spark.sources.catalog import load_table
 SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 SQL_NTOK = "CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END"
 
+# Reusable quality-score CTE chain over ``documents`` ending in
+# qs(doc_id, quality) — mirrors functions/text.py:quality_score
+# exactly; shared by text_quality_filter and dedup_keep_best.
+SQL_QUALITY_CTES = f"""qd AS (SELECT doc_id, text, {SQL_NORM} AS t FROM documents),
+qm AS (
+  SELECT doc_id,
+         CAST({SQL_NTOK} AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN t = '' THEN 0.0
+              ELSE CAST(len(list_filter(string_split(t, ' '),
+                        x -> list_contains({'[' + ', '.join("'" + w + "'" for w in STOPWORDS_EN) + ']'}, x))) AS DOUBLE)
+                   / len(string_split(t, ' ')) END AS stop_r
+  FROM qd),
+qs AS (
+  SELECT doc_id,
+         0.4 * least(n_tok / 200.0, 1.0)
+         + 0.3 * (1.0 - least(punct, 0.5) / 0.5)
+         + 0.3 * least(stop_r / 0.4, 1.0) AS quality
+  FROM qm)"""
+
 
 @query(
     "text_stats_by_lang",
@@ -150,25 +172,8 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_quality_filter",
     oracle=f"""
-WITH d AS (SELECT doc_id, text, {SQL_NORM} AS t FROM documents),
-m AS (
-  SELECT doc_id,
-         CAST({SQL_NTOK} AS DOUBLE) AS n_tok,
-         CASE WHEN length(text) > 0
-              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
-              ELSE 0.0 END AS punct,
-         CASE WHEN t = '' THEN 0.0
-              ELSE CAST(len(list_filter(string_split(t, ' '),
-                        x -> list_contains({'[' + ', '.join("'" + w + "'" for w in STOPWORDS_EN) + ']'}, x))) AS DOUBLE)
-                   / len(string_split(t, ' ')) END AS stop_r
-  FROM d),
-s AS (
-  SELECT doc_id,
-         0.4 * least(n_tok / 200.0, 1.0)
-         + 0.3 * (1.0 - least(punct, 0.5) / 0.5)
-         + 0.3 * least(stop_r / 0.4, 1.0) AS quality
-  FROM m)
-SELECT doc_id, quality FROM s WHERE quality >= 0.5
+WITH {SQL_QUALITY_CTES}
+SELECT doc_id, quality FROM qs WHERE quality >= 0.5
 """,
     tags=("text", "quality", "filter"),
     bench=True,

@@ -946,3 +946,55 @@ def vdb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cos = cosine_similarity(F.col("embedding"), vector_literal(QUERY_VEC))
     return emb.select("vec_id", cos.alias("cosine")).filter(F.col("cosine") >= 0.2)
+
+
+_GRAM_D = 16  # leading sub-dimension; d² output cells
+
+
+@query(
+    "vdb_gram_matrix",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {_GRAM_D} + 1)) AS p)
+SELECT CAST(pi.p AS BIGINT) AS i, CAST(pj.p AS BIGINT) AS j,
+       CAST(CAST(SUM(CAST(e.embedding[pi.p]::DOUBLE * e.embedding[pj.p]::DOUBLE
+            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS g
+FROM embeddings e CROSS JOIN pos pi CROSS JOIN pos pj
+WHERE pi.p <= pj.p
+GROUP BY 1, 2
+""",
+    tags=("vector", "linalg", "agg"),
+)
+def vdb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = Σᵥ v·vᵀ over the leading 16 dims —
+    the building block of corpus-level embedding analytics (covariance,
+    PCA whitening, spectral diagnostics). One projection expands each
+    row into its d(d+1)/2 upper-triangle products (arrays, no UDF), then
+    a single hash aggregate with MAP-SIDE PARTIAL SUMS — each executor
+    reduces its partitions to d² cells locally and shuffles only those,
+    so shuffle volume is O(partitions · d²), independent of N: the
+    correct 100 TB shape for X^T X. Products are summed decimal-exact
+    (functions/numeric.py convention) so the matrix is bitwise
+    reproducible under any partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.slice(F.col("embedding").cast("array<double>"), 1, _GRAM_D)
+    cells = F.flatten(
+        F.transform(
+            e,
+            lambda x, i: F.transform(
+                e, lambda y, j: F.struct(
+                    (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("xy")
+                )
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(cells).alias("c"))
+        .filter(F.col("c.i") <= F.col("c.j"))
+        .groupBy(
+            F.col("c.i").cast("long").alias("i"),
+            F.col("c.j").cast("long").alias("j"),
+        )
+        .agg(
+            F.sum(F.col("c.xy").cast("decimal(30,10)")).cast("double").alias("g")
+        )
+    )

@@ -1,16 +1,18 @@
-"""Measured scaling probe: run key operator shapes at 1x and 10x
-synthetic data and report the wall-clock ratio.
+"""Measured scaling probe: run key operator shapes at 1x, 10x and 30x
+synthetic data and report the wall-clock ratios.
 
 Run: python tools/scale_probe.py   (writes SCALING.md)
 
-A linear operator on a machine with idle cores should scale at <= 10x
-wall-clock for 10x data (less when the small run underutilizes cores).
+A linear operator on a machine with idle cores should scale at <= Nx
+wall-clock for Nx data (less when the small run underutilizes cores).
 Superlinear growth exposes a shape problem (quadratic join, driver
-bottleneck, spill). Data is generated deterministically with
-spark.range + hash math — no external inputs, so the probe runs
-anywhere. This complements bench.py (fixed driver datasets): bench
-measures absolute speed, this measures the GROWTH EXPONENT of each
-operator family, which is what survives extrapolation to 100 TB.
+bottleneck, spill); the 30x point exists to catch spill thresholds and
+quadratic tails that a 10x probe is too small to show. Data is
+generated deterministically with spark.range + hash math — no external
+inputs, so the probe runs anywhere. This complements bench.py (fixed
+driver datasets): bench measures absolute speed, this measures the
+GROWTH EXPONENT of each operator family, which is what survives
+extrapolation to 100 TB.
 """
 
 from __future__ import annotations
@@ -30,11 +32,12 @@ from quick_and_easy_vectordb_spark.operators.dedup import (  # noqa: E402
     minhash_signatures,
     shingle_table,
 )
+from quick_and_easy_vectordb_spark.operators.search import lsh_batch_knn  # noqa: E402
 from quick_and_easy_vectordb_spark.session import get_spark  # noqa: E402
 
 BASE_ROWS = 2_000_000
 BASE_DOCS = 20_000
-SCALE = 10
+SCALES = (10, 30)
 
 
 def synth_fact(spark: SparkSession, n: int) -> DataFrame:
@@ -111,28 +114,79 @@ def main() -> None:
             .orderBy(F.desc("price"), F.asc("id"))
             .limit(5)
         ),
+        # rel_q21's decorrelated shape: one per-order aggregate over the
+        # fact + a join-back of the filtered fact — two fact shuffles,
+        # the plan the EXISTS/NOT-EXISTS pair compiles to.
+        "q21_decorrelated (per-key agg + join-back)": lambda n: noop(
+            (lambda li: (
+                li.groupBy("key")
+                .agg(
+                    F.countDistinct("supp").alias("n_supp"),
+                    F.countDistinct(
+                        F.when(F.col("flag") == 1, F.col("supp"))
+                    ).alias("n_late_supp"),
+                )
+                .join(li.filter(F.col("flag") == 1), "key")
+            ))(
+                synth_fact(spark, n).withColumn(
+                    "supp", F.pmod(F.hash("id", F.lit(9)), F.lit(1000))
+                )
+            )
+        ),
+        # lsh_batch_knn's shape: bucket both sides, explode query
+        # probes, shuffle equi-join on the bucket string, score. Plane
+        # count must scale with the corpus (here 12 → 4096 buckets) and
+        # the query set is FIXED-size, as in production — with too few
+        # buckets the equi-join degenerates toward a cross product,
+        # which is precisely the misconfiguration this probe would
+        # surface as a superlinear ratio.
+        "lsh_bucket_equijoin (batch kNN shape)": lambda n: noop(
+            (lambda corpus, qs: lsh_batch_knn(
+                qs, corpus, k=3, num_planes=12, dim=8,
+                query_id="qid", query_vec="qv",
+                corpus_id="id", corpus_vec="vec",
+            ))(
+                synth_fact(spark, n).select(
+                    "id",
+                    F.array(*[
+                        (F.pmod(F.hash("id", F.lit(i)), F.lit(200)) - 100) / 100.0
+                        for i in range(8)
+                    ]).alias("vec"),
+                ),
+                synth_fact(spark, 2000).select(
+                    F.col("id").alias("qid"),
+                    F.array(*[
+                        (F.pmod(F.hash("id", F.lit(i + 50)), F.lit(200)) - 100) / 100.0
+                        for i in range(8)
+                    ]).alias("qv"),
+                ),
+            )
+        ),
     }
 
     lines = [
-        "# SCALING — measured 1x→10x growth of the core operator shapes",
+        "# SCALING — measured 1x→10x→30x growth of the core operator shapes",
         "",
-        f"`python tools/scale_probe.py`: deterministic synthetic data via",
+        "`python tools/scale_probe.py`: deterministic synthetic data via",
         f"`spark.range` ({BASE_ROWS:,} fact rows / {BASE_DOCS:,} docs at 1x,",
-        f"{SCALE}x that at 10x), local[32]. Ratio <= {SCALE} means at-worst-linear",
-        "wall-clock growth; well under it means the 1x run underutilized",
-        "cores. Superlinear would expose a shape problem (quadratic join,",
-        "driver bottleneck, spill).",
+        "scaled 10x and 30x), local[32]. Ratio <= the scale factor means",
+        "at-worst-linear wall-clock growth; well under it means the smaller",
+        "run underutilized cores. Superlinear would expose a shape problem",
+        "(quadratic join, driver bottleneck, spill) — the 30x point exists",
+        "to catch spill thresholds a 10x probe is too small to show.",
         "",
-        "| operator shape | 1x sec | 10x sec | ratio |",
-        "|---|---|---|---|",
+        "| operator shape | 1x sec | 10x sec | 30x sec | 10x ratio | 30x ratio |",
+        "|---|---|---|---|---|---|",
     ]
     for name, fn in probes.items():
         fn(BASE_ROWS // 10)  # warm codegen per shape
         t1 = timed(lambda: fn(BASE_ROWS))
-        t10 = timed(lambda: fn(BASE_ROWS * SCALE))
-        ratio = round(t10 / t1, 1) if t1 > 0 else float("inf")
-        lines.append(f"| {name} | {t1} | {t10} | {ratio}x |")
-        print(f"{name}: {t1}s -> {t10}s ({ratio}x)")
+        ts = [timed(lambda: fn(BASE_ROWS * s)) for s in SCALES]
+        ratios = [round(t / t1, 1) if t1 > 0 else float("inf") for t in ts]
+        lines.append(
+            f"| {name} | {t1} | {ts[0]} | {ts[1]} | {ratios[0]}x | {ratios[1]}x |"
+        )
+        print(f"{name}: {t1}s -> {ts[0]}s ({ratios[0]}x) -> {ts[1]}s ({ratios[1]}x)")
 
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(
