@@ -182,6 +182,13 @@ def lsh_batch_knn(
     deterministic), then exact per-query top-k by window row_number
     with id tiebreak. Approximate: corpus rows outside the probed
     buckets are never scored (recall measured by ann_recall_at_k).
+
+    Returns only ``(query_id, corpus_id, score_col, rank)`` — unlike
+    batch_knn, payload columns are NOT carried through (they would
+    widen the candidate shuffle ~10×); re-join the k winners to fetch
+    them. Size ``num_planes`` to the corpus: bucket occupancy is
+    N/2^P, and candidate volume per query is probes · N/2^P — an
+    undersized P degenerates the equi-join toward a cross product.
     """
     from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
 
@@ -202,10 +209,18 @@ def lsh_batch_knn(
                 )
             )
     qp = queries.withColumn("__bucket", F.explode(F.array(*probes)))
+    # Project to (query_id, corpus_id, score) BEFORE the dedup shuffle:
+    # candidate rows otherwise carry both embedding arrays through the
+    # exchange, a ~10× width penalty measured as a spill storm at 30×
+    # in tools/scale_probe.py. Payload columns for the k winners are a
+    # cheap re-join for the caller (Q·k rows).
     scored = (
         qp.join(c, "__bucket")
-        .withColumn(score_col, scorer(F.col(corpus_vec), F.col(query_vec)))
-        .drop("__bucket")
+        .select(
+            query_id,
+            corpus_id,
+            scorer(F.col(corpus_vec), F.col(query_vec)).alias(score_col),
+        )
         .dropDuplicates([query_id, corpus_id])
     )
     order = [

@@ -110,7 +110,9 @@ _CHECK_PRIORITY = [
     "dedup_keep_best",
     "ev_mad_outliers",
     "ev_stream_dedup_ingest",
+    "ev_transition_matrix",
     "text_domain_mix_sample",
+    "text_source_quality_cap",
     "vdb_gram_matrix",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",

@@ -288,3 +288,71 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(5)
     )
+
+
+_KM_K = 4
+
+
+def _km_assign_sql() -> str:
+    ds = [f"{sql_l2(_EMB, sql_vec(hyperplane(k, DIM)))}" for k in range(_KM_K)]
+    return f"""
+  SELECT vec_id, embedding,
+         CASE WHEN {ds[0]} <= {ds[1]} AND {ds[0]} <= {ds[2]} AND {ds[0]} <= {ds[3]} THEN 0
+              WHEN {ds[1]} <= {ds[2]} AND {ds[1]} <= {ds[3]} THEN 1
+              WHEN {ds[2]} <= {ds[3]} THEN 2
+              ELSE 3 END AS cluster
+  FROM embeddings"""
+
+
+@query(
+    "ann_kmeans_one_iter",
+    oracle=f"""
+WITH a AS ({_km_assign_sql()}),
+pos AS (SELECT unnest(range(1, {DIM} + 1)) AS p)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(pos.p - 1 AS BIGINT) AS pos,
+       CAST(CAST(SUM(CAST(floor(CAST(a.embedding[pos.p] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 1073741824.0 / COUNT(*) AS c,
+       COUNT(*) AS n
+FROM a CROSS JOIN pos
+GROUP BY 1, 2
+""",
+    tags=("ann", "kmeans", "iterative", "agg"),
+)
+def ann_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=4) as pure DataFrame algebra —
+    the inner loop of distributed clustering / IVF training: assign
+    every vector to its nearest deterministic seed centroid
+    (hyperplane(k) seeds, explicit <=-chain argmin so the tiebreak is
+    the same CASE order on both engines), then recompute centroids
+    decimal-exact per (cluster, position) with map-side partial sums.
+    The full algorithm is this query iterated with the output fed back
+    as seeds — each iteration is one scan + one shuffle of
+    O(clusters·dim) aggregate rows, never the corpus; a driver loop
+    with localCheckpoint between rounds (operators/graph.py pattern)
+    runs it to convergence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    d = [
+        l2_distance(e, vector_literal(hyperplane(k, DIM))) for k in range(_KM_K)
+    ]
+    cluster = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+        .when(d[2] <= d[3], 2)
+        .otherwise(3)
+    )
+    assigned = emb.select(cluster.cast("long").alias("cluster"), e.alias("e"))
+    el = assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
+    return (
+        el.groupBy("cluster", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(1073741824.0)).cast("long"))
+                .cast("double")
+                / F.lit(1073741824.0)
+                / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

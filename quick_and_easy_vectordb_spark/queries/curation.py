@@ -18,14 +18,14 @@ do):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
-from quick_and_easy_vectordb_spark.functions.text import tokens
+from quick_and_easy_vectordb_spark.functions.text import quality_score, tokens
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
-from quick_and_easy_vectordb_spark.queries.text import SQL_NORM
+from quick_and_easy_vectordb_spark.queries.text import SQL_NORM, SQL_QUALITY_CTES
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
 # Knuth's 2^32 multiplicative-hash constant; doc_id * KNUTH mod 2^32
@@ -453,4 +453,40 @@ def text_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lang").alias("n_docs"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+_CAP_PER_SOURCE = 15
+
+
+@query(
+    "text_source_quality_cap",
+    oracle=f"""
+WITH {SQL_QUALITY_CTES},
+r AS (
+  SELECT d.source, d.doc_id, qs.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY qs.quality DESC, d.doc_id) AS rn
+  FROM documents d JOIN qs USING (doc_id)
+)
+SELECT source, doc_id, quality, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_CAP_PER_SOURCE}
+""",
+    tags=("pipeline", "curation", "sampling", "window"),
+)
+def text_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cap: keep only the 15 highest-quality
+    documents from each source — the "no single crawl
+    domain dominates the mix" curation rule (the rank-based sibling of
+    text_domain_mix_sample's probabilistic thinning). One window
+    shuffle keyed on source; at 100 TB pre-aggregate with a per-
+    partition top-N (TakeOrdered per group via partial window) or
+    filter on a quality threshold first so the window only ranks
+    plausible survivors."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    q = docs.select("source", "doc_id", quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CAP_PER_SOURCE)
     )

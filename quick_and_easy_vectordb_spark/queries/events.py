@@ -793,3 +793,46 @@ def ev_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@query(
+    "ev_transition_matrix",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+  FROM e
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM l
+WHERE prev IS NOT NULL AND gap_us <= 1800000000
+GROUP BY 1, 2
+""",
+    tags=("events", "window", "session", "markov"),
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain view of
+    user journeys): lag window over each user's timeline, count
+    (from→to) pairs whose gap stays inside the 30-min session horizon
+    (same gap convention as ev_sessionize). One shuffle keyed on
+    user_id for the window, then a tiny |types|² aggregate with
+    map-side combine — the sequence-mining primitive behind funnel
+    discovery and next-action models."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    paired = ev.select(
+        F.lag("event_type").over(order).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (F.col("us") - F.lag("us").over(order)).alias("gap_us"),
+    )
+    return (
+        paired.filter(
+            F.col("from_type").isNotNull() & (F.col("gap_us") <= 1_800_000_000)
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -53,7 +53,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # embeddings are wide rows (~0.5-6 KB); keep scan splits moderate
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so it
+        # needs executor-scale heap (32 threads on a 128 GiB box)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed writes) go to scratch, not the repo
         .config("spark.sql.warehouse.dir", "/tmp/qev_spark_warehouse")

@@ -135,14 +135,16 @@ def main() -> None:
         ),
         # lsh_batch_knn's shape: bucket both sides, explode query
         # probes, shuffle equi-join on the bucket string, score. Plane
-        # count must scale with the corpus (here 12 → 4096 buckets) and
-        # the query set is FIXED-size, as in production — with too few
-        # buckets the equi-join degenerates toward a cross product,
-        # which is precisely the misconfiguration this probe would
-        # surface as a superlinear ratio.
+        # count is sized to the corpus (bucket occupancy ~1k rows, as
+        # the operator docstring requires) and the query set is
+        # FIXED-size, as in production — with too few buckets the
+        # equi-join degenerates toward a cross product: probing that
+        # misconfiguration at 30x is how this probe caught the
+        # candidate-shuffle width bug fixed in lsh_batch_knn.
         "lsh_bucket_equijoin (batch kNN shape)": lambda n: noop(
             (lambda corpus, qs: lsh_batch_knn(
-                qs, corpus, k=3, num_planes=12, dim=8,
+                qs, corpus, k=3,
+                num_planes=max(11, (n // 1000).bit_length()), dim=8,
                 query_id="qid", query_vec="qv",
                 corpus_id="id", corpus_vec="vec",
             ))(
