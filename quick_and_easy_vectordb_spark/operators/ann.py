@@ -21,6 +21,7 @@ with no shared state.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -45,17 +46,44 @@ _DEC = "decimal(30,10)"
 
 def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane #j: values in
-    [-0.9, 0.9] from a fixed LCG-ish integer formula."""
-    return [((i * 7 + j * 13 + 3) % 19 - 9) / 10.0 for i in range(dim)]
+    [-0.9, 0.9] derived per-element from md5 — the same keyed-hash
+    trick as the hash embedding backend, so planes are well-mixed and
+    mutually uncorrelated. (The original LCG-ramp formula produced
+    phase-shifted copies of one periodic sequence; the resulting
+    correlated sign bits collapsed ~80% of a 200k-row corpus into TWO
+    buckets of a possible 2048 — measured while diagnosing a stalled
+    30× scale probe. Bucket balance is a correctness-of-scale property
+    for every LSH operator here, so the generator is part of the
+    engine contract: hyperplanes are materialized as literals on both
+    the Spark and oracle sides, which is why any pure-Python formula
+    is permissible.)"""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 4294967296.0) * 1.8 - 0.9)
+    return out
 
 
 def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     """Sign-bit bucket string of a vector column: bit j = 1 iff
-    ⟨v, H_j⟩ ≥ 0. One codegen'd projection, no shuffle, no UDF."""
+    ⟨v, H_j⟩ ≥ 0. One codegen'd projection, no shuffle, no UDF.
+
+    Because ``dim`` is static here, each plane's dot product is
+    expanded to a FLAT arithmetic expression (element_at products
+    summed left-to-right) instead of the zip_with/aggregate fold —
+    higher-order lambdas run interpreted in Spark 4 and measured ~10×
+    slower in the scale probe. Bitwise identical to the fold: same
+    left-to-right order, and the fold's 0.0+x₀ seed equals x₀."""
     vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def flat_dot(h: list[float]) -> Column:
+        acc = F.element_at(vec_col, 1).cast("double") * F.lit(h[0])
+        for i in range(1, dim):
+            acc = acc + F.element_at(vec_col, i + 1).cast("double") * F.lit(h[i])
+        return acc
+
     bits = [
-        F.when(dot_product(vec_col, vector_literal(hyperplane(j, dim))) >= 0, "1")
-        .otherwise("0")
+        F.when(flat_dot(hyperplane(j, dim)) >= 0, "1").otherwise("0")
         for j in range(num_planes)
     ]
     return F.concat(*bits)

@@ -192,7 +192,38 @@ def lsh_batch_knn(
     """
     from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
 
-    scorer, desc = _METRICS[metric]
+    # Statically-known dim → flat codegen-able score expressions
+    # (element_at products summed left-to-right), bitwise identical to
+    # the zip_with/aggregate folds in functions/vector.py but ~10×
+    # faster: higher-order lambdas run interpreted in Spark 4, and the
+    # candidate set is the bulk of this operator's work.
+    def _fdot(a: Column, b: Column) -> Column:
+        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
+        return acc
+
+    def _fl2(a: Column, b: Column) -> Column:
+        def sq(i: int) -> Column:
+            d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+            return d * d
+
+        acc = sq(1)
+        for i in range(2, dim + 1):
+            acc = acc + sq(i)
+        return F.sqrt(acc)
+
+    flat_metrics = {
+        "dot": (_fdot, True),
+        "cosine": (
+            lambda a, b: _fdot(a, b) / (F.sqrt(_fdot(a, a)) * F.sqrt(_fdot(b, b))),
+            True,
+        ),
+        "l2": (_fl2, False),
+    }
+    scorer, desc = flat_metrics.get(metric, _METRICS[metric])
     c = corpus.withColumn(
         "__bucket", lsh_signature(corpus_vec, num_planes, dim)
     )

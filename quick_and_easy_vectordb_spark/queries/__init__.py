@@ -111,9 +111,12 @@ _CHECK_PRIORITY = [
     "ev_mad_outliers",
     "ev_stream_dedup_ingest",
     "ev_transition_matrix",
+    "ev_distinct_users_hourly",
     "text_domain_mix_sample",
     "text_source_quality_cap",
+    "text_shingle_rarity",
     "vdb_gram_matrix",
+    "ann_kmeans_one_iter",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

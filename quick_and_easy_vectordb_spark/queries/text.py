@@ -19,7 +19,9 @@ from quick_and_easy_vectordb_spark.functions.text import (
     token_count,
     tokens,
 )
+from quick_and_easy_vectordb_spark.functions.numeric import dsum
 from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
+from quick_and_easy_vectordb_spark.operators.dedup import shingle_table
 from quick_and_easy_vectordb_spark.operators.sampling import deterministic_split
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
@@ -550,4 +552,53 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "text_shingle_rarity",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+rtoks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> ''),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM rtoks),
+df AS (SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(CAST(SUM(CAST(1.0 / df.df AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS rarity
+FROM sh s JOIN df USING (shingle)
+GROUP BY s.doc_id
+""",
+    tags=("text", "ngram", "novelty", "curation"),
+)
+def text_shingle_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty score: mean inverse document-frequency of the
+    document's word 3-shingles — rarity near 1 means the document is
+    mostly unique phrasing, near 0 means boilerplate shared across the
+    corpus (the cheap content-novelty signal used to down-weight
+    templated pages before training). Each 1/df is ONE exact
+    bigint→double division and the mean goes through decimal-exact
+    dsum, so the score is engine-stable without logs.
+
+    Plan: shingle explode → one shuffle for document frequencies
+    (map-side partial distinct), join back on shingle (both sides
+    shuffle-partitioned by shingle, no broadcast needed at any scale),
+    one per-doc re-aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    df_t = sh.groupBy("shingle").agg(
+        F.count_distinct("id").alias("df")
+    )
+    joined = sh.join(df_t, "shingle").select(
+        F.col("id").alias("doc_id"), (F.lit(1.0) / F.col("df")).alias("inv_df")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        (dsum("inv_df") / F.count(F.lit(1))).alias("rarity"),
     )

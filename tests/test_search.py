@@ -4,6 +4,7 @@ documented tiebreak deviation) and top-k/window properties."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.operators.search import (
@@ -97,6 +98,59 @@ def test_mmr_rerank_greedy_semantics(spark):
     assert got[0].mmr_score == 0.99
     # later picks are penalized: score = 0.5*qsim - 0.5*max_div
     assert got[1].mmr_score < 0.60
+
+
+def test_lsh_batch_knn_matches_bruteforce_within_buckets(spark):
+    """For every query, lsh_batch_knn's ranking must equal batch_knn's
+    brute-force ranking restricted to the query's probed buckets — the
+    approximation is WHICH rows get scored, never the scores or the
+    ordering."""
+    from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
+    from quick_and_easy_vectordb_spark.operators.search import lsh_batch_knn
+
+    dim, planes = 8, 3
+    rows = [
+        (i, [((i * 13 + j * 7) % 19 - 9) / 9.0 for j in range(dim)])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    qs = corpus.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv")
+    )
+    got = (
+        lsh_batch_knn(
+            qs, corpus, k=4, num_planes=planes, dim=dim,
+            query_id="qid", query_vec="qv", corpus_id="id", corpus_vec="vec",
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    # reference: score every (q, c) whose bucket is in q's probe set
+    sigs = {
+        r.id: r.s
+        for r in corpus.select(
+            "id", lsh_signature("vec", planes, dim).alias("s")
+        ).collect()
+    }
+    vecs = dict(rows)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in [0, 20, 40]:
+        probes = {sigs[qid]}
+        for j in range(planes):
+            s = sigs[qid]
+            probes.add(s[:j] + ("0" if s[j] == "1" else "1") + s[j + 1 :])
+        cand = [(cid, cos(vecs[cid], vecs[qid])) for cid in vecs if sigs[cid] in probes]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        expect = cand[:4]
+        mine = [(r.id, r.score) for r in got if r.qid == qid]
+        assert [c for c, _ in expect] == [c for c, _ in mine]
+        for (_, se), (_, sm) in zip(expect, mine):
+            assert sm == pytest.approx(se, abs=1e-12)
 
 
 def test_mmr_rerank_large_k_plan_bounded(spark):

@@ -144,22 +144,22 @@ def main() -> None:
         "lsh_bucket_equijoin (batch kNN shape)": lambda n: noop(
             (lambda corpus, qs: lsh_batch_knn(
                 qs, corpus, k=3,
-                num_planes=max(11, (n // 1000).bit_length()), dim=8,
+                num_planes=max(12, (n // 1000).bit_length()), dim=16,
                 query_id="qid", query_vec="qv",
                 corpus_id="id", corpus_vec="vec",
             ))(
                 synth_fact(spark, n).select(
                     "id",
                     F.array(*[
-                        (F.pmod(F.hash("id", F.lit(i)), F.lit(200)) - 100) / 100.0
-                        for i in range(8)
+                        (F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000) / 1000.0
+                        for i in range(16)
                     ]).alias("vec"),
                 ),
                 synth_fact(spark, 2000).select(
                     F.col("id").alias("qid"),
                     F.array(*[
-                        (F.pmod(F.hash("id", F.lit(i + 50)), F.lit(200)) - 100) / 100.0
-                        for i in range(8)
+                        (F.pmod(F.hash("id", F.lit(i + 50)), F.lit(2001)) - 1000) / 1000.0
+                        for i in range(16)
                     ]).alias("qv"),
                 ),
             )
