@@ -74,19 +74,36 @@ def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     higher-order lambdas run interpreted in Spark 4 and measured ~10×
     slower in the scale probe. Bitwise identical to the fold: same
     left-to-right order, and the fold's 0.0+x₀ seed equals x₀."""
-    vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if not isinstance(vec_col, str):
+        # Column input: fall back to Column algebra (rare path).
+        def flat_dot(h: list[float]) -> Column:
+            acc = F.element_at(vec_col, 1).cast("double") * F.lit(h[0])
+            for i in range(1, dim):
+                acc = acc + F.element_at(vec_col, i + 1).cast("double") * F.lit(h[i])
+            return acc
 
-    def flat_dot(h: list[float]) -> Column:
-        acc = F.element_at(vec_col, 1).cast("double") * F.lit(h[0])
-        for i in range(1, dim):
-            acc = acc + F.element_at(vec_col, i + 1).cast("double") * F.lit(h[i])
-        return acc
+        bits = [
+            F.when(flat_dot(hyperplane(j, dim)) >= 0, "1").otherwise("0")
+            for j in range(num_planes)
+        ]
+        return F.concat(*bits)
 
-    bits = [
-        F.when(flat_dot(hyperplane(j, dim)) >= 0, "1").otherwise("0")
-        for j in range(num_planes)
-    ]
-    return F.concat(*bits)
+    # Named column: assemble ONE SQL string and parse it in a single
+    # F.expr call — building the same tree with Column operators costs
+    # ~P·dim·4 py4j round trips (seconds of driver latency per plan).
+    # Literals go through CAST('<repr>' AS DOUBLE): repr() is
+    # shortest-roundtrip, so the parse reproduces the exact values in
+    # every format (including scientific notation).
+    bit_terms = []
+    for j in range(num_planes):
+        h = hyperplane(j, dim)
+        dot = " + ".join(
+            f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)"
+            f" * CAST('{h[i]!r}' AS DOUBLE)"
+            for i in range(dim)
+        )
+        bit_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return F.expr("CONCAT(" + ", ".join(bit_terms) + ")")
 
 
 def python_lsh_signature(vec: Sequence[float], num_planes: int) -> str:

@@ -196,38 +196,37 @@ def lsh_batch_knn(
     # (element_at products summed left-to-right), bitwise identical to
     # the zip_with/aggregate folds in functions/vector.py but ~10×
     # faster: higher-order lambdas run interpreted in Spark 4, and the
-    # candidate set is the bulk of this operator's work.
-    def _fdot(a: Column, b: Column) -> Column:
-        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
-        for i in range(2, dim + 1):
-            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-                "double"
-            )
-        return acc
+    # candidate set is the bulk of this operator's work. Built as ONE
+    # SQL string per expression (a single F.expr parse) — assembling
+    # the same tree with Column operators costs ~dim·4 py4j round
+    # trips each, seconds of driver latency per plan.
+    def _el(col: str, i: int) -> str:
+        return f"CAST(element_at(`{col}`, {i}) AS DOUBLE)"
 
-    def _fl2(a: Column, b: Column) -> Column:
-        def sq(i: int) -> Column:
-            d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
-            return d * d
+    def _fdot(a: str, b: str) -> Column:
+        return F.expr(
+            " + ".join(f"{_el(a, i)} * {_el(b, i)}" for i in range(1, dim + 1))
+        )
 
-        acc = sq(1)
-        for i in range(2, dim + 1):
-            acc = acc + sq(i)
-        return F.sqrt(acc)
+    def _fl2(a: str, b: str) -> Column:
+        terms = " + ".join(
+            f"({_el(a, i)} - {_el(b, i)}) * ({_el(a, i)} - {_el(b, i)})"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"SQRT({terms})")
 
-    flat_metrics = {
-        "dot": (_fdot, True),
-        "cosine": (
-            lambda a, b: _fdot(a, b) / (F.sqrt(_fdot(a, a)) * F.sqrt(_fdot(b, b))),
-            True,
-        ),
-        "l2": (_fl2, False),
-    }
-    scorer, desc = flat_metrics.get(metric, _METRICS[metric])
     c = corpus.withColumn(
         "__bucket", lsh_signature(corpus_vec, num_planes, dim)
     )
-    qsig = lsh_signature(query_vec, num_planes, dim)
+    # Materialize the query signature as a COLUMN before deriving the
+    # Hamming flips: each flip takes substrings of it, and building
+    # flips from the raw signature expression embeds ~3 copies of the
+    # whole P·dim-term arithmetic per probe — a plan-size and
+    # eval-cost blowup measured at 15 s of pure overhead at sf0.1.
+    # (CollapseProject keeps multi-referenced non-cheap aliases
+    # materialized, so the signature is computed once per query row.)
+    q2 = queries.withColumn("__qsig", lsh_signature(query_vec, num_planes, dim))
+    qsig = F.col("__qsig")
     probes = [qsig]
     if probe_radius >= 1:
         for j in range(num_planes):
@@ -239,7 +238,24 @@ def lsh_batch_knn(
                     F.substring(qsig, j + 2, num_planes - j - 1),
                 )
             )
-    qp = queries.withColumn("__bucket", F.explode(F.array(*probes)))
+    qp = q2.withColumn("__bucket", F.explode(F.array(*probes)))
+    # Cosine: precompute each side's norm ONCE PER ROW pre-join, so the
+    # per-candidate work is a single dot product instead of three —
+    # bitwise identical (same ops, same order, just not recomputed).
+    if metric == "cosine":
+        c = c.withColumn("__cnorm", F.sqrt(_fdot(corpus_vec, corpus_vec)))
+        qp = qp.withColumn("__qnorm", F.sqrt(_fdot(query_vec, query_vec)))
+        score_expr = _fdot(corpus_vec, query_vec) / (
+            F.col("__cnorm") * F.col("__qnorm")
+        )
+        desc = True
+    elif metric == "dot":
+        score_expr, desc = _fdot(corpus_vec, query_vec), True
+    elif metric == "l2":
+        score_expr, desc = _fl2(corpus_vec, query_vec), False
+    else:
+        scorer, desc = _METRICS[metric]
+        score_expr = scorer(F.col(corpus_vec), F.col(query_vec))
     # Project to (query_id, corpus_id, score) BEFORE the dedup shuffle:
     # candidate rows otherwise carry both embedding arrays through the
     # exchange, a ~10× width penalty measured as a spill storm at 30×
@@ -247,11 +263,7 @@ def lsh_batch_knn(
     # cheap re-join for the caller (Q·k rows).
     scored = (
         qp.join(c, "__bucket")
-        .select(
-            query_id,
-            corpus_id,
-            scorer(F.col(corpus_vec), F.col(query_vec)).alias(score_col),
-        )
+        .select(query_id, corpus_id, score_expr.alias(score_col))
         .dropDuplicates([query_id, corpus_id])
     )
     order = [
