@@ -66,24 +66,23 @@ def hyperplane(j: int, dim: int) -> list[float]:
 
 def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     """Sign-bit bucket string of a vector column: bit j = 1 iff
-    ⟨v, H_j⟩ ≥ 0. One codegen'd projection, no shuffle, no UDF.
+    ⟨v, H_j⟩ ≥ 0. One projection, no shuffle, no UDF.
 
-    Because ``dim`` is static here, each plane's dot product is
-    expanded to a FLAT arithmetic expression (element_at products
-    summed left-to-right) instead of the zip_with/aggregate fold —
-    higher-order lambdas run interpreted in Spark 4 and measured ~10×
-    slower in the scale probe. Bitwise identical to the fold: same
-    left-to-right order, and the fold's 0.0+x₀ seed equals x₀."""
-    if not isinstance(vec_col, str):
-        # Column input: fall back to Column algebra (rare path).
-        def flat_dot(h: list[float]) -> Column:
-            acc = F.element_at(vec_col, 1).cast("double") * F.lit(h[0])
-            for i in range(1, dim):
-                acc = acc + F.element_at(vec_col, i + 1).cast("double") * F.lit(h[i])
-            return acc
-
+    Expression strategy, chosen by measurement (5M-row microbench):
+    for small static ``dim`` each plane's dot product is expanded to a
+    FLAT arithmetic expression (element_at products summed
+    left-to-right) built as one SQL string; for wide vectors the
+    zip_with/aggregate fold over the primitive array wins (~4× at
+    dim 64 — Spark 4 evaluates array lambdas efficiently; it's the
+    64 independent null-checked element_at calls that don't codegen
+    well). Both forms are bitwise identical: same left-to-right
+    order, and the fold's 0.0+x₀ seed equals x₀."""
+    if not isinstance(vec_col, str) or dim > 32:
+        vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         bits = [
-            F.when(flat_dot(hyperplane(j, dim)) >= 0, "1").otherwise("0")
+            F.when(
+                dot_product(vec_col, vector_literal(hyperplane(j, dim))) >= 0, "1"
+            ).otherwise("0")
             for j in range(num_planes)
         ]
         return F.concat(*bits)

@@ -192,23 +192,25 @@ def lsh_batch_knn(
     """
     from quick_and_easy_vectordb_spark.operators.ann import lsh_signature
 
-    # Statically-known dim → flat codegen-able score expressions
-    # (element_at products summed left-to-right), bitwise identical to
-    # the zip_with/aggregate folds in functions/vector.py but ~10×
-    # faster: higher-order lambdas run interpreted in Spark 4, and the
-    # candidate set is the bulk of this operator's work. Built as ONE
-    # SQL string per expression (a single F.expr parse) — assembling
-    # the same tree with Column operators costs ~dim·4 py4j round
-    # trips each, seconds of driver latency per plan.
+    # Score-expression strategy, chosen by measurement (see
+    # lsh_signature): flat element_at SQL strings win for small static
+    # dim (one F.expr parse — Column-operator assembly costs ~dim·4
+    # py4j round trips of driver latency); the zip_with/aggregate fold
+    # wins ~4× for wide vectors. Bitwise identical either way
+    # (left-to-right order, 0.0+x==x).
     def _el(col: str, i: int) -> str:
         return f"CAST(element_at(`{col}`, {i}) AS DOUBLE)"
 
     def _fdot(a: str, b: str) -> Column:
+        if dim > 32:
+            return dot_product(F.col(a), F.col(b))
         return F.expr(
             " + ".join(f"{_el(a, i)} * {_el(b, i)}" for i in range(1, dim + 1))
         )
 
     def _fl2(a: str, b: str) -> Column:
+        if dim > 32:
+            return l2_distance(F.col(a), F.col(b))
         terms = " + ".join(
             f"({_el(a, i)} - {_el(b, i)}) * ({_el(a, i)} - {_el(b, i)})"
             for i in range(1, dim + 1)
