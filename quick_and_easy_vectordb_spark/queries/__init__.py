@@ -117,6 +117,8 @@ _CHECK_PRIORITY = [
     "text_shingle_rarity",
     "vdb_gram_matrix",
     "ann_kmeans_one_iter",
+    "mm_resize_images",
+    "mm_modality_stats",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

@@ -191,3 +191,70 @@ def vdb_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_product(embed(F.col("chunk_text")), q).alias("similarity"),
     )
     return scored.orderBy(F.desc("similarity"), F.asc("chunk_id")).limit(5)
+
+
+@query(
+    "mm_resize_images",
+    oracle="""
+SELECT doc_id, CAST(64 AS BIGINT) AS out_w, CAST(64 AS BIGINT) AS out_h,
+       md5(text || ':64x64') AS resized_md5
+FROM documents
+""",
+    tags=("multimodal", "udf", "mapinpandas"),
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing under oracle check: payloads stream
+    through the Arrow-batched mapInPandas resize stage
+    (operators/multimodal.py:resize_images — decode→scale→re-encode on
+    a real cluster; here the digest binds payload to the resize
+    parameters so the batching/schema path is hash-verified)."""
+    from quick_and_easy_vectordb_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_images(with_binary_payload(docs), 64, 64)
+
+
+@query(
+    "mm_modality_stats",
+    oracle="""
+WITH t AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS modality,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM t GROUP BY modality
+""",
+    tags=("multimodal", "stats", "agg"),
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage profile of a multimodal corpus: per-modality item count
+    and byte-size distribution (the capacity-planning query you run
+    before sizing files.maxPartitionBytes for payload tables). The
+    modality tag is a deterministic doc_id hash here; byte sizes come
+    from the real binary payload column. Metadata-only aggregate: the
+    payload bytes feed octet_length but nothing else — at scale this
+    reads ONLY the size statistics via column pruning when sizes are
+    materialized as metadata."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = with_binary_payload(docs)
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return (
+        p.select(modality.alias("modality"), F.octet_length("payload").alias("n_bytes"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+    )
