@@ -119,6 +119,7 @@ _CHECK_PRIORITY = [
     "ann_kmeans_one_iter",
     "mm_resize_images",
     "mm_modality_stats",
+    "ev_click_attribution",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

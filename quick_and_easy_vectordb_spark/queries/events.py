@@ -870,3 +870,70 @@ def ev_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "ev_click_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_us, c.click_id,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.click_us <= p.purchase_us
+)
+SELECT purchase_id, user_id, purchase_us, click_us, click_id,
+       purchase_us - click_us AS latency_us
+FROM j WHERE rn = 1 AND purchase_us - click_us <= 1800000000
+""",
+    tags=("events", "asof", "attribution", "join"),
+)
+def ev_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution, batch form: each purchase attributed to
+    the user's most recent click within a 30-minute horizon — the
+    batch twin of streaming/windows.py:stream_click_attribution's
+    stream-stream range join, expressed as the as-of join
+    (operators/asof.py: one shuffle on user_id, union-and-window, no
+    per-row lookup). Filtering the as-of match by horizon is
+    equivalent to 'latest click within the window' because the as-of
+    match IS the latest click ≤ purchase time. Tie on click time
+    resolves to the max click id on both engines (max-struct
+    semantics), keeping the row set hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    j = asof_join(
+        p, c, on="user_id",
+        left_ts="purchase_us", right_ts="click_us",
+        right_payload=["click_id"],
+    )
+    horizon_us = 30 * 60 * 1_000_000
+    return (
+        j.filter(
+            F.col("click_us_right").isNotNull()
+            & (F.col("purchase_us") - F.col("click_us_right") <= horizon_us)
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_us",
+            F.col("click_us_right").alias("click_us"),
+            F.col("click_id_right").alias("click_id"),
+            (F.col("purchase_us") - F.col("click_us_right")).alias("latency_us"),
+        )
+    )
