@@ -937,3 +937,65 @@ def ev_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("purchase_us") - F.col("click_us_right")).alias("latency_us"),
         )
     )
+
+
+@query(
+    "ev_click_attribution_streamed",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS p_uid,
+       epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    tags=("events", "streaming", "stream-stream-join", "attribution"),
+)
+def ev_click_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM range join executed through the streaming engine
+    and oracle-checked: purchases and clicks stream from the same
+    file source, join on user with the 30-minute event-time bound
+    (streaming/windows.py:stream_click_attribution — the watermark
+    lets state evict; inner-join matches emit as found, so an
+    availableNow run produces the complete bounded result), land in
+    an append memory sink, and must hash-match DuckDB's plain range
+    join over the same table. Timestamps are emitted as epoch micros
+    (cross-engine stable), matching the batch convention."""
+    import os
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_click_attribution,
+    )
+
+    sink = "ev_click_attribution_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="ev_stream_attr_")
+    os.symlink(src_file, os.path.join(d, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    attributed = stream_click_attribution(src).select(
+        "purchase_id",
+        "p_uid",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+    q = (
+        attributed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
