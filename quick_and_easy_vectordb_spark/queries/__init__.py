@@ -121,6 +121,7 @@ _CHECK_PRIORITY = [
     "mm_modality_stats",
     "ev_click_attribution",
     "ev_click_attribution_streamed",
+    "rel_partial_agg_merge",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

@@ -1111,3 +1111,53 @@ def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "rel_partial_agg_merge",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS revenue,
+       {_dsum('o_totalprice')} / COUNT(*) AS avg_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("relational", "agg", "incremental", "reaggregation"),
+)
+def rel_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable partial state, merged: build per-DAY partial
+    aggregates (decimal sum + count — the state an incremental
+    pipeline materializes daily), then MERGE them into monthly
+    rollups; the oracle aggregates the raw table directly. Hash
+    equality proves the partial-merge is exact — the property that
+    lets a 100 TB pipeline maintain day-level state and re-aggregate
+    to any coarser grain without touching raw data. Decimal sums are
+    associative (unlike double sums), which is the entire trick: the
+    daily shuffle is O(days), the monthly merge O(days)→O(months).
+
+    The decimal partial stays DECIMAL until the final month grain —
+    casting to double per day and re-summing would reintroduce
+    order-dependence."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("psum"),
+    )
+    monthly = (
+        daily.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym")
+        )
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("psum").cast("double").alias("revenue"),
+        )
+    )
+    return monthly.select(
+        "ym",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") / F.col("n_orders")).alias("avg_price"),
+    )

@@ -82,6 +82,19 @@ def test_lsh_batch_knn_is_bucket_equijoin(spark, sf_dir):
     assert "__bucket" in plan
 
 
+def test_gram_matrix_has_partial_aggregation(spark, sf_dir):
+    """vdb_gram_matrix's scale claim: the d² cells aggregate with
+    MAP-SIDE partial sums (two HashAggregate stages around one
+    exchange), so shuffle volume is O(partitions·d²), independent of
+    row count."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    plan = physical(QUERIES["vdb_gram_matrix"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    # exactly one exchange between the partial and final aggregate
+    assert plan.count("Exchange") == 1
+
+
 def test_vector_math_is_jvm_side_no_python(spark, sf_dir):
     """The dot product must be pure JVM expression eval — no Python
     worker round-trip. (Note: higher-order functions are NOT whole-
