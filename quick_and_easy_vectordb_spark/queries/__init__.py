@@ -122,6 +122,7 @@ _CHECK_PRIORITY = [
     "ev_click_attribution",
     "ev_click_attribution_streamed",
     "rel_partial_agg_merge",
+    "rel_bucketed_join_revenue",
     "rel_q11_important_parts",
     "rel_q12_priority_by_latency",
     "rel_q13_order_count_distribution",

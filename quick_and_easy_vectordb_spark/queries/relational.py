@@ -1161,3 +1161,41 @@ def rel_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "rel_bucketed_join_revenue",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       {_dsum('o.o_totalprice')} AS revenue
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("relational", "bucketing", "join", "engine"),
+)
+def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-table zero-shuffle join under oracle check: both
+    sides are persisted as managed tables bucketed on the join key
+    (sources/writers.py:write_bucketed), then joined and aggregated —
+    the bucket metadata lets Catalyst plan the equi-join WITHOUT
+    exchanging either side (asserted in tests/test_writers.py; here
+    the RESULT is what's verified). This is the storage-layout
+    contract a 100 TB warehouse uses for its repeatedly-joined fact
+    pairs: pay the shuffle once at write time, never again at read."""
+    from quick_and_easy_vectordb_spark.sources.writers import write_bucketed
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(c, "q_cust_bucketed", "c_custkey", 16, sort_by="c_custkey")
+    write_bucketed(o, "q_ord_bucketed", "o_custkey", 16, sort_by="o_custkey")
+    cb = spark.table("q_cust_bucketed")
+    ob = spark.table("q_ord_bucketed")
+    return (
+        cb.join(ob, cb.c_custkey == ob.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
