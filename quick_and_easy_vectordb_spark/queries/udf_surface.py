@@ -6,8 +6,9 @@ Arrow-batched (never row-at-a-time):
 - grouped-MAP applyInPandas                 → udf_grouped_map_gaps
 - mapInPandas (stream of batches)           → mm_binary_features
   (queries/multimodal.py)
-- approximate sketch (HLL++)                → udf_approx_distinct
-  (rows-only check: sketch estimates are engine-specific by design)
+- approximate sketch (HLL++ / GK)           → udf_approx_distinct,
+  udf_approx_quantiles (oracle checks the exact column + a tolerance
+  flag; raw sketch estimates are engine-specific by design)
 
 The reference's only "UDF" is its embed function + two pandas .apply
 lambdas (reference app.py:27-37, :45, :56); this module is the
@@ -106,39 +107,81 @@ def udf_grouped_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_approx_distinct",
-    oracle=None,  # HLL++ estimates are engine-specific → rows-only check
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS estimate_within_3rsd
+FROM events GROUP BY event_type
+""",
     tags=("udf", "sketch", "agg"),
 )
 def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user sketch per event type, alongside the
-    exact count so the estimate error is visible in the result. At
-    100 TB the sketch is mergeable across partitions in fixed memory —
-    the exact distinct shuffles every key. No SQL oracle: sketch
-    estimates differ by implementation (deterministic per engine,
-    not across engines)."""
+    """HyperLogLog++ distinct-user sketch per event type. At 100 TB the
+    sketch is mergeable across partitions in fixed memory — the exact
+    distinct shuffles every key. The raw HLL estimate is engine-specific
+    (deterministic per engine, not across engines), so the oracle checks
+    the exact column plus a BOUND on the estimate: with rsd=0.02 the
+    estimate must land within 3·rsd = 6% of the exact count, which the
+    Spark side verifies and reports as a flag the oracle expects to be
+    TRUE. A sketch-parameter regression flips the flag and fails the
+    hash compare — this is the oracle-checkable form round 2's
+    `no_oracle` row could not provide."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("estimate_within_3rsd"),
     )
 
 
 @query(
     "udf_approx_quantiles",
-    oracle=None,  # t-digest/GK sketch estimates are engine-specific
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS p50_within_tol, TRUE AS p90_within_tol, TRUE AS p99_within_tol
+FROM orders GROUP BY o_orderpriority
+""",
     tags=("udf", "sketch", "quantile"),
 )
 def udf_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) of order
-    value per priority, beside the exact median for error visibility.
-    The sketch is mergeable in fixed memory per partition — at 100 TB
-    this is THE way to get quantiles (exact percentile_cont needs a
-    per-group global sort); rel_median_by_priority shows the exact
-    construction where oracle-bit-parity matters more than scale."""
+    """Approximate percentiles (Greenwald-Khanna sketch) of order value
+    per priority. The sketch is mergeable in fixed memory per partition —
+    at 100 TB this is THE way to get quantiles (exact percentile_cont
+    needs a per-group global sort); rel_median_by_priority shows the
+    exact construction where oracle-bit-parity matters more than scale.
+    Sketch values are engine-specific, so (as with udf_approx_distinct)
+    the oracle checks the exact group count plus per-quantile tolerance
+    flags: each GK estimate must land within 2% of Spark's exact
+    interpolated percentile (accuracy=10000 → rank error ≤ n/10000,
+    far inside 2% of value at any sf). The array output that crashed
+    the round-2 canonicalizer is projected into scalar flag columns
+    (the same scalarization fix as vdb_vector_arith/dedup_clusters)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        ),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("ap"),
+        F.expr(
+            "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    def within(i: int):
+        return (
+            F.abs(F.col("ap")[i] - F.col("ex")[i]) <= 0.02 * F.col("ex")[i]
+        )
+
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        within(0).alias("p50_within_tol"),
+        within(1).alias("p90_within_tol"),
+        within(2).alias("p99_within_tol"),
     )
