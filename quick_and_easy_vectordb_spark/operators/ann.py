@@ -77,7 +77,11 @@ def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     64 independent null-checked element_at calls that don't codegen
     well). Both forms are bitwise identical: same left-to-right
     order, and the fold's 0.0+x₀ seed equals x₀."""
-    if not isinstance(vec_col, str) or dim > 32:
+    # The flat-SQL path interpolates the name into an expression string;
+    # anything beyond a plain identifier (backticks, dots, spaces) could
+    # break or inject into the parse, so those names take the Column path.
+    is_plain_name = isinstance(vec_col, str) and vec_col.isidentifier()
+    if not is_plain_name or dim > 32:
         vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         bits = [
             F.when(

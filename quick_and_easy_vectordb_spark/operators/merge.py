@@ -64,16 +64,19 @@ def upsert(
             .drop("__rn")
         )
 
+    # Marker lives outside the "__u_{c}" namespace: a target column
+    # literally named "hit" would otherwise alias to the same "__u_hit"
+    # name and be clobbered by the marker.
     u = updates.select(
         [F.col(c).alias(f"__u_{c}") for c in target.columns]
-    ).withColumn("__u_hit", F.lit(True))
+    ).withColumn("__merge_hit__", F.lit(True))
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"__u_{k}").eqNullSafe(F.col(k)) for k in keys],
     )
     return target.join(u, cond, "full_outer").select(
         [
-            F.when(F.col("__u_hit"), F.col(f"__u_{c}"))
+            F.when(F.col("__merge_hit__"), F.col(f"__u_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in target.columns

@@ -247,8 +247,12 @@ def lsh_batch_knn(
     if metric == "cosine":
         c = c.withColumn("__cnorm", F.sqrt(_fdot(corpus_vec, corpus_vec)))
         qp = qp.withColumn("__qnorm", F.sqrt(_fdot(query_vec, query_vec)))
-        score_expr = _fdot(corpus_vec, query_vec) / (
-            F.col("__cnorm") * F.col("__qnorm")
+        # Zero-norm guard matching functions.vector.cosine_similarity's
+        # NULL convention — an unguarded 0/0 yields NaN, which ranks
+        # unpredictably in the row_number window below.
+        denom = F.col("__cnorm") * F.col("__qnorm")
+        score_expr = F.when(
+            denom != 0.0, _fdot(corpus_vec, query_vec) / denom
         )
         desc = True
     elif metric == "dot":

@@ -21,6 +21,49 @@ from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
 _DSUM_VAL = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
 
+# Staged stream-source directories, keyed by (sf_dir, layout). The file
+# stream source needs a DIRECTORY of files; the fixtures are single
+# parquet files, so we stage symlink dirs (no data copy). Cached so
+# repeated invocations of the streamed queries reuse one dir per sf_dir
+# instead of leaking a fresh mkdtemp each call (round-2 ADVICE).
+_STREAM_SRC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stage_stream_dir(sf_dir: str, layout: tuple[str, ...], prefix: str) -> str:
+    """Return a directory containing ``events.parquet`` symlinked once
+    per name in ``layout`` (e.g. ("events_a", "events_b") stages the
+    same file twice to simulate an at-least-once replay)."""
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), ",".join(layout))
+    d = _STREAM_SRC_DIRS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix=prefix)
+    for name in layout:
+        os.symlink(src_file, os.path.join(d, f"{name}.parquet"))
+    _STREAM_SRC_DIRS[key] = d
+    return d
+
+
+def _stream_events_source(spark: SparkSession, src_dir: str, **options):
+    """File-source stream over staged events parquet. Sets the same
+    session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf as the
+    batch reader (sources/catalog.py) — ts is parquet TIMESTAMP(NANOS),
+    read as raw long and floored to micros."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(src_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
 
 @query(
     "ev_tumbling_hour",
@@ -79,29 +122,10 @@ def ev_tumbling_hour_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow backlog drains, so no watermark is needed for
     correctness here (the incremental-state path with watermarks is
     exercised in tests/test_streaming.py)."""
-    import os
-    import tempfile
-
     sink = "ev_tumbling_hour_streamed_sink"
     spark.catalog.dropTempView(sink)  # no-op when absent; allows re-runs
-    # The file stream source requires a DIRECTORY; the fixture is a
-    # single parquet file, so stage a symlink dir (no data copy).
-    src_path = os.path.abspath(f"{sf_dir}/events.parquet")
-    if not os.path.isdir(src_path):
-        d = tempfile.mkdtemp(prefix="ev_stream_src_")
-        os.symlink(src_path, os.path.join(d, "events.parquet"))
-        src_path = d
-    # Same nanos handling as the batch reader (sources/catalog.py):
-    # ts is parquet TIMESTAMP(NANOS) → read as raw long, floor to µs.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .parquet(src_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -144,27 +168,15 @@ def ev_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the single-copy count — the row only matches if the
     streaming dedup dropped every replay, which is the exactly-once
     property itself as a CORRECTNESS row."""
-    import os
-    import tempfile
-
     sink = "ev_stream_dedup_ingest_sink"
     spark.catalog.dropTempView(sink)
-    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = tempfile.mkdtemp(prefix="ev_stream_replay_")
-    os.symlink(src_file, os.path.join(d, "events_a.parquet"))
-    os.symlink(src_file, os.path.join(d, "events_b.parquet"))  # the replay
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        # one file per micro-batch so the replay arrives in a LATER
-        # batch and the dedup must hold state across batches
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Same file staged twice = the replay; one file per micro-batch so
+    # the replay arrives in a LATER batch and the dedup must hold state
+    # across batches.
+    d = _stage_stream_dir(
+        sf_dir, ("events_a", "events_b"), "ev_stream_replay_"
     )
+    src = _stream_events_source(spark, d, maxFilesPerTrigger=1)
     q = (
         src.dropDuplicates(["event_id"])
         .writeStream.format("memory")
@@ -963,27 +975,14 @@ def ev_click_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     an append memory sink, and must hash-match DuckDB's plain range
     join over the same table. Timestamps are emitted as epoch micros
     (cross-engine stable), matching the batch convention."""
-    import os
-    import tempfile
-
     from quick_and_easy_vectordb_spark.streaming.windows import (
         stream_click_attribution,
     )
 
     sink = "ev_click_attribution_streamed_sink"
     spark.catalog.dropTempView(sink)
-    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = tempfile.mkdtemp(prefix="ev_stream_attr_")
-    os.symlink(src_file, os.path.join(d, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_attr_")
+    src = _stream_events_source(spark, d)
     attributed = stream_click_attribution(src).select(
         "purchase_id",
         "p_uid",
