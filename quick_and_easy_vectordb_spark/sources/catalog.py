@@ -35,20 +35,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table. No caching, no collect — the
     optimizer sees the raw file source.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (legacy
-    ``nanosAsLong`` conf, set here at runtime so any caller session
-    works) and truncated to a microsecond TimestampType — the same
-    floor-division DuckDB applies to TIMESTAMP_NS, keeping both engines
-    numerically identical."""
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations, and both are normalized here to a session-tz
+    TimestampType (session tz is pinned to UTC in session.py, so the
+    cast is a pure type change, never a wall-clock shift):
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it,
+      so it is read as raw nanos (legacy ``nanosAsLong`` conf, set here
+      at runtime so any caller session works) and floored to micros,
+      the same truncation DuckDB applies to TIMESTAMP_NS;
+    * parquet timestamp[us] with isAdjustedToUTC=false — Spark reads it
+      as TIMESTAMP_NTZ, which functions like ``unix_micros`` reject;
+      cast to TimestampType.
+
+    Downstream code can therefore always assume ``ts`` is a plain
+    TIMESTAMP in UTC."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -25,6 +25,8 @@ shape: swap ``format("parquet")`` for ``format("delta")``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_corpus", "append_rows", "write_bucketed", "read_corpus"]
@@ -71,7 +73,22 @@ def write_bucketed(
     ``bucket_by`` between tables with the same bucketing skip the
     shuffle entirely (Catalyst sees the hashed distribution in the
     catalog). ``sort_by`` additionally pre-sorts buckets, turning a
-    sort-merge join's sort phase into a no-op."""
+    sort-merge join's sort phase into a no-op.
+
+    The warehouse dir is shared scratch (/tmp, session.py) while each
+    session's derby metastore is private, so a table location left by
+    another session's run is invisible to this catalog and makes
+    ``saveAsTable`` throw LOCATION_ALREADY_EXISTS; clear such orphaned
+    locations before writing."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        loc = os.path.join(wh, table.lower()) if wh else None
+        if loc and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_by)
     if sort_by is not None:
         w = w.sortBy(sort_by)
