@@ -121,11 +121,18 @@ def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffles every key. The raw HLL estimate is engine-specific
     (deterministic per engine, not across engines), so the oracle checks
     the exact column plus a BOUND on the estimate: with rsd=0.02 the
-    estimate must land within 3·rsd = 6% of the exact count, which the
+    estimate must land within 4·rsd = 8% of the exact count, which the
     Spark side verifies and reports as a flag the oracle expects to be
     TRUE. A sketch-parameter regression flips the flag and fails the
     hash compare — this is the oracle-checkable form round 2's
-    `no_oracle` row could not provide."""
+    `no_oracle` row could not provide.
+
+    Bound calibration (round-4 ADVICE): the estimator is ~Gaussian with
+    σ≈rsd, so 4σ puts the false-failure probability ≈6e-5 per group vs
+    ~1.3e-3 at the previous 3σ; measured worst relative error on the
+    driver fixtures is 0.0% (sf0.001/0.01) and 0.4% (sf0.1) — 20×
+    inside the bound — so a flag flip means a real sketch-parameter
+    regression, not estimator tail behavior."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -136,7 +143,7 @@ def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.06 * F.col("exact_users")
+            <= 0.08 * F.col("exact_users")
         ).alias("estimate_within_3rsd"),
     )
 
@@ -159,11 +166,21 @@ def udf_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact construction where oracle-bit-parity matters more than scale.
     Sketch values are engine-specific, so (as with udf_approx_distinct)
     the oracle checks the exact group count plus per-quantile tolerance
-    flags: each GK estimate must land within 2% of Spark's exact
-    interpolated percentile (accuracy=10000 → rank error ≤ n/10000,
-    far inside 2% of value at any sf). The array output that crashed
-    the round-2 canonicalizer is projected into scalar flag columns
-    (the same scalarization fix as vdb_vector_arith/dedup_clusters)."""
+    flags: each GK estimate must land within 5% of Spark's exact
+    interpolated percentile. The array output that crashed the round-2
+    canonicalizer is projected into scalar flag columns (the same
+    scalarization fix as vdb_vector_arith/dedup_clusters).
+
+    Bound calibration (round-4 ADVICE): GK with accuracy=10000 bounds
+    RANK error at n/10000, but the induced VALUE error is data-
+    dependent — at tiny groups (sf0.001: ~180 orders/priority) the
+    exact side interpolates between order statistics while GK returns
+    an actual sample, so measured worst relative error is 1.1% at
+    sf0.001 (vs 0.06% at sf0.01, 0.02% at sf0.1). The previous 2%
+    bound left only 1.8× headroom at the smallest sf; 5% keeps ≥4.5×
+    headroom at every fixture scale while still catching any
+    accuracy-parameter regression (accuracy=100 misses p99 by far
+    more than 5% on these groups)."""
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("ap"),
@@ -175,7 +192,7 @@ def udf_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def within(i: int):
         return (
-            F.abs(F.col("ap")[i] - F.col("ex")[i]) <= 0.02 * F.col("ex")[i]
+            F.abs(F.col("ap")[i] - F.col("ex")[i]) <= 0.05 * F.col("ex")[i]
         )
 
     return agg.select(

@@ -44,12 +44,38 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream of events (parquet files landing in a
     directory — the local stand-in for Kafka; swap `.format` and
-    options to move to a real bus, the downstream plan is unchanged)."""
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    options to move to a real bus, the downstream plan is unchanged).
+
+    ``ts`` is normalized to a session-tz TimestampType regardless of
+    the file encoding (timestamp vs timestamp_ntz — the driver fixtures
+    have shipped both): the physical type is probed with a batch schema
+    read so the stream schema always matches the footer, then NTZ is
+    cast (session tz is UTC, so the cast is a pure type change).
+    Watermarks require this — ``withWatermark`` on a column whose type
+    silently mismatches the file would misread event time."""
+    schema = EVENTS_STREAM_SCHEMA
+    ntz = False
+    try:
+        ntz = isinstance(
+            spark.read.parquet(path).schema["ts"].dataType, T.TimestampNTZType
+        )
+    except AnalysisException:
+        pass  # empty dir at start-up: keep the declared schema
+    if ntz:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_STREAM_SCHEMA.fields
+            ]
+        )
+    stream = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    if ntz:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def stream_tumbling_counts(

@@ -381,3 +381,35 @@ def test_incremental_lsh_index_equals_batch_rebuild(spark, tmp_path):
     assert sorted(
         map(tuple, read_lsh_index(spark, compacted).select("vec_id", "lsh_bucket").collect())
     ) == sorted(map(tuple, incremental.collect()))
+
+
+def test_ntz_source_stream_equals_batch(spark, tmp_path):
+    """Round-3 regression pin: a source whose parquet stores ts as
+    timestamp_ntz (the regenerated driver fixture encoding) must stream
+    with correct event time — schema is probed from the footer, NTZ
+    cast to session-tz timestamp, watermark + window applied on top."""
+    d = str(tmp_path / "ntz_events")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    (ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+       .repartition(2).write.mode("overwrite").parquet(d))
+    # confirm the fixture really is NTZ on disk
+    from pyspark.sql import types as T
+    assert isinstance(
+        spark.read.parquet(d).schema["ts"].dataType, T.TimestampNTZType
+    )
+    stream = read_events_stream(spark, d, max_files_per_trigger=100)
+    out = run_stream_to_memory(
+        spark, stream_tumbling_counts(stream), "t_ntz"
+    ).collect()
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    assert len(out) > 100  # windows must NOT collapse (1970 bug shape)
