@@ -21,6 +21,7 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
 )
 import os
 
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.common import sql_cosine
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
@@ -370,4 +371,131 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("keep_quality"),
             "n_members",
         )
+    )
+
+
+# Word 8-gram CTE for span-level dedup — same normalize/tokenize chain
+# as SQL_SHINGLES, wider grams (range(1, len-6) ≡ i+7 ≤ len, 1-indexed).
+SQL_SPANS8 = f"""
+norm8 AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks8 AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm8 WHERE t <> ''),
+sp AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 8
+         THEN list_distinct(list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+         ELSE [array_to_string(w, ' ')] END) AS span
+  FROM toks8)
+"""
+
+
+@query(
+    "text_span_dedup",
+    oracle=f"""
+WITH {SQL_SPANS8}
+SELECT span, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM sp GROUP BY span HAVING COUNT(*) >= 2
+""",
+    tags=("dedup", "span", "agg"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection (word 8-grams appearing in
+    ≥2 documents) — the unit of the exact-substring dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    boilerplate, licenses, and templated passages repeat across
+    otherwise-distinct pages, and span-level removal catches what
+    document-level MinHash cannot.
+
+    Plan shape at 100 TB: spans are distinct-ed WITHIN each document at
+    map time (word_shingles is per-row), so the only shuffle is the
+    groupBy on the span string — with map-side partial aggregation the
+    exchange carries one (span, count, min_id) partial per partition,
+    never the raw corpus. The ≥2 filter drops the overwhelmingly-unique
+    tail post-agg; output is the repeated-span catalog a removal pass
+    anti-joins against."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_shingles("text", 8)).alias("span")
+    )
+    return (
+        g.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "text_containment_decontaminate",
+    oracle=f"""
+WITH norm4 AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks4 AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm4 WHERE t <> ''),
+g4 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 4
+         THEN list_distinct(list_transform(range(1, len(w) - 2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         ELSE [array_to_string(w, ' ')] END) AS ng
+  FROM toks4),
+bench AS (SELECT doc_id AS bench_id, ng FROM g4 WHERE doc_id % 97 = 0),
+bsz AS (SELECT bench_id, COUNT(*) AS n_b FROM bench GROUP BY bench_id),
+inter AS (
+  SELECT g.doc_id AS train_id, b.bench_id, COUNT(*) AS n_inter
+  FROM g4 g JOIN bench b USING (ng)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY 1, 2
+)
+SELECT i.train_id, i.bench_id,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+FROM inter i JOIN bsz USING (bench_id)
+ORDER BY containment DESC, bench_id, train_id LIMIT 20
+""",
+    tags=("dedup", "curation", "decontamination"),
+)
+def text_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment decontamination: C(train, bench) =
+    |grams(train) ∩ grams(bench)| / |grams(bench)| — the right metric
+    when a short eval item is embedded inside a long training document
+    (Jaccard is diluted by the train doc's size and misses exactly the
+    pairs that matter; `text_decontaminate` counts raw overlapping
+    grams, this query normalizes per BENCHMARK doc so 1.0 means "the
+    benchmark item is fully contained"). Docs with doc_id % 97 == 0
+    stand in for the eval suite. Output: the top-20 most-contained
+    (train, bench) pairs with a full deterministic tiebreak — a fixed
+    threshold is corpus-dependent (the driver fixtures range from
+    max-containment 0.03 to 1.0 across scale factors), while the
+    ranked head is the triage list a human actually reviews.
+
+    Plan shape at 100 TB: the benchmark gram set (MBs) is broadcast to
+    the corpus gram stream — map-side hash-join hits only; the
+    surviving (train, bench) hit pairs are a vanishing fraction of the
+    corpus and shuffle once for the per-pair count. Per-benchmark gram
+    counts are a second broadcast. No corpus-side shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g4 = ensure_parallelism(docs).select(
+        "doc_id", F.explode(word_shingles("text", 4)).alias("ng")
+    )
+    bench = g4.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "ng"
+    )
+    bsz = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        g4.filter(F.col("doc_id") % 97 != 0)
+        .withColumnRenamed("doc_id", "train_id")
+        .join(F.broadcast(bench), "ng")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(bsz), "bench_id")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("n_b").cast("double"),
+        )
+        .orderBy(F.desc("containment"), "bench_id", "train_id")
+        .limit(20)
+        .select("train_id", "bench_id", "containment")
     )

@@ -1022,3 +1022,43 @@ def ev_click_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ev_value_histogram",
+    oracle="""
+WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+SELECT event_type,
+       CAST(CASE WHEN value >= mx THEN 19
+                 ELSE floor((value - mn) / (mx - mn) * 20) END AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events CROSS JOIN s
+GROUP BY 1, 2
+""",
+    tags=("events", "histogram", "agg"),
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event value per type — the basic
+    distribution profile every monitoring/EDA surface needs, exact (not
+    a sketch). Bin edges come from the GLOBAL min/max so all types
+    share one scale; the max value is clamped into the last bin.
+
+    Plan shape at 100 TB: pass 1 is a full-agg to ONE row (min, max) —
+    map-side partials, broadcast back via BroadcastNestedLoopJoin of a
+    1-row table (free); pass 2 is one map-side-combined aggregation on
+    (type, bin), shuffling ≤ types·20 partials per partition. Two scans
+    total, no wide shuffle. Cross-engine exactness: bin = floor of one
+    double expression evaluated in the same operation order in both
+    engines — IEEE-identical, no tolerance needed."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        F.when(F.col("value") >= F.col("mx"), F.lit(19))
+        .otherwise(
+            F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 20)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))

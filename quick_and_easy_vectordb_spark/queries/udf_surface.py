@@ -202,3 +202,98 @@ def udf_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(1).alias("p90_within_tol"),
         within(2).alias("p99_within_tol"),
     )
+
+
+@query(
+    "udf_count_min_topk",
+    oracle="""
+WITH seeds AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 64 AS b,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN seeds GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT 20
+)
+SELECT t.user_id, t.exact_n, MIN(c.cnt) AS cms_estimate
+FROM top t CROSS JOIN seeds s
+JOIN cells c
+  ON c.j = s.j
+ AND c.b = ('0x' || substr(md5(CAST(s.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 12))::BIGINT % 64
+GROUP BY 1, 2
+""",
+    tags=("udf", "sketch", "heavy-hitters"),
+)
+def udf_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows × w=64 buckets) heavy-hitter
+    estimation, audited against exact counts for the top-20 users.
+
+    Unlike HLL/GK (whose estimates are engine-private), CMS built from
+    an EXPLICIT md5 hash family is bit-identical across engines, so the
+    estimate itself is oracle-checked — no tolerance flags. The
+    estimate is provably ≥ the exact count (only over-counts from
+    collisions), and with 256 counters for ~events-many increments the
+    driver fixtures land close to exact.
+
+    Plan shape at 100 TB: the sketch build is ONE map-side-combined
+    aggregation into d·w = 256 cells regardless of input volume — the
+    shuffle carries ≤256 partials per partition (this is why CMS exists:
+    fixed-memory mergeable state). The probe side broadcasts the tiny
+    cell table to the top-k list. The exact top-20 comparison column is
+    the audit path; a production rollout keeps only the sketch."""
+    D, W = 4, 64
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j_col, uid_col):
+        h = F.md5(F.concat(j_col.cast("string"), F.lit(":"), uid_col.cast("string")))
+        return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % W
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(F.lit(j), F.col("user_id")).alias("b"),
+                        )
+                        for j in range(D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.lit(j), F.col("user_id")).alias("b"),
+                    )
+                    for j in range(D)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.j") == F.col("j")) & (F.col("p.b") == F.col("b")),
+        )
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
