@@ -1062,3 +1062,121 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ev_sliding_window_streamed",
+    oracle=f"""
+WITH expanded AS (
+  SELECT CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 AS BIGINT) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start, event_type, COUNT(*) AS n_events, {_DSUM_VAL} AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "window-time", "agg"),
+)
+def ev_sliding_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_sliding_window executed THROUGH Structured Streaming (same
+    pattern as ev_tumbling_hour_streamed: file-source stream →
+    identical windowed plan → availableNow to completion → complete-
+    mode memory sink vs the batch oracle). Sliding windows are the
+    harder streaming shape — each event updates TWO window states — so
+    promoting this twin to a driver CORRECTNESS row pins the state
+    fan-out, not just the tumbling special case."""
+    sink = "ev_sliding_window_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    agg = (
+        src.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "ev_sessionize_streamed",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid
+""",
+    tags=("events", "streaming", "session", "stateful"),
+)
+def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization executed THROUGH Structured Streaming's native
+    session-window state store (F.session_window, 30-minute gap) — the
+    genuinely stateful streaming operator (variable-length state per
+    user, windows MERGE as events arrive, unlike fixed tumbling/sliding
+    buckets). availableNow to completion, complete-mode sink.
+
+    Boundary semantics: session_window treats a gap of EXACTLY the
+    timeout as a new session (windows are half-open [start, start+gap)),
+    so the oracle's lag/cumsum reconstruction uses ``>= gap`` — one
+    strictness step from the batch ev_sessionize oracle (``> gap``);
+    both are pinned so the pair also documents the boundary difference
+    between the two formulations. Output keys on session_start_us
+    (ordinal session ids are meaningless for merged windows)."""
+    sink = "ev_sessionize_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    gap_us = 30 * 60 * 1000 * 1000
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end"))
+                - F.lit(gap_us)
+                - F.unix_micros(F.col("w.start"))
+            ).alias("duration_us"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

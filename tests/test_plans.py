@@ -223,3 +223,51 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_span_dedup_single_shuffle(spark, sf_dir):
+    """Span dedup must be ONE map-side-combined shuffle on the span key:
+    spans are distinct-ed per row at map time, so the exchange carries
+    aggregation partials, never the exploded corpus. (ensure_parallelism
+    adds one scatter repartition of the tiny doc scan — at 100 TB the
+    scan has natural splits and that round-robin disappears.)"""
+    from quick_and_easy_vectordb_spark.plans.inspect import shuffle_count
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["text_span_dedup"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2  # scatter + groupBy(span); no joins
+    plan = physical(df)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_containment_broadcasts_benchmark(spark, sf_dir):
+    """Containment decontamination must broadcast the benchmark gram
+    set (and sizes) to the corpus side — the corpus never shuffles for
+    the match itself."""
+    from quick_and_easy_vectordb_spark.plans.inspect import broadcast_join_count
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["text_containment_decontaminate"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2  # gram set + size table
+
+
+def test_count_min_probe_broadcasts_cells(spark, sf_dir):
+    """The 256-cell CMS table must be the broadcast side of the probe
+    join — never a shuffle of the sketch."""
+    from quick_and_easy_vectordb_spark.plans.inspect import broadcast_join_count
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["udf_count_min_topk"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_histogram_stats_broadcast_one_row(spark, sf_dir):
+    """The global min/max must come back as a broadcast of a 1-row
+    aggregate (BroadcastNestedLoopJoin is fine for 1 row), and the
+    final aggregation must be map-side combined on (type, bin)."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["ev_value_histogram"].fn(spark, sf_dir)
+    plan = physical(df)
+    assert "Broadcast" in plan
+    assert "partial_count" in plan
