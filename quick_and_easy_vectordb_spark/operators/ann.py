@@ -178,3 +178,90 @@ def centroids_by_key(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
         ).alias("centroid")
     )
+
+
+def _pq_init_code(vec_col: Column, m: int, sub_dim: int) -> Column:
+    """Deterministic seed assignment for PQ cell ``m``: 2 sign bits
+    sampled at the subspace's first and middle positions → code ∈
+    {0..3}. This is the k-means++-free 'init' both engines can derive
+    identically; one mean step over these cells is the training."""
+    b0 = (F.element_at(vec_col, m * sub_dim + 1) >= 0).cast("int")
+    b1 = (F.element_at(vec_col, m * sub_dim + sub_dim // 2 + 1) >= 0).cast("int")
+    return (b0 * 2 + b1).cast("int")
+
+
+def pq_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_subs: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Product-quantization codebook (m, k, j, c): split each vector
+    into ``num_subs`` subvectors of ``sub_dim`` dims; within subspace
+    m, cluster by the deterministic 2-bit seed split and take the
+    decimal-exact per-position mean of each cell — one Lloyd 'assign +
+    update' step from a data-independent initializer, so Spark and the
+    SQL oracle build byte-identical codebooks with no RNG and no
+    iterative state.
+
+    Output is ≤ num_subs·4·sub_dim rows (256 for 64-dim/8×4) — always
+    broadcastable, which is the entire point of PQ at 100 TB: the
+    index state is O(codebook), the per-vector state is num_subs
+    bytes."""
+    v = F.col(vec_col)
+    init = F.array(*[_pq_init_code(v, m, sub_dim) for m in range(num_subs)])
+    el = (
+        df.select(init.alias("ini"), F.posexplode(vec_col).alias("pos", "val"))
+        .select(
+            (F.col("pos") / sub_dim).cast("int").alias("m"),
+            (F.col("pos") % sub_dim).alias("j"),
+            F.element_at(
+                F.col("ini"), (F.col("pos") / sub_dim).cast("int") + 1
+            ).alias("k"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    return el.groupBy("m", "k", "j").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("double") / F.count("val")
+        ).alias("c")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Assign every (vector, subspace) its nearest codeword by exact
+    L2 over the subspace (decimal-exact sums → ties impossible to
+    mis-order; tiebreak on code index). Returns (id, m, k) — the
+    num_subs-byte compressed representation.
+
+    The codebook is broadcast; per-row work is a map-side join plus
+    one aggregation keyed by (id, m, k) and a per-(id, m) argmin
+    window over ≤4 candidates."""
+    from pyspark.sql import Window
+
+    el = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "val")
+    ).select(
+        "id",
+        (F.col("pos") / sub_dim).cast("int").alias("m"),
+        (F.col("pos") % sub_dim).alias("j"),
+        F.col("val").cast("double").alias("val"),
+    )
+    d2 = (
+        el.join(F.broadcast(codebook), ["m", "j"])
+        .withColumn("diff2", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+        .groupBy("id", "m", "k")
+        .agg(F.sum(F.col("diff2").cast(_DEC)).alias("dist2"))
+    )
+    w = Window.partitionBy("id", "m").orderBy("dist2", "k")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "m", "k")
+    )

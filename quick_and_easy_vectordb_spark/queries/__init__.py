@@ -47,13 +47,14 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (6) --
+    # -- new in round 4, no driver row possible yet (7) --
     "text_span_dedup",
     "text_containment_decontaminate",
     "udf_count_min_topk",
     "ev_value_histogram",
     "ev_sliding_window_streamed",
     "ev_sessionize_streamed",
+    "ann_pq_adc_search",
     # -- never driver-checked (36) --
     "dedup_keep_best",
     "ev_mad_outliers",

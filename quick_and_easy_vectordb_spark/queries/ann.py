@@ -356,3 +356,114 @@ def ann_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+PQ_SUBS, PQ_SUBDIM, PQ_CAND = 8, 8, 50
+
+
+@query(
+    "ann_pq_adc_search",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
+el AS (
+  SELECT vec_id, pos.pos // {PQ_SUBDIM} AS m, pos.pos % {PQ_SUBDIM} AS j,
+         CAST(embedding[pos.pos + 1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+seed AS (
+  SELECT vec_id, mm.m AS m,
+         2 * (CASE WHEN CAST(embedding[mm.m * {PQ_SUBDIM} + 1] AS DOUBLE) >= 0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[mm.m * {PQ_SUBDIM} + {PQ_SUBDIM // 2} + 1] AS DOUBLE) >= 0
+                   THEN 1 ELSE 0 END) AS k
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {PQ_SUBS})) AS m) mm
+),
+cb AS (
+  SELECT el.m, seed.k, el.j,
+         CAST(CAST(SUM(CAST(el.val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(el.val) AS c
+  FROM el JOIN seed ON seed.vec_id = el.vec_id AND seed.m = el.m
+  GROUP BY 1, 2, 3
+),
+enc0 AS (
+  SELECT el.vec_id AS id, el.m, cb.k,
+         SUM(CAST((el.val - cb.c) * (el.val - cb.c) AS DECIMAL(30,10))) AS dist2
+  FROM el JOIN cb ON cb.m = el.m AND cb.j = el.j
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT id, m, k FROM (
+    SELECT id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist2, k) AS rn
+    FROM enc0) WHERE rn = 1
+),
+qd AS (
+  SELECT m, k, SUM(CAST((qv - c) * (qv - c) AS DECIMAL(30,10))) AS qdist2
+  FROM (SELECT cb.m, cb.k, cb.c,
+               CAST(({sql_vec(QUERY_VEC)})[cb.m * {PQ_SUBDIM} + cb.j + 1] AS DOUBLE) AS qv
+        FROM cb)
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT enc.id, CAST(CAST(SUM(qdist2) AS VARCHAR) AS DOUBLE) AS adc_dist2
+  FROM enc JOIN qd ON qd.m = enc.m AND qd.k = enc.k
+  GROUP BY 1
+),
+cand AS (SELECT id, adc_dist2 FROM adc ORDER BY adc_dist2, id LIMIT {PQ_CAND})
+SELECT e.vec_id, c.adc_dist2, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN cand c ON c.id = e.vec_id
+ORDER BY l2_dist, e.vec_id LIMIT 10
+""",
+    tags=("ann", "pq", "quantization", "topk"),
+)
+def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search with asymmetric distance computation
+    (ADC), Jégou et al. 2011 — THE memory-bound large-corpus ANN
+    representation: each 64-dim vector compresses to 8 one-byte codes
+    (8 subspaces × 4 codewords here), the query scans only the code
+    table against a 32-entry precomputed distance lookup, and exact L2
+    reranks the top-{PQ_CAND} shortlist.
+
+    Training is deterministic (operators/ann.py:pq_codebook): each
+    subspace's cells are seeded by a 2-sign-bit split of the data and
+    one decimal-exact mean step — no RNG, so the Spark codebook, code
+    assignments, ADC scores, and the DuckDB oracle agree bit-for-bit
+    (all distance sums are DECIMAL until the final double).
+
+    Plan shape at 100 TB: the codebook (256 rows) and the query's ADC
+    table (32 rows) broadcast; encoding is a map-side broadcast join +
+    one agg keyed (id, m, k); the search scan touches ONLY the code
+    table — the full vectors are read again just for the {PQ_CAND}-row
+    rerank (with the codes stored columnar, the scan:rerank byte ratio
+    is ~64:1)."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", PQ_SUBS, PQ_SUBDIM).persist()
+    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM)
+    qlit = vector_literal(QUERY_VEC)
+    qd = (
+        cb.withColumn(
+            "qv",
+            F.element_at(qlit, (F.col("m") * PQ_SUBDIM + F.col("j") + 1).cast("int")),
+        )
+        .withColumn("qdiff2", (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+        .groupBy("m", "k")
+        .agg(F.sum(F.col("qdiff2").cast("decimal(30,10)")).alias("qdist2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .groupBy("id")
+        .agg(F.sum("qdist2").cast("double").alias("adc_dist2"))
+    )
+    cand = adc.orderBy("adc_dist2", "id").limit(PQ_CAND)
+    return (
+        emb.join(F.broadcast(cand), emb.vec_id == F.col("id"))
+        .select(
+            "vec_id",
+            "adc_dist2",
+            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )

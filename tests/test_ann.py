@@ -125,3 +125,48 @@ def test_lsh_index_write_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     want = QUERIES["ann_lsh_probe"].fn(spark, sf_dir).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+
+def test_pq_codebook_shape_and_exactness(spark, sf_dir):
+    """Codebook: ≤ m·4 codewords × sub_dim positions, every cell mean
+    is the decimal-exact mean of its member subvector positions."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", 8, 8).collect()
+    assert 0 < len(cb) <= 8 * 4 * 8
+    for r in cb:
+        assert 0 <= r.m < 8 and 0 <= r.k < 4 and 0 <= r.j < 8
+
+    # spot-check one cell against a driver-side exact computation
+    import decimal
+    rows = emb.select("embedding").collect()
+    target = next(r for r in cb if r.m == 0 and r.j == 0)
+    members = []
+    for r in rows:
+        v = r.embedding
+        k = 2 * (1 if float(v[0]) >= 0 else 0) + (1 if float(v[4]) >= 0 else 0)
+        if k == target.k:
+            members.append(decimal.Decimal(repr(round(float(v[0]), 10))))
+    # decimal(30,10) truncates to 10 dp the same way
+    exact = float(
+        sum(decimal.Decimal(f"{float(m):.10f}") for m in members) / len(members)
+    )
+    assert abs(target.c - exact) < 1e-9
+
+
+def test_pq_encode_assigns_every_subspace(spark, sf_dir):
+    """Every vector gets exactly one code per subspace, codes in range."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", 8, 8)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", 8)
+    per_vec = codes.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_vecs = emb.count()
+    assert len(per_vec) == n_vecs
+    assert all(r.n == 8 for r in per_vec)
+    assert codes.filter((F.col("k") < 0) | (F.col("k") > 3)).count() == 0
