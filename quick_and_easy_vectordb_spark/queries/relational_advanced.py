@@ -634,3 +634,79 @@ def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.75).alias("p75"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
     )
+
+
+@query(
+    "rel_ivm_delta_agg",
+    oracle=f"""
+WITH base AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+final AS (
+  SELECT * FROM base WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS revenue
+FROM final GROUP BY o_custkey
+""",
+    tags=("relational", "ivm", "incremental", "agg"),
+)
+def rel_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-customer
+    aggregate is updated from a signed CHANGESET (inserts +1, deletes
+    −1) WITHOUT recomputing over the base data — the maintained state
+    must equal a full recomputation, and the oracle IS that full
+    recomputation, so the equivalence is hash-checked.
+
+    Scenario: the base view aggregates orders before 1997-01-01; the
+    delta inserts all later orders and deletes every base order whose
+    key ≡ 0 (mod 10). Maintenance = aggregate ONLY the delta (sign-
+    weighted count and decimal sign-weighted revenue), full-outer-merge
+    with the base aggregate, drop keys whose maintained count reaches
+    zero.
+
+    Why this is exact: both the base aggregate and the delta aggregate
+    keep revenue in DECIMAL(30,10) until after the merge — decimal
+    addition is associative, so base+delta equals the recomputed sum
+    bit-for-bit under any partitioning (a double-typed running sum
+    could NOT guarantee this). At 100 TB this is the nightly-pipeline
+    pattern: the base agg is a stored table, only the day's changeset
+    (orders of magnitude smaller) is scanned and shuffled, and the
+    merge is a join keyed on the agg key."""
+    _DEC = "decimal(30,10)"
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    inserts = o.filter(F.col("o_orderdate") >= cutoff).withColumn(
+        "sign", F.lit(1).cast("long")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "sign", F.lit(-1).cast("long")
+    )
+    delta = inserts.unionByName(deletes)
+
+    base_agg = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("r0"),
+    )
+    delta_agg = delta.groupBy("o_custkey").agg(
+        F.sum("sign").alias("dn"),
+        F.sum((F.col("sign") * F.col("o_totalprice")).cast(_DEC)).alias("dr"),
+    )
+    zero_d = F.lit(0).cast("decimal(38,10)")
+    merged = (
+        base_agg.join(delta_agg, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("r0").cast("decimal(38,10)"), zero_d)
+                + F.coalesce(F.col("dr").cast("decimal(38,10)"), zero_d)
+            ).cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged

@@ -166,6 +166,48 @@ def main() -> None:
         ),
     }
 
+    # Round-4 additions: the new operator families' shapes.
+    from quick_and_easy_vectordb_spark.functions.text import word_shingles
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+
+    def synth_vecs(n: int, dim: int = 16) -> DataFrame:
+        return synth_fact(spark, n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000) / 1000.0
+                for i in range(dim)
+            ]).alias("embedding"),
+        )
+
+    probes["span_dedup (8-gram groupBy)"] = lambda n: noop(
+        synth_docs(spark, n // 100)
+        .select("doc_id", F.explode(word_shingles("text", 8)).alias("span"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    probes["count_min_build (4x64 cells)"] = lambda n: noop(
+        synth_fact(spark, n)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (F.pmod(F.hash("key", F.lit(j)), F.lit(64))).alias("b"),
+                    )
+                    for j in range(4)
+                ])
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes["pq_encode (codebook bcast + argmin)"] = lambda n: (
+        lambda vecs: noop(
+            pq_encode(vecs, pq_codebook(vecs, "embedding", 4, 4), "embedding", "vec_id", 4)
+        )
+    )(synth_vecs(n // 4))
+
     lines = [
         "# SCALING — measured 1x→10x→30x growth of the core operator shapes",
         "",
