@@ -602,3 +602,89 @@ def text_shingle_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         (dsum("inv_df") / F.count(F.lit(1))).alias("rarity"),
     )
+
+
+@query(
+    "text_bigram_lift",
+    oracle=f"""
+WITH d AS (SELECT {SQL_NORM} AS t FROM documents),
+toks AS (SELECT string_split(t, ' ') AS w FROM d WHERE t <> ''),
+uni AS (
+  SELECT unnest(w) AS tok FROM toks
+),
+ucnt AS (SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok),
+utot AS (SELECT COUNT(*) AS n FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+bcnt AS (SELECT bigram, COUNT(*) AS n_xy FROM bg GROUP BY bigram),
+btot AS (SELECT COUNT(*) AS b FROM bg),
+lifted AS (
+  SELECT bc.bigram, bc.n_xy,
+         ((CAST(bc.n_xy AS DOUBLE) * CAST(ut.n AS DOUBLE)) * CAST(ut.n AS DOUBLE))
+           / ((CAST(bt.b AS DOUBLE) * CAST(u1.n_tok AS DOUBLE)) * CAST(u2.n_tok AS DOUBLE))
+           AS lift
+  FROM bcnt bc
+  CROSS JOIN utot ut CROSS JOIN btot bt
+  JOIN ucnt u1 ON u1.tok = string_split(bc.bigram, ' ')[1]
+  JOIN ucnt u2 ON u2.tok = string_split(bc.bigram, ' ')[2]
+  WHERE bc.n_xy >= 5
+)
+SELECT bigram, n_xy, lift FROM lifted
+ORDER BY lift DESC, bigram LIMIT 20
+""",
+    tags=("text", "ngram", "collocation", "topk"),
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by LIFT — p(xy) / (p(x)·p(y)), the log-free
+    form of PMI: top-20 word pairs (min count 5) that co-occur far more
+    than their unigram frequencies predict. Log-free matters for the
+    oracle: ln() differs in ulps across engines, while this lift is
+    one division over exact-integer-valued doubles multiplied in a
+    pinned order — bit-identical everywhere.
+
+    Plan shape at 100 TB: two corpus passes (unigram and bigram
+    counts, each one map-side-combined shuffle), two 1-row totals
+    broadcast, and the per-bigram join against the unigram table —
+    keyed on the word, the natural hash distribution. The final top-20
+    is TakeOrderedAndProject, never a global sort."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    uni = docs.select(F.explode(w).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    utot = uni.agg(F.count(F.lit(1)).alias("n"))
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    )
+    bg = docs.select(F.explode(bigrams).alias("bigram"))
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
+    btot = bg.agg(F.count(F.lit(1)).alias("b"))
+    parts = F.split(F.col("bigram"), " ")
+    lifted = (
+        bcnt.filter(F.col("n_xy") >= 5)
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .join(
+            ucnt.select(F.col("tok").alias("t1"), F.col("n_tok").alias("n_x")),
+            parts.getItem(0) == F.col("t1"),
+        )
+        .join(
+            ucnt.select(F.col("tok").alias("t2"), F.col("n_tok").alias("n_y")),
+            parts.getItem(1) == F.col("t2"),
+        )
+        .select(
+            "bigram",
+            "n_xy",
+            (
+                (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+                * F.col("n").cast("double")
+                / (
+                    (F.col("b").cast("double") * F.col("n_x").cast("double"))
+                    * F.col("n_y").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(F.desc("lift"), F.asc("bigram")).limit(20)
