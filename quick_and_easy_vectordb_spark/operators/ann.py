@@ -234,34 +234,62 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sub_dim: int = 8,
+    num_subs: int = 8,
 ) -> DataFrame:
     """Assign every (vector, subspace) its nearest codeword by exact
-    L2 over the subspace (decimal-exact sums → ties impossible to
+    L2 over the subspace (decimal-exact sums → comparisons cannot
     mis-order; tiebreak on code index). Returns (id, m, k) — the
     num_subs-byte compressed representation.
 
-    The codebook is broadcast; per-row work is a map-side join plus
-    one aggregation keyed by (id, m, k) and a per-(id, m) argmin
-    window over ≤4 candidates."""
-    from pyspark.sql import Window
+    MAP-SIDE formulation: the codebook collapses to ONE row of dense
+    (m, k, j-ordered values) entries, cross-joined as a broadcast; each
+    vector then computes all ≤ num_subs·4 cell distances and argmins
+    with array expressions — zero shuffle, zero window. The first
+    version aggregated exploded (id, m, k, j) rows through a groupBy +
+    per-(id,m) row_number window; the 1x/10x/30x scale probe measured
+    that shape at 34x wall-clock for 30x data (the tiny-group window
+    sort dominates), while this one is embarrassingly parallel.
+    Distances accumulate per-term DECIMAL(30,10) exactly like the SQL
+    oracle's SUM(CAST(diff2 AS DECIMAL(30,10))), so assignments match
+    bit-for-bit."""
+    dense = codebook.groupBy("m", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    cb_row = dense.groupBy().agg(
+        F.collect_list(F.struct("m", "k", "cv")).alias("cbl")
+    )
 
-    el = df.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "val")
-    ).select(
-        "id",
-        (F.col("pos") / sub_dim).cast("int").alias("m"),
-        (F.col("pos") % sub_dim).alias("j"),
-        F.col("val").cast("double").alias("val"),
-    )
-    d2 = (
-        el.join(F.broadcast(codebook), ["m", "j"])
-        .withColumn("diff2", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
-        .groupBy("id", "m", "k")
-        .agg(F.sum(F.col("diff2").cast(_DEC)).alias("dist2"))
-    )
-    w = Window.partitionBy("id", "m").orderBy("dist2", "k")
+    v = F.col(vec_col)
+    zero = F.lit(0).cast("decimal(38,10)")
+
+    def cell_dist(m: int, k: int):
+        entry = F.filter(
+            F.col("cbl"), lambda e: (e["m"] == m) & (e["k"] == k)
+        )
+        cv = F.element_at(entry, 1)["cv"]
+        sub = F.slice(v, m * sub_dim + 1, sub_dim)
+        d = F.aggregate(
+            F.zip_with(sub, cv, lambda a, b: ((a - b) * (a - b)).cast(_DEC)),
+            zero,
+            # Spark types (38,10)+(30,10) as (38,9); the lossless cast
+            # keeps the fold's accumulator type fixed at (38,10)
+            lambda acc, x: (acc + x).cast("decimal(38,10)"),
+        )
+        return F.when(F.size(entry) > 0, d)  # NULL for empty cells
+
+    def argmin(m: int):
+        cands = F.array(
+            *[
+                F.struct(cell_dist(m, k).alias("d"), F.lit(k).alias("k"))
+                for k in range(4)
+            ]
+        )
+        return F.array_min(F.filter(cands, lambda c: c["d"].isNotNull()))["k"]
+
+    codes = F.array(*[argmin(m) for m in range(num_subs)])
     return (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "m", "k")
+        df.crossJoin(F.broadcast(cb_row))
+        .select(F.col(id_col).alias("id"), F.posexplode(codes).alias("m", "k"))
     )
