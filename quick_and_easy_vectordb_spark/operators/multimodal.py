@@ -55,14 +55,51 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — NOT implemented in this container (no
-    PIL/opencv). The mapInPandas pipeline around it is real; plug a
-    decoder in here on a cluster with codec libraries installed."""
+def decode_image(payload: bytes):
+    """Image decode to an ndarray (H, W, C). REAL for the uncompressed
+    formats a pure-numpy parser can handle — binary PPM (P6), PGM
+    (P5), and 24-bit uncompressed BMP; compressed codecs (JPEG/PNG/
+    video) require PIL/opencv/ffmpeg, which this container lacks, and
+    raise NotImplementedError. The mapInPandas pipeline around this
+    call is identical either way — on a cluster with codec libraries,
+    extend the magic-number dispatch and nothing else changes.
+    ``mm_decode_ppm_stats`` runs this decoder end-to-end under the
+    DuckDB oracle (pixel statistics of synthesized P6 payloads)."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] in (b"P6", b"P5"):
+        # <magic>\n<w> <h>\n<maxval>\n<raster>; no comment support —
+        # the synth path never emits comments
+        parts = b.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PNM header")
+        w, h = (int(x) for x in parts[1].split())
+        if int(parts[2]) > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        ch = 3 if b[:2] == b"P6" else 1
+        raster = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * ch)
+        return raster.reshape(h, w, ch)
+    if b[:2] == b"BM":
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only 24-bit uncompressed BMP")
+        row_bytes = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(abs(h)):
+            rb = np.frombuffer(b, dtype=np.uint8, count=w * 3,
+                               offset=off + y * row_bytes)
+            rows.append(rb.reshape(w, 3)[:, ::-1])  # BGR → RGB
+        img = np.stack(rows)
+        return img[::-1] if h > 0 else img  # bottom-up unless negative
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this "
-        "container; extract_binary_features uses the deterministic "
-        "md5-based fake featureizer instead"
+        "compressed image decoding (JPEG/PNG/...) requires PIL/opencv, "
+        "not available in this container; extract_binary_features uses "
+        "the deterministic md5-based fake featureizer for such payloads"
     )
 
 

@@ -189,3 +189,40 @@ def test_resize_images_binds_params(spark):
     b = resize_images(with_binary_payload(docs), 336, 336).first()
     assert (a.out_w, a.out_h) == (224, 224)
     assert a.resized_md5 != b.resized_md5  # params are part of the digest
+
+
+def test_decode_image_real_formats():
+    """decode_image is REAL for PPM/PGM/24-bit BMP (pure numpy) and
+    raises for compressed codecs — pinned so the magic dispatch and
+    the BMP bottom-up/BGR handling never regress."""
+    import struct
+    import numpy as np
+    import pytest as _pytest
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    w, h = 5, 3
+    raster = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+    a = decode_image(b"P6\n%d %d\n255\n" % (w, h) + raster)
+    assert a.shape == (h, w, 3) and a.tobytes() == raster
+
+    g = decode_image(b"P5\n4 2\n255\n" + bytes(range(8)))
+    assert g.shape == (2, 4, 1) and g.tobytes() == bytes(range(8))
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    rowsize = (2 * 3 + 3) & ~3
+    raster_bmp = b""
+    for row in reversed(px):  # bottom-up storage
+        rb = b"".join(bytes((b_, g_, r_)) for (r_, g_, b_) in row)
+        raster_bmp += rb + b"\x00" * (rowsize - len(rb))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(raster_bmp), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster_bmp), 0, 0, 0, 0)
+    )
+    a = decode_image(header + raster_bmp)
+    assert a.shape == (2, 2, 3)
+    assert a[0, 0].tolist() == [255, 0, 0] and a[1, 1].tolist() == [10, 20, 30]
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
