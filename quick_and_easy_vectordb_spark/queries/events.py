@@ -1180,3 +1180,67 @@ def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ev_ewma_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hr, cnt,
+         list(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN 16 PRECEDING AND CURRENT ROW) AS l
+  FROM hourly
+)
+SELECT event_type, hr, cnt,
+       list_sum(list_transform(l, (x, i) -> CAST(x AS DOUBLE) / pow(2, len(l) - i)))
+         AS ewma
+FROM w
+""",
+    tags=("events", "window", "timeseries", "ewma"),
+)
+def ev_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of hourly event
+    counts per type over the trailing 17 nonempty buckets — the
+    standard smoothing pass behind alerting/trend dashboards.
+
+    Exactness by construction: weights are powers of two, so each term
+    is an exact binary SHIFT of an integer count and the 17-term sum
+    spans ≤ 37 significand bits — no rounding anywhere, hence
+    bit-identical across engines with no tolerance flag (a general-α
+    EWMA could not be oracle-checked this way; α = 1/2 is chosen
+    PRECISELY because halving is lossless in IEEE doubles).
+
+    Plan shape at 100 TB: the hourly pre-aggregation collapses volume
+    by orders of magnitude before the window; the window partitions on
+    event_type — for high-cardinality keys this is the standard
+    bounded-frame running computation, state = 17 longs per key.
+    DuckDB's list_transform index is 1-based, Spark's 0-based — the
+    two weight expressions are aligned accordingly."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-16, 0)
+    arr = F.collect_list("cnt").over(w)
+    return hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.aggregate(
+            F.transform(
+                arr,
+                lambda x, i: x.cast("double")
+                / F.pow(F.lit(2.0), F.size(arr) - 1 - i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ewma"),
+    )

@@ -710,3 +710,47 @@ def rel_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
     )
     return merged
+
+
+@query(
+    "rel_scd2_intervals",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate AS valid_from,
+       COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                DATE '2200-01-01') AS valid_to,
+       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL)
+         AS is_current
+FROM orders
+""",
+    tags=("relational", "scd2", "window", "warehouse"),
+)
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval construction: each
+    customer's order stream becomes versioned rows with
+    [valid_from, valid_to) ranges — valid_to is the NEXT version's
+    start (lead over the change stream), open versions get a
+    far-future sentinel (2200-01-01: representable in Arrow's ns
+    timestamps, unlike the classic 9999-12-31) and is_current = true. This is the standard
+    warehouse history-table build (and the dual of ev_asof_join, which
+    QUERIES such intervals); the full tiebreak (date, orderkey) makes
+    same-day changes deterministic, producing zero-length intervals
+    exactly like production SCD2 pipelines do.
+
+    Plan shape at 100 TB: one shuffle on the dimension key, one
+    in-partition sort — the minimal possible for interval construction;
+    no self-join (the naive formulation joins each row to its
+    successor)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2200-01-01").cast("date")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
