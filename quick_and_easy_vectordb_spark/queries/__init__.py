@@ -47,12 +47,14 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (12) --
+    # -- new in round 4, no driver row possible yet (14) --
     "rel_ivm_delta_agg",
     "text_bigram_lift",
     "mm_decode_ppm_stats",
     "ev_ewma_hourly",
     "rel_scd2_intervals",
+    "ev_stream_static_enrich",
+    "ann_pq_recall",
     "text_span_dedup",
     "text_containment_decontaminate",
     "udf_count_min_topk",

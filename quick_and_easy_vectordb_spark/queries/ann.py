@@ -360,11 +360,9 @@ def ann_kmeans_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_SUBS, PQ_SUBDIM, PQ_CAND = 8, 8, 50
 
-
-@query(
-    "ann_pq_adc_search",
-    oracle=f"""
-WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
+# Shared PQ CTE chain (codebook -> codes -> per-vector ADC distance):
+# used by ann_pq_adc_search (search) and ann_pq_recall (quality metric).
+SQL_PQ_ADC = f"""WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
 el AS (
   SELECT vec_id, pos.pos // {PQ_SUBDIM} AS m, pos.pos % {PQ_SUBDIM} AS j,
          CAST(embedding[pos.pos + 1] AS DOUBLE) AS val
@@ -408,7 +406,13 @@ adc AS (
   SELECT enc.id, CAST(CAST(SUM(qdist2) AS VARCHAR) AS DOUBLE) AS adc_dist2
   FROM enc JOIN qd ON qd.m = enc.m AND qd.k = enc.k
   GROUP BY 1
-),
+)"""
+
+
+@query(
+    "ann_pq_adc_search",
+    oracle=f"""
+{SQL_PQ_ADC},
 cand AS (SELECT id, adc_dist2 FROM adc ORDER BY adc_dist2, id LIMIT {PQ_CAND})
 SELECT e.vec_id, c.adc_dist2, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
 FROM embeddings e JOIN cand c ON c.id = e.vec_id
@@ -466,4 +470,64 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l2_dist", "vec_id")
         .limit(10)
+    )
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+{SQL_PQ_ADC},
+approx AS (SELECT id FROM adc ORDER BY adc_dist2, id LIMIT 10),
+exact AS (
+  SELECT vec_id AS id FROM embeddings
+  ORDER BY {sql_l2(_EMB, sql_vec(QUERY_VEC))}, vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM approx JOIN exact USING (id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM approx JOIN exact USING (id)) AS DOUBLE)
+         / 10 AS recall
+""",
+    tags=("ann", "pq", "metric"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of RAW ADC ranking (no exact rerank) against the
+    brute-force L2 top-10 — quantifies what the 64:1 compression of
+    ann_pq_adc_search costs in ranking quality BEFORE the rerank
+    repairs it (the pair of numbers that justifies the shortlist+rerank
+    architecture: scan cheap, rerank exact). Deterministic codebooks
+    make even this quality metric hash-checkable, mirroring
+    ann_recall_at_k for the LSH family."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", PQ_SUBS, PQ_SUBDIM).persist()
+    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM)
+    qlit = vector_literal(QUERY_VEC)
+    qd = (
+        cb.withColumn(
+            "qv",
+            F.element_at(qlit, (F.col("m") * PQ_SUBDIM + F.col("j") + 1).cast("int")),
+        )
+        .withColumn("qdiff2", (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+        .groupBy("m", "k")
+        .agg(F.sum(F.col("qdiff2").cast("decimal(30,10)")).alias("qdist2"))
+    )
+    approx = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .groupBy("id")
+        .agg(F.sum("qdist2").cast("double").alias("adc_dist2"))
+        .orderBy("adc_dist2", "id")
+        .limit(10)
+        .select("id")
+    )
+    exact = (
+        emb.select("vec_id", l2_distance(F.col("embedding"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("id"))
+    )
+    return approx.join(exact, "id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
     )

@@ -1244,3 +1244,63 @@ def ev_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("ewma"),
     )
+
+
+@query(
+    "ev_stream_static_enrich",
+    oracle=f"""
+WITH dim AS (
+  SELECT event_type, {_DSUM_VAL} / COUNT(*) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       MAX(d.type_avg) AS type_avg
+FROM events e JOIN dim d ON d.event_type = e.event_type
+WHERE e.value > d.type_avg
+GROUP BY e.event_type
+""",
+    tags=("events", "streaming", "stream-static", "join"),
+)
+def ev_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment promoted to a CORRECTNESS
+    row: a static per-type dimension (decimal-exact average value,
+    computed batch-side) joins INTO the event stream, which then
+    filters each event against its type's average and counts the
+    above-average events per type — the canonical enrich-then-filter
+    streaming topology (dimension tables broadcast to every
+    micro-batch; only the stream side is unbounded).
+
+    The oracle replays the same join/filter/count in plain SQL. The
+    MAX(type_avg) output column is constant within each group —
+    included so the enrichment VALUE (not just the filtered counts) is
+    hash-verified."""
+    sink = "ev_stream_static_enrich_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    from quick_and_easy_vectordb_spark.functions.numeric import davg
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("d_type"))
+        .agg(davg("value").alias("type_avg"))
+    )
+    enriched = (
+        src.join(F.broadcast(dim), src.event_type == F.col("d_type"))
+        .filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max("type_avg").alias("type_avg"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
