@@ -204,3 +204,42 @@ def resize_images(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def decode_audio(payload: bytes):
+    """Audio decode to (samples: int16 ndarray [n, channels], rate).
+    REAL for 16-bit PCM WAV (RIFF/WAVE parsed with numpy alone);
+    compressed codecs (MP3/AAC/OGG) need ffmpeg-class libraries and
+    raise NotImplementedError. Same contract as decode_image: the
+    mapInPandas plumbing is codec-agnostic — extend the dispatch on a
+    cluster with codec libs and nothing else changes.
+    ``mm_decode_wav_stats`` runs this parser end-to-end under the
+    DuckDB oracle."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decoding (MP3/AAC/...) requires ffmpeg-class "
+            "libraries, not available in this container"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate

@@ -47,7 +47,8 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (14) --
+    # -- new in round 4, no driver row possible yet (15) --
+    "mm_decode_wav_stats",
     "rel_ivm_delta_agg",
     "text_bigram_lift",
     "mm_decode_ppm_stats",
@@ -70,9 +71,9 @@ _CHECK_PRIORITY = [
     "ev_asof_join",
     "ev_range_join",
     "udf_grouped_map_gaps",
-    # -- never driver-checked (36; the last 5 are low-risk plain window/
-    # array/JSON surfaces, positioned so they are the ones to fall
-    # outside a hard 50-entry cutoff: 14 new + 5 fixed + 31 = 50) --
+    # -- never driver-checked (36; the low-risk plain window/array/JSON/
+    # percentile surfaces are positioned last so they are the ones to
+    # fall outside a hard 50-entry cutoff: 15 new + 5 fixed + 30 = 50) --
     "dedup_keep_best",
     "ev_mad_outliers",
     "ev_stream_dedup_ingest",

@@ -326,3 +326,71 @@ def mm_decode_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
     )
+
+
+@query(
+    "mm_decode_wav_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, n, ((doc_id * 7 + i * 13) % 4096) - 2048 AS s FROM smp
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "decode", "audio", "mapInPandas"),
+)
+def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate (the audio twin of
+    mm_decode_ppm_stats): per document a 16-bit PCM WAV payload is
+    synthesized deterministically (n = 64 + id%64 mono samples,
+    sample i = ((id·7 + i·13) mod 4096) − 2048), parsed by the actual
+    RIFF/WAVE numpy decoder (operators/multimodal.py:decode_audio),
+    and reduced to sample count / sum / energy — all integer-exact, so
+    the closed-form SQL oracle matches bit-for-bit. Compressed audio
+    still raises by design. One Arrow mapInPandas pass, zero shuffle."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_sum": [], "energy": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)  # the real parser
+                assert rate == 8000 and audio.shape == (n, 1)
+                a = audio[:, 0].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_sum"].append(int(a.sum()))
+                out["energy"].append(int((a * a).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, "doc_id long, n_samples long, sample_sum long, energy long"
+    )

@@ -226,3 +226,31 @@ def test_decode_image_real_formats():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_audio_wav_pcm():
+    """decode_audio parses 16-bit PCM WAV (chunk walk, word alignment,
+    channel reshape) and raises for compressed formats."""
+    import struct
+    import numpy as np
+    import pytest as _pytest
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    def make_wav(samples, rate=8000, channels=1):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                          channels * 2, 16)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    s = [0, 100, -100, 32767, -32768, 7]
+    a, r = decode_audio(make_wav(s))
+    assert r == 8000 and a.shape == (6, 1) and a[:, 0].tolist() == s
+
+    st, r2 = decode_audio(make_wav([1, 2, 3, 4], channels=2))
+    assert r2 == 8000 and st.shape == (2, 2) and st.tolist() == [[1, 2], [3, 4]]
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03mp3bytes")
