@@ -754,3 +754,104 @@ def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit("2200-01-01").cast("date")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "rel_dq_audit",
+    oracle="""
+SELECT 'customer_key_unique' AS check_name,
+       CAST((SELECT COUNT(*) FROM
+              (SELECT c_custkey FROM customer GROUP BY c_custkey
+               HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations,
+       (SELECT COUNT(*) FROM customer) AS n_checked
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_custkey_resolves',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0
+             OR o_totalprice IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0
+             OR l_discount > 1 OR l_discount IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_ships_after_order',
+       CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey
+             WHERE CAST(l.l_shipdate AS DATE) < o.o_orderdate) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+""",
+    tags=("relational", "data-quality", "audit", "anti-join"),
+)
+def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations
+    operator class): six constraint checks — key uniqueness,
+    referential integrity in both directions (anti-join orphan
+    detection), domain ranges, null presence, and a cross-TABLE
+    ordering invariant (no lineitem ships before its order date —
+    checked through the join, the audit class single-table tools miss) — each reduced to (check_name, n_violations,
+    n_checked). A pipeline gates its publish step on
+    ``n_violations == 0``.
+
+    Plan shape at 100 TB: every check is either a single
+    map-side-combined aggregation over one scan or a broadcast/shuffle
+    ANTI-join whose probe side streams (never materializing
+    violations); the six checks are independent one-row aggregates
+    unioned at the end, so a scheduler can run them as parallel jobs
+    sharing scans. Uniqueness on the full key set is the only
+    mandatory wide shuffle — exactly the theoretical minimum."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, viol_df, checked_df):
+        return (
+            viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
+            .crossJoin(checked_df.agg(F.count(F.lit(1)).alias("n_checked")))
+            .select(
+                F.lit(name).alias("check_name"), "n_violations", "n_checked"
+            )
+        )
+
+    dup_keys = (
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+    orphan_li = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    )
+    orphan_o = o.join(
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    bad_price = o.filter(
+        (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull()
+    )
+    bad_disc = li.filter(
+        (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+        | F.col("l_discount").isNull()
+    )
+    bad_dates = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate").cast("date") < F.col("o_orderdate"))
+
+    return (
+        row("customer_key_unique", dup_keys, c)
+        .unionByName(row("lineitem_orphan_orderkey", orphan_li, li))
+        .unionByName(row("orders_custkey_resolves", orphan_o, o))
+        .unionByName(row("orders_totalprice_positive", bad_price, o))
+        .unionByName(row("lineitem_discount_in_range", bad_disc, li))
+        .unionByName(row("lineitem_ships_after_order", bad_dates, li))
+    )
