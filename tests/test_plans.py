@@ -271,3 +271,57 @@ def test_histogram_stats_broadcast_one_row(spark, sf_dir):
     plan = physical(df)
     assert "Broadcast" in plan
     assert "partial_count" in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 interval build must be ONE shuffle (the dimension-key
+    hash partition for the lead window) — the no-self-join shape."""
+    from quick_and_easy_vectordb_spark.plans.inspect import shuffle_count
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["rel_scd2_intervals"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_ewma_pre_aggregates_before_window(spark, sf_dir):
+    """EWMA must aggregate to hourly buckets BEFORE the window pass —
+    the window input is (types × hours), never raw events."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["ev_ewma_hourly"].fn(spark, sf_dir)
+    plan = physical(df)
+    # partial aggregation happens below the Window node
+    assert plan.index("Window") < plan.index("HashAggregate") or (
+        "partial_count" in plan
+    )
+
+
+def test_dq_audit_uses_anti_joins(spark, sf_dir):
+    """Referential checks must plan as anti-joins (violations counted
+    from the streamed probe side), not as distinct-collect + isin."""
+    from quick_and_easy_vectordb_spark.queries import QUERIES
+
+    df = QUERIES["rel_dq_audit"].fn(spark, sf_dir)
+    plan = physical(df)
+    assert "LeftAnti" in plan
+
+
+def test_pq_encode_no_shuffle_after_codebook(spark, sf_dir):
+    """The map-side pq_encode: given a materialized codebook, encoding
+    adds NO exchange beyond the codebook's own broadcast (the scale
+    probe caught the previous formulation's window sort at 34x/30x)."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+    from quick_and_easy_vectordb_spark.plans.inspect import shuffle_count
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", 8, 8)
+    cb_shuffles = shuffle_count(cb)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", 8)
+    # encode adds exactly the codebook DENSIFICATION aggregations
+    # (256-row → 32-row → 1-row, trivially small) and NOTHING keyed by
+    # vector id — the per-vector work is a broadcast + pure map
+    assert shuffle_count(codes) <= cb_shuffles + 2
+    plan = physical(codes)
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(id" not in plan  # no per-vector exchange
