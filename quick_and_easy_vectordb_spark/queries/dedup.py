@@ -499,3 +499,109 @@ def text_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
         .limit(20)
         .select("train_id", "bench_id", "containment")
     )
+
+
+# Fixed-point PageRank scale: 2^30. All PageRank arithmetic is BIGINT
+# (integer div for contributions and damping), so every engine computes
+# identical masses — floats would diverge in sum order; decimals in
+# cross-engine precision rules.
+_PR_SCALE = 1 << 30
+
+
+@query(
+    "dedup_pagerank",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT id, {_PR_SCALE} // nn.n AS pr FROM nodes CROSS JOIN nn),
+s1 AS (SELECT e.dst AS id, SUM(p.pr // dg.d) AS s
+       FROM edges e JOIN pr0 p ON p.id = e.src JOIN deg dg ON dg.src = e.src
+       GROUP BY e.dst),
+pr1 AS (SELECT nodes.id,
+               ((CAST({_PR_SCALE} AS BIGINT) * 15) // 100) // nn.n + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+s2 AS (SELECT e.dst AS id, SUM(p.pr // dg.d) AS s
+       FROM edges e JOIN pr1 p ON p.id = e.src JOIN deg dg ON dg.src = e.src
+       GROUP BY e.dst),
+pr2 AS (SELECT nodes.id,
+               ((CAST({_PR_SCALE} AS BIGINT) * 15) // 100) // nn.n + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id),
+s3 AS (SELECT e.dst AS id, SUM(p.pr // dg.d) AS s
+       FROM edges e JOIN pr2 p ON p.id = e.src JOIN deg dg ON dg.src = e.src
+       GROUP BY e.dst),
+pr3 AS (SELECT nodes.id,
+               ((CAST({_PR_SCALE} AS BIGINT) * 15) // 100) // nn.n + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id)
+SELECT id, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY pr DESC, id LIMIT 20
+""",
+    tags=("dedup", "graph", "pagerank", "iterative"),
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 0.85, masses as
+    2^30-scaled BIGINT) over the verified near-dup graph — ranks the
+    'hub' documents whose text radiates through the most duplication
+    (the doc to keep, or the boilerplate to kill). Centrality joins the
+    dedup family the way dedup_clusters does: pairs → graph → global
+    structure.
+
+    Integer fixed-point is the exactness trick (same as
+    ann_kmeans_one_iter): contributions are ``pr div degree`` and
+    damping is ``(85·Σ) div 100`` — BIGINT ops with identical floor
+    semantics in every engine, so even an ITERATIVE float-free
+    algorithm hash-matches the oracle's unrolled 3-level CTE.
+
+    Plan shape at 100 TB: per iteration one shuffle keyed by edge
+    source (join pr) and one by destination (sum) — the canonical
+    Pregel-as-DataFrame shape; edges re-partition once and the 3
+    iterations compose lazily into a single plan (no driver-side
+    collect between rounds)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", F.expr(f"{_PR_SCALE}L div n").alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(pr.withColumnRenamed("id", "p_id"), F.col("src") == F.col("p_id"))
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("pr div d").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(sums, nodes.id == sums.dst, "left")
+            .select(
+                nodes.id.alias("id"),
+                (
+                    F.expr(f"(({_PR_SCALE}L * 15L) div 100L) div n")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("pr"),
+            )
+        )
+    return pr.orderBy(F.desc("pr"), F.asc("id")).limit(20)

@@ -855,3 +855,52 @@ def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem_discount_in_range", bad_disc, li))
         .unionByName(row("lineitem_ships_after_order", bad_dates, li))
     )
+
+
+_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "rel_unpivot_segment_year",
+    oracle=f"""
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         {", ".join(
+             f'''CAST(CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN CAST(o_totalprice AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE) AS "{s}"'''
+             for s in _SEGS
+         )}
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+)
+{" UNION ALL ".join(
+    f'''SELECT yr, '{s}' AS segment, "{s}" AS revenue FROM wide WHERE "{s}" IS NOT NULL'''
+    for s in _SEGS
+)}
+""",
+    tags=("relational", "unpivot", "melt"),
+)
+def rel_unpivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/MELT — the inverse of rel_pivot_segment_year: the wide
+    per-segment revenue cross-tab folds back to tidy
+    (yr, segment, revenue) rows via the native ``DataFrame.unpivot``
+    (Spark 3.4+ melt), dropping NULL cells like SQL UNPIVOT does. The
+    round trip pivot→unpivot is the schema-normalization every
+    ingestion pipeline needs when sources deliver spreadsheet-shaped
+    data.
+
+    Plan shape: unpivot is an Expand node — a pure map-side row
+    multiplication (one input row → ≤ |segments| rows), no shuffle
+    beyond the upstream cross-tab's own aggregation. The oracle mirrors
+    with a per-column UNION ALL over the same wide CTE."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .pivot("c_mktsegment", list(_SEGS))
+        .agg(dsum("o_totalprice"))
+    )
+    return (
+        wide.unpivot("yr", list(_SEGS), "segment", "revenue")
+        .filter(F.col("revenue").isNotNull())
+    )
