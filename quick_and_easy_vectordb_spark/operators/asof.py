@@ -50,17 +50,27 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: Sequence[str] = (),
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Returns every ``left`` row plus:
 
-    - ``<right_ts><suffix>``: greatest right timestamp <= the left
-      row's timestamp within the key group (null if none), and
+    - ``<right_ts><suffix>``: with ``direction="backward"`` (default,
+      pandas merge_asof semantics) the GREATEST right timestamp <= the
+      left row's timestamp within the key group; with
+      ``direction="forward"`` the SMALLEST right timestamp >= it
+      (null if none either way), and
     - each ``right_payload`` column as ``<name><suffix>``, taken from
       that matched right row (ties on right ts resolved by the
       payload's own ordering, deterministically).
 
+    Forward is the mirrored frame: RANGE CURRENT ROW .. UNBOUNDED
+    FOLLOWING with ``min`` instead of the default trailing frame with
+    ``max`` — still one shuffle, zero row multiplication.
+
     Rows with no match keep nulls — filter them out for inner-as-of.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = list(right_payload)
 
@@ -90,12 +100,21 @@ def asof_join(
         matched_struct.alias("__m"),
     )
 
-    # Default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) makes
-    # equal-ts right rows visible to the left row — ASOF's `>=`.
-    w = Window.partitionBy(*keys).orderBy("__t")
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "__match", F.max("__m").over(w)
-    )
+    # Backward: default frame (RANGE UNBOUNDED PRECEDING .. CURRENT
+    # ROW) makes equal-ts right rows visible to the left row — ASOF's
+    # `>=`. Forward: the mirrored frame + min picks the earliest
+    # following right row, equal-ts rows still visible.
+    if direction == "backward":
+        w = Window.partitionBy(*keys).orderBy("__t")
+        match = F.max("__m").over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__t")
+            .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.min("__m").over(w)
+    merged = l_tagged.unionByName(r_tagged).withColumn("__match", match)
 
     out_cols = (
         [F.col(k) for k in keys]

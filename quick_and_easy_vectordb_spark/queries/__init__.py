@@ -47,7 +47,8 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (18) --
+    # -- new in round 4, no driver row possible yet (19) --
+    "ev_asof_join_forward",
     "mm_decode_wav_stats",
     "rel_dq_audit",
     "rel_unpivot_segment_year",

@@ -1304,3 +1304,55 @@ def ev_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ev_asof_join_forward",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.c_us,
+       (SELECT MIN(p.p_us) FROM purchases p
+        WHERE p.user_id = c.user_id AND p.p_us >= c.c_us) AS next_purchase_us
+FROM clicks c
+WHERE EXISTS (SELECT 1 FROM purchases p
+              WHERE p.user_id = c.user_id AND p.p_us >= c.c_us)
+""",
+    tags=("events", "asof", "join", "window"),
+)
+def ev_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each click, the user's EARLIEST purchase at-or-after it — the
+    time-to-convert primitive (its backward twin ev_asof_join answers
+    'which click caused this purchase'; this answers 'when does this
+    click pay off'). Same union-and-window operator, mirrored frame
+    (RANGE CURRENT ROW .. UNBOUNDED FOLLOWING + min): still ONE
+    shuffle, zero row multiplication — the naive formulation is a
+    per-key range join that explodes quadratically before its MIN.
+    Timestamps compare as epoch micros (BIGINT) for engine-exactness;
+    unmatched clicks are filtered (inner-as-of)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="c_us",
+        right_ts="p_us",
+        direction="forward",
+    )
+    return (
+        joined.filter(F.col("p_us_right").isNotNull())
+        .select("user_id", "c_us", F.col("p_us_right").alias("next_purchase_us"))
+    )
