@@ -47,8 +47,10 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (19) --
+    # -- new in round 4, no driver row possible yet (21) --
     "ev_asof_join_forward",
+    "src_python_datasource",
+    "udf_map_in_arrow",
     "mm_decode_wav_stats",
     "rel_dq_audit",
     "rel_unpivot_segment_year",

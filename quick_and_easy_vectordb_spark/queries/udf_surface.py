@@ -297,3 +297,92 @@ def udf_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+@query(
+    "src_python_datasource",
+    oracle="""
+WITH synth AS (
+  SELECT i AS event_id,
+         (i * 37 + 11) % 97 AS user_id,
+         ['view', 'click', 'cart', 'purchase'][(i * 13 + 7) % 4 + 1] AS event_type,
+         CAST((i * 31 + 3) % 1000 AS DOUBLE) / 10.0 AS value
+  FROM (SELECT unnest(range(5000)) AS i)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM synth GROUP BY event_type
+""",
+    tags=("source", "datasource-api", "connector"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CONNECTOR surface: Spark 4's Python DataSource API
+    (sources/pydatasource.py) registered as format ``qev_synth`` and
+    read like any table — the executors materialize their partitions
+    from a closed-form formula with no input I/O and nothing routed
+    through the driver. The oracle regenerates the identical stream
+    from ``range()``, so the connector's partition planning +
+    per-partition reads are value-checked end-to-end (5000 rows across
+    8 partitions; the aggregate proves every partition delivered its
+    exact slice — a dropped or duplicated split changes the hash)."""
+    from quick_and_easy_vectordb_spark.functions.numeric import dsum
+    from quick_and_easy_vectordb_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("qev_synth")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_arrow,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM documents
+""",
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python extension surface:
+    batches arrive as raw ``pyarrow.RecordBatch`` and are transformed
+    with Arrow compute kernels (C++ SIMD under the hood), skipping even
+    the pandas conversion that mapInPandas pays. The transform here
+    (codepoint length + space count per document) is integer-exact, so
+    the Arrow kernel semantics are hash-checked against SQL
+    length/replace — pinning that ``utf8_length`` counts CODEPOINTS
+    (matching SQL length), not bytes. Zero shuffle, one batch stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from collections.abc import Iterator
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            text = batch.column(1)
+            n_chars = pc.utf8_length(text)
+            n_spaces = pc.count_substring(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.cast(n_spaces, pa.int64()),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        run, "doc_id long, n_chars_arrow long, n_spaces long"
+    )
