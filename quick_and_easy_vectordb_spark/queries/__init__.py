@@ -47,9 +47,10 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (21) --
+    # -- new in round 4, no driver row possible yet (22) --
     "ev_asof_join_forward",
     "src_python_datasource",
+    "src_python_datasource_streamed",
     "udf_map_in_arrow",
     "mm_decode_wav_stats",
     "rel_dq_audit",

@@ -386,3 +386,68 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         run, "doc_id long, n_chars_arrow long, n_spaces long"
     )
+
+
+@query(
+    "src_python_datasource_streamed",
+    oracle="""
+WITH synth AS (
+  SELECT i AS event_id,
+         (i * 37 + 11) % 97 AS user_id,
+         ['view', 'click', 'cart', 'purchase'][(i * 13 + 7) % 4 + 1] AS event_type,
+         CAST((i * 31 + 3) % 1000 AS DOUBLE) / 10.0 AS value
+  FROM (SELECT unnest(range(2000)) AS i)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM synth GROUP BY event_type
+""",
+    tags=("source", "datasource-api", "streaming", "connector"),
+)
+def src_python_datasource_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING side under the oracle gate:
+    ``qev_synth`` read through readStream (SimpleDataSourceStreamReader
+    — position offsets, bounded replay via readBetweenOffsets), drained
+    micro-batch by micro-batch (250 rows each) into an append-mode
+    sink until the source's 2000 rows are exhausted, then aggregated
+    and hash-compared against the closed-form oracle. A lost or
+    replayed micro-batch changes the counts — this is the
+    exactly-once-offsets contract check for a custom streaming
+    connector (the same (offset-log, deterministic-replay) pair Kafka
+    sources rely on)."""
+    import time
+
+    from quick_and_easy_vectordb_spark.functions.numeric import dsum
+    from quick_and_easy_vectordb_spark.sources.pydatasource import register
+
+    register(spark)
+    sink = "src_python_datasource_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    total_rows = 2000
+    stream = (
+        spark.readStream.format("qev_synth")
+        .option("rows", total_rows)
+        .option("batch_size", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(sink).count() >= total_rows:
+            break
+        time.sleep(0.4)
+    q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )

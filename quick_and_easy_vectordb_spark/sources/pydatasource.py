@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = "event_id long, user_id long, event_type string, value double"
@@ -65,6 +70,32 @@ class SynthEventsReader(DataSourceReader):
             yield synth_row(i)
 
 
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING side of the connector: offsets are row positions, each
+    micro-batch drains up to ``batch_size`` rows until ``rows`` are
+    emitted, then returns empty batches. ``readBetweenOffsets`` replays
+    any offset range deterministically — the property that gives a
+    restarted query exactly-once output from the checkpointed offset
+    log (same contract as Kafka's (topic, partition, offset))."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        s0 = start["pos"]
+        s1 = min(s0 + self.batch_size, self.rows)
+        # contract: (ITERATOR of tuples, next offset) — a list here
+        # breaks the runner's prefetch cache (next(it) on a list)
+        return iter([synth_row(i) for i in range(s0, s1)]), {"pos": s1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["pos"], end["pos"])])
+
+
 class SynthEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -75,6 +106,9 @@ class SynthEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SynthEventsReader:
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SynthEventsStreamReader:
+        return SynthEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
