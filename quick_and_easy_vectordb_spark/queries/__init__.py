@@ -47,7 +47,10 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (22) --
+    # -- new in round 4, no driver row possible yet (25) --
+    "vdb_maxsim_late_interaction",
+    "ev_cumulative_unique_users",
+    "udf_udtf_chunk",
     "ev_asof_join_forward",
     "src_python_datasource",
     "src_python_datasource_streamed",

@@ -1356,3 +1356,42 @@ def ev_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(F.col("p_us_right").isNotNull())
         .select("user_id", "c_us", F.col("p_us_right").alias("next_purchase_us"))
     )
+
+
+@query(
+    "ev_cumulative_unique_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+daily AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM daily
+""",
+    tags=("events", "growth", "window", "distinct"),
+)
+def ev_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique growth curve: first-seen date per user → new
+    users per day → running total — the DAU/'total accounts' chart
+    every growth dashboard opens with. The naive formulation (distinct
+    over an expanding window) rescans history per day; first-seen
+    reduces it to ONE user-keyed aggregation (each user contributes
+    exactly once) plus a |days|-row running sum — the 100 TB shape.
+    Integer counts only; the running sum is a single-partition window
+    over a tiny daily table (fine: |days| rows, not |events|)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        # ISO string, not DATE: the engines' pandas conversions type
+        # bare DATE differently (datetime64 vs date object), which the
+        # value-hash comparer cannot unify
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

@@ -451,3 +451,59 @@ def src_python_datasource_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "udf_udtf_chunk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk,
+         len(w[i * 10 + 1 : i * 10 + 10]) AS n_words
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+  WHERE i * 10 < len(w)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_words AS BIGINT) AS n_words, chunk
+FROM chunks
+""",
+    tags=("udf", "udtf", "lateral", "chunking"),
+)
+def udf_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function): a @udtf class
+    registered in the SQL catalog and invoked with LATERAL — one input
+    document row expands to a variable number of chunk rows (the
+    reference's chunking step, app.py:45, as a TABLE function rather
+    than an array explode; text_chunking is the native-expression twin).
+    Arrow-optimized (useArrow=True) so rows batch through the Python
+    worker. The oracle replicates the fixed 10-word grouping with array
+    slices; range(0,32) bounds documents at 320 words (fixture max is
+    ~110) — the WHERE keeps it exact for every shorter document."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx long, n_words long, chunk string", useArrow=True)
+    class ChunkWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = " ".join(text.lower().split()).split()
+            if not words:
+                return
+            for i in range(0, len(words), 10):
+                part = words[i : i + 10]
+                yield i // 10, len(part), " ".join(part)
+
+    spark.udtf.register("qev_chunk_words", ChunkWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk "
+        "FROM __udtf_docs d, LATERAL qev_chunk_words(d.text) c"
+    )

@@ -33,6 +33,7 @@ from quick_and_easy_vectordb_spark.operators.search import batch_knn, lsh_batch_
 from quick_and_easy_vectordb_spark.queries.common import (
     DIM,
     QUERY_VEC,
+    QUERY_VEC2,
     sql_cosine,
     sql_dot,
     sql_l2,
@@ -997,4 +998,64 @@ def vdb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("c.xy").cast("decimal(30,10)")).cast("double").alias("g")
         )
+    )
+
+
+@query(
+    "vdb_maxsim_late_interaction",
+    oracle=f"""
+WITH per_vec AS (
+  SELECT label, vec_id,
+         {sql_dot('embedding::DOUBLE[]', sql_vec(QUERY_VEC))} AS d1,
+         {sql_dot('embedding::DOUBLE[]', sql_vec(QUERY_VEC2))} AS d2
+  FROM embeddings
+),
+per_label AS (
+  SELECT label, MAX(d1) AS m1, MAX(d2) AS m2
+  FROM per_vec GROUP BY label
+)
+SELECT label, m1 + m2 AS maxsim_score
+FROM per_label
+ORDER BY maxsim_score DESC, label
+LIMIT 5
+""",
+    tags=("vector", "maxsim", "late-interaction", "topk"),
+)
+def vdb_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE INTERACTION scoring (MaxSim): the query is a
+    SET of token vectors and each document a SET of token vectors;
+    score(doc) = Σ_q max_d ⟨q, d⟩ — per query token, its best-matching
+    document token. Here the label groups play the document role, their
+    member embeddings the token role, and a 2-token query
+    (QUERY_VEC/QUERY_VEC2) exercises the shape. This is the modern
+    neural-retrieval operator single-vector search cannot express
+    (fine-grained token alignment survives pooling).
+
+    Exactness: each dot is the fold-stable per-row product; MAX is
+    order-independent; the final score is ONE addition of two exact
+    doubles in pinned order — hash-checkable with no tolerance.
+
+    Plan shape at 100 TB: one scan computes all |Q| dots per token
+    vector (column-pruned to the vector + group key), one
+    map-side-combined MAX aggregation per (doc, query-token) — shuffle
+    carries |docs|·|Q| partials, never token vectors — and a global
+    top-k via TakeOrderedAndProject. |Q| is a query-time constant
+    (~32 for ColBERT), so the scan stays single-pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q1, q2 = vector_literal(QUERY_VEC), vector_literal(QUERY_VEC2)
+    per_label = (
+        emb.select(
+            "label",
+            dot_product(F.col("embedding"), q1).alias("d1"),
+            dot_product(F.col("embedding"), q2).alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.max("d1").alias("m1"), F.max("d2").alias("m2"))
+    )
+    return (
+        per_label.select(
+            "label", (F.col("m1") + F.col("m2")).alias("maxsim_score")
+        )
+        .orderBy(F.desc("maxsim_score"), F.asc("label"))
+        .limit(5)
     )
