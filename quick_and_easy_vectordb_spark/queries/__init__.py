@@ -47,7 +47,8 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # from round 1 (oldest evidence, diverse modules).
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (25) --
+    # -- new in round 4, no driver row possible yet (26) --
+    "udf_grouped_apply_in_arrow",
     "vdb_maxsim_late_interaction",
     "ev_cumulative_unique_users",
     "udf_udtf_chunk",

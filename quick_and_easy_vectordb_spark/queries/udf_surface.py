@@ -507,3 +507,46 @@ def udf_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk "
         "FROM __udtf_docs d, LATERAL qev_chunk_words(d.text) c"
     )
+
+
+@query(
+    "udf_grouped_apply_in_arrow",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+    tags=("udf", "arrow", "grouped-map", "applyInArrow"),
+)
+def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow — the zero-pandas grouped-map surface: each
+    language's slice arrives as ONE pyarrow.Table and is reduced with
+    Arrow compute kernels (C++ aggregates, no pandas materialization —
+    the lighter sibling of udf_grouped_map_gaps' applyInPandas). All
+    outputs are integer min/max/sum/count, so the kernel semantics are
+    hash-checked exactly. The operator class: per-entity logic too
+    imperative for SQL but columnar enough to stay out of Python object
+    space."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        n = table.column("n_chars")
+        return pa.Table.from_pydict(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "min_chars": [pc.min(n).as_py()],
+                "max_chars": [pc.max(n).as_py()],
+                "total_chars": [pc.sum(n).as_py()],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        stats,
+        "lang string, n_docs long, min_chars long, max_chars long, total_chars long",
+    )
