@@ -570,18 +570,26 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
 
+    # Persist the graph tables: every iteration references nodes/edges/
+    # deg, and WITHOUT caching the lazy composition re-expands the
+    # entire shingle→MinHash→LSH→verify pipeline per reference (first
+    # formulation measured 162 Exchange nodes in the plan; with the
+    # caches, each iteration reads InMemoryTableScans). At cluster
+    # scale these would be checkpointed tables between Pregel rounds.
+    pairs = pairs.persist()
     nodes = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
+        .persist()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
 
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "id", F.expr(f"{_PR_SCALE}L div n").alias("pr")
