@@ -59,10 +59,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dt = df.schema["ts"].dataType
         if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(dt, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Uniform invariant for EVERY table: temporal columns are session-tz
+    # TIMESTAMP (session tz pinned UTC). The fixtures currently ship
+    # orders.o_orderdate / lineitem.l_shipdate / events.ts as NTZ —
+    # date-function queries tolerate NTZ, but epoch accessors
+    # (unix_micros/unix_timestamp) throw on it, which is exactly how the
+    # round-3 fixture drift broke 8 queries. Normalizing here makes the
+    # whole engine independent of the writer's isAdjustedToUTC choice.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
