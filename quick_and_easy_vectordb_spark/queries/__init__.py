@@ -82,9 +82,11 @@ _CHECK_PRIORITY = [
     "ev_asof_join",
     "ev_range_join",
     "udf_grouped_map_gaps",
-    # -- never driver-checked (36; the low-risk plain window/array/JSON/
-    # percentile surfaces are positioned last so they are the ones to
-    # fall outside a hard 50-entry cutoff: 15 new + 5 fixed + 30 = 50) --
+    # -- never driver-checked in rounds 1-3 (36; with 26 new + 5 fixed
+    # ahead of them only the first 19 fit a hard 50-entry cutoff — the
+    # low-risk plain window/array/JSON/percentile surfaces are
+    # positioned last so they are the ones to fall outside; all 160
+    # remain covered by the full local sweep, CHECKLOCAL_r04.md) --
     "dedup_keep_best",
     "ev_mad_outliers",
     "ev_stream_dedup_ingest",
