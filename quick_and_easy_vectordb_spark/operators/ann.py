@@ -252,6 +252,22 @@ def pq_encode(
     Distances accumulate per-term DECIMAL(30,10) exactly like the SQL
     oracle's SUM(CAST(diff2 AS DECIMAL(30,10))), so assignments match
     bit-for-bit."""
+    # Guard against a codebook built with different num_subs/sub_dim: a
+    # mismatch would silently argmin over empty cells and emit null codes
+    # (the round-4 scale probe measured exactly that degenerate plan).
+    # The codebook is <= num_subs*4*sub_dim rows, so this driver-side
+    # check is an index-build-time constant cost.
+    shape = codebook.agg(
+        F.max("m").alias("max_m"), F.max("j").alias("max_j")
+    ).first()
+    if shape["max_m"] is None:
+        raise ValueError("pq_encode: empty codebook")
+    if shape["max_m"] + 1 != num_subs or shape["max_j"] + 1 != sub_dim:
+        raise ValueError(
+            f"pq_encode: codebook shape ({shape['max_m'] + 1} subspaces x "
+            f"{shape['max_j'] + 1} dims) does not match num_subs={num_subs}, "
+            f"sub_dim={sub_dim}"
+        )
     dense = codebook.groupBy("m", "k").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]

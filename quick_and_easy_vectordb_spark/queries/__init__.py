@@ -37,76 +37,19 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # Registry ordering. The driver's per-round oracle gate checks a PREFIX of
 # the registry (~50 entries, in iteration order), so the order below rotates
 # verification coverage across rounds: queries with no CORRECTNESS row yet
-# (or a fixed failure) come first; queries already oracle-green in a prior
-# round move to the back (they stay covered by pytest + tools/check.py).
+# come first; queries already oracle-green in a prior round move to the back
+# (they stay covered by pytest + tools/check.py).
 #
-# Round-4 prefix (50) = the 36 queries with no driver row in ANY of rounds
-# 1-3 (r1 sampled one 50-set, r2/r3 another; union = 98 of 134), then the 5
-# queries red in CORRECTNESS_r03 (NTZ fixture drift, fixed this round) so
-# the fix gets external evidence, then 9 canaries whose only driver row is
-# from round 1 (oldest evidence, diverse modules).
+# Round-5 prefix = the 17 queries that have never appeared in ANY
+# CORRECTNESS_r*.json (rounds 1-4 sampled 143 of the 160; VERDICT r4
+# "What's missing" #3), then queries NEW this round (no driver row possible
+# yet), then the round-1-only-evidence backlog (oldest external evidence,
+# refreshed in FIFO order). Everything checked green in round 4 moves to
+# the back of the line.
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- new in round 4, no driver row possible yet (26) --
-    "udf_grouped_apply_in_arrow",
-    "vdb_maxsim_late_interaction",
-    "ev_cumulative_unique_users",
-    "udf_udtf_chunk",
-    "ev_asof_join_forward",
-    "src_python_datasource",
-    "src_python_datasource_streamed",
-    "udf_map_in_arrow",
-    "mm_decode_wav_stats",
-    "rel_dq_audit",
-    "rel_unpivot_segment_year",
-    "dedup_pagerank",
-    "rel_ivm_delta_agg",
-    "text_bigram_lift",
-    "mm_decode_ppm_stats",
-    "ev_ewma_hourly",
-    "rel_scd2_intervals",
-    "ev_stream_static_enrich",
-    "ann_pq_recall",
-    "text_span_dedup",
-    "text_containment_decontaminate",
-    "udf_count_min_topk",
-    "ev_value_histogram",
-    "ev_sliding_window_streamed",
-    "ev_sessionize_streamed",
-    "ann_pq_adc_search",
-    # -- red in CORRECTNESS_r03 (TIMESTAMP_NTZ drift), fixed this round:
-    # MUST land inside the ~50-entry driver prefix so the fix gets
-    # external CORRECTNESS_r04 evidence (VERDICT r3 item 1/2) (5) --
-    "ev_tumbling_hour_streamed",
-    "ev_sessionize",
-    "ev_asof_join",
-    "ev_range_join",
-    "udf_grouped_map_gaps",
-    # -- never driver-checked in rounds 1-3 (36; with 26 new + 5 fixed
-    # ahead of them only the first 19 fit a hard 50-entry cutoff — the
-    # low-risk plain window/array/JSON/percentile surfaces are
-    # positioned last so they are the ones to fall outside; all 160
-    # remain covered by the full local sweep, CHECKLOCAL_r04.md) --
-    "dedup_keep_best",
-    "ev_mad_outliers",
-    "ev_stream_dedup_ingest",
-    "ev_transition_matrix",
-    "ev_distinct_users_hourly",
-    "text_domain_mix_sample",
-    "text_source_quality_cap",
-    "text_shingle_rarity",
-    "vdb_gram_matrix",
-    "ann_kmeans_one_iter",
-    "mm_resize_images",
-    "mm_modality_stats",
-    "ev_click_attribution",
-    "ev_click_attribution_streamed",
-    "rel_partial_agg_merge",
-    "rel_bucketed_join_revenue",
-    "rel_q11_important_parts",
-    "rel_q12_priority_by_latency",
-    "rel_q13_order_count_distribution",
-    "rel_q20_promotion_suppliers",
+    # -- never driver-checked in rounds 1-4 (17): the last step to
+    # externally-verified 100% (VERDICT r4 next-round item 1) --
     "rel_merge_upsert",
     "rel_pivot_segment_year",
     "rel_window_lag_running",
@@ -123,18 +66,14 @@ _CHECK_PRIORITY = [
     "rel_array_higher_order",
     "rel_map_functions",
     "rel_json_roundtrip",
-    # -- canaries: only driver row is round-1 (9) --
-    "vdb_topk_dot",
-    "dedup_minhash_lsh",
-    "rel_q1_pricing_summary",
-    "rel_q5_region_revenue",
-    "text_bm25_topk",
-    "text_quality_filter",
-    "vdb_hybrid_rrf",
-    "vdb_mmr_rerank",
-    "dedup_simhash",
-    # ---- ~50-entry prefix boundary ----
-    # Remaining round-1-only evidence, next in line if the prefix runs long.
+    "rel_q20_promotion_suppliers",
+    # -- new in round 5, no driver row possible yet --
+    "mm_decode_png_stats",
+    "dedup_minhash_lsh_capped",
+    # -- round-1-only external evidence, oldest first; with 19 entries
+    # ahead only ~31 of these fit a hard 50-entry cutoff — the tail
+    # (plain scalar/date/set-op surfaces) is lowest-risk and falls
+    # outside; all queries remain covered by the full local sweep --
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -166,6 +105,7 @@ _CHECK_PRIORITY = [
     "rel_anti_join_customers",
     "rel_semi_join_customers",
     "rel_outer_join_counts",
+    # ---- ~50-entry prefix boundary ----
     "rel_q3_shipping_topn",
     "rel_q4_exists",
     "rel_rollup_orders",
@@ -174,6 +114,18 @@ _CHECK_PRIORITY = [
     "rel_date_functions",
     "rel_setops_customers",
     "rel_window_rank_customers",
+    # Remaining round-1-or-2-only evidence, next in line for round 6.
+    "vdb_batch_knn_lsh",
+    "vdb_mmr_rerank",
+    "vdb_hybrid_rrf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "text_bm25_topk",
+    "text_quality_filter",
+    "vdb_topk_dot",
+    "rel_q1_pricing_summary",
+    "rel_q5_region_revenue",
 ]
 
 

@@ -444,7 +444,7 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, "embedding", PQ_SUBS, PQ_SUBDIM).persist()
-    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM, PQ_SUBS)
     qlit = vector_literal(QUERY_VEC)
     qd = (
         cb.withColumn(
@@ -501,7 +501,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, "embedding", PQ_SUBS, PQ_SUBDIM).persist()
-    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM)
+    codes = pq_encode(emb, cb, "embedding", "vec_id", PQ_SUBDIM, PQ_SUBS)
     qlit = vector_literal(QUERY_VEC)
     qd = (
         cb.withColumn(

@@ -110,7 +110,7 @@ def udf_grouped_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS estimate_within_3rsd
+       TRUE AS estimate_within_4rsd
 FROM events GROUP BY event_type
 """,
     tags=("udf", "sketch", "agg"),
@@ -144,7 +144,7 @@ def udf_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= 0.08 * F.col("exact_users")
-        ).alias("estimate_within_3rsd"),
+        ).alias("estimate_within_4rsd"),
     )
 
 

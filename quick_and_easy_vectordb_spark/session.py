@@ -57,8 +57,13 @@ def get_spark(
         # needs executor-scale heap (32 threads on a 128 GiB box)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        # managed tables (bucketed writes) go to scratch, not the repo
-        .config("spark.sql.warehouse.dir", "/tmp/qev_spark_warehouse")
+        # managed tables (bucketed writes) go to scratch, not the repo.
+        # Per-process dir: each process also gets its own derby metastore,
+        # so a shared warehouse would let one process's orphan-location
+        # cleanup (writers.write_bucketed) delete a table a concurrent
+        # process's catalog still references. Pid-keyed dirs make that
+        # impossible; /tmp reaping handles the accumulation.
+        .config("spark.sql.warehouse.dir", f"/tmp/qev_spark_warehouse_{os.getpid()}")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -204,7 +204,7 @@ def main() -> None:
     )
     probes["pq_encode (codebook bcast + argmin)"] = lambda n: (
         lambda vecs: noop(
-            pq_encode(vecs, pq_codebook(vecs, "embedding", 4, 4), "embedding", "vec_id", 4)
+            pq_encode(vecs, pq_codebook(vecs, "embedding", 4, 4), "embedding", "vec_id", 4, 4)
         )
     )(synth_vecs(n // 4))
 
