@@ -32,7 +32,9 @@ from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 __all__ = [
     "exact_dedup",
     "minhash_signatures",
+    "lsh_band_table",
     "lsh_candidate_pairs",
+    "lsh_mega_clusters",
     "jaccard_pairs",
     "simhash_signatures",
     "embedding_near_dups",
@@ -111,21 +113,16 @@ def minhash_signatures(
     return pre.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     signatures: DataFrame,
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature into ``bands`` groups of ``num_hashes/bands``
-    rows; two docs are candidates iff they agree on ALL hashes of at
-    least one band (the standard LSH AND-OR construction).
-
-    One shuffle keyed on (band, band-key). Bucket member lists are
-    near-dup clusters, so they are small by construction; a
-    pathologically hot bucket (e.g. boilerplate shared by millions of
-    docs) should be filtered beforehand as its own dup-cluster rather
-    than pair-expanded — pairing a k-member bucket is O(k²) by nature.
-    """
+    """(id, band, key) relation: the signature split into ``bands``
+    groups of ``num_hashes/bands`` hashes, each group md5-collapsed to
+    a band key. Two docs land in the same (band, key) bucket iff they
+    agree on ALL hashes of that band (the AND half of the classic
+    AND-OR LSH construction)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -136,13 +133,48 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("key"))
         )
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Bucket-collect instead of a self-join: the upstream (signature
-    # computation) is evaluated ONCE, and pair expansion is a per-bucket
-    # array expression over the sorted member list. A self-join would
-    # re-evaluate the whole signature pipeline for each side.
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one full
+    band. One shuffle keyed on (band, band-key); pair expansion is a
+    per-bucket array expression over the sorted member list (a
+    self-join would re-evaluate the signature pipeline per side).
+
+    Hot-bucket cap (ENFORCED, round-5): pairing a k-member bucket is
+    O(k²) by nature, so a pathologically hot bucket — boilerplate
+    shared by 10⁶ docs at 100 TB — would pair-expand into 10¹² rows
+    and stall the stage. Buckets larger than ``max_bucket_size`` are
+    therefore EXCLUDED here and surfaced by :func:`lsh_mega_clusters`
+    as ready-made duplicate clusters instead: members of a hot bucket
+    already agree on a full band, which at that multiplicity is
+    overwhelming evidence of shared boilerplate — pairwise Jaccard
+    verification adds nothing but cost. The hot-bucket relation is
+    tiny by definition (≤ |buckets| / cap entries), so removing it is
+    a broadcast anti-join, not a second shuffle of the band table.
+    ``max_bucket_size=None`` disables the cap (unit-scale paths that
+    must enumerate every pair).
+    """
+    banded = lsh_band_table(signatures, num_hashes, bands)
+    if max_bucket_size is not None:
+        # banded feeds both the size count and the anti-join; persist so
+        # the upstream signature aggregation runs once.
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -162,6 +194,32 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_mega_clusters(
+    signatures: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """The buckets :func:`lsh_candidate_pairs` diverts: one row per
+    (band, key) whose membership exceeds ``max_bucket_size``, with
+    ``n_members`` and the canonical ``keep_id`` (min member id). This
+    is the linear-cost path for boilerplate mega-clusters — O(members)
+    aggregation state, no member list materialized, no pair expansion.
+    A duplicate group hot in every band yields ``bands`` rows (same
+    membership, different key), which downstream cluster resolution
+    collapses like any other overlapping buckets.
+    """
+    banded = lsh_band_table(signatures, num_hashes, bands)
+    return (
+        banded.groupBy("band", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_members") > max_bucket_size)
+    )
 
 
 def jaccard_pairs(

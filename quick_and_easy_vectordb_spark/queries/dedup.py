@@ -46,6 +46,9 @@ sh AS (
 """
 
 NUM_HASHES, BANDS, JACCARD_T = 12, 4, 0.5
+# Hot-bucket cap (operators/dedup.py:lsh_candidate_pairs): buckets with
+# more members skip O(k²) pair expansion and surface as mega-clusters.
+LSH_MAX_BUCKET = 64
 
 # Size-based plan choice for jaccard_pairs(prefilter=...): the
 # candidate semi-filter only amortizes when the corpus shingle table
@@ -109,9 +112,11 @@ bands AS (
          md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
   FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 ),
+bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz z ON z.band = a.band AND z.key = a.key AND z.n_members <= {LSH_MAX_BUCKET}
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -145,12 +150,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingles → 4 bands of 3 → band-bucket candidates → exact-Jaccard
     verify ≥ 0.5. No pairwise blowup anywhere; the shared shingle table
     is persisted so text is shingled exactly once (at cluster scale
-    this intermediate would be a checkpointed parquet table)."""
+    this intermediate would be a checkpointed parquet table). The
+    hot-bucket cap ({LSH_MAX_BUCKET}) is active and mirrored in the
+    oracle's bsz CTE; dedup_minhash_lsh_capped exercises the divert
+    path with a corpus that actually trips it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES)
-    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
     return jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+
+
+# 10-word boilerplate: normalizes to itself, ≥3 words → real shingles.
+_BOILER = (
+    "synthetic boilerplate header every page of this crawl shares verbatim"
+)
+_BOILER_COPIES = 200
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 2000000 + CAST(r AS BIGINT) AS doc_id, '{_BOILER}' AS text
+  FROM range({_BOILER_COPIES}) t(r)
+),
+normc AS (SELECT doc_id, {SQL_NORM} AS t FROM u),
+tokc AS (SELECT doc_id, string_split(t, ' ') AS w FROM normc WHERE t <> ''),
+shc AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM tokc),
+hpc AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM shc
+),
+mhc AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hpc CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bandc AS (
+  SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mhc GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
+)
+SELECT CAST(band AS BIGINT) AS band, key,
+       COUNT(*) AS n_members, MIN(doc_id) AS keep_id
+FROM bandc GROUP BY band, key HAVING COUNT(*) > {LSH_MAX_BUCKET}
+""",
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket divert path of the LSH pipeline (VERDICT r4 item 2):
+    the corpus is augmented with 200 verbatim copies of a
+    boilerplate doc, which share one bucket per band — a shape that
+    would pair-expand O(k²) without the cap. lsh_candidate_pairs
+    excludes those buckets (broadcast anti-join on the tiny hot set);
+    this query returns what it diverts via lsh_mega_clusters: one row
+    per hot (band, key) with its membership count and canonical
+    survivor, computed with O(members) aggregation state and no pair
+    expansion — the linear path boilerplate mega-clusters must take at
+    100 TB."""
+    from quick_and_easy_vectordb_spark.operators.dedup import lsh_mega_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(_BOILER_COPIES).select(
+        (F.lit(2000000) + F.col("id")).cast("long").alias("doc_id"),
+        F.lit(_BOILER).alias("text"),
+    )
+    corpus = docs.unionByName(boiler)
+    sh = shingle_table(corpus, "text", "doc_id", 3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    mega = lsh_mega_clusters(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    return mega.select(
+        F.col("band").cast("long").alias("band"),
+        "key",
+        F.col("n_members").cast("long").alias("n_members"),
+        "keep_id",
+    )
 
 
 @query(

@@ -84,3 +84,38 @@ def test_embedding_near_dups_blocked(spark):
              embedding_near_dups(df, threshold=0.95).collect()}
     assert (1, 2) in pairs
     assert all(p[0] != 4 and p[1] != 4 for p in pairs)
+
+
+def test_lsh_hot_bucket_cap_diverts_to_mega_clusters(spark):
+    from quick_and_easy_vectordb_spark.operators.dedup import lsh_mega_clusters
+
+    # 100 verbatim copies (ids 0-99) + 3 distinct docs: the copies share
+    # one bucket per band, far above the cap of 8.
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated verbatim everywhere").alias("text"),
+    )
+    # 200/201 normalize to the same text → identical signatures →
+    # candidate pair in every band, deterministically.
+    extra = spark.createDataFrame(
+        [(200, "a unique document about gardening and soil quality"),
+         (201, "A  Unique Document about  gardening and soil QUALITY"),
+         (202, "completely unrelated text regarding astrophysics")],
+        "doc_id long, text string",
+    )
+    df = base.unionByName(extra)
+    sigs = minhash_signatures(shingle_table(df), num_hashes=12)
+
+    capped = {(r.id_a, r.id_b)
+              for r in lsh_candidate_pairs(sigs, 12, 4, max_bucket_size=8).collect()}
+    # hot bucket's O(k²) pairs are gone; the small near-dup pair remains
+    assert (200, 201) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+    mega = lsh_mega_clusters(sigs, 12, 4, max_bucket_size=8).collect()
+    assert len(mega) == 4  # one hot bucket per band
+    assert all(r.n_members == 100 and r.keep_id == 0 for r in mega)
+
+    # uncapped enumerates the full bucket: 100*99/2 pairs per band, deduped
+    uncapped = lsh_candidate_pairs(sigs, 12, 4, max_bucket_size=None)
+    assert uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 4950

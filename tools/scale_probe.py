@@ -208,6 +208,40 @@ def main() -> None:
         )
     )(synth_vecs(n // 4))
 
+    # Round-5: pathological LSH hot bucket. 10% of docs are VERBATIM
+    # copies of one boilerplate text, so one bucket per band holds
+    # n//1000 members (60,000 at 30x — uncapped pair expansion would
+    # emit 1.8e9 rows from that bucket alone and stall the stage).
+    # With the enforced cap the hot buckets divert to the O(members)
+    # mega-cluster aggregate and wall-clock must stay ~linear.
+    from quick_and_easy_vectordb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_mega_clusters,
+    )
+
+    def synth_docs_hot(n_docs: int) -> DataFrame:
+        word = lambda i: F.concat(  # noqa: E731
+            F.lit("w"), F.pmod(F.hash("id", F.lit(i)), F.lit(5000)).cast("string")
+        )
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 10 == 0,
+                F.lit("shared boilerplate header every crawl page repeats verbatim"),
+            )
+            .otherwise(F.concat_ws(" ", *[word(i) for i in range(40)]))
+            .alias("text"),
+        )
+
+    def lsh_capped_probe(n: int) -> None:
+        sh = shingle_table(synth_docs_hot(n // 100), "text", "doc_id")
+        sigs = minhash_signatures(sh, 12).persist()
+        noop(lsh_candidate_pairs(sigs, 12, 4, 64))
+        noop(lsh_mega_clusters(sigs, 12, 4, 64))
+        sigs.unpersist()
+
+    probes["lsh_pairs (10% hot bucket, capped)"] = lsh_capped_probe
+
     lines = [
         "# SCALING — measured 1x→10x→30x growth of the core operator shapes",
         "",
