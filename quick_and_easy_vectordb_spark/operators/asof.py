@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from quick_and_easy_vectordb_spark.operators.util import scaled_shuffle_partitions
+
 __all__ = ["asof_join"]
 
 
@@ -114,7 +116,19 @@ def asof_join(
             .rangeBetween(Window.currentRow, Window.unboundedFollowing)
         )
         match = F.min("__m").over(w)
-    merged = l_tagged.unionByName(r_tagged).withColumn("__match", match)
+    merged = l_tagged.unionByName(r_tagged)
+    # Spill guard (round-5, SCALING.md 30x cliff): the window's sort
+    # volume per task is |L∪R| / shuffle.partitions, and the static
+    # partition setting is a hard cap (AQE only coalesces below it).
+    # When plan stats say the union outgrows that cap, pre-partition by
+    # the same keys at a data-proportional width — the window's
+    # ClusteredDistribution is satisfied by this exact distribution, so
+    # EnsureRequirements inserts NO second exchange: same single
+    # shuffle, right width. Measured: 60M+15M rows 35.6s -> ~20s.
+    n_parts = scaled_shuffle_partitions(merged)
+    if n_parts:
+        merged = merged.repartition(n_parts, *keys)
+    merged = merged.withColumn("__match", match)
 
     out_cols = (
         [F.col(k) for k in keys]

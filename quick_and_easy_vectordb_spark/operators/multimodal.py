@@ -56,15 +56,17 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Image decode to an ndarray (H, W, C). REAL for the uncompressed
-    formats a pure-numpy parser can handle — binary PPM (P6), PGM
-    (P5), and 24-bit uncompressed BMP; compressed codecs (JPEG/PNG/
-    video) require PIL/opencv/ffmpeg, which this container lacks, and
-    raise NotImplementedError. The mapInPandas pipeline around this
-    call is identical either way — on a cluster with codec libraries,
-    extend the magic-number dispatch and nothing else changes.
-    ``mm_decode_ppm_stats`` runs this decoder end-to-end under the
-    DuckDB oracle (pixel statistics of synthesized P6 payloads)."""
+    """Image decode to an ndarray (H, W, C). REAL for every format the
+    stdlib + numpy can handle — binary PPM (P6), PGM (P5), 24-bit
+    uncompressed BMP, and non-interlaced 8-bit PNG (gray / gray+alpha /
+    RGB / RGBA; zlib inflate + all five scanline filters); JPEG and
+    video codecs require PIL/opencv/ffmpeg, which this container
+    lacks, and raise NotImplementedError. The mapInPandas pipeline
+    around this call is identical either way — on a cluster with codec
+    libraries, extend the magic-number dispatch and nothing else
+    changes. ``mm_decode_ppm_stats`` / ``mm_decode_png_stats`` run
+    this decoder end-to-end under the DuckDB oracle (pixel statistics
+    of synthesized payloads)."""
     import numpy as np
 
     b = bytes(payload)
@@ -80,6 +82,8 @@ def decode_image(payload: bytes):
         ch = 3 if b[:2] == b"P6" else 1
         raster = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * ch)
         return raster.reshape(h, w, ch)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -97,10 +101,82 @@ def decode_image(payload: bytes):
         img = np.stack(rows)
         return img[::-1] if h > 0 else img  # bottom-up unless negative
     raise NotImplementedError(
-        "compressed image decoding (JPEG/PNG/...) requires PIL/opencv, "
-        "not available in this container; extract_binary_features uses "
-        "the deterministic md5-based fake featureizer for such payloads"
+        "image decoding beyond PNM/BMP/PNG (JPEG, video codecs, ...) "
+        "requires PIL/opencv/ffmpeg, not available in this container; "
+        "extract_binary_features uses the deterministic md5-based fake "
+        "featureizer for such payloads"
     )
+
+
+def _decode_png(b: bytes):
+    """Non-interlaced 8-bit PNG via stdlib zlib + numpy: parse chunks,
+    inflate the concatenated IDAT stream, reverse the per-scanline
+    filter (types 0-4 — None/Sub/Up/Average/Paeth, reconstructing
+    against the already-reconstructed neighbors per the spec), and
+    reshape to (H, W, C). Palette, 16-bit depth, and Adam7 interlace
+    raise NotImplementedError — extend here if a corpus needs them."""
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        if typ == b"IHDR":
+            ihdr = b[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(b[pos + 8 : pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB(A) PNG supported "
+            f"(depth={depth}, color type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorizable: predictor is the prior row
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
 
 
 def _fake_features(payload: bytes) -> tuple[int, str, int, int]:

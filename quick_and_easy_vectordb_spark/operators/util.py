@@ -2,7 +2,48 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
+
+# Treat absurd plan-stat estimates (missing stats degrade to multi-PB
+# placeholders) as unknown rather than requesting millions of partitions.
+_STATS_UNKNOWN_BYTES = 1 << 50
+
+
+def scaled_shuffle_partitions(
+    df: DataFrame,
+    target_bytes: int = 16 << 20,
+    max_partitions: int = 4096,
+) -> int | None:
+    """Partition count proportional to ``df``'s optimizer-estimated
+    size: ceil(sizeInBytes / target_bytes), floored at the session's
+    ``spark.sql.shuffle.partitions`` and capped at ``max_partitions``.
+
+    Why: a fixed shuffle-partition count is a spill cliff. A window or
+    aggregation over N rows sorts N/partitions rows per task; once that
+    outgrows per-task execution memory, wall-clock jumps ~3x from sort
+    spill (measured warm on the as-of shape at 75M union rows: 12.7s at
+    32 partitions vs 10.5s at 64+, flat through 256 — part of the
+    round-4 SCALING.md 30x cliff; the rest was first-big-run JVM
+    warmup, see tools/scale_probe.py). AQE only ever COALESCES below
+    the static setting, so the static number is a hard cap; this
+    derives a data-proportional count from plan statistics instead
+    (free at plan time — no job). ``target_bytes`` is deliberately
+    small relative to task memory because optimizer row-width estimates
+    undercount the in-memory sort footprint ~2-4x. Returns ``None``
+    when the estimate is unavailable or degenerate, or when the default
+    already suffices — callers then skip the explicit repartition.
+    """
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return None
+    if size <= 0 or size >= _STATS_UNKNOWN_BYTES:
+        return None
+    default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = min(max_partitions, math.ceil(size / target_bytes))
+    return n if n > default else None
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -65,10 +65,20 @@ def synth_docs(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 2)
+def timed(fn, repeats: int = 2) -> float:
+    """Min over ``repeats`` runs. The FIRST run at a new data size pays
+    one-time JVM costs unrelated to the operator shape (heap-region
+    commit, shuffle-file allocation, GC resize): measured 35.4s vs
+    12.7s for the identical as-of plan and config, back to back. The
+    min is the steady-state number — the one whose growth exponent
+    extrapolates."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
 
 
 def noop(df: DataFrame) -> None:
@@ -242,12 +252,62 @@ def main() -> None:
 
     probes["lsh_pairs (10% hot bucket, capped)"] = lsh_capped_probe
 
+    # Round-5: streaming sessionize state growth (VERDICT r4 item 8).
+    # 100 users x one NEW session per event (31-min spacing > the
+    # 30-min gap), so the state store carries n//10 session entries —
+    # the many-sessions-per-user shape that stresses per-key session
+    # state. Linear growth here means the session_window state store
+    # scales with session count, matching the batch story.
+    import shutil
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        read_events_stream,
+        stream_user_sessions,
+    )
+
+    def stream_sessionize_probe(n: int) -> None:
+        n_events = n // 10
+        base = tempfile.mkdtemp(prefix="qev_sess_probe_")
+        src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+        try:
+            ev = spark.range(n_events).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + (F.col("id") / 100).cast("long") * F.lit(31 * 60 * 1_000_000)
+                    + F.pmod(F.hash("id"), F.lit(60_000_000))
+                ).alias("ts"),
+                F.pmod(F.col("id"), F.lit(100)).alias("user_id"),
+                F.lit("click").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(src)
+            q = (
+                stream_user_sessions(read_events_stream(spark, src, 8))
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    probes["stream_sessionize (1 session/event state)"] = stream_sessionize_probe
+
     lines = [
         "# SCALING — measured 1x→10x→30x growth of the core operator shapes",
         "",
         "`python tools/scale_probe.py`: deterministic synthetic data via",
         f"`spark.range` ({BASE_ROWS:,} fact rows / {BASE_DOCS:,} docs at 1x,",
-        "scaled 10x and 30x), local[32]. Ratio <= the scale factor means",
+        "scaled 10x and 30x), local[32]. Each point is min-of-2 runs: the",
+        "first run at a new size pays one-time JVM costs (heap commit,",
+        "shuffle-file allocation) that measured up to 2.8x on identical",
+        "plans and would masquerade as superlinear growth — round 4's",
+        "single-shot 30x as-of point (28.06s) was mostly this effect",
+        "(steady-state is ~11-13s). Ratio <= the scale factor means",
         "at-worst-linear wall-clock growth; well under it means the smaller",
         "run underutilized cores. Superlinear would expose a shape problem",
         "(quadratic join, driver bottleneck, spill) — the 30x point exists",
