@@ -97,8 +97,8 @@ def main() -> None:
             {
                 "metric": f"headline-suite wall seconds ({len(timings)} queries: "
                 "chunk-embed-search pipeline, vector topk/knn, "
-                "dedup exact+minhash-lsh, quality filter + BM25, "
-                "TPC-H-ish Q1/Q3/Q5/Q21, event windows+sessionize+asof, "
+                "dedup exact+minhash-lsh+span, quality filter + BM25, "
+                "TPC-H-ish Q1/Q3/Q5/Q9/Q21, event windows+sessionize+asof, "
                 "merge-upsert, LSH probe)",
                 "value": total,
                 "unit": "sec",

@@ -483,6 +483,7 @@ SELECT span, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
 FROM sp GROUP BY span HAVING COUNT(*) >= 2
 """,
     tags=("dedup", "span", "agg"),
+    bench=True,
 )
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-SPAN detection (word 8-grams appearing in

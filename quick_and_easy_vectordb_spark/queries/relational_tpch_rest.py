@@ -131,6 +131,7 @@ FROM (
 GROUP BY nation, o_year
 """,
     tags=("relational", "tpch", "join", "agg"),
+    bench=True,
 )
 def rel_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: product-type profit by supplier nation and year.
