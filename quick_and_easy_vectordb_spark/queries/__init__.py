@@ -70,8 +70,17 @@ _CHECK_PRIORITY = [
     # -- new in round 5, no driver row possible yet --
     "mm_decode_png_stats",
     "dedup_minhash_lsh_capped",
-    # -- round-1-only external evidence, oldest first; with 19 entries
-    # ahead only ~31 of these fit a hard 50-entry cutoff — the tail
+    "rel_bloom_semi_join",
+    "rel_rfm_segmentation",
+    "ev_hourly_ohlc",
+    "dedup_minhash_estimate_quality",
+    "dedup_graph_triangles",
+    "dedup_rate_by_source",
+    "text_bottomk_sample",
+    "ev_stream_stateful_totals",
+    "ann_ivf_pq_search",
+    # -- round-1-only external evidence, oldest first; with 28 entries
+    # ahead only ~22 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls
     # outside; all queries remain covered by the full local sweep --
     "dedup_exact",
@@ -96,6 +105,7 @@ _CHECK_PRIORITY = [
     "text_chunking",
     "text_fingerprint",
     "text_langid_confusion",
+    # ---- ~50-entry prefix boundary (28 head entries above + 22 here) ----
     "text_pack_sequences",
     "text_stats_by_lang",
     "text_tfidf_keywords",
@@ -105,7 +115,6 @@ _CHECK_PRIORITY = [
     "rel_anti_join_customers",
     "rel_semi_join_customers",
     "rel_outer_join_counts",
-    # ---- ~50-entry prefix boundary ----
     "rel_q3_shipping_topn",
     "rel_q4_exists",
     "rel_rollup_orders",

@@ -531,3 +531,119 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
     )
+
+
+IVFPQ_NPROBE, IVFPQ_CAND = 2, 50
+
+
+@query(
+    "ann_ivf_pq_search",
+    oracle=f"""
+{SQL_PQ_ADC},
+posc AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+elc AS (
+  SELECT label, posc.pos AS pos, CAST(embedding[posc.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN posc
+),
+centc AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM elc GROUP BY label, pos
+),
+qc AS (
+  SELECT posc.pos AS pos, CAST(v[posc.pos] AS DOUBLE) AS qv
+  FROM (SELECT {sql_vec(QUERY_VEC)} AS v) CROSS JOIN posc
+),
+dc AS (
+  SELECT centc.label,
+         CAST(CAST(SUM(CAST((centc.c - qc.qv) * (centc.c - qc.qv)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist2
+  FROM centc JOIN qc ON qc.pos = centc.pos
+  GROUP BY centc.label
+),
+probed AS (SELECT label FROM dc ORDER BY dist2, label LIMIT {IVFPQ_NPROBE}),
+cand AS (
+  SELECT e.vec_id, a.adc_dist2
+  FROM embeddings e
+  JOIN probed p ON e.label = p.label
+  JOIN adc a ON a.id = e.vec_id
+  ORDER BY a.adc_dist2, e.vec_id LIMIT {IVFPQ_CAND}
+)
+SELECT e.vec_id, c.adc_dist2, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+ORDER BY l2_dist, e.vec_id LIMIT 10
+""",
+    tags=("ann", "ivf", "pq", "quantization", "topk"),
+)
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite index search — the Faiss `IVFx,PQy` default for
+    billion-vector corpora, here as a pure DataFrame composition of the
+    two oracle-checked stages: the IVF coarse quantizer prunes the scan
+    to the {IVFPQ_NPROBE} nearest cells (per-label decimal-exact
+    centroids; with label-partitioned storage the other cells are
+    partition-pruned, never read), PQ ADC ranks ONLY the probed cells'
+    code rows against the 32-entry broadcast lookup table, and exact L2
+    reranks the top-{IVFPQ_CAND} shortlist.
+
+    The codebook trains on the FULL corpus (matching a production flow
+    where training is a one-off batch job independent of per-query
+    probing), so per-vector ADC distances are identical whether or not
+    a cell is probed — which is what lets the oracle compute ADC
+    globally and intersect, while Spark encodes only the probed
+    fraction. Scan cost per query: |corpus|·nprobe/cells code bytes +
+    {IVFPQ_CAND} full vectors — the multiplicative combination of the
+    two prunings, vs either alone."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlit = vector_literal(QUERY_VEC)
+
+    # Coarse stage: top-nprobe cells by centroid distance.
+    cent = centroids_by_key(emb, "embedding", "label")
+    qv = F.element_at(qlit, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qv) * (F.col("c") - qv))
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)")).cast("double").alias("dist2")
+        )
+    )
+    probed = (
+        dist2.orderBy("dist2", "key")
+        .limit(IVFPQ_NPROBE)
+        .select(F.col("key").alias("plabel"))
+    )
+    cell = emb.join(F.broadcast(probed), emb.label == F.col("plabel")).drop("plabel")
+
+    # Fine stage: ADC over the probed cells only, codebook from the
+    # full corpus (training is probe-independent).
+    cb = pq_codebook(emb, "embedding", PQ_SUBS, PQ_SUBDIM).persist()
+    codes = pq_encode(cell, cb, "embedding", "vec_id", PQ_SUBDIM, PQ_SUBS)
+    qd = (
+        cb.withColumn(
+            "qv",
+            F.element_at(qlit, (F.col("m") * PQ_SUBDIM + F.col("j") + 1).cast("int")),
+        )
+        .withColumn("qdiff2", (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+        .groupBy("m", "k")
+        .agg(F.sum(F.col("qdiff2").cast("decimal(30,10)")).alias("qdist2"))
+    )
+    cand = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .groupBy("id")
+        .agg(F.sum("qdist2").cast("double").alias("adc_dist2"))
+        .orderBy("adc_dist2", "id")
+        .limit(IVFPQ_CAND)
+    )
+    return (
+        emb.join(F.broadcast(cand), emb.vec_id == F.col("id"))
+        .select(
+            "vec_id",
+            "adc_dist2",
+            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )

@@ -490,3 +490,34 @@ def text_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _CAP_PER_SOURCE)
     )
+
+
+@query(
+    "text_bottomk_sample",
+    oracle="""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw
+FROM documents
+ORDER BY draw, doc_id LIMIT 100
+""",
+    tags=("pipeline", "sampling", "curation"),
+)
+def text_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k uniform sample WITHOUT replacement: keep the 100
+    documents with the smallest md5(doc_id) — the classic bottom-k /
+    KMV construction. Unlike `TABLESAMPLE`/`rand()` the membership is
+    a pure function of the ids: reproducible across engines, runs,
+    partitionings, AND monotone under corpus growth (a doc only leaves
+    the sample when a smaller-hash doc arrives — exactly the property
+    that makes bottom-k sketches mergeable across shards and lets a
+    100 TB pipeline maintain a rolling held-out set without
+    re-sampling history).
+
+    Plan shape: per-row hash at scan speed, then TakeOrderedAndProject
+    — each partition forwards only its local bottom-100, the driver
+    merges; no shuffle, no global sort."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("draw"))
+        .orderBy(F.asc("draw"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -699,3 +699,162 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.orderBy(F.desc("pr"), F.asc("id")).limit(20)
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+est AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         CAST(SUM(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+           / {NUM_HASHES} AS est_jaccard
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, jaccard, est_jaccard,
+       abs(est_jaccard - jaccard) AS abs_err
+FROM est ORDER BY abs_err DESC, id_a, id_b LIMIT 20
+""",
+    tags=("dedup", "minhash", "metric"),
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash family: for every VERIFIED
+    near-dup pair, the signature-agreement estimate of Jaccard
+    (matching hashes / {NUM_HASHES}) against the exact shingle-set
+    Jaccard, ranked by absolute error — the table that tells you
+    whether {NUM_HASHES} hashes/{BANDS} bands is enough resolution for
+    your threshold or the sketch needs widening (the estimator's std
+    dev is sqrt(J(1-J)/k) ≈ 0.14 at J=0.5, k=12 — errors well beyond
+    that flag skewed shingle sets, not bad luck). The analog of
+    ann_recall_at_k for the dedup family: the approximation itself is
+    measured, deterministically.
+
+    Plan shape at 100 TB: the verified-pair table is a vanishing
+    fraction of the corpus; two hash joins key it to the O(docs)
+    signature table (doc-id equi-joins, no expansion), then a
+    {NUM_HASHES}-term integer comparison sums per pair. Everything
+    reuses the persisted shingle table — text is shingled once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    )
+    est = (F.lit(1.0) * matches / NUM_HASHES).alias("est_jaccard")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "jaccard", est)
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+        .orderBy(F.desc("abs_err"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+wedges AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN pairs e3 ON e3.id_a = w.a AND e3.id_b = w.c
+)
+SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+""",
+    tags=("dedup", "graph", "metric"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph — the structure
+    probe behind cluster-quality decisions: triangles mean transitive
+    duplicate groups (safe to collapse via connected components),
+    while many wedges with few triangles mean chain-shaped clusters
+    where transitive merging over-collapses (A~B~C but A≁C) and a
+    stricter threshold or centroid-based resolution is warranted.
+
+    Counting uses the ORDERED-edge formulation (all edges stored
+    a < b): a wedge is e1(a,b)·e2(b,c) — each undirected 2-path counted
+    exactly once from its ordered ends — and a triangle closes the
+    wedge with e3(a,c); every undirected triangle a<b<c is counted
+    exactly once. This is the standard O(E^1.5)-work equi-join triangle
+    count: at 100 TB scale the join is keyed by vertex id (one shuffle
+    of the edge list per hop), never a cross product, and the near-dup
+    edge list is already a vanishing fraction of the corpus. Degenerate
+    hubs are pre-capped upstream by the LSH hot-bucket divert
+    (operators/dedup.py:lsh_candidate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = (
+        jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = pairs.withColumnRenamed("id_a", "a").withColumnRenamed(
+        "id_b", "b"
+    ).join(e2, "b")
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = wedges.join(e3, ["a", "c"])
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH h AS (SELECT source, md5({SQL_NORM}) AS ch FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique,
+       1.0 - CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM h GROUP BY source
+""",
+    tags=("dedup", "report", "agg"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact-duplication audit: documents vs distinct
+    normalized-content hashes per source, and the implied duplicate
+    rate — the first report a curation run produces, because dup rate
+    varies wildly by origin (crawl snapshots ~30-60%, curated corpora
+    ~0%) and drives which sources earn the expensive near-dup pass.
+
+    Plan shape at 100 TB: text collapses to a 32-byte md5 at scan
+    time; COUNT(DISTINCT hash) per source compiles to a two-stage
+    aggregation — partial distinct on (source, hash), then the per-
+    source count — so the shuffle carries one row per distinct hash,
+    never document text. Skewed sources (one crawl dominating) spread
+    across partitions in stage 1 because the key includes the hash."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from quick_and_easy_vectordb_spark.functions.text import normalized_text
+
+    h = docs.select("source", F.md5(normalized_text("text")).alias("ch"))
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ch").alias("n_unique"),
+        (1.0 - F.countDistinct("ch").cast("double") / F.count(F.lit(1))).alias(
+            "dup_rate"
+        ),
+    )

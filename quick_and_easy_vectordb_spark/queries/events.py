@@ -1395,3 +1395,111 @@ def ev_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "ev_hourly_ohlc",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+)
+SELECT event_type, hour_us,
+       (min({{'us': us, 'id': event_id, 'v': value}})).v AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       (max({{'us': us, 'id': event_id, 'v': value}})).v AS close_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_DSUM_VAL} AS volume
+FROM e GROUP BY 1, 2
+""",
+    tags=("events", "timeseries", "ohlc", "agg"),
+)
+def ev_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly OHLC (open/high/low/close) bars plus count and
+    decimal-exact volume — the canonical time-series downsampling shape
+    (financial candlesticks, metrics rollups). "Open" and "close" are
+    the values of the chronologically first/last event in the bar.
+
+    First/last are computed as ``min/max(struct(us, event_id, value))``
+    — a single order-insensitive aggregate, NOT a window + row_number
+    pass, so the whole query is one map-side-combined aggregation with
+    one shuffle of (type, hour) partials and no per-key sort. Struct
+    min/max compares fields lexicographically (ts, then the unique
+    event_id, so the value field never decides), which DuckDB's struct
+    ``min/max`` mirrors exactly — first/last is deterministic on any
+    partitioning, unlike a bare ``first_value`` over a non-unique
+    ordering. At 100 TB this is the same plan as any keyed rollup:
+    partials are 4 numbers + 2 structs per (type, hour) per partition.
+
+    Reference context: the reference app (app.py:1-193) has no temporal
+    operators; this is pipeline-extension surface (SURVEY.md §2b)."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    tagged = ev.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("id"),
+            F.col("value").alias("v"),
+        ).alias("tv"),
+        "value",
+    )
+    return tagged.groupBy("event_type", "hour_us").agg(
+        F.min("tv").getField("v").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max("tv").getField("v").alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("volume"),
+    )
+
+
+@query(
+    "ev_stream_stateful_totals",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+FROM events GROUP BY user_id
+""",
+    tags=("events", "streaming", "stateful", "applyInPandasWithState"),
+)
+def ev_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator promoted to a CORRECTNESS
+    row: per-user (count, first-seen, last-seen) carried in an explicit
+    applyInPandasWithState GroupState across micro-batches
+    (streaming/windows.py:stream_user_activity_state) — the surface
+    for per-entity accumulators no built-in window expresses. The
+    state tuple is ALL-INTEGER, so unlike a running double sum the
+    totals are exact under any micro-batch split or in-batch row
+    order, which is what makes an external hash check possible at all.
+
+    Update-mode emissions are monotone per key (count only grows,
+    first_us only shrinks, last_us only grows), so the final state is
+    recovered from the append-everything memory sink with one
+    max/min/max aggregation; the oracle is the plain batch GROUP BY.
+    State store size is bounded by user cardinality, not event volume
+    — the 100 TB scaling argument for this operator family."""
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_user_activity_state,
+    )
+
+    sink = "ev_stream_stateful_totals_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_state_")
+    src = _stream_events_source(spark, d)
+    q = (
+        stream_user_activity_state(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )

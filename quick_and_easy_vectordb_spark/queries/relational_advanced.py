@@ -904,3 +904,139 @@ def rel_unpivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("yr", list(_SEGS), "segment", "revenue")
         .filter(F.col("revenue").isNotNull())
     )
+
+
+@query(
+    "rel_bloom_semi_join",
+    oracle=f"""
+SELECT l_returnflag,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+    tags=("relational", "join", "runtime-filter", "bloom"),
+)
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of the fact table against a selective dimension
+    predicate, executed as an explicit BLOOM RUNTIME FILTER
+    (operators/bloom.py): urgent-order keys hash into a 2^16-bit filter
+    built by one tiny aggregation, the ~8 KB word array broadcasts to
+    the lineitem scan where three bit-tests run inside whole-stage
+    codegen, and only surviving rows enter the exact semi-join that
+    removes the bloom's false positives. The result is row-identical to
+    the plain semi-join (the oracle) — what changes is WHERE rows die:
+    before the join shuffle instead of inside it.
+
+    At 100 TB this is the difference between shuffling the full fact
+    table (~600 B/row x 10^11 rows) and shuffling ~selectivity of it
+    plus a <=1% false-positive tail; it is also exactly what Spark's
+    own ``runtime.bloomFilter`` optimization injects when its
+    heuristics fire — expressed here as a first-class operator so the
+    pruning is guaranteed, tunable (m_bits, k), and usable on plan
+    shapes the optimizer declines."""
+    from quick_and_easy_vectordb_spark.operators.bloom import bloom_semi_join
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "rel_rfm_segmentation",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {_dsum('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+),
+g AS (
+  SELECT MAX(o_orderdate) AS max_date,
+         CAST(COUNT(*) AS BIGINT) AS total_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+         {_davg('o_totalprice')} AS avg_price
+  FROM orders
+)
+SELECT (last_order >= max_date - INTERVAL 180 DAY) AS recent,
+       (n_orders * n_cust >= total_orders) AS frequent,
+       (spend > n_orders * avg_price) AS high_value,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders
+FROM cust CROSS JOIN g
+GROUP BY 1, 2, 3
+""",
+    tags=("relational", "segmentation", "agg"),
+)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard marketing-analytics cube. Each customer gets three
+    boolean scores against DATA-DERIVED thresholds: ordered within 180
+    days of the corpus's last order (R), order count at or above the
+    global mean (F, compared as the integer cross-multiply
+    ``n_orders * n_cust >= total_orders`` so no division is involved),
+    and spend above ``n_orders x global avg order value`` (M — i.e.
+    their average order is above the global average). Output: the 8
+    segment cells with customer and order counts.
+
+    Determinism: R compares exact timestamps (MAX is order-independent,
+    interval arithmetic is exact micros); F is pure integers; M
+    multiplies the customer's decimal-exact spend (dsum) against
+    ``n_orders * avg_price`` where avg_price is the decimal-exact
+    global davg — every operand is bit-identical across engines, so
+    the strict inequality cannot flip.
+
+    Plan shape at 100 TB: one groupBy(custkey) aggregation of orders
+    (map-side partials), one 1-row global aggregate broadcast back
+    (BroadcastNestedLoopJoin of a single row — free), one 8-cell final
+    aggregation. No fact-table join anywhere."""
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("cust_orders"),
+        dsum("o_totalprice").alias("spend"),
+    )
+    g = o.agg(
+        F.max("o_orderdate").alias("max_date"),
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+    return (
+        cust.join(F.broadcast(g))
+        .select(
+            (
+                F.col("last_order")
+                >= F.col("max_date") - F.expr("INTERVAL 180 DAY")
+            ).alias("recent"),
+            (F.col("cust_orders") * F.col("n_cust") >= F.col("total_orders")).alias(
+                "frequent"
+            ),
+            (F.col("spend") > F.col("cust_orders") * F.col("avg_price")).alias(
+                "high_value"
+            ),
+            "cust_orders",
+        )
+        .groupBy("recent", "frequent", "high_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cust_orders").alias("n_orders"),
+        )
+    )

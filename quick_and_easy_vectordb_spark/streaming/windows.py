@@ -267,3 +267,55 @@ def stream_upsert_sink(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_user_activity_state(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """applyInPandasWithState variant of the per-user accumulator whose
+    state is ALL-INTEGER — (n_events, first_us, last_us) — so the
+    emitted totals are exact under any micro-batch split or in-batch
+    row order (count is associative; min/max are order-free), unlike a
+    running double sum. This is the oracle-checkable face of
+    stream_user_running_totals: same GroupState mechanics, hash-stable
+    output. Update-mode emissions are monotone per key (count grows,
+    first_us only shrinks, last_us only grows), so the FINAL state is
+    recoverable from an update-mode sink by aggregating max/min/max."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, first_us, last_us = state.get
+        else:
+            n, first_us, last_us = 0, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["us"]
+            n += len(pdf)
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, first_us long, last_us long",
+            "n long, first_us long, last_us long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
