@@ -79,8 +79,12 @@ _CHECK_PRIORITY = [
     "text_bottomk_sample",
     "ev_stream_stateful_totals",
     "ann_ivf_pq_search",
-    # -- round-1-only external evidence, oldest first; with 28 entries
-    # ahead only ~22 of these fit a hard 50-entry cutoff — the tail
+    "mm_audio_frame_energy",
+    "vdb_upsert_vectors",
+    "text_boilerplate_flag",
+    "ev_hourly_ohlc_streamed",
+    # -- round-1-only external evidence, oldest first; with 32 entries
+    # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls
     # outside; all queries remain covered by the full local sweep --
     "dedup_exact",
@@ -101,12 +105,11 @@ _CHECK_PRIORITY = [
     "vdb_quantized_search",
     "vdb_range_search",
     "vdb_search_after",
+    # ---- ~50-entry prefix boundary (32 head entries above + 18 here) ----
     "vdb_threshold_filter",
     "text_chunking",
     "text_fingerprint",
     "text_langid_confusion",
-    # ---- ~50-entry prefix boundary (28 head entries above + 22 here) ----
-    "text_pack_sequences",
     "text_stats_by_lang",
     "text_tfidf_keywords",
     "text_token_count",

@@ -858,3 +858,67 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+@query(
+    "text_boilerplate_flag",
+    oracle=f"""
+WITH {SQL_SPANS8},
+rep AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+per AS (
+  SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN r.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated
+  FROM sp LEFT JOIN rep r USING (span)
+  GROUP BY sp.doc_id
+)
+SELECT doc_id, n_spans, n_repeated,
+       CAST(n_repeated AS DOUBLE) / n_spans AS repeated_frac
+FROM per WHERE n_repeated > 0
+""",
+    tags=("dedup", "span", "curation"),
+)
+def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT boilerplate flagging — the consumer of
+    text_span_dedup's repeated-span catalog: for each document, how
+    many of its distinct word 8-grams appear in ≥2 corpus documents,
+    and what fraction of the document that is. This is the scoring
+    pass of exact-substring dedup (Lee et al. 2022): documents with
+    high repeated_frac are templated/boilerplate pages a curation run
+    drops or truncates; the span catalog alone can't tell you WHICH
+    documents to act on.
+
+    Plan shape at 100 TB: spans are distinct-ed per document at map
+    time; one span-keyed aggregation builds the repeated catalog, one
+    span-keyed join scores membership (both map-side-combined,
+    shuffling (span, partial) rows, never text), then a doc-keyed agg.
+    The catalog never collects to the driver — at corpus scale it is
+    itself a big table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(word_shingles("text", 8)).alias("span"))
+        .persist()
+    )
+    rep = (
+        sp.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("is_rep"))
+    )
+    per = (
+        sp.join(rep, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).alias("n_repeated"),
+        )
+    )
+    return per.filter(F.col("n_repeated") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_repeated",
+        (F.col("n_repeated").cast("double") / F.col("n_spans")).alias(
+            "repeated_frac"
+        ),
+    )

@@ -1503,3 +1503,72 @@ def ev_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_us").alias("first_us"),
         F.max("last_us").alias("last_us"),
     )
+
+
+@query(
+    "ev_hourly_ohlc_streamed",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         epoch_us(ts) AS us, event_id, value
+  FROM events
+)
+SELECT event_type, hour_us,
+       (min({{'us': us, 'id': event_id, 'v': value}})).v AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       (max({{'us': us, 'id': event_id, 'v': value}})).v AS close_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "timeseries", "ohlc"),
+)
+def ev_hourly_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_hourly_ohlc executed THROUGH Structured Streaming: OHLC bars
+    are a pure aggregation (open/close = order-insensitive min/max over
+    (ts, id, value) structs), so the IDENTICAL agg runs incrementally
+    over the event-time window — each micro-batch merges its partial
+    structs into window state exactly like batch partial aggregation,
+    which is why no sort-dependent 'first/last' is needed and the
+    streamed result can hash-match the batch oracle. Complete output
+    mode over availableNow; state per (type, window) is 4 numbers + 2
+    structs regardless of event volume — the incremental-candlestick
+    topology every metrics/trading pipeline runs."""
+    sink = "ev_hourly_ohlc_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_ohlc_")
+    src = _stream_events_source(spark, d)
+    tv = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("id"),
+        F.col("value").alias("v"),
+    )
+    agg = (
+        src.select("event_type", "ts", "value", "event_id", tv.alias("tv"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min("tv").getField("v").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max("tv").getField("v").alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

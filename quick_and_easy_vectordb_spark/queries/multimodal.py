@@ -511,3 +511,87 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, "doc_id long, n_samples long, sample_sum long, energy long"
     )
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, i, ((doc_id * 7 + i * 13) % 4096) - 2048 AS s FROM smp
+)
+SELECT doc_id, CAST(i // 16 AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+       CAST(SUM(s * s) AS BIGINT) AS frame_energy
+FROM v GROUP BY 1, 2
+""",
+    tags=("multimodal", "decode", "audio", "framing", "mapInPandas"),
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio feature extraction — the step after decode in
+    any speech pipeline (VAD, loudness normalization, spectrogram
+    prep): each document's synthesized 16-bit PCM WAV (identical
+    signal to mm_decode_wav_stats) is parsed by the REAL RIFF decoder
+    (operators/multimodal.py:decode_audio), split into non-overlapping
+    16-sample frames, and reduced to per-frame energy Σs² — a
+    VARIABLE-row fan-out (one input row → ⌈n/16⌉ frame rows) through
+    the same Arrow mapInPandas channel. All integers, so the
+    closed-form SQL oracle matches bit-for-bit including the ragged
+    final frame.
+
+    Plan shape at 100 TB: framing is per-row work inside one
+    mapInPandas pass over binary payloads — zero shuffle; downstream
+    consumers aggregate frames with ordinary keyed aggregations.
+    Reference context: the reference (app.py:1-193) has no audio path;
+    this is SURVEY.md §2b multimodal extension surface."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    FRAME = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_in_frame": [],
+                "frame_energy": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)  # the real parser
+                assert rate == 8000 and audio.shape == (n, 1)
+                a = audio[:, 0].astype(np.int64)
+                for f in range((n + FRAME - 1) // FRAME):
+                    seg = a[f * FRAME : (f + 1) * FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_in_frame"].append(int(len(seg)))
+                    out["frame_energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, "doc_id long, frame_idx long, n_in_frame long, frame_energy long"
+    )

@@ -1059,3 +1059,62 @@ def vdb_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_score"), F.asc("label"))
         .limit(5)
     )
+
+
+@query(
+    "vdb_upsert_vectors",
+    oracle=f"""
+WITH upserted AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 31 = 0
+              THEN list_transform({_EMB}, x -> -x)
+              ELSE {_EMB} END AS e,
+         CASE WHEN vec_id % 31 = 0 THEN label + 100 ELSE label END AS label
+  FROM embeddings
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       {sql_dot('e', _Q)} AS similarity
+FROM upserted
+ORDER BY similarity DESC, vec_id LIMIT 5
+""",
+    tags=("vector", "dml", "upsert", "topk"),
+)
+def vdb_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store DML: re-embedding a slice of the corpus. Every 31st
+    vector arrives as an update (embedding negated, label shifted by
+    100 — a stand-in for "document re-embedded with a new model
+    revision"), is MERGEd into the corpus by key through the same
+    upsert operator the relational surface uses (operators/merge.py:
+    update-wins full-outer merge), and a top-5 dot-product search runs
+    over the post-merge corpus — exactly the refresh-then-serve cycle
+    a production vector store runs continuously. The reference can
+    only append (app.py:118, pd.concat); keyed update is part of the
+    engine's extension surface (SURVEY.md §2b).
+
+    Plan shape at 100 TB: the delta is a filtered scan of the corpus
+    (in production: the incoming batch); the merge is one full-outer
+    hash join on vec_id; the search afterwards is the standard narrow
+    scan + TakeOrderedAndProject. With the corpus bucketed on vec_id
+    (sources/writers.py:write_bucketed) the merge join is shuffle-free
+    on the corpus side."""
+    from quick_and_easy_vectordb_spark.operators.merge import upsert
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    delta = emb.filter(F.col("vec_id") % 31 == 0).select(
+        "vec_id",
+        F.transform("e", lambda x: -x).alias("e"),
+        (F.col("label") + 100).alias("label"),
+    )
+    merged = upsert(emb, delta, on="vec_id")
+    q = vector_literal(QUERY_VEC)
+    return (
+        merged.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            dot_product(F.col("e"), q).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -319,3 +319,96 @@ def stream_user_activity_state(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_type_activity_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The same all-integer activity accumulator via Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState: typed state handles (ValueState here;
+    ListState/MapState/timers exist) owned by a StatefulProcessor
+    object, RocksDB-backed state store. Grouped by event_type (5 keys)
+    so the two stateful APIs are exercised on different key shapes.
+
+    Caller must have set
+    spark.sql.streaming.stateStore.providerClass to the RocksDB
+    provider BEFORE starting the query — transformWithState refuses
+    the default HDFS-backed store.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server; this container has no
+    ``google.protobuf``, so the operator cannot execute here (verified:
+    the stream terminates with ImportError from the worker). It ships
+    import-gated with a skip-marked test; where protobuf is installed
+    it is drop-in. The applyInPandasWithState twin
+    (stream_user_activity_state / ev_stream_stateful_totals) carries
+    the oracle-checked stateful-streaming evidence in this container."""
+    try:  # noqa: SIM105 — surface a clear error at call time, not import time
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(not present in this environment)"
+        ) from e
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    class ActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("activity", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, first_us, last_us = self._state.get()
+            else:
+                n, first_us, last_us = 0, None, None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                us = pdf["us"]
+                n += len(pdf)
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("us", F.unix_micros("ts"))
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=ActivityProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -8,12 +8,25 @@ small join side, and no Python in JVM-expressible hot paths.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.vector import dot_product, vector_literal
 from quick_and_easy_vectordb_spark.operators.search import batch_knn, top_k_by_dot
 from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan-shape assertions must see the query's OWN plan. Other tests
+    (e.g. the fixture smoke suite) run registered queries that persist
+    shared subplans (shingle/span tables); Spark's cache manager then
+    substitutes InMemoryTableScan into any matching fragment here,
+    changing exchange counts order-dependently. Clear before each
+    plan test."""
+    spark.catalog.clearCache()
+    yield
 
 
 def physical(df) -> str:
