@@ -83,6 +83,11 @@ _CHECK_PRIORITY = [
     "vdb_upsert_vectors",
     "text_boilerplate_flag",
     "ev_hourly_ohlc_streamed",
+    "rel_lateral_topn",
+    "rel_correlated_scalar_subquery",
+    "rel_recursive_engagement_ladder",
+    "vdb_delete_vectors",
+    "vdb_centroid_routing",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

@@ -1040,3 +1040,146 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cust_orders").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated / lateral / recursive subquery surface (round 5 batch 2).
+# The reference has no query language at all (app.py is imperative
+# pandas); these pin down the decorrelation machinery a real engine
+# needs: Catalyst rewrites each into joins, and the oracle checks the
+# rewrite is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c.c_custkey, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@query(
+    "rel_lateral_topn",
+    oracle=_LATERAL_SQL,
+    tags=("relational", "lateral", "topn", "sql"),
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via a correlated LATERAL subquery — the 'for
+    each outer row, run this parameterized inner query' surface. The
+    SQL text is byte-identical in Spark and DuckDB; what differs is
+    the physical strategy, and that is the point of the test: Catalyst
+    decorrelates the LATERAL LIMIT into a ranked window join rather
+    than re-executing the inner query per nation.
+
+    Plan shape at 100 TB: with nation as the tiny side, the
+    decorrelated plan is one shuffle of customer by nationkey with a
+    per-key top-2 heap (WindowGroupLimit pushes the LIMIT below the
+    sort) — never a nested re-scan of customer per outer row, which is
+    what a naive lateral executor would do and what kills correlated
+    queries at scale."""
+    from quick_and_easy_vectordb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+_CORR_AVG = (
+    "CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)"
+)
+
+
+@query(
+    "rel_correlated_scalar_subquery",
+    oracle=f"""
+SELECT n.n_name,
+       COUNT(*) AS n_above,
+       {_dsum('c.c_acctbal')} AS above_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+  SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY n.n_name
+""",
+    tags=("relational", "subquery", "correlated", "sql"),
+)
+def rel_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery in a predicate: customers whose
+    balance beats their own nation's average, rolled up per nation.
+    Catalyst decorrelates the per-row aggregate subquery into one
+    groupBy(nationkey) + join — executed once over the whole table,
+    not once per row.
+
+    Determinism across engines: the inner average is the decimal-exact
+    sum (associative int128 adds, any partitioning) divided once by
+    the count, so both engines compare against the bit-identical
+    double and the strict `>` can never flip on fold order.
+
+    Plan shape at 100 TB: two scans of customer (one aggregated
+    map-side to ~|nations| rows, broadcast back) + one broadcast join
+    to nation. No per-row re-execution, no shuffle of the wide side
+    beyond the final 25-group rollup."""
+    from quick_and_easy_vectordb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(f"""
+        SELECT n.n_name,
+               COUNT(*) AS n_above,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+                 AS above_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+          SELECT {_CORR_AVG}
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY n.n_name
+    """)
+
+
+_LADDER_SQL = """
+WITH RECURSIVE ladder (k) AS (
+  SELECT 1
+  UNION ALL
+  SELECT k + 1 FROM ladder WHERE k < 8
+),
+uc AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(k AS BIGINT) AS k,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM ladder JOIN uc ON uc.n_events >= ladder.k
+GROUP BY k
+"""
+
+
+@query(
+    "rel_recursive_engagement_ladder",
+    oracle=_LADDER_SQL,
+    tags=("relational", "recursive-cte", "sql"),
+)
+def rel_recursive_engagement_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE surface (iteration expressed in SQL): an
+    engagement ladder — for each k = 1..8, how many users produced at
+    least k events and how many events they account for. The recursive
+    member generates the k-ladder; the probe is a θ-join against the
+    per-user counts. All-integer arithmetic, so the two engines agree
+    bit-for-bit with no decimal scaffolding.
+
+    Plan shape at 100 TB: the recursion produces 8 driver-side rows
+    (depth is a constant, not data-dependent), which broadcast onto
+    the per-user aggregate — one map-side-combined groupBy(user_id)
+    shuffle, then an 8-way multiply of the ~|users| aggregate, never
+    of the raw events."""
+    from quick_and_easy_vectordb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_LADDER_SQL)

@@ -1118,3 +1118,120 @@ def vdb_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "vdb_delete_vectors",
+    oracle=f"""
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       {sql_dot(_EMB, _Q)} AS similarity
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 13 = 0)
+ORDER BY similarity DESC, vec_id LIMIT 5
+""",
+    tags=("vector", "dml", "delete", "topk"),
+)
+def vdb_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store DML: DELETE by tombstone set, then serve. Every
+    13th vector is marked deleted (a stand-in for an external delete
+    log — GDPR erasure, re-crawl retractions); the corpus is filtered
+    by LEFT ANTI join against the tombstone keys and the standard
+    top-5 dot search runs over the survivors. Completes the
+    insert/update/delete DML triangle next to vdb_append_union and
+    vdb_upsert_vectors; the reference can only append (app.py:118).
+
+    Plan shape at 100 TB: the tombstone set is small relative to the
+    corpus, so the anti join broadcasts it (one corpus scan, no
+    shuffle); the subsequent search is the usual narrow scan +
+    TakeOrderedAndProject top-k. With tombstones bucketed the anti
+    join is shuffle-free even when the delete log is large."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombstones = emb.filter(F.col("vec_id") % 13 == 0).select("vec_id")
+    live = emb.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    q = vector_literal(QUERY_VEC)
+    return (
+        live.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            dot_product(F.col("embedding"), q).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "vdb_centroid_routing",
+    oracle=f"""
+WITH el AS (
+  SELECT label, pos.p - 1 AS pos, CAST(embedding[pos.p] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(v * 1073741824.0) AS BIGINT)) AS DOUBLE)
+           / 1073741824.0 / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM el GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(CAST(SUM(CAST(c * ({_Q})[pos + 1] AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS centroid_sim,
+       MAX(n) AS n_members
+FROM cent
+GROUP BY label
+ORDER BY centroid_sim DESC, label
+LIMIT 5
+""",
+    tags=("vector", "centroid", "routing", "index-build"),
+)
+def vdb_centroid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer ROUTING: build per-label centroids (the
+    supervised analog of an IVF coarse codebook) and rank labels by
+    centroid-to-query dot product — the first stage of any
+    two-level vector index: route the query to the most promising
+    partitions, then scan only those. ann_ivf_search does the probe
+    side; this is the index-build side expressed as pure aggregation.
+
+    Determinism: per-dimension means use the fixed-point trick
+    (floor(v·2³⁰) longs — exact associative sums at any partitioning,
+    matching ann_kmeans_one_iter); the 64-term centroid·query dot is
+    a decimal-exact sum of per-position products, so both engines
+    produce the bit-identical double.
+
+    Plan shape at 100 TB: posexplode streams dim·N rows into ONE
+    map-side-combined groupBy(label, pos) — shuffle carries
+    O(labels·dim) partials, never vectors; the final rollup is
+    O(labels) rows. This is the canonical 'train the index with a
+    DataFrame job' pattern; the corpus is scanned exactly once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = el.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * F.lit(1073741824.0)).cast("long"))
+            .cast("double")
+            / F.lit(1073741824.0)
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = vector_literal(QUERY_VEC)
+    return (
+        cent.select(
+            F.col("label").cast("long").alias("label"),
+            (F.col("c") * F.element_at(q, F.col("pos") + 1)).alias("term"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("term").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("centroid_sim"),
+            F.max("n").alias("n_members"),
+        )
+        .orderBy(F.desc("centroid_sim"), F.asc("label"))
+        .limit(5)
+    )
