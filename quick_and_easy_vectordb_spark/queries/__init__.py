@@ -88,6 +88,10 @@ _CHECK_PRIORITY = [
     "rel_recursive_engagement_ladder",
     "vdb_delete_vectors",
     "vdb_centroid_routing",
+    "text_token_diversity",
+    "ev_interarrival_stats",
+    "ann_sq8_search",
+    "vdb_knn_graph",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

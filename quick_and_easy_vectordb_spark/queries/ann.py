@@ -647,3 +647,99 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ann_sq8_search",
+    oracle=f"""
+WITH el AS (
+  SELECT vec_id, pos.p AS p, CAST(embedding[pos.p] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
+),
+stats AS (
+  SELECT list(mn ORDER BY p) AS mns, list(mx - mn ORDER BY p) AS spans
+  FROM (SELECT p, MIN(v) AS mn, MAX(v) AS mx FROM el GROUP BY p)
+),
+dq AS (
+  SELECT e.vec_id,
+         list_transform({_EMB}, (x, i) ->
+           CASE WHEN s.spans[i] > 0
+                THEN s.mns[i]
+                     + (LEAST(255.0, FLOOR((x - s.mns[i]) * 256.0 / s.spans[i]))
+                        + 0.5) * s.spans[i] / 256.0
+                ELSE s.mns[i] END) AS e8
+  FROM embeddings e CROSS JOIN stats s
+)
+SELECT vec_id, {sql_dot('e8', sql_vec(QUERY_VEC))} AS sq8_score
+FROM dq
+ORDER BY sq8_score DESC, vec_id
+LIMIT 5
+""",
+    tags=("ann", "quantization", "sq8", "topk"),
+)
+def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8) search — the remaining classic ANN
+    compression family next to the engine's LSH / IVF / PQ / binary
+    paths: per-dimension [min, max] is learned from the corpus, each
+    component is stored as an 8-bit bin index (4x smaller than
+    float32), and search scores the bin-midpoint reconstruction.
+    Faiss's ScalarQuantizer / Milvus SQ8 are this operator; here the
+    train-quantize-score cycle is pure DataFrame algebra, scored in
+    one pass to keep the whole chain oracle-checkable.
+
+    Determinism: min/max are order-independent; quantize/dequantize is
+    a per-element IEEE chain written in the same op order in both
+    engines (floor/least on exact doubles), and the final dot is the
+    shared fold shape (functions/vector.py ≡ list_dot_product).
+
+    Plan shape at 100 TB: training is ONE map-side-combined
+    groupBy(pos) over exploded components — shuffle carries 2·dim
+    partials per task; the 1-row [mns, spans] result broadcasts onto
+    an unshuffled corpus scan (BroadcastNestedLoopJoin of one row),
+    and top-k is TakeOrderedAndProject. In production the codes are
+    written once (write-side transform) and the scan reads 1/4 the
+    bytes; scoring then uses the same broadcast stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = el.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    stats = per_dim.agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("arr")
+    ).select(
+        F.transform("arr", lambda s: s.mn).alias("mns"),
+        F.transform("arr", lambda s: s.mx - s.mn).alias("spans"),
+    )
+    dq = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(
+                F.element_at("spans", i + 1) > 0,
+                F.element_at("mns", i + 1)
+                + (
+                    F.least(
+                        F.lit(255.0),
+                        F.floor(
+                            (x - F.element_at("mns", i + 1))
+                            * F.lit(256.0)
+                            / F.element_at("spans", i + 1)
+                        ),
+                    )
+                    + F.lit(0.5)
+                )
+                * F.element_at("spans", i + 1)
+                / F.lit(256.0),
+            ).otherwise(F.element_at("mns", i + 1)),
+        ).alias("e8"),
+    )
+    q = vector_literal(QUERY_VEC)
+    return (
+        dq.select("vec_id", dot_product(F.col("e8"), q).alias("sq8_score"))
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -1572,3 +1572,58 @@ def ev_hourly_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ev_interarrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_us) AS n_gaps,
+       CAST(CAST(SUM(CAST(gap_us AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(gap_us) / 1000000.0 AS avg_gap_s,
+       quantile_cont(gap_us, 0.5) / 1000000.0 AS median_gap_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("events", "window", "interarrival"),
+)
+def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type — the workload
+    characterization every streaming capacity plan starts from (and
+    the basis of bot/anomaly detection: humans have heavy-tailed
+    gaps, scripts are metronomes). Gap = time since the same user's
+    previous event (any type); the gap is attributed to the later
+    event's type. Average is the decimal-exact micros sum divided by
+    count; the median interpolates two exact longs — identical IEEE
+    steps in both engines.
+
+    Plan shape at 100 TB: one shuffle by user_id for the lag window
+    (sorted within partition by ts), then a 5-group rollup with
+    map-side partials. The window state is one row lookback —
+    streaming-friendly (the stateful twin would keep last-ts per user
+    in applyInPandasWithState, as ev_stream_stateful_totals does)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (
+            F.sum(F.col("gap_us").cast("decimal(30,10)")).cast("double")
+            / F.count("gap_us")
+            / F.lit(1000000.0)
+        ).alias("avg_gap_s"),
+        (F.expr("percentile(gap_us, 0.5)") / F.lit(1000000.0)).alias(
+            "median_gap_s"
+        ),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

@@ -688,3 +688,61 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lifted.orderBy(F.desc("lift"), F.asc("bigram")).limit(20)
+
+
+@query(
+    "text_token_diversity",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS w
+  FROM d WHERE t <> ''
+),
+counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       1.0 - CAST(sumsq AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+FROM per_doc
+""",
+    tags=("text", "quality", "diversity"),
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: Simpson
+    diversity (1 − Σp² over the token distribution — near 0 for a doc
+    that repeats one token, → 1 for all-distinct) and type-token ratio.
+    Both are standard repetitiveness filters for pretraining corpora,
+    chosen over Shannon entropy deliberately: they are RATIONAL in the
+    token counts (no transcendental log), so Spark and the oracle agree
+    bit-for-bit — Σc², n, and the type count are exact integers and the
+    final expression is two IEEE divisions in pinned order.
+
+    Plan shape at 100 TB: explode → groupBy(doc, token) with map-side
+    combine → groupBy(doc) rollup of three integers. Shuffle carries
+    (doc, token, count) partials — bounded by vocabulary per doc, not
+    text bytes; the raw text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.lit(1.0) - F.col("sumsq").cast("double") / (n_d * n_d)).alias("simpson"),
+        (F.col("n_types").cast("double") / n_d).alias("ttr"),
+    )

@@ -1235,3 +1235,63 @@ def vdb_centroid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("centroid_sim"), F.asc("label"))
         .limit(5)
     )
+
+
+@query(
+    "vdb_knn_graph",
+    oracle=f"""
+WITH src AS (
+  SELECT vec_id, label, {_EMB} AS e FROM embeddings WHERE vec_id % 7 = 0
+),
+pairs AS (
+  SELECT s.vec_id AS src_id, n.vec_id AS nbr_id,
+         {sql_cosine('s.e', 'n.embedding::DOUBLE[]')} AS sim
+  FROM src s JOIN embeddings n
+    ON n.label = s.label AND n.vec_id <> s.vec_id
+)
+SELECT src_id, nbr_id, sim, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT src_id, nbr_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rn
+  FROM pairs
+)
+WHERE rn <= 3
+""",
+    tags=("vector", "knn-graph", "blocked-join"),
+)
+def vdb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3) — the substrate of graph-based
+    ANN indexes (HNSW/NSG layers), embedding-cluster visualization,
+    and label propagation. Every 7th vector is a graph node; its
+    candidate neighbors are the vectors sharing its label — a BLOCKED
+    self-join (the label plays the coarse-bucket role that LSH bands
+    play in dedup_minhash_lsh), never the all-pairs product.
+
+    Plan shape at 100 TB: one shuffle equi-join on the block key with
+    both sides partitioned by label, cosine scored JVM-side inside
+    the join, and the per-node top-3 taken by a WindowGroupLimit heap
+    under the row_number — so per-block cost is |block|·|srcs in
+    block| and the global plan is embarrassingly parallel across
+    blocks. Skewed blocks would hit the same salting path as
+    ev_salted_join; with LSH buckets as blocks this becomes the
+    approximate k-NN-graph builder (NN-Descent's initialization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    pairs = src.join(
+        emb.select(F.col("vec_id").alias("nbr_id"), "label", "embedding"),
+        on=["label"],
+    ).filter(F.col("nbr_id") != F.col("src_id"))
+    scored = pairs.select(
+        "src_id",
+        "nbr_id",
+        cosine_similarity(F.col("e"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
