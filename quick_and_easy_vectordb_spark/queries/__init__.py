@@ -92,6 +92,9 @@ _CHECK_PRIORITY = [
     "ev_interarrival_stats",
     "ann_sq8_search",
     "vdb_knn_graph",
+    "ev_distinct_users_hourly_streamed",
+    "dedup_graph_degree",
+    "mm_image_phash",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

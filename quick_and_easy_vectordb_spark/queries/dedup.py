@@ -922,3 +922,51 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeated_frac"
         ),
     )
+
+
+@query(
+    "dedup_graph_degree",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT id_a AS id FROM pairs
+    UNION ALL
+    SELECT id_b AS id FROM pairs
+  ) GROUP BY id
+)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+FROM deg
+GROUP BY degree
+""",
+    tags=("dedup", "graph", "metric"),
+)
+def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-dup graph — the
+    capacity-planning histogram for everything downstream of pair
+    generation: connected components' iteration count tracks the max
+    degree, boilerplate hubs appear as a heavy tail, and the LSH
+    hot-bucket cap threshold (operators/dedup.py:lsh_candidate_pairs)
+    is tuned directly against this curve. Undirected degree: each
+    a<b edge contributes to both endpoints.
+
+    Plan shape at 100 TB: the edge list (already a vanishing fraction
+    of the corpus) unions with itself column-projected, then two
+    map-side-combined integer aggregations — shuffle carries (node,
+    partial count) then (degree, partial count). Nothing quadratic,
+    no text movement."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(
+        sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir)
+    ).select("id_a", "id_b")
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("long").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

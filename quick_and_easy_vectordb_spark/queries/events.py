@@ -1627,3 +1627,55 @@ def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@query(
+    "ev_distinct_users_hourly_streamed",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "streaming", "distinct", "window-time"),
+)
+def ev_distinct_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT hourly active users through Structured Streaming — the
+    composition of two stateful streaming stages: per-(user, hour)
+    dedup (dropDuplicates holds one state row per pair, emitted in
+    append mode the first time it is seen) feeding a count per hour.
+    The final count runs over the sink table (the serving-layer rollup
+    of a streaming pre-aggregation — the standard lambda-less layout:
+    the stream does the state-heavy dedup, the cheap final count is a
+    O(|users/hour|) aggregate of the deduped feed). The oracle is the
+    batch COUNT(DISTINCT) — the row matches only if the streaming
+    dedup state was exact across every micro-batch.
+
+    Plan shape at 100 TB: dedup state is hash-partitioned by
+    (user, hour) across executors and expired by watermark in the
+    incremental deployment (tests/test_streaming.py exercises the
+    watermarked path); no shuffle carries raw events twice."""
+    sink = "ev_distinct_users_hourly_streamed_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    deduped = (
+        src.select(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .select(F.col("w.start").alias("hour_start"), "user_id")
+        .dropDuplicates(["hour_start", "user_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.unix_timestamp("hour_start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

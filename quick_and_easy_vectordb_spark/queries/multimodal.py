@@ -595,3 +595,96 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, "doc_id long, frame_idx long, n_in_frame long, frame_energy long"
     )
+
+
+@query(
+    "mm_image_phash",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+blocks AS (
+  SELECT doc_id, w, h, bx.b AS bx, by.b AS by,
+         (bx.b * w) // 8 AS x0, ((bx.b + 1) * w) // 8 AS x1,
+         (by.b * h) // 8 AS y0, ((by.b + 1) * h) // 8 AS y1
+  FROM dims
+  CROSS JOIN (SELECT unnest(range(8)) AS b) bx
+  CROSS JOIN (SELECT unnest(range(8)) AS b) by
+),
+px AS (
+  SELECT doc_id, bx, by,
+         (doc_id * 31 + 3 * (yy.y * w + xx.x)) % 256
+         + (doc_id * 31 + 3 * (yy.y * w + xx.x) + 1) % 256
+         + (doc_id * 31 + 3 * (yy.y * w + xx.x) + 2) % 256 AS g3
+  FROM blocks
+  CROSS JOIN LATERAL (SELECT unnest(range(x0, x1)) AS x) xx
+  CROSS JOIN LATERAL (SELECT unnest(range(y0, y1)) AS y) yy
+),
+bsum AS (
+  SELECT doc_id, bx, by,
+         CAST(SUM(g3) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT doc_id, SUM(s) AS ts, SUM(n) AS tn FROM bsum GROUP BY 1
+)
+SELECT b.doc_id,
+       string_agg(CASE WHEN b.s * t.tn > t.ts * b.n THEN '1' ELSE '0' END,
+                  '' ORDER BY b.by, b.bx) AS phash
+FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+GROUP BY b.doc_id
+""",
+    tags=("multimodal", "phash", "dedup", "mapInPandas"),
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AVERAGE-HASH (aHash) over REAL decoded images — the
+    image-dedup primitive: an 8x8 block-mean fingerprint whose Hamming
+    distance survives re-encoding and mild resizing, so exact-matching
+    (or Hamming-1 multiprobe, as vdb_batch_knn_lsh does for vectors)
+    finds visual near-duplicates without any pairwise pixel compare.
+    The payload is the deterministic P6 PPM raster of
+    mm_decode_ppm_stats, decoded by the actual numpy parser
+    (operators/multimodal.py:decode_image), grayscale-pooled into the
+    8x8 grid, and thresholded against the image mean.
+
+    Exactness: grayscale and block means stay INTEGER rationals
+    (channel-sum s over 3·npx samples), and `block > mean` is the
+    integer cross-multiply s·tn > ts·n — no float anywhere, so the
+    64-char bit string is bit-identical to the closed-form oracle.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass per image batch,
+    zero shuffle — decode, pool, and threshold are per-row; downstream
+    dedup is a groupBy(phash) (exact) or banded substring join
+    (near-dup), both O(corpus) like the text MinHash path."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                n = w * h * 3
+                raster = ((doc_id * 31 + np.arange(n)) % 256).astype(np.uint8)
+                payload = b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload).astype(np.int64)  # (h, w, 3)
+                g3 = img.sum(axis=2)  # integer 3-channel sum per pixel
+                ts, tn = int(g3.sum()), 3 * w * h
+                bits = []
+                for by in range(8):
+                    y0, y1 = by * h // 8, (by + 1) * h // 8
+                    for bx in range(8):
+                        x0, x1 = bx * w // 8, (bx + 1) * w // 8
+                        s = int(g3[y0:y1, x0:x1].sum())
+                        npx = 3 * (y1 - y0) * (x1 - x0)
+                        bits.append("1" if s * tn > ts * npx else "0")
+                ids.append(doc_id)
+                hashes.append("".join(bits))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, "doc_id long, phash string")
