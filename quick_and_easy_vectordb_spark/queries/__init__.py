@@ -95,6 +95,8 @@ _CHECK_PRIORITY = [
     "ev_distinct_users_hourly_streamed",
     "dedup_graph_degree",
     "mm_image_phash",
+    "udf_arrow_scalar",
+    "vdb_sparse_projection_search",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

@@ -550,3 +550,47 @@ def udf_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "lang string, n_docs long, min_chars long, max_chars long, total_chars long",
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT doc_id,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS shard
+FROM documents
+""",
+    tags=("udf", "arrow", "scalar"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF on the ARROW transport (@udf(useArrow=True)) —
+    the 'imperative per-row escape hatch done right': rows cross the
+    JVM/Python boundary as Arrow record batches instead of pickled
+    rows (the 10-100x transport difference the brief warns about),
+    while the function body stays arbitrary Python (here hashlib,
+    standing in for any native library Spark lacks). Computes a 32-bit
+    content fingerprint + a 1024-way shard assignment — the routing
+    key a content-addressed store derives at ingest. The md5 semantics
+    are mirrored exactly by the oracle, so the whole Python path is
+    hash-checked.
+
+    Plan shape at 100 TB: per-row, zero shuffle, pipelined into the
+    scan; Arrow batching keeps Python call overhead amortized across
+    ~10k-row batches. (When the function IS expressible in SQL — as
+    this fingerprint deliberately is — functions/text.py's native
+    column expressions remain the first choice; this query pins the
+    API contract for when it is not.)"""
+    import hashlib
+
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def fp32(text: str) -> int:
+        return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fp32("text").alias("fp"),
+        (fp32("text") % 1024).alias("shard"),
+    )

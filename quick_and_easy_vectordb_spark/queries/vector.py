@@ -1295,3 +1295,82 @@ def vdb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "vdb_sparse_projection_search",
+    oracle=f"""
+WITH el AS (
+  SELECT vec_id, pos.p - 1 AS pos, CAST(embedding[pos.p] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
+),
+ranked AS (
+  SELECT vec_id, pos, v,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY abs(v) DESC, pos) AS rn
+  FROM el
+)
+SELECT vec_id,
+       CAST(CAST(SUM(CAST(v * ({_Q})[pos + 1] AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS sparse_score,
+       COUNT(*) AS nnz
+FROM ranked WHERE rn <= 8
+GROUP BY vec_id
+ORDER BY sparse_score DESC, vec_id
+LIMIT 5
+""",
+    tags=("vector", "sparse", "pruning", "topk"),
+)
+def vdb_sparse_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-PROJECTION retrieval: keep only each vector's 8
+    largest-magnitude components (a learned-sparse / SPLADE-style
+    pruning, 8x less state than the dense vector) and score the query
+    against the surviving (position, value) pairs. This is the dense
+    half of hybrid sparse retrieval — the stored representation an
+    inverted-index vector store (position → posting list) would hold.
+
+    The Spark side is deliberately ZERO-SHUFFLE per row: the
+    projection is array_sort with an explicit (|v| desc, pos asc)
+    comparator + slice(8) + a decimal-exact fold — pure codegen'd
+    array expressions inside the scan, then TakeOrderedAndProject.
+    The oracle expresses the same selection relationally (row_number
+    over exploded components) — two plans, one semantics, which is
+    exactly what the hash compare certifies. Tiebreak on equal
+    magnitudes is pinned by position in both.
+
+    Plan shape at 100 TB: no explode, no window, no shuffle — the
+    corpus is scanned once and only k survivors carry any weight;
+    with the sparse pairs materialized at write time the scan reads
+    1/8 the vector bytes and the same scoring plan serves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    pairs = F.transform(
+        e, lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("pos"), x.alias("v"))
+    )
+    cmp = lambda l, r: (  # noqa: E731 — comparator for array_sort
+        F.when(l.a > r.a, F.lit(-1))
+        .when(l.a < r.a, F.lit(1))
+        .when(l.pos < r.pos, F.lit(-1))
+        .when(l.pos > r.pos, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    kept = F.slice(F.array_sort(pairs, cmp), 1, 8)
+    q = vector_literal(QUERY_VEC)
+    terms = F.transform(kept, lambda s: s.v * F.element_at(q, s.pos + 1))
+    score = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(30,10)"),
+        # Decimal + widens the scale type per step; the re-cast keeps the
+        # accumulator at (30,10) — exact, since 8 terms of |t| <= 32 can
+        # never overflow 20 integer digits.
+        lambda acc, t: (acc + t.cast("decimal(30,10)")).cast("decimal(30,10)"),
+    ).cast("double")
+    return (
+        emb.select(
+            "vec_id",
+            score.alias("sparse_score"),
+            F.size(kept).cast("long").alias("nnz"),
+        )
+        .orderBy(F.desc("sparse_score"), F.asc("vec_id"))
+        .limit(5)
+    )
