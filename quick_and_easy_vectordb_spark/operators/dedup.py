@@ -157,24 +157,29 @@ def lsh_candidate_pairs(
     as ready-made duplicate clusters instead: members of a hot bucket
     already agree on a full band, which at that multiplicity is
     overwhelming evidence of shared boilerplate — pairwise Jaccard
-    verification adds nothing but cost. The hot-bucket relation is
-    tiny by definition (≤ |buckets| / cap entries), so removing it is
-    a broadcast anti-join, not a second shuffle of the band table.
-    ``max_bucket_size=None`` disables the cap (unit-scale paths that
-    must enumerate every pair).
+    verification adds nothing but cost. The cap is applied as a
+    COUNT window over the (band, key) partitioning the bucket
+    aggregation needs anyway: one shuffle serves the size check, the
+    member filter, and the member-list build (the window's output
+    partitioning satisfies the groupBy, so Catalyst inserts no second
+    exchange), and a hot bucket's members are dropped BEFORE any
+    member list materializes — no O(hot) array ever exists. (The
+    first cut of this cap counted sizes in a separate aggregation +
+    broadcast anti-join; that cost a persist and an extra pass over
+    the band table — ~1.2 s of the sf0.1 bench — for the same
+    semantics.) ``max_bucket_size=None`` disables the cap
+    (unit-scale paths that must enumerate every pair).
     """
+    from pyspark.sql import Window
+
     banded = lsh_band_table(signatures, num_hashes, bands)
     if max_bucket_size is not None:
-        # banded feeds both the size count and the anti-join; persist so
-        # the upstream signature aggregation runs once.
-        banded = banded.persist()
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .filter(F.col("n_members") > max_bucket_size)
-            .select("band", "key")
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .filter(F.col("n_members") <= max_bucket_size)
+            .drop("n_members")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
