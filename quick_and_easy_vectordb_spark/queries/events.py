@@ -1679,3 +1679,142 @@ def ev_distinct_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.unix_timestamp("hour_start").alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "ev_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, COUNT(*) AS n_clicks_30m
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "stream-stream-join", "interval-join"),
+)
+def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the hardest Structured Streaming
+    operator class (two unbounded sides, each buffering state for the
+    other): purchases join the same user's clicks from the preceding
+    30 minutes, both sides read as file-source streams with event-time
+    watermarks, inner-joined on (user, time-range) and appended to the
+    sink; the compact per-purchase click count is the batch rollup of
+    the sink (the serving-layer pattern every streamed query here
+    uses). The oracle is the equivalent batch interval join — the row
+    matches only if the streaming state machine buffered and matched
+    every cross-batch pair exactly.
+
+    Watermark choice: 35 days covers the fixture's full span, so no
+    row can be dropped as late regardless of micro-batch order —
+    correctness of the join itself is what this row certifies. In a
+    live deployment the delay shrinks to the business bound (30 min +
+    lateness budget) and the SAME plan bounds each side's buffer to
+    O(users · window) state, which is what makes the interval
+    condition (not a plain equi-join) load-bearing at 100 TB: it
+    gives the state store an eviction horizon.
+
+    Plan shape: both sides shuffle by user_id into co-partitioned
+    state stores; each arriving row probes the opposite buffer within
+    the time bounds. The rollup afterwards is one map-side-combined
+    groupBy over the (small) matched pairs."""
+    sink = "ev_stream_stream_join_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    purchases = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "35 days")
+    )
+    clicks = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "35 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id "
+            "AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+            "AND c_ts < p_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("purchase_id", F.col("p_user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_30m"))
+    )
+
+
+@query(
+    "ev_session_duration_distribution",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e),
+f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM l),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       quantile_cont(duration_us, 0.5) / 1000000.0 AS p50_s,
+       quantile_cont(duration_us, 0.9) / 1000000.0 AS p90_s,
+       CAST(MAX(duration_us) AS BIGINT) AS max_duration_us
+FROM sess
+""",
+    tags=("events", "session", "distribution"),
+)
+def ev_session_duration_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution — the engagement summary read off
+    every product dashboard: session count, bounce count (single-event
+    sessions), median and p90 duration, longest session. Built on the
+    same gap-sessionization as ev_sessionize (this is the second-level
+    rollup of its output), with exact-long durations so the
+    interpolated percentiles are the same two-value IEEE blend in both
+    engines.
+
+    Plan shape at 100 TB: the sessionize shuffle (by user) is the only
+    data-sized exchange; the distribution is a single 1-row aggregate
+    with map-side partials — percentiles over per-session longs, whose
+    cardinality is already ~|events|/session_len. For sketch-grade
+    latency at extreme scale the same rollup runs with approx
+    percentile (udf_approx_quantiles pins that contract)."""
+    sess = ev_sessionize(spark, sf_dir)
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        (F.expr("percentile(duration_us, 0.5)") / F.lit(1000000.0)).alias("p50_s"),
+        (F.expr("percentile(duration_us, 0.9)") / F.lit(1000000.0)).alias("p90_s"),
+        F.max("duration_us").cast("long").alias("max_duration_us"),
+    )
