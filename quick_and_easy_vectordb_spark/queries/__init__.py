@@ -99,6 +99,9 @@ _CHECK_PRIORITY = [
     "vdb_sparse_projection_search",
     "ev_stream_stream_join",
     "ev_session_duration_distribution",
+    "mm_audio_fingerprint",
+    "dedup_lsh_amplified",
+    "text_curation_pipeline",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

@@ -970,3 +970,92 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy(F.col("degree").cast("long").alias("degree"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+@query(
+    "dedup_lsh_amplified",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
+),
+bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
+collisions AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz z ON z.band = a.band AND z.key = a.key
+            AND z.n_members <= {LSH_MAX_BUCKET}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_bands AS BIGINT) AS n_band_matches
+FROM collisions WHERE n_bands >= 2
+""",
+    tags=("dedup", "lsh", "amplification"),
+)
+def dedup_lsh_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-OR AMPLIFIED LSH: candidate pairs must agree on >= 2 of the
+    4 bands instead of >= 1 — the classic amplification construction
+    (each band is an AND of 3 minhashes; requiring r of b bands
+    sharpens the collision-probability S-curve, trading recall near
+    the threshold for a large false-positive reduction). At 100 TB the
+    payoff is direct: candidate volume into the expensive Jaccard
+    verification drops superlinearly, and the band-match COUNT is
+    computable from the very rows the single-band path already
+    shuffles — amplification is one extra integer aggregation, not a
+    new pipeline.
+
+    Plan shape: the band table (already capped by the same count
+    window as lsh_candidate_pairs — hot buckets divert before
+    pairing) pair-expands per band with multiplicity kept, then ONE
+    map-side-combined groupBy(id_a, id_b) count filters to >= 2. The
+    per-band expansion is the array expression over sorted bucket
+    members, never a self-join."""
+    from quick_and_easy_vectordb_spark.operators.dedup import lsh_band_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    banded = lsh_band_table(sigs, NUM_HASHES, BANDS)
+    w = Window.partitionBy("band", "key")
+    capped = (
+        banded.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_members") <= LSH_MAX_BUCKET)
+        .drop("n_members")
+    )
+    buckets = (
+        capped.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    per_band_pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        per_band_pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_matches"))
+        .filter(F.col("n_band_matches") >= 2)
+    )

@@ -15,6 +15,7 @@ from quick_and_easy_vectordb_spark.functions.text import (
     STOPWORDS_EN,
     bpe_ish_token_count,
     char_shingles,
+    normalized_text,
     quality_score,
     token_count,
     tokens,
@@ -745,4 +746,76 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         (F.lit(1.0) - F.col("sumsq").cast("double") / (n_d * n_d)).alias("simpson"),
         (F.col("n_types").cast("double") / n_d).alias("ttr"),
+    )
+
+
+@query(
+    "text_curation_pipeline",
+    oracle=f"""
+WITH {SQL_QUALITY_CTES},
+kept AS (
+  SELECT qd.doc_id, qd.t, d.lang, qs.quality
+  FROM qd JOIN qs ON qs.doc_id = qd.doc_id
+  JOIN documents d ON d.doc_id = qd.doc_id
+  WHERE qs.quality >= 0.5
+),
+surv AS (
+  SELECT md5(t) AS h, MIN(doc_id) AS keep_id
+  FROM kept GROUP BY md5(t)
+),
+final AS (
+  SELECT k.lang, k.quality,
+         CASE WHEN k.t = '' THEN 0 ELSE len(string_split(k.t, ' ')) END AS n_tok
+  FROM kept k JOIN surv s ON s.keep_id = k.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(quality AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_quality
+FROM final
+GROUP BY lang
+""",
+    tags=("text", "pipeline", "curation", "dedup"),
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation in one DAG — the composition a
+    pretraining data team actually ships: quality gate (composite
+    score >= 0.5) → exact content dedup among survivors (min-id
+    canonical pick via operators/dedup.py:exact_dedup) → per-language
+    budget accounting (docs kept, whitespace-token budget, decimal-
+    exact mean quality). Each stage is individually oracle-checked
+    elsewhere (text_quality_filter, dedup_exact, text_stats_by_lang);
+    this row certifies their COMPOSITION — filter-then-dedup ordering,
+    join keys, and survivor semantics — matching a single relational
+    expression of the whole pipeline.
+
+    Plan shape at 100 TB: quality scoring is scan-side (pure codegen
+    column math, no shuffle); dedup shuffles only (md5, id); the
+    survivor join is id-keyed; the rollup is 5 groups. The wide text
+    column dies at the map side of the dedup — the classic
+    'fingerprint early, move bytes never' layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        normalized_text("text").alias("t"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tok"),
+    ).filter(F.col("quality") >= 0.5)
+    surv = (
+        kept.select(F.md5("t").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    final = kept.join(
+        surv.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
     )
