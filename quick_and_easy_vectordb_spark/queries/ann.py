@@ -649,10 +649,10 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_sq8_search",
-    oracle=f"""
-WITH el AS (
+# Shared SQ8 CTE chain: per-dim [min, max] -> 8-bit bin -> bin-midpoint
+# reconstruction, used by ann_sq8_search (serving) and ann_sq8_recall
+# (index-quality metric).
+SQL_SQ8_DQ = f"""el AS (
   SELECT vec_id, pos.p AS p, CAST(embedding[pos.p] AS DOUBLE) AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
 ),
@@ -669,7 +669,55 @@ dq AS (
                         + 0.5) * s.spans[i] / 256.0
                 ELSE s.mns[i] END) AS e8
   FROM embeddings e CROSS JOIN stats s
-)
+)"""
+
+
+def _sq8_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, sq8_score): train per-dim [min, max] from the corpus in
+    one map-side-combined groupBy(pos), broadcast the 1-row stats onto
+    an unshuffled corpus scan, score the bin-midpoint reconstruction
+    against QUERY_VEC with the shared fold."""
+    el = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = el.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    stats = per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mn", "mx"))).alias("arr")
+    ).select(
+        F.transform("arr", lambda s: s.mn).alias("mns"),
+        F.transform("arr", lambda s: s.mx - s.mn).alias("spans"),
+    )
+    dq = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(
+                F.element_at("spans", i + 1) > 0,
+                F.element_at("mns", i + 1)
+                + (
+                    F.least(
+                        F.lit(255.0),
+                        F.floor(
+                            (x - F.element_at("mns", i + 1))
+                            * F.lit(256.0)
+                            / F.element_at("spans", i + 1)
+                        ),
+                    )
+                    + F.lit(0.5)
+                )
+                * F.element_at("spans", i + 1)
+                / F.lit(256.0),
+            ).otherwise(F.element_at("mns", i + 1)),
+        ).alias("e8"),
+    )
+    q = vector_literal(QUERY_VEC)
+    return dq.select("vec_id", dot_product(F.col("e8"), q).alias("sq8_score"))
+
+
+@query(
+    "ann_sq8_search",
+    oracle=f"""
+WITH {SQL_SQ8_DQ}
 SELECT vec_id, {sql_dot('e8', sql_vec(QUERY_VEC))} AS sq8_score
 FROM dq
 ORDER BY sq8_score DESC, vec_id
@@ -700,46 +748,61 @@ def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once (write-side transform) and the scan reads 1/4 the
     bytes; scoring then uses the same broadcast stats."""
     emb = load_table(spark, sf_dir, "embeddings")
-    el = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
-    )
-    per_dim = el.groupBy("pos").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    stats = per_dim.agg(
-        F.sort_array(
-            F.collect_list(F.struct("pos", "mn", "mx"))
-        ).alias("arr")
-    ).select(
-        F.transform("arr", lambda s: s.mn).alias("mns"),
-        F.transform("arr", lambda s: s.mx - s.mn).alias("spans"),
-    )
-    dq = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x, i: F.when(
-                F.element_at("spans", i + 1) > 0,
-                F.element_at("mns", i + 1)
-                + (
-                    F.least(
-                        F.lit(255.0),
-                        F.floor(
-                            (x - F.element_at("mns", i + 1))
-                            * F.lit(256.0)
-                            / F.element_at("spans", i + 1)
-                        ),
-                    )
-                    + F.lit(0.5)
-                )
-                * F.element_at("spans", i + 1)
-                / F.lit(256.0),
-            ).otherwise(F.element_at("mns", i + 1)),
-        ).alias("e8"),
-    )
-    q = vector_literal(QUERY_VEC)
     return (
-        dq.select("vec_id", dot_product(F.col("e8"), q).alias("sq8_score"))
+        _sq8_scored(emb)
         .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
         .limit(5)
+    )
+
+
+@query(
+    "ann_sq8_recall",
+    oracle=f"""
+WITH {SQL_SQ8_DQ},
+approx AS (
+  SELECT vec_id, {sql_dot('e8', sql_vec(QUERY_VEC))} AS s
+  FROM dq ORDER BY s DESC, vec_id LIMIT {RECALL_K}
+),
+exact AS (
+  SELECT vec_id, {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS s
+  FROM embeddings ORDER BY s DESC, vec_id LIMIT {RECALL_K}
+)
+SELECT CAST({RECALL_K} AS BIGINT) AS k,
+       (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) AS DOUBLE)
+         / {RECALL_K} AS recall
+""",
+    tags=("ann", "quantization", "sq8", "metric"),
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of SQ8 bin-midpoint scoring against the exact
+    brute-force ranking — the accept/reject metric for the 4x
+    compression: how many of the true top-20 survive quantized
+    scoring. Completes the quality-metric trio (LSH multi-probe
+    recall, PQ-ADC recall, SQ8 recall) so every compression family in
+    the engine carries its own oracle-checked quality number — at
+    100 TB the metric query IS how the codec choice gets made, run on
+    a sample before committing the write-side transform.
+
+    Plan shape: both rankings are narrow-scan TakeOrderedAndProject
+    top-k (the dequantization reuses the broadcast [mns, spans]
+    stats); the overlap join is k rows against k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    approx = (
+        _sq8_scored(emb)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    exact = (
+        emb.select("vec_id", dot_product(F.col("embedding"), q).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    return approx.join(exact, "vec_id").agg(
+        F.lit(RECALL_K).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / RECALL_K).alias("recall"),
     )

@@ -1818,3 +1818,55 @@ def ev_session_duration_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         (F.expr("percentile(duration_us, 0.9)") / F.lit(1000000.0)).alias("p90_s"),
         F.max("duration_us").cast("long").alias("max_duration_us"),
     )
+
+
+@query(
+    "ev_append_mode_finalized_windows",
+    oracle="""
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(epoch_us(ts)) AS m_us FROM events)
+SELECT w.window_start, w.n_events
+FROM w, mx
+WHERE (w.window_start + 3600) * 1000000 <= mx.m_us - 3600000000
+""",
+    tags=("events", "streaming", "watermark", "append-mode"),
+)
+def ev_append_mode_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark semantics, pinned exactly: hourly counts
+    with a 1-hour event-time watermark emit a window only once the
+    watermark passes its end — each row is final, write-once (the
+    contract that lets the sink be an immutable store: files, Kafka, a
+    downstream table). The oracle states the semantics in closed form:
+    exactly the windows whose end <= max(event_time) - 1h appear; the
+    trailing open windows are withheld. This complements the
+    complete-mode twins (ev_tumbling_hour_streamed re-emits all
+    windows every trigger) — together the two rows pin both streaming
+    output contracts against the same batch truth.
+
+    Plan shape at 100 TB: identical to the complete-mode twin (keyed
+    state per open window, map-side pre-aggregation per micro-batch);
+    the watermark bounds state to open-windows-only, which is the
+    difference that matters for an unbounded deployment — state size
+    is O(windows in flight), not O(windows ever)."""
+    sink = "ev_append_finalized_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d).withWatermark("ts", "1 hour")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
