@@ -104,6 +104,7 @@ _CHECK_PRIORITY = [
     "text_curation_pipeline",
     "ev_append_mode_finalized_windows",
     "ann_sq8_recall",
+    "src_python_datasource_sink",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

@@ -594,3 +594,71 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp32("text").alias("fp"),
         (fp32("text") % 1024).alias("shard"),
     )
+
+
+@query(
+    "src_python_datasource_sink",
+    oracle="""
+WITH synth AS (
+  SELECT i AS event_id,
+         (i * 37 + 11) % 97 AS user_id,
+         ['view', 'click', 'cart', 'purchase'][(i * 13 + 7) % 4 + 1] AS event_type,
+         CAST((i * 31 + 3) % 1000 AS DOUBLE) / 10.0 AS value
+  FROM (SELECT unnest(range(800)) AS i)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM synth GROUP BY event_type
+""",
+    tags=("sink", "datasource-api", "connector", "two-phase-commit"),
+)
+def src_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE side of the custom Python DataSource — a full sink
+    ROUNDTRIP under the oracle gate: 800 connector-generated rows are
+    written through the qev_synth sink (per-task private jsonl files →
+    task commit messages → driver-atomic manifest; the two-phase
+    protocol every exactly-once Spark sink implements), read back from
+    exactly the manifest's committed files, and aggregated. The row
+    only matches if no write was lost, duplicated, or read before
+    commit — the sink's exactly-once property AS a correctness row,
+    completing the connector triangle (batch read, streaming read,
+    transactional write).
+
+    Values survive the text roundtrip bit-exactly because json.dumps
+    emits the shortest-roundtrip repr and Spark's JSON reader parses
+    it back to the identical double.
+
+    Plan shape at 100 TB: writes are per-partition, embarrassingly
+    parallel, nothing through the driver but O(tasks) commit
+    messages; the manifest read costs one small file."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.sources.pydatasource import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="qev_sink_")
+    (
+        spark.read.format("qev_synth")
+        .option("rows", 800)
+        .option("partitions", 4)
+        .load()
+        .write.format("qev_synth")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    with open(_os.path.join(out, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(manifest["files"])
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )

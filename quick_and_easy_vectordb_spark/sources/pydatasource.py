@@ -110,7 +110,65 @@ class SynthEventsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> SynthEventsStreamReader:
         return SynthEventsStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return SynthEventsWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the qev_synth format."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# WRITE side of the connector: a two-phase-commit sink. Each task
+# writes its partition to a private jsonl file and returns a commit
+# message; only the driver's commit() publishes the atomic manifest
+# (the file list readers must trust), and abort() removes orphans — the
+# same task-commit/job-commit protocol every exactly-once Spark sink
+# (FileStreamSink, Iceberg, Delta) implements. On a cluster ``path``
+# is shared storage (HDFS/S3); local mode shares the local FS, which
+# is the same contract.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class FileCommitMessage(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class SynthEventsWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        if "path" not in options:
+            raise ValueError("qev_synth sink requires option('path', dir)")
+        self.path = options["path"]
+
+    def write(self, iterator) -> FileCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return FileCommitMessage(path=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
