@@ -97,9 +97,10 @@ def main() -> None:
             {
                 "metric": f"headline-suite wall seconds ({len(timings)} queries: "
                 "chunk-embed-search pipeline, vector topk/knn, "
-                "dedup exact+minhash-lsh+span, quality filter + BM25, "
-                "TPC-H-ish Q1/Q3/Q5/Q9/Q21, event windows+sessionize+asof, "
-                "merge-upsert, LSH probe)",
+                "dedup exact+minhash-lsh+span, quality filter + BM25 + "
+                "curation pipeline, TPC-H-ish Q1/Q3/Q5/Q9/Q21, "
+                "event windows+sessionize+asof, merge-upsert, "
+                "LSH probe, SQ8 search)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -724,6 +724,7 @@ ORDER BY sq8_score DESC, vec_id
 LIMIT 5
 """,
     tags=("ann", "quantization", "sq8", "topk"),
+    bench=True,
 )
 def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (SQ8) search — the remaining classic ANN

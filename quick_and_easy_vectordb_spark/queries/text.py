@@ -777,6 +777,7 @@ FROM final
 GROUP BY lang
 """,
     tags=("text", "pipeline", "curation", "dedup"),
+    bench=True,
 )
 def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus curation in one DAG — the composition a
