@@ -105,6 +105,9 @@ _CHECK_PRIORITY = [
     "ev_append_mode_finalized_windows",
     "ann_sq8_recall",
     "src_python_datasource_sink",
+    "rel_pit_dimension_join",
+    "vdb_corpus_stats",
+    "ev_user_feature_profile",
     # -- round-1-only external evidence, oldest first; with 32 entries
     # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
     # (plain scalar/date/set-op surfaces) is lowest-risk and falls

@@ -1870,3 +1870,48 @@ def ev_append_mode_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ev_user_feature_profile",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS BIGINT)
+         AS n_active_days,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_seen_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "features", "agg"),
+)
+def ev_user_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FEATURE-ENGINEERING profile — the table a churn/LTV
+    model trains on: event volume, active-day count, behavioral
+    breadth (distinct types), decimal-exact monetary total, and
+    first/last-seen timestamps (tenure + recency in one pass). The
+    bread-and-butter ML-feature materialization every event pipeline
+    ships nightly.
+
+    Plan shape at 100 TB: ONE groupBy(user) aggregation; the two
+    exact DISTINCTs rewrite to partial-dedup two-level aggs keyed by
+    the same user shuffle (day cardinality per user is bounded, type
+    cardinality is 5), min/max/sum all map-side-combine. No joins,
+    no windows; feature freshness is a pure function of scan
+    recency."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.floor(us / F.lit(86400000000)).cast("long"))
+        .cast("long")
+        .alias("n_active_days"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total_value"),
+        F.min(us).cast("long").alias("first_seen_us"),
+        F.max(us).cast("long").alias("last_seen_us"),
+    )

@@ -1183,3 +1183,83 @@ def rel_recursive_engagement_ladder(spark: SparkSession, sf_dir: str) -> DataFra
 
     register_views(spark, sf_dir, "events")
     return spark.sql(_LADDER_SQL)
+
+
+@query(
+    "rel_pit_dimension_join",
+    oracle=f"""
+WITH dim AS (
+  SELECT o_custkey,
+         o_orderkey,
+         o_orderdate AS valid_from,
+         COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '2200-01-01') AS valid_to,
+         (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) IS NULL)
+           AS is_current
+  FROM orders
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+         l.l_extendedprice AS price
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT d.is_current,
+       COUNT(*) AS n_lines,
+       {_dsum('f.price')} AS revenue
+FROM fact f
+JOIN dim d ON d.o_custkey = f.custkey
+          AND f.ship >= d.valid_from AND f.ship < d.valid_to
+GROUP BY d.is_current
+""",
+    tags=("relational", "scd2", "point-in-time", "warehouse"),
+)
+def rel_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension join — the consumption side of the SCD2
+    history table (rel_scd2_intervals builds it): each shipment joins
+    the customer's dimension version that was CURRENT at ship time
+    (interval containment valid_from <= ship < valid_to), the lookup
+    every compliant warehouse fact load performs. Zero-width intervals
+    (same-day successive versions) can never match — containment
+    semantics resolve the same-day tiebreak that a naive as-of join
+    would get wrong. Rolled up by version currency.
+
+    Plan shape at 100 TB: the fact→orders hookup is a key equi-join;
+    the PIT join is an equi-join on the dimension key with the range
+    containment as residual — co-partitioned by custkey, never a
+    cross product (per-key version lists are small by construction).
+    At extreme version counts the same result comes from the as-of
+    operator (operators/asof.py) on valid_from with a one-shuffle
+    union-and-window plan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2200-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    joined = fact.join(
+        dim,
+        (dim.o_custkey == fact.custkey)
+        & (fact.ship >= dim.valid_from)
+        & (fact.ship < dim.valid_to),
+    )
+    return joined.groupBy("is_current").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("price").alias("revenue"),
+    )

@@ -1374,3 +1374,46 @@ def vdb_sparse_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sparse_score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "vdb_corpus_stats",
+    oracle=f"""
+WITH n AS (
+  SELECT label, sqrt({sql_dot(_EMB, _EMB)}) AS nrm FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS n_vectors,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm,
+       CAST(CAST(SUM(CAST(nrm AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS mean_norm
+FROM n GROUP BY label
+""",
+    tags=("vector", "stats", "index-health"),
+)
+def vdb_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health dashboard: per-partition (label) vector counts and
+    L2-norm profile. The numbers an operator checks before trusting a
+    vector index — empty or skewed cells mean a bad coarse quantizer,
+    near-zero norms mean degenerate embeddings that poison cosine
+    scores, and a drifting mean norm after a model refresh is the
+    re-quantize signal. Per-row norms are the deterministic fold;
+    min/max are order-free; the mean is a decimal-exact sum divided
+    once.
+
+    Plan shape at 100 TB: one narrow scan (key + vector), per-row norm
+    inside codegen, ONE map-side-combined groupBy(label) — shuffle
+    carries O(labels) partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    n = emb.select("label", F.sqrt(dot_product(e, e)).alias("nrm"))
+    return n.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (
+            F.sum(F.col("nrm").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_norm"),
+    )
