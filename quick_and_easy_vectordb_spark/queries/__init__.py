@@ -108,10 +108,13 @@ _CHECK_PRIORITY = [
     "rel_pit_dimension_join",
     "vdb_corpus_stats",
     "ev_user_feature_profile",
-    # -- round-1-only external evidence, oldest first; with 32 entries
-    # ahead only ~18 of these fit a hard 50-entry cutoff — the tail
-    # (plain scalar/date/set-op surfaces) is lowest-risk and falls
-    # outside; all queries remain covered by the full local sweep --
+    # -- round-1-only external evidence, oldest first. With 57 entries
+    # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
+    # hard ~50-entry driver cutoff already falls inside the new block:
+    # the last ~7 session-2 queries and everything below carry local
+    # sweep + pytest evidence this round and rotate forward in round 6.
+    # Priority rationale: externally-unverified 100% (the 17) first,
+    # then newest surface, then refresh of the oldest driver rows. --
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
