@@ -15,8 +15,15 @@ QUERY_VEC2: list[float] = [((i * 53 + 29) % 101 - 50) / 100.0 for i in range(DIM
 
 
 def sql_vec(values: Sequence[float]) -> str:
-    """Render a vector as a DuckDB DOUBLE[] literal."""
-    return "[" + ", ".join(repr(float(v)) for v in values) + "]::DOUBLE[]"
+    """Render a vector as a DuckDB DOUBLE[] literal.
+
+    Exponent form ({v:.17e}) is load-bearing: DuckDB parses it as
+    DOUBLE directly, while a bare high-precision literal parses as
+    DECIMAL(19,18) whose DOUBLE conversion can differ from the
+    Spark-side literal by one ulp."""
+    return (
+        "[" + ", ".join(f"{float(v):.17e}" for v in values) + "]::DOUBLE[]"
+    )
 
 
 # DuckDB SQL fragments mirroring functions/vector.py exactly:

@@ -134,8 +134,11 @@ def sql_embed_elem(i: int, col: str) -> str:
 def sql_embed_dot(col: str, qvec) -> str:
     """Left-to-right fold of dot(hash_embed(col), qvec) — matches the
     Spark aggregate fold bitwise."""
+    # {v:.17e} (exponent form) parses as DOUBLE directly; a bare
+    # 17-digit literal parses as DECIMAL(19,18) whose DOUBLE conversion
+    # is one ulp off for some values (sf0.001 exposed this).
     return " + ".join(
-        f"{sql_embed_elem(i, col)} * {qvec[i]!r}" for i in range(len(qvec))
+        f"{sql_embed_elem(i, col)} * {qvec[i]:.17e}" for i in range(len(qvec))
     )
 
 

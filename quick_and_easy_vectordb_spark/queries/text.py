@@ -389,7 +389,14 @@ def _sql_tf(term: str) -> str:
 
 
 def _bm25_term_score(tf: str, idf: str) -> str:
-    return f"({idf} * ({tf} * 2.2 / ({tf} + {BM25_K1} * {BM25_DL_NORM})))"
+    # CAST(tf AS DOUBLE) is load-bearing: a bare BIGINT * 2.2 stays in
+    # DuckDB DECIMAL arithmetic (exact 22·tf/10, rounded ONCE at the
+    # end), while Spark multiplies double(tf) by the rounded double
+    # 2.2 — one ulp apart for some tf, which sf0.001 exposed.
+    return (
+        f"({idf} * (CAST({tf} AS DOUBLE) * 2.2 / "
+        f"(CAST({tf} AS DOUBLE) + {BM25_K1} * {BM25_DL_NORM})))"
+    )
 
 
 @query(
