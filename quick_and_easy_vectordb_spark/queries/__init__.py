@@ -108,6 +108,8 @@ _CHECK_PRIORITY = [
     "rel_pit_dimension_join",
     "vdb_corpus_stats",
     "ev_user_feature_profile",
+    "rel_fuzzy_entity_match",
+    "ann_centroid_drift",
     # -- round-1-only external evidence, oldest first. With 57 entries
     # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
     # hard ~50-entry driver cutoff already falls inside the new block:

@@ -807,3 +807,92 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         (F.count(F.lit(1)).cast("double") / RECALL_K).alias("recall"),
     )
+
+
+@query(
+    "ann_centroid_drift",
+    oracle=f"""
+WITH el AS (
+  SELECT vec_id % 2 AS half, label, pos.p - 1 AS pos,
+         CAST(embedding[pos.p] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
+),
+cent AS (
+  SELECT half, label, pos,
+         CAST(SUM(CAST(floor(v * 1073741824.0) AS BIGINT)) AS DOUBLE)
+           / 1073741824.0 / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM el GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT a.label, a.pos, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1
+  FROM cent a JOIN cent b
+    ON b.label = a.label AND b.pos = a.pos AND a.half = 0 AND b.half = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       sqrt(CAST(CAST(SUM(CAST((c1 - c0) * (c1 - c0) AS DECIMAL(30,10)))
+                 AS VARCHAR) AS DOUBLE)) AS drift,
+       CAST(MAX(n0) AS BIGINT) AS n_old,
+       CAST(MAX(n1) AS BIGINT) AS n_new
+FROM paired
+GROUP BY label
+ORDER BY drift DESC, label
+""",
+    tags=("ann", "centroid", "drift", "index-maintenance"),
+)
+def ann_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index STALENESS metric: per-cell centroid drift between the
+    index-time corpus half (even vec_ids) and the newly-ingested half
+    (odd vec_ids) — the number that decides when an IVF coarse
+    quantizer must be retrained: cells whose data moved far from the
+    trained centroid degrade recall silently, and a monitoring job
+    runs exactly this comparison on a schedule. Drift = L2 distance
+    between each half's fixed-point-exact per-label centroid, ranked
+    worst-first.
+
+    Determinism: both centroids use the floor(v·2³⁰) integer-sum mean
+    (exact at any partitioning); the 64-term squared-diff sum is
+    decimal-exact; sqrt is one correctly-rounded IEEE op.
+
+    Plan shape at 100 TB: one corpus scan → posexplode → a single
+    map-side-combined groupBy(half, label, pos) whose shuffle carries
+    O(2·labels·dim) partials; the pairing join and final rollup touch
+    O(labels·dim) rows. Same build shape as vdb_centroid_routing,
+    doubled by the half key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = el.groupBy("half", "label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * F.lit(1073741824.0)).cast("long"))
+            .cast("double")
+            / F.lit(1073741824.0)
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    paired = a.join(b, ["label", "pos"])
+    return (
+        paired.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    ((F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0"))).cast(
+                        "decimal(30,10)"
+                    )
+                ).cast("double")
+            ).alias("drift"),
+            F.max("n0").cast("long").alias("n_old"),
+            F.max("n1").cast("long").alias("n_new"),
+        )
+        .orderBy(F.desc("drift"), F.asc("label"))
+    )

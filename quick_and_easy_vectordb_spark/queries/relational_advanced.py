@@ -1263,3 +1263,93 @@ def rel_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("price").alias("revenue"),
     )
+
+
+@query(
+    "rel_fuzzy_entity_match",
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey AS orig_key,
+         substr(c_name, 1, 9 + c_custkey % 6)
+           || substr(c_name, 11 + c_custkey % 6) AS dirty_name,
+         substr(c_name, 17, 2) AS blk
+  FROM customer
+),
+clean AS (
+  SELECT c_custkey, c_name, substr(c_name, 17, 2) AS blk FROM customer
+),
+cand AS (
+  SELECT d.orig_key, c.c_custkey AS match_key,
+         levenshtein(d.dirty_name, c.c_name) AS lev
+  FROM dirty d JOIN clean c ON c.blk = d.blk
+  WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+),
+ranked AS (
+  SELECT orig_key, match_key, lev,
+         ROW_NUMBER() OVER (PARTITION BY orig_key ORDER BY lev, match_key)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY orig_key) AS n_cands
+  FROM cand
+)
+SELECT COUNT(*) AS n_matched,
+       CAST(SUM(CASE WHEN match_key = orig_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN n_cands > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ambiguous
+FROM ranked WHERE rn = 1
+""",
+    tags=("relational", "entity-resolution", "fuzzy-join", "blocking"),
+)
+def rel_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION / record linkage — the data-integration
+    operator every ingest pipeline with human-entered keys needs: a
+    deterministically corrupted registry (one character deleted from
+    each name at a key-dependent position — a typo model) is matched
+    back against the clean registry with a BLOCKED fuzzy join: block
+    on the last-2-character suffix (surviving the corruption by
+    construction), join only within blocks, filter edit distance <= 1,
+    and resolve each record to its best candidate (min distance, min
+    key) with an ambiguity flag. The summary row reports match count,
+    accuracy against ground truth, and ambiguous-match count.
+
+    Plan shape at 100 TB: blocking turns the quadratic all-pairs
+    levenshtein into |block|²-bounded work per block — the same
+    candidate-then-verify layout as MinHash-LSH (blocks ≡ bands), and
+    the same skew story: a hot block hits the lsh_candidate_pairs cap
+    pattern. Levenshtein runs JVM-codegen'd inside the join; the
+    survivor pick is one window over candidates, never the corpus."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = 10 + F.col("c_custkey") % 6
+    dirty = c.select(
+        F.col("c_custkey").alias("orig_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, 9 + c_custkey % 6)"),
+            F.expr("substr(c_name, 11 + c_custkey % 6)"),
+        ).alias("dirty_name"),
+        F.substring("c_name", 17, 2).alias("blk"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("match_key"),
+        "c_name",
+        F.substring("c_name", 17, 2).alias("blk"),
+    )
+    cand = (
+        dirty.join(clean, "blk")
+        .withColumn("lev", F.levenshtein("dirty_name", "c_name"))
+        .filter(F.col("lev") <= 1)
+    )
+    w = Window.partitionBy("orig_key").orderBy("lev", "match_key")
+    wc = Window.partitionBy("orig_key")
+    ranked = cand.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_cands", F.count(F.lit(1)).over(wc)
+    )
+    best = ranked.filter(F.col("rn") == 1)
+    return best.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.when(F.col("match_key") == F.col("orig_key"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.sum(F.when(F.col("n_cands") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ambiguous"),
+    )
