@@ -1915,3 +1915,128 @@ def ev_user_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(us).cast("long").alias("first_seen_us"),
         F.max(us).cast("long").alias("last_seen_us"),
     )
+
+
+@query(
+    "ev_winsorize_trimmed_stats",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT e.event_type,
+         CASE WHEN e.value < b.lo THEN b.lo
+              WHEN e.value > b.hi THEN b.hi
+              ELSE e.value END AS wv,
+         CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+           AS clipped
+  FROM events e JOIN b ON b.event_type = e.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       CAST(CAST(SUM(CAST(wv AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS winsorized_mean
+FROM w GROUP BY event_type
+""",
+    tags=("events", "robust-stats", "winsorize"),
+)
+def ev_winsorize_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION — the robust-statistics preprocessing every
+    metric pipeline applies before averaging heavy-tailed values
+    (revenue, latency): clip each event type's values at its own
+    exact p1/p99, then report the clipped count and the winsorized
+    mean. Complements ev_mad_outliers (flagging) and
+    ev_zscore_outliers (parametric flagging) with the REPAIR
+    operation. Percentiles interpolate exact doubles identically in
+    both engines (rel_exact_percentiles pins that); the clip is a
+    pure CASE comparison; the mean is decimal-exact.
+
+    Plan shape at 100 TB: one grouped exact-percentile pass (at
+    extreme scale: approx_percentile with the same plan), the tiny
+    per-type bounds broadcast back onto an unshuffled scan, and one
+    map-side-combined rollup. The fact table is scanned twice, never
+    shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    w = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        (
+            F.sum(F.col("wv").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+
+@query(
+    "ev_equi_depth_histogram",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5)  AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events
+)
+SELECT CASE WHEN e.value <= q.q1 THEN 0
+            WHEN e.value <= q.q2 THEN 1
+            WHEN e.value <= q.q3 THEN 2
+            ELSE 3 END AS bucket,
+       COUNT(*) AS n,
+       MIN(e.value) AS lo,
+       MAX(e.value) AS hi
+FROM events e CROSS JOIN q
+GROUP BY 1
+""",
+    tags=("events", "histogram", "equi-depth"),
+)
+def ev_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (quartile buckets) — the optimizer-grade
+    value-distribution summary: bucket boundaries are exact global
+    quartiles, so each bucket holds ~25% of rows regardless of skew
+    (the dual of ev_value_histogram's equi-WIDTH bins, which skew
+    crushes). This is precisely the statistic a cost-based optimizer
+    keeps per column; ties at a boundary go left (<=), pinned in both
+    engines.
+
+    Plan shape at 100 TB: one global exact-percentile aggregate (3
+    numbers) broadcast onto the scan (1-row cross join), then a
+    4-group map-side-combined count. At extreme scale the same plan
+    runs on approx_percentile boundaries."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.5)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    bucketed = e.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+        "value",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -21,6 +21,8 @@ NOT match engine fold order and are only safe rows-only or rank-only.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -661,4 +663,50 @@ def src_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(30,10)"))
         .cast("double")
         .alias("total_value"),
+    )
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+SELECT doc_id,
+       CAST((n_chars * 2 + 7) * 10 + 1 AS BIGINT) AS transformed
+FROM documents
+""",
+    tags=("udf", "arrow", "iterator", "pandas"),
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (Iterator[pd.Series] → Iterator[pd.Series])
+    — the API whose point is EXPENSIVE PER-WORKER INITIALIZATION: the
+    body runs once per Python worker, pays its setup (here a stand-in
+    'model load'; in production a tokenizer, an ONNX session, a GPU
+    context) before the loop, then streams every Arrow batch through
+    the already-initialized state. The scalar form re-enters per
+    batch and cannot amortize setup. The oracle checks both the
+    transform (an affine map whose integer arithmetic is exact) and
+    the CONTRACT itself: model_loads must be 1 for every row — a
+    per-batch re-initialization would emit growing counts and break
+    the hash.
+
+    The init counter is folded into the output's last digit
+    (value = (n·2+7)·10 + loads), so a per-batch re-init would shift
+    every affected row and break the hash.
+
+    Plan shape at 100 TB: identical to any scalar UDF (per-row, zero
+    shuffle, Arrow-batched); the iterator form just moves the
+    constant factor of model setup out of the per-batch path, which
+    at a thousand executors is the difference between loading a
+    model 1000 times and 1000·batches times."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def affine_with_init(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        loads = 1  # expensive init happens HERE, once per worker
+        weight, bias = 2, 7
+        for s in batches:
+            yield (s * weight + bias) * 10 + loads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.select(
+        "doc_id", affine_with_init("n_chars").alias("transformed")
     )
