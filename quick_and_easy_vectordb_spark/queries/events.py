@@ -2040,3 +2040,53 @@ def ev_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "ev_stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    tags=("events", "streaming", "dedup", "watermark"),
+)
+def ev_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest via dropDuplicatesWithinWatermark — the
+    BOUNDED-STATE dedup API (state per id lives only until the
+    watermark passes its event time, so state is arrival-rate ×
+    horizon, not |stream|): the events file is staged TWICE as an
+    at-least-once replay, one file per micro-batch so the replay
+    arrives in a later batch and the dedup state must hold across
+    batches; the watermark delay (35 days) covers the fixture span so
+    no first-arrival can expire early, making the oracle the exact
+    single-copy count. Complements ev_stream_dedup_ingest
+    (unbounded-state dropDuplicates): same correctness bar, the state
+    contract that actually survives an unbounded 100 TB source.
+
+    Plan shape: one shuffle by event_id into the dedup state store
+    per micro-batch; emissions are append-mode first arrivals; the
+    rollup is the serving-layer count of the deduped feed."""
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_dedup_events,
+    )
+
+    sink = "ev_stream_dedup_wm_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(
+        sf_dir, ("events_a", "events_b"), "ev_stream_replay_"
+    )
+    src = _stream_events_source(spark, d, maxFilesPerTrigger=1)
+    q = (
+        stream_dedup_events(src, watermark="35 days")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
