@@ -114,6 +114,7 @@ _CHECK_PRIORITY = [
     "ev_equi_depth_histogram",
     "udf_pandas_iterator",
     "ev_stream_dedup_within_watermark",
+    "rel_running_total_by_month",
     # -- round-1-only external evidence, oldest first. With 57 entries
     # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
     # hard ~50-entry driver cutoff already falls inside the new block:

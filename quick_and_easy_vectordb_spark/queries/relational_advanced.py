@@ -1353,3 +1353,62 @@ def rel_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ambiguous"),
     )
+
+
+@query(
+    "rel_running_total_by_month",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(rev_dec) OVER (
+              ORDER BY month ROWS UNBOUNDED PRECEDING)
+            AS VARCHAR) AS DOUBLE) AS cumulative_revenue
+FROM m
+""",
+    tags=("relational", "window", "running-total", "bi"),
+)
+def rel_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue over the MONTHLY aggregate series — the
+    two-level BI staple (pre-aggregate, then window over the tiny
+    series) that differs structurally from row-level running sums
+    (rel_window_lag_running): the window runs over ~|months| rows, so
+    its sort is free regardless of fact volume. The running total
+    itself is a decimal window sum (associative, order-pinned by the
+    frame), converted once — bit-stable at any partitioning.
+
+    Plan shape at 100 TB: one map-side-combined groupBy(month) is the
+    only fact-sized stage; the unpartitioned window is safe BECAUSE
+    the series is bounded by the calendar, not the data — the
+    single-partition window anti-pattern applies to row-level frames,
+    not to post-aggregate series.
+
+    Exactness: revenue stays DECIMAL through BOTH levels (per-row
+    casts happen on small raw values where the 1e-10 quantum washes
+    out binary noise; re-casting an already-large pre-aggregated
+    double diverges between engines — Spark's double→decimal goes
+    through the shortest string repr, DuckDB's through the exact
+    binary expansion), converted to double only at the output — the
+    rel_partial_agg_merge rule applied to a window."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev_dec"),
+    )
+    w = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "month",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
+    )
