@@ -115,6 +115,9 @@ _CHECK_PRIORITY = [
     "udf_pandas_iterator",
     "ev_stream_dedup_within_watermark",
     "rel_running_total_by_month",
+    "text_idf_drift",
+    "ev_peak_hours",
+    "ev_weekday_seasonality",
     # -- round-1-only external evidence, oldest first. With 57 entries
     # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
     # hard ~50-entry driver cutoff already falls inside the new block:

@@ -2090,3 +2090,111 @@ def ev_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "ev_peak_hours",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, hr, n,
+         lag(n)  OVER (PARTITION BY event_type ORDER BY hr) AS prev_n,
+         lead(n) OVER (PARTITION BY event_type ORDER BY hr) AS next_n
+  FROM h
+)
+SELECT event_type, COUNT(*) AS n_peaks, CAST(MAX(n) AS BIGINT) AS max_peak
+FROM l
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+GROUP BY event_type
+""",
+    tags=("events", "window", "peaks", "time-series"),
+)
+def ev_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-MAXIMA detection over the hourly series — the alerting /
+    capacity primitive (peak-hour identification, burst counting): an
+    hour is a peak when its count strictly exceeds both neighbors
+    (series endpoints excluded — they have one neighbor and a
+    half-open test would over-count). Summarized per type as peak
+    count and tallest peak. All-integer, trivially exact; the
+    interesting part is the shape: lag AND lead over the same
+    pre-aggregated series resolve to ONE window sort.
+
+    Plan shape at 100 TB: the hourly pre-aggregation (map-side
+    combined) collapses volume before any window; the lag/lead window
+    runs over O(hours) rows per type. Raw events never see a window."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600)
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l = h.select(
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    peaks = l.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.max("n").cast("long").alias("max_peak"),
+    )
+
+
+@query(
+    "ev_weekday_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow
+  FROM events
+),
+c AS (
+  SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY 1)
+SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.total AS share
+FROM c JOIN t ON t.event_type = c.event_type
+""",
+    tags=("events", "seasonality", "agg"),
+)
+def ev_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week SEASONALITY profile per event type — the baseline
+    every anomaly detector normalizes against (a Monday spike is not
+    a spike if Mondays always spike) and the input to traffic-shaped
+    capacity scheduling. Counts are exact integers; the share is one
+    double division against the type total.
+
+    DOW convention pinned: Spark's dayofweek == DuckDB's
+    dayofweek + 1 is FALSE — both return 1=Sunday..7=Saturday for
+    Spark vs 0=Sunday..6 for DuckDB, so the Spark side subtracts 1 to
+    match DuckDB's numbering; the CORRECTNESS row is what holds the
+    convention honest.
+
+    Plan shape at 100 TB: one map-side-combined (type, dow) count —
+    35 groups — plus a 5-row total broadcast back."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )

@@ -827,3 +827,92 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "text_idf_drift",
+    oracle=f"""
+WITH d AS (SELECT doc_id, doc_id % 2 AS half, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, half, unnest(string_split(t, ' ')) AS w
+  FROM d WHERE t <> ''
+),
+n_docs AS (
+  SELECT half, COUNT(DISTINCT doc_id) AS n FROM tok GROUP BY half
+),
+df AS (
+  SELECT half, w, COUNT(*) AS df FROM tok GROUP BY half, w
+),
+paired AS (
+  SELECT a.w,
+         a.df AS df0, b.df AS df1,
+         (SELECT n FROM n_docs WHERE half = 0) AS n0,
+         (SELECT n FROM n_docs WHERE half = 1) AS n1
+  FROM df a JOIN df b ON b.w = a.w AND a.half = 0 AND b.half = 1
+)
+SELECT w,
+       CAST(df0 AS BIGINT) AS df_old, CAST(df1 AS BIGINT) AS df_new,
+       CAST(abs(df1 * n0 - df0 * n1) AS BIGINT) AS drift_x,
+       CAST(df1 AS DOUBLE) * n0 / (CAST(df0 AS DOUBLE) * n1) AS df_ratio
+FROM paired
+ORDER BY abs(df1 * n0 - df0 * n1) DESC, w
+LIMIT 20
+""",
+    tags=("text", "drift", "vocabulary"),
+)
+def text_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY DRIFT detector — the text twin of ann_centroid_drift:
+    compare per-term document frequency between the index-time corpus
+    half (even doc_ids) and the newly-ingested half, and surface the
+    most frequent terms whose normalized DF moved by >= 1.5x in either
+    direction (the signal that cached IDF tables / BM25 statistics
+    are stale and retrieval scores are drifting): the top-20 terms by
+    absolute normalized-DF movement |df1·n0 − df0·n1| — a pure
+    integer drift score, exact in both engines (a threshold variant
+    is one WHERE away); the reported ratio is one double expression
+    in pinned order.
+
+    Plan shape at 100 TB: per-half DF is the standard distinct
+    (doc, term) explode + two-level count — shuffle carries term
+    partials; the half-vs-half join runs on the (small) vocabulary
+    relation, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens("text")).alias("w"),
+        )
+        .distinct()
+    )
+    n_docs = tok.groupBy("half").agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    dfreq = tok.groupBy("half", "w").agg(F.count(F.lit(1)).alias("df"))
+    a = dfreq.filter(F.col("half") == 0).select(
+        "w", F.col("df").alias("df0")
+    )
+    b = dfreq.filter(F.col("half") == 1).select(
+        "w", F.col("df").alias("df1")
+    )
+    n0 = n_docs.filter(F.col("half") == 0).select(F.col("n").alias("n0"))
+    n1 = n_docs.filter(F.col("half") == 1).select(F.col("n").alias("n1"))
+    paired = a.join(b, "w").crossJoin(F.broadcast(n0)).crossJoin(
+        F.broadcast(n1)
+    )
+    drift_x = F.abs(F.col("df1") * F.col("n0") - F.col("df0") * F.col("n1"))
+    return (
+        paired.select(
+            "w",
+            F.col("df0").cast("long").alias("df_old"),
+            F.col("df1").cast("long").alias("df_new"),
+            drift_x.cast("long").alias("drift_x"),
+            (
+                F.col("df1").cast("double")
+                * F.col("n0")
+                / (F.col("df0").cast("double") * F.col("n1"))
+            ).alias("df_ratio"),
+        )
+        .orderBy(F.desc("drift_x"), F.asc("w"))
+        .limit(20)
+    )
