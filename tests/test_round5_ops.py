@@ -147,3 +147,56 @@ def test_interarrival_gap_attributed_to_later_event(spark):
     )
     got = {(r["event_type"], r["gap_us"]) for r in g}
     assert got == {("B", 10_000_000), ("A", 30_000_000)}
+
+
+def test_peak_detection_excludes_endpoints_and_plateaus(spark):
+    """Series 1,3,2,5,5,1 per type: hour1 (3>1,3>2) is a peak; the
+    5,5 plateau is NOT (strict >); endpoints never qualify."""
+    rows = []
+    counts = [1, 3, 2, 5, 5, 1]
+    eid = 0
+    for hr, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-01 {hr:02d}:30:00", 1, "A"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window
+
+    h = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600)
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l = h.select(
+        "n",
+        F.lag("n").over(w).alias("p"),
+        F.lead("n").over(w).alias("x"),
+    )
+    peaks = l.filter(
+        F.col("p").isNotNull()
+        & F.col("x").isNotNull()
+        & (F.col("n") > F.col("p"))
+        & (F.col("n") > F.col("x"))
+    ).collect()
+    assert [r["n"] for r in peaks] == [3]
+
+
+def test_dayofweek_convention_spark_minus_one_equals_duckdb(spark):
+    """2024-01-01 is a Monday: Spark dayofweek=2 (1=Sunday), DuckDB
+    dayofweek=1 (0=Sunday) — the -1 shift in ev_weekday_seasonality
+    aligns them."""
+    import duckdb
+
+    row = (
+        spark.createDataFrame([("2024-01-01 12:00:00",)], "ts string")
+        .select((F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"))
+        .head()
+    )
+    dk = duckdb.sql(
+        "SELECT dayofweek(TIMESTAMP '2024-01-01 12:00:00')"
+    ).fetchone()[0]
+    assert row["dow"] == dk == 1
