@@ -118,6 +118,8 @@ _CHECK_PRIORITY = [
     "text_idf_drift",
     "ev_peak_hours",
     "ev_weekday_seasonality",
+    "ev_threshold_breach_islands",
+    "rel_topn_with_ties",
     # -- round-1-only external evidence, oldest first. With 57 entries
     # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
     # hard ~50-entry driver cutoff already falls inside the new block:

@@ -2198,3 +2198,67 @@ def ev_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("total")).alias("share"),
     )
+
+
+@query(
+    "ev_threshold_breach_islands",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT hr, n,
+         ROW_NUMBER() OVER (ORDER BY hr) AS rn
+  FROM h WHERE n >= 18
+),
+isl AS (
+  SELECT hr, n, hr - rn * 3600 AS grp FROM f
+)
+SELECT CAST(MIN(hr) AS BIGINT) AS island_start,
+       COUNT(*) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS peak
+FROM isl
+GROUP BY grp
+HAVING COUNT(*) >= 3
+""",
+    tags=("events", "gaps-and-islands", "alerting"),
+)
+def ev_threshold_breach_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS over a threshold breach — the sustained-alert
+    primitive (one noisy hour is noise; three consecutive hot hours
+    page someone): hours with >= 18 events are 'breaching', and
+    maximal runs of CONSECUTIVE breaching hours are grouped by the
+    classic islands trick (hr − row_number·3600 is constant within a
+    run), keeping runs of >= 3 hours with their span and peak. The
+    value-threshold sibling of gap-based sessionization
+    (ev_sessionize groups by time gaps per user; this groups a global
+    series by predicate continuity). All-integer.
+
+    Plan shape at 100 TB: the hourly pre-aggregation collapses volume
+    first; the islands window runs over O(breaching hours) rows.
+    Keyed deployments (per type / per tenant) add the key to the
+    partitionBy and scale embarrassingly."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600)
+        .cast("long")
+        .alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f = h.filter(F.col("n") >= 18)
+    w = Window.orderBy("hr")
+    isl = f.withColumn(
+        "grp", F.col("hr") - F.row_number().over(w) * 3600
+    )
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.min("hr").cast("long").alias("island_start"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("peak"),
+        )
+        .filter(F.col("n_hours") >= 3)
+        .drop("grp")
+    )

@@ -1412,3 +1412,53 @@ def rel_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("cumulative_revenue"),
     )
+
+
+@query(
+    "rel_topn_with_ties",
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY ROUND(c_acctbal, -2) DESC) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY ROUND(c_acctbal, -2) DESC, c_custkey)
+           AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(rnk AS BIGINT) AS rnk, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rnk <= 3
+""",
+    tags=("relational", "window", "rank", "ties"),
+)
+def rel_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH TIES (SQL:2008 FETCH FIRST ... WITH TIES semantics):
+    RANK instead of ROW_NUMBER keeps every row tied at the cutoff —
+    the correct leaderboard semantics when dropping a tied competitor
+    is wrong. Balances are bucketed to the nearest 100 so ties
+    actually occur; both ranking functions are emitted side by side,
+    and the row count exceeding 3·|segments| is itself the proof that
+    ties crossed the cutoff (row_number would return exactly 3 per
+    segment). Ordering inside a tie is pinned by custkey for the
+    deterministic rn column.
+
+    Plan shape at 100 TB: one shuffle on the partition key; RANK
+    cannot use the WindowGroupLimit heap that row_number top-k gets
+    (the cutoff depends on peer counts), which is exactly the
+    trade-off this row documents — with-ties semantics cost a full
+    per-partition sort."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.round(F.col("c_acctbal"), -2)
+    wr = Window.partitionBy("c_mktsegment").orderBy(F.desc(bucket))
+    wn = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc(bucket), F.asc("c_custkey")
+    )
+    r = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(wr).cast("long").alias("rnk"),
+        F.row_number().over(wn).cast("long").alias("rn"),
+    )
+    return r.filter(F.col("rnk") <= 3)
