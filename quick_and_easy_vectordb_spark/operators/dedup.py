@@ -163,7 +163,12 @@ def lsh_candidate_pairs(
     member filter, and the member-list build (the window's output
     partitioning satisfies the groupBy, so Catalyst inserts no second
     exchange), and a hot bucket's members are dropped BEFORE any
-    member list materializes — no O(hot) array ever exists. (The
+    member list materializes — no O(hot) member ARRAY and no O(hot²)
+    pair expansion ever exists. (WindowExec itself still buffers the
+    rows of a hot (band, key) partition — that buffer is spillable
+    and O(hot) rows of (band, key, id), a bounded disk cost, unlike
+    the in-memory collect_list array or the quadratic blowup the cap
+    prevents.) (The
     first cut of this cap counted sizes in a separate aggregation +
     broadcast anti-join; that cost a persist and an extra pass over
     the band table — ~1.2 s of the sf0.1 bench — for the same

@@ -48,8 +48,87 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # the back of the line.
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- never driver-checked in rounds 1-4 (17): the last step to
-    # externally-verified 100% (VERDICT r4 next-round item 1) --
+    # -- round-6 prefix: the 19 queries that have never appeared in ANY
+    #    CORRECTNESS_r*.json (VERDICT r5 'What's missing' #1) — they sat at
+    #    positions 50-68 of the r5 order, just past the driver's ~50-entry
+    #    cutoff. With them first, every one of the 212 registered queries
+    #    will have at least one green driver row. --
+    "text_curation_pipeline",
+    "ev_append_mode_finalized_windows",
+    "ann_sq8_recall",
+    "src_python_datasource_sink",
+    "rel_pit_dimension_join",
+    "vdb_corpus_stats",
+    "ev_user_feature_profile",
+    "rel_fuzzy_entity_match",
+    "ann_centroid_drift",
+    "ev_winsorize_trimmed_stats",
+    "ev_equi_depth_histogram",
+    "udf_pandas_iterator",
+    "ev_stream_dedup_within_watermark",
+    "rel_running_total_by_month",
+    "text_idf_drift",
+    "ev_peak_hours",
+    "ev_weekday_seasonality",
+    "ev_threshold_breach_islands",
+    "rel_topn_with_ties",
+    # -- re-check after the round-6 output-shape fix (r5 driver err:
+    #    raw array column; now emitted as array_join CSV) --
+    "rel_array_higher_order",
+    # -- new in round 6, no driver row possible yet --
+    # (entries appended here as round-6 queries land)
+    # -- oldest-external-evidence backlog, FIFO refresh; everything that
+    #    went green in rounds 4-5 rotates to the back of the line --
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "vdb_topk_cosine",
+    "vdb_topk_cosine_arrow",
+    "vdb_topk_l2",
+    "vdb_vector_parse_roundtrip",
+    "vdb_vector_stats",
+    "vdb_append_union",
+    "vdb_batch_knn",
+    "vdb_knn_per_label",
+    "vdb_binary_quantized_search",
+    "vdb_binary_rerank",
+    "vdb_count",
+    "vdb_filtered_search",
+    "vdb_quantized_search",
+    "vdb_range_search",
+    "vdb_search_after",
+    "vdb_threshold_filter",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid_confusion",
+    "text_stats_by_lang",
+    "text_tfidf_keywords",
+    "text_token_count",
+    "text_top_bigrams",
+    "text_train_val_split",
+    "rel_anti_join_customers",
+    "rel_semi_join_customers",
+    "rel_outer_join_counts",
+    "rel_q3_shipping_topn",
+    "rel_q4_exists",
+    "rel_rollup_orders",
+    "rel_cube_orders",
+    "rel_scalar_functions",
+    "rel_date_functions",
+    "rel_setops_customers",
+    "rel_window_rank_customers",
+    "vdb_batch_knn_lsh",
+    "vdb_mmr_rerank",
+    "vdb_hybrid_rrf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "text_bm25_topk",
+    "text_quality_filter",
+    "vdb_topk_dot",
+    "rel_q1_pricing_summary",
+    "rel_q5_region_revenue",
+    # -- green in CORRECTNESS_r05 (freshest external evidence, last) --
     "rel_merge_upsert",
     "rel_pivot_segment_year",
     "rel_window_lag_running",
@@ -63,11 +142,9 @@ _CHECK_PRIORITY = [
     "rel_exact_percentiles",
     "rel_window_distribution",
     "rel_window_range_frame",
-    "rel_array_higher_order",
     "rel_map_functions",
     "rel_json_roundtrip",
     "rel_q20_promotion_suppliers",
-    # -- new in round 5, no driver row possible yet --
     "mm_decode_png_stats",
     "dedup_minhash_lsh_capped",
     "rel_bloom_semi_join",
@@ -101,83 +178,6 @@ _CHECK_PRIORITY = [
     "ev_session_duration_distribution",
     "mm_audio_fingerprint",
     "dedup_lsh_amplified",
-    "text_curation_pipeline",
-    "ev_append_mode_finalized_windows",
-    "ann_sq8_recall",
-    "src_python_datasource_sink",
-    "rel_pit_dimension_join",
-    "vdb_corpus_stats",
-    "ev_user_feature_profile",
-    "rel_fuzzy_entity_match",
-    "ann_centroid_drift",
-    "ev_winsorize_trimmed_stats",
-    "ev_equi_depth_histogram",
-    "udf_pandas_iterator",
-    "ev_stream_dedup_within_watermark",
-    "rel_running_total_by_month",
-    "text_idf_drift",
-    "ev_peak_hours",
-    "ev_weekday_seasonality",
-    "ev_threshold_breach_islands",
-    "rel_topn_with_ties",
-    # -- round-1-only external evidence, oldest first. With 57 entries
-    # ahead (17 never-checked + 15 session-1 + 25 session-2 new), a
-    # hard ~50-entry driver cutoff already falls inside the new block:
-    # the last ~7 session-2 queries and everything below carry local
-    # sweep + pytest evidence this round and rotate forward in round 6.
-    # Priority rationale: externally-unverified 100% (the 17) first,
-    # then newest surface, then refresh of the oldest driver rows. --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "vdb_topk_cosine",
-    "vdb_topk_cosine_arrow",
-    "vdb_topk_l2",
-    "vdb_vector_parse_roundtrip",
-    "vdb_vector_stats",
-    "vdb_append_union",
-    "vdb_batch_knn",
-    "vdb_knn_per_label",
-    "vdb_binary_quantized_search",
-    "vdb_binary_rerank",
-    "vdb_count",
-    "vdb_filtered_search",
-    "vdb_quantized_search",
-    "vdb_range_search",
-    "vdb_search_after",
-    # ---- ~50-entry prefix boundary (32 head entries above + 18 here) ----
-    "vdb_threshold_filter",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid_confusion",
-    "text_stats_by_lang",
-    "text_tfidf_keywords",
-    "text_token_count",
-    "text_top_bigrams",
-    "text_train_val_split",
-    "rel_anti_join_customers",
-    "rel_semi_join_customers",
-    "rel_outer_join_counts",
-    "rel_q3_shipping_topn",
-    "rel_q4_exists",
-    "rel_rollup_orders",
-    "rel_cube_orders",
-    "rel_scalar_functions",
-    "rel_date_functions",
-    "rel_setops_customers",
-    "rel_window_rank_customers",
-    # Remaining round-1-or-2-only evidence, next in line for round 6.
-    "vdb_batch_knn_lsh",
-    "vdb_mmr_rerank",
-    "vdb_hybrid_rrf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "text_bm25_topk",
-    "text_quality_filter",
-    "vdb_topk_dot",
-    "rel_q1_pricing_summary",
-    "rel_q5_region_revenue",
 ]
 
 

@@ -69,9 +69,15 @@ def _sql_embed_elem(i: int) -> str:
 
 def _sql_embed_dot() -> str:
     # Left-to-right sum chain matches Spark's aggregate fold
-    # (0.0 + t0) + t1 + ... bitwise.
+    # (0.0 + t0) + t1 + ... bitwise. Literals rendered as :.17e, not
+    # !r: repr of a float like 0.123456789012345678 round-trips in
+    # Python, but DuckDB parses a bare high-precision literal as
+    # DECIMAL(19,18) and the decimal→double conversion can differ by
+    # one ulp from Python's repr round-trip. Scientific notation
+    # forces DuckDB to parse as DOUBLE (same fix as sql_vec /
+    # sql_embed_dot in functions/vector.py).
     return " + ".join(
-        f"{_sql_embed_elem(i)} * {_QVEC[i]!r}" for i in range(HASH_EMBED_DIM)
+        f"{_sql_embed_elem(i)} * {_QVEC[i]:.17e}" for i in range(HASH_EMBED_DIM)
     )
 
 

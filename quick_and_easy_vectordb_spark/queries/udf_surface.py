@@ -684,13 +684,18 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-initialized state. The scalar form re-enters per
     batch and cannot amortize setup. The oracle checks both the
     transform (an affine map whose integer arithmetic is exact) and
-    the CONTRACT itself: model_loads must be 1 for every row — a
-    per-batch re-initialization would emit growing counts and break
-    the hash.
+    the CONTRACT itself: the init counter is a process-global that
+    increments on every ENTRY into the UDF body, not a local constant
+    — in the iterator form the body is entered once per worker, so
+    every row sees counter value 1; if the runtime ever re-entered
+    the body per batch (the scalar form's pattern), the second batch
+    in a worker would see 2, shift its rows' last digit, and break
+    the hash. Each Spark worker process deserializes its own copy of
+    the counter starting at 0, so "1" genuinely means
+    first-entry-in-this-worker.
 
-    The init counter is folded into the output's last digit
-    (value = (n·2+7)·10 + loads), so a per-batch re-init would shift
-    every affected row and break the hash.
+    The counter is folded into the output's last digit
+    (value = (n·2+7)·10 + entries).
 
     Plan shape at 100 TB: identical to any scalar UDF (per-row, zero
     shuffle, Arrow-batched); the iterator form just moves the
@@ -699,9 +704,15 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     model 1000 times and 1000·batches times."""
     from pyspark.sql.functions import pandas_udf
 
+    entry_counter = {"entries": 0}  # pickled at 0 into each worker
+
     @pandas_udf("long")
     def affine_with_init(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        loads = 1  # expensive init happens HERE, once per worker
+        # Expensive init happens HERE, once per worker. The counter
+        # increments on every body ENTRY, so a per-batch re-entry
+        # pattern would emit 2, 3, ... and break the oracle hash.
+        entry_counter["entries"] += 1
+        loads = entry_counter["entries"]
         weight, bias = 2, 7
         for s in batches:
             yield (s * weight + bias) * 10 + loads

@@ -111,7 +111,7 @@ class SynthEventsDataSource(DataSource):
         return SynthEventsStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
-        return SynthEventsWriter(self.options)
+        return SynthEventsWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:
@@ -145,10 +145,19 @@ class FileCommitMessage(WriterCommitMessage):
 
 
 class SynthEventsWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         if "path" not in options:
             raise ValueError("qev_synth sink requires option('path', dir)")
         self.path = options["path"]
+        self.overwrite = overwrite
+        if overwrite and os.path.isdir(self.path):
+            # mode('overwrite') must not leave stale part files behind:
+            # a reader trusting the directory listing (rather than the
+            # manifest) would double-count. Clear prior output on the
+            # driver before any task writes.
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_manifest.json":
+                    os.remove(os.path.join(self.path, name))
 
     def write(self, iterator) -> FileCommitMessage:
         os.makedirs(self.path, exist_ok=True)
@@ -165,8 +174,14 @@ class SynthEventsWriter(DataSourceWriter):
             "files": sorted(m.path for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
         }
-        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+        # Temp-file + atomic rename: a crash mid-write must never
+        # expose a torn manifest, because the manifest IS the commit
+        # point of the two-phase protocol — readers either see the
+        # complete old state or the complete new state.
+        tmp = os.path.join(self.path, f"_manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -177,35 +177,6 @@ def test_distilbert_batched_equals_per_text_gated(spark):
         assert got[t] == pytest.approx(r.numpy().tolist(), abs=1e-5)
 
 
-def test_distilbert_golden_vectors_gated(spark):
-    """Golden-vector parity against hand-captured reference embeddings
-    (transformers 4.37.2 semantics, reference app.py:27-37). The
-    fixture is intentionally absent in this container (no torch to
-    capture genuine vectors with — fabricating numbers would defeat the
-    test); capture protocol is documented in the fixture path. Skips
-    until both torch and the fixture exist."""
-    import json
-    import os
-
-    pytest.importorskip("torch")
-    pytest.importorskip("transformers")
-    fixture = os.path.join(
-        os.path.dirname(__file__), "fixtures", "distilbert_golden.json"
-    )
-    if not os.path.exists(fixture):
-        pytest.skip(
-            "golden fixture not captured: run tok/model per app.py:27-37 on "
-            "the texts and save {text: first-8-dims} to tests/fixtures/"
-            "distilbert_golden.json"
-        )
-    golden = json.load(open(fixture))
-    df = spark.createDataFrame([(t,) for t in golden], "text string")
-    embed = make_embed_udf("distilbert")
-    got = {r.text: r.v for r in df.select("text", embed("text").alias("v")).collect()}
-    for t, first_dims in golden.items():
-        assert got[t][: len(first_dims)] == pytest.approx(first_dims, abs=1e-4)
-
-
 def test_sample_frames_fanout_shape(spark):
     from quick_and_easy_vectordb_spark.operators.multimodal import (
         sample_frames,

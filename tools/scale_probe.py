@@ -33,6 +33,9 @@ from quick_and_easy_vectordb_spark.operators.dedup import (  # noqa: E402
     shingle_table,
 )
 from quick_and_easy_vectordb_spark.operators.search import lsh_batch_knn  # noqa: E402
+from quick_and_easy_vectordb_spark.operators.util import (  # noqa: E402
+    scaled_shuffle_partitions,
+)
 from quick_and_easy_vectordb_spark.session import get_spark  # noqa: E402
 
 BASE_ROWS = 2_000_000
@@ -126,7 +129,11 @@ def main() -> None:
         ),
         # rel_q21's decorrelated shape: one per-order aggregate over the
         # fact + a join-back of the filtered fact — two fact shuffles,
-        # the plan the EXISTS/NOT-EXISTS pair compiles to.
+        # the plan the EXISTS/NOT-EXISTS pair compiles to. Mirrors the
+        # round-6 fix in rel_q21_sole_problem_supplier: the per-key
+        # distinct-agg partitioning is sized from plan stats, so the
+        # probe measures the guarded plan (r5 measured the unguarded
+        # one and hit the spill cliff: 3x data → 7.1x wall at 30x).
         "q21_decorrelated (per-key agg + join-back)": lambda n: noop(
             (lambda li: (
                 li.groupBy("key")
@@ -138,8 +145,14 @@ def main() -> None:
                 )
                 .join(li.filter(F.col("flag") == 1), "key")
             ))(
-                synth_fact(spark, n).withColumn(
-                    "supp", F.pmod(F.hash("id", F.lit(9)), F.lit(1000))
+                (lambda base: (
+                    (lambda np_: base.repartition(np_, "key") if np_ else base)(
+                        scaled_shuffle_partitions(base)
+                    )
+                ))(
+                    synth_fact(spark, n).withColumn(
+                        "supp", F.pmod(F.hash("id", F.lit(9)), F.lit(1000))
+                    )
                 )
             )
         ),
