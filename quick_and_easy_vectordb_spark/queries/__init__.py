@@ -76,7 +76,7 @@ _CHECK_PRIORITY = [
     #    raw array column; now emitted as array_join CSV) --
     "rel_array_higher_order",
     # -- new in round 6, no driver row possible yet --
-    # (entries appended here as round-6 queries land)
+    "mm_decode_jpeg_stats",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

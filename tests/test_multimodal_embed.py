@@ -33,8 +33,12 @@ def test_binary_features_match_hashlib(spark):
 
 
 def test_decode_stub_raises():
-    # JPEG magic: a format the pure-stdlib decoder deliberately rejects
+    # unknown magic: a format the pure-stdlib decoder deliberately rejects
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x01\xba mpeg-ps video payload")
+    # JPEG magic with a garbage body is now PARSED (baseline decoder,
+    # round 6) and fails structurally, not as an unimplemented codec
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 not actually jpeg")
 
 
@@ -242,8 +246,10 @@ def test_decode_image_real_formats():
     assert a.shape == (2, 2, 3)
     assert a[0, 0].tolist() == [255, 0, 0] and a[1, 1].tolist() == [10, 20, 30]
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG needs codec libs
+    with _pytest.raises(ValueError):
+        # JPEG is decoded for real since round 6; a magic-only stub is
+        # structurally invalid (no SOF0/SOS), not an unsupported codec
+        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 
 
 def _png_chunks(w, h, ctype, scanlines):
