@@ -322,7 +322,12 @@ def rel_q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     li = ensure_parallelism(li)
-    n_parts = scaled_shuffle_partitions(li)
+    # 8 MB target (half the util default): the COUNT(DISTINCT) Expand
+    # doubles every row before the per-task hash aggregate, so this
+    # shape's in-memory state is ~2x the optimizer's row-width
+    # estimate. Measured on the synthetic probe at 30x: 16 MB target
+    # spills (11.2 s), 8 MB doesn't (6.5 s, 10x→30x segment 1.5x).
+    n_parts = scaled_shuffle_partitions(li, target_bytes=8 << 20)
     if n_parts:
         li = li.repartition(n_parts, "l_orderkey")
     ord_stats = (

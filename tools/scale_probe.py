@@ -147,7 +147,7 @@ def main() -> None:
             ))(
                 (lambda base: (
                     (lambda np_: base.repartition(np_, "key") if np_ else base)(
-                        scaled_shuffle_partitions(base)
+                        scaled_shuffle_partitions(base, target_bytes=8 << 20)
                     )
                 ))(
                     synth_fact(spark, n).withColumn(
@@ -462,6 +462,24 @@ def main() -> None:
             shutil.rmtree(base, ignore_errors=True)
 
     probes["stream_stream_interval_join (2-side state)"] = stream_stream_probe
+
+    # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
+    # runs only shapes whose name contains any given substring and
+    # prints results WITHOUT rewriting SCALING.md (partial tables
+    # would clobber the full record).
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if filters:
+        probes = {
+            k: v for k, v in probes.items()
+            if any(f.lower() in k.lower() for f in filters)
+        }
+        for name, fn in probes.items():
+            fn(BASE_ROWS // 10)
+            t1 = timed(lambda: fn(BASE_ROWS))
+            ts = [timed(lambda: fn(BASE_ROWS * s)) for s in SCALES]
+            ratios = [round(t / t1, 1) if t1 > 0 else float("inf") for t in ts]
+            print(f"{name}: {t1}s -> {ts[0]}s ({ratios[0]}x) -> {ts[1]}s ({ratios[1]}x)")
+        return
 
     lines = [
         "# SCALING — measured 1x→10x→30x growth of the core operator shapes",
