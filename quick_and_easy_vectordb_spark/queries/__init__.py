@@ -77,6 +77,13 @@ _CHECK_PRIORITY = [
     "rel_array_higher_order",
     # -- new in round 6, no driver row possible yet --
     "mm_decode_jpeg_stats",
+    "ev_kmv_distinct_estimate",
+    "ev_autocorr_lag1",
+    "ev_ordered_funnel_windowed",
+    "rel_skyline_frontier",
+    "text_vocab_growth",
+    "vdb_matryoshka_prefix_search",
+    "vdb_power_iteration_step",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

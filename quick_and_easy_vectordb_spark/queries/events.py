@@ -2262,3 +2262,286 @@ def ev_threshold_breach_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hours") >= 3)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: mergeable sketches, time-series diagnostics, ordered funnels
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 16**12  # h is 12 hex chars = 48 uniform bits
+
+
+@query(
+    "ev_kmv_distinct_estimate",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM du
+),
+rk AS (
+  SELECT event_type, user_id, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+  FROM h
+),
+k AS (
+  SELECT event_type, COUNT(*) AS n_k, MAX(h) AS h_k
+  FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+ex AS (SELECT event_type, COUNT(*) AS n_exact FROM du GROUP BY event_type)
+SELECT k.event_type,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(k.n_k AS BIGINT) AS kmv_k,
+       CASE WHEN k.n_k < {_KMV_K} THEN CAST(k.n_k AS DOUBLE)
+            ELSE CAST({(_KMV_K - 1) * _KMV_SCALE} AS DOUBLE)
+                 / CAST(k.h_k AS DOUBLE) END AS kmv_estimate
+FROM k JOIN ex ON ex.event_type = k.event_type
+""",
+    tags=("events", "sketch", "distinct", "kmv"),
+)
+def ev_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) DISTINCT-COUNT SKETCH per
+    event type, audited against the exact count — the MERGEABLE
+    distinct estimator (Bar-Yossef et al. 2002): keep the k=64
+    smallest 48-bit hash values of the distinct user set; the k-th
+    smallest normalized hash U_(k) estimates D as (k-1)/U_(k).
+    Unlike HLL (whose register layout is engine-private, so
+    approx_count_distinct can never be oracle-checked), the KMV
+    estimate is a pure function of md5 — bit-identical across engines,
+    so the SKETCH ITSELF is hash-verified, not just its error bound.
+
+    Mergeability is demonstrated structurally: the bottom-64 is
+    computed as 32 per-salt partial bottom-64s (each a bounded
+    window) unioned and re-reduced — exactly how per-partition /
+    per-day sketches would merge in an incremental pipeline, and
+    provably equal to the direct global bottom-k.
+
+    Plan shape at 100 TB: the distinct-(type,user) pre-aggregation is
+    the only data-sized shuffle (two-level, map-side partial dedup);
+    the partial bottom-k windows run over O(distinct/32) rows per
+    (type,salt) slice, the merge window over <= 32*64 rows per type.
+    Estimator state is O(k) per group — the 100 TB dashboard path.
+    When fewer than k values exist the sketch IS the exact set, so the
+    estimate falls back to the count (standard KMV small-set rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-v1:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    # Phase 1: 32 partial bottom-k sketches per type (bounded windows).
+    salted = h.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h", "user_id")
+    partial = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn", "salt")
+    )
+    # Phase 2: merge = global bottom-k over the <=32*64 survivors.
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kept = (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    k = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("h_k")
+    )
+    exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_k") < _KMV_K, F.col("n_k").cast("double")
+    ).otherwise(
+        F.lit((_KMV_K - 1) * _KMV_SCALE).cast("double")
+        / F.col("h_k").cast("double")
+    )
+    return (
+        k.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_k").cast("long").alias("kmv_k"),
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
+@query(
+    "ev_autocorr_lag1",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM h GROUP BY event_type
+),
+c AS (
+  SELECT h.event_type, h.hr,
+         CAST(st.n * h.x - st.s AS DECIMAL(19,0)) AS c,
+         st.n
+  FROM h JOIN st ON st.event_type = h.event_type
+),
+l AS (
+  SELECT event_type, n, c,
+         lead(c) OVER (PARTITION BY event_type ORDER BY hr) AS cn
+  FROM c
+),
+a AS (
+  SELECT event_type, MAX(n) AS n_hours,
+         SUM(CASE WHEN cn IS NOT NULL THEN c * cn ELSE CAST(0 AS DECIMAL(38,0)) END) AS num,
+         SUM(c * c) AS den
+  FROM l GROUP BY event_type
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r1
+FROM a
+""",
+    tags=("events", "time-series", "autocorrelation", "window"),
+)
+def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION of the hourly volume series per event
+    type — the burstiness / self-similarity diagnostic behind traffic
+    forecasting (high r1: smooth diurnal load; near 0: memoryless) and
+    the ACF(1) term of any ARIMA-style model. Series = observed hourly
+    buckets in hour order.
+
+    Exactness: with x̄ = S/n, every centered term is scaled by n to
+    the INTEGER c_t = n·x_t − S, so numerator Σ c_t·c_{t+1} and
+    denominator Σ c_t² are exact DECIMAL sums (the common n² factor
+    cancels in the ratio); r1 is ONE double division of two exactly
+    computed integers — no float fold order anywhere. DECIMAL(19,0)
+    terms keep the products inside DECIMAL(38,0) even when hourly
+    counts reach 10^9 at the 100 TB scale.
+
+    Plan shape at 100 TB: the hourly pre-aggregation (map-side
+    combined) is the only data-sized stage; the stats join is a
+    broadcast of O(types) rows and the lead() window sorts O(hours)
+    rows per type. Raw events never see a window."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 3600000000) * 3600)
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    st = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    c = h.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("decimal(19,0)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l = c.select(
+        "event_type", "n", "c", F.lead("c").over(w).alias("cn")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    a = l.groupBy("event_type").agg(
+        F.max("n").alias("n_hours"),
+        F.sum(
+            F.when(F.col("cn").isNotNull(), F.col("c") * F.col("cn")).otherwise(zero)
+        ).alias("num"),
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+    )
+    return a.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("r1"),
+    )
+
+
+@query(
+    "ev_ordered_funnel_windowed",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+m1 AS (
+  SELECT user_id, MIN(us) AS m1 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+m2 AS (
+  SELECT e.user_id, MIN(e.us) AS m2, MIN(m1.m1) AS m1
+  FROM e JOIN m1 ON m1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us >= m1.m1 AND e.us <= m1.m1 + 3600000000
+  GROUP BY e.user_id
+),
+m3 AS (
+  SELECT e.user_id, MIN(e.us) AS m3, MIN(m2.m1) AS m1
+  FROM e JOIN m2 ON m2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= m2.m2 AND e.us <= m2.m1 + 3600000000
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m1) AS users_viewed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m2) AS users_clicked,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m3) AS users_converted,
+  (SELECT CAST(COALESCE(SUM(m3 - m1), 0) AS BIGINT) FROM m3) AS total_convert_us
+""",
+    tags=("events", "funnel", "sessionization", "ordered"),
+)
+def ev_ordered_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED, TIME-BOUNDED conversion funnel
+    view → click → purchase, all inside one hour of the FIRST view —
+    the semantics product analytics tools ship (each stage must follow
+    the previous stage's match, inside the horizon), which the
+    unordered conditional-MIN funnel (ev_funnel) cannot express: there
+    a click before any view still counts.
+
+    Stage matching is earliest-eligible (min over events at-or-after
+    the previous stage's match, at-or-before first_view + 1h), which
+    is deterministic and engine-exact on epoch-microsecond integers.
+
+    Plan shape at 100 TB: three aggregations and two joins, ALL keyed
+    on user_id — one hash partitioning reused across every stage (no
+    re-shuffle between stages under AQE exchange reuse); stage tables
+    shrink monotonically (m2 joins only clicks against funnel
+    entrants, m3 only purchases against m2 survivors). The final
+    packaging of three 1-row counts is a broadcast cross of
+    singletons. Raw events are never window-sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    hz = 3600000000
+    m1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("m1"))
+    )
+    m2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(m1, "user_id")
+        .filter((F.col("us") >= F.col("m1")) & (F.col("us") <= F.col("m1") + hz))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("m2"), F.min("m1").alias("m1"))
+    )
+    m3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(m2, "user_id")
+        .filter((F.col("us") >= F.col("m2")) & (F.col("us") <= F.col("m1") + hz))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("m3"), F.min("m1").alias("m1"))
+    )
+    c1 = m1.agg(F.count(F.lit(1)).cast("long").alias("users_viewed"))
+    c2 = m2.agg(F.count(F.lit(1)).cast("long").alias("users_clicked"))
+    c3 = m3.agg(
+        F.count(F.lit(1)).cast("long").alias("users_converted"),
+        F.coalesce(F.sum(F.col("m3") - F.col("m1")), F.lit(0))
+        .cast("long")
+        .alias("total_convert_us"),
+    )
+    return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))

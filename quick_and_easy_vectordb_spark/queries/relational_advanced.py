@@ -1538,3 +1538,92 @@ def rel_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(wr).cast("long").alias("rnk"),
         F.row_number().over(wn).cast("long").alias("rn"),
     ).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "rel_skyline_frontier",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+cu AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         COALESCE(oc.n_orders, 0) AS n_orders
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+),
+per_n AS (
+  SELECT n_orders, MAX(c_acctbal) AS max_bal
+  FROM cu GROUP BY n_orders
+),
+cut AS (
+  SELECT n_orders, max_bal,
+         MAX(max_bal) OVER (ORDER BY n_orders DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_bal_more_orders
+  FROM per_n
+)
+SELECT cu.c_custkey, cu.c_name, cu.n_orders, cu.c_acctbal
+FROM cu JOIN cut ON cut.n_orders = cu.n_orders
+WHERE cu.c_acctbal = cut.max_bal
+  AND (cut.best_bal_more_orders IS NULL
+       OR cu.c_acctbal > cut.best_bal_more_orders)
+""",
+    tags=("relational", "skyline", "window", "olap"),
+)
+def rel_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / PARETO-FRONTIER query (Börzsönyi et al. 2001, the
+    classic `SKYLINE OF` operator no SQL engine ships natively):
+    customers not DOMINATED on (order count ↑, account balance ↑) —
+    kept iff no other customer is at least as good on both axes and
+    strictly better on one. The multi-objective "best customers"
+    view a single ORDER BY cannot express.
+
+    2-D dominance decomposes into two window tests over the
+    PRE-AGGREGATED per-count maxima: keep a customer iff (a) its
+    balance equals the max at its order count (no same-count
+    dominator) and (b) strictly exceeds the best balance at any
+    HIGHER count (no more-active dominator; running max over the
+    count-descending series). Ties on both axes are all kept —
+    standard skyline semantics. Comparisons only, no arithmetic, so
+    doubles are engine-exact.
+
+    Plan shape at 100 TB: the per-customer order count is the only
+    data-sized shuffle (map-side combined); per_n has O(distinct
+    counts) rows — its unpartitioned running-max window is over a
+    few hundred rows and the cutoff table broadcasts back onto the
+    customer scan. A naive NOT EXISTS dominance self-join is O(N²);
+    this is one agg + one tiny window + one broadcast join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    cu = (
+        cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+    per_n = cu.groupBy("n_orders").agg(F.max("c_acctbal").alias("max_bal"))
+    w = (
+        Window.orderBy(F.desc("n_orders"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = per_n.select(
+        "n_orders",
+        "max_bal",
+        F.max("max_bal").over(w).alias("best_bal_more_orders"),
+    )
+    return (
+        cu.join(F.broadcast(cut), "n_orders")
+        .filter(
+            (F.col("c_acctbal") == F.col("max_bal"))
+            & (
+                F.col("best_bal_more_orders").isNull()
+                | (F.col("c_acctbal") > F.col("best_bal_more_orders"))
+            )
+        )
+        .select("c_custkey", "c_name", "n_orders", "c_acctbal")
+    )

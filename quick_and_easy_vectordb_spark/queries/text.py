@@ -916,3 +916,94 @@ def text_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_x"), F.asc("w"))
         .limit(20)
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT d.doc_id, unnest(string_split(d.t, ' ')) AS tok
+  FROM d WHERE d.t <> ''
+),
+first_seen AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok
+),
+new_types AS (
+  SELECT CAST(floor(first_doc / 100) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY 1
+),
+bucket_tokens AS (
+  SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+  FROM tok GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(n.bucket, b.bucket) AS bucket,
+         COALESCE(n.new_types, 0) AS new_types,
+         COALESCE(b.bucket_tokens, 0) AS bucket_tokens
+  FROM new_types n FULL OUTER JOIN bucket_tokens b ON b.bucket = n.bucket
+)
+SELECT bucket, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_types,
+       bucket_tokens,
+       CAST(SUM(bucket_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM m
+""",
+    tags=("text", "vocabulary", "heaps-law", "window"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps'-law empirics): cumulative
+    distinct word types vs cumulative token volume as the corpus is
+    consumed in doc_id order, bucketed per 100 documents — the curve
+    that sizes tokenizer vocabularies and detects corpus saturation
+    (a flattening curve means new data adds tokens but no new
+    language). The text twin of ev_cumulative_unique_users: a type is
+    "new" in the bucket containing the FIRST document it appears in,
+    so no expanding-window distinct is ever evaluated.
+
+    All counts are exact integers. Per-bucket token totals and
+    first-seen buckets are independent aggregations full-outer-merged
+    on bucket (a bucket can have tokens but no new types, or — for
+    all-blank stretches — neither).
+
+    Plan shape at 100 TB: the token explode feeds TWO map-side
+    combined aggregations — groupBy(token) for first-seen (shuffle
+    O(types), the vocabulary relation) and groupBy(bucket) for
+    volume (shuffle O(buckets)); the cumulative window runs
+    unpartitioned over O(buckets) rows, which is the calendar-bounded
+    shape rel_running_total_by_month documents. Raw text never
+    shuffles."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    bucket = (F.floor(F.col("doc_id") / 100)).cast("long")
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(
+        (F.floor(F.col("first_doc") / 100)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    bucket_tokens = tok.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bucket_tokens")
+    )
+    m = (
+        new_types.join(bucket_tokens, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+            F.coalesce(F.col("bucket_tokens"), F.lit(0)).alias("bucket_tokens"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "bucket",
+        F.col("new_types").cast("long").alias("new_types"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        F.col("bucket_tokens").cast("long").alias("bucket_tokens"),
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+    )

@@ -1417,3 +1417,133 @@ def vdb_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: truncated-dimension retrieval + spectral building block
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIX = 16
+_MRL_SHORTLIST = 50
+_Q16 = sql_vec(QUERY_VEC[:_MRL_PREFIX])
+
+
+@query(
+    "vdb_matryoshka_prefix_search",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, embedding,
+         list_dot_product((embedding::DOUBLE[])[1:{_MRL_PREFIX}], {_Q16}) AS prefix_score
+  FROM embeddings
+),
+short AS (
+  SELECT * FROM scored ORDER BY prefix_score DESC, vec_id LIMIT {_MRL_SHORTLIST}
+)
+SELECT vec_id, prefix_score,
+       list_dot_product(embedding::DOUBLE[], {_Q}) AS similarity
+FROM short
+ORDER BY similarity DESC, vec_id
+LIMIT 5
+""",
+    tags=("vector", "topk", "matryoshka", "ann"),
+)
+def vdb_matryoshka_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL, Kusupati et al. 2022) truncated-dimension
+    retrieval: score on the FIRST 16 of 64 dims (MRL-trained
+    embeddings front-load information, so the prefix preserves
+    ranking), shortlist top-50, then rerank the shortlist with the
+    full 64-dim dot product — the memory-bandwidth play every
+    vector store now ships (4× fewer bytes per candidate scanned).
+
+    Both stages are TakeOrderedAndProject over pure Catalyst
+    expressions; slice + aggregate(zip_with) keeps the same
+    sequential fold DuckDB's list_dot_product uses, so scores are
+    bit-identical.
+
+    Plan shape at 100 TB: stage 1 reads 16 of 64 components per row
+    (the scan still fetches the column, but the fold is 4× shorter;
+    with dimension-split storage the prefix would be its own column
+    chunk); the top-50 heap never materializes a global sort. Stage 2
+    scores exactly 50 rows. One wide scan, zero shuffles beyond the
+    top-k reduction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q16 = vector_literal(QUERY_VEC[:_MRL_PREFIX])
+    qfull = vector_literal(QUERY_VEC)
+    v = F.col("embedding").cast("array<double>")
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        dot_product(F.slice(v, 1, _MRL_PREFIX), q16).alias("prefix_score"),
+    )
+    short = scored.orderBy(F.desc("prefix_score"), F.asc("vec_id")).limit(
+        _MRL_SHORTLIST
+    )
+    rer = short.select(
+        "vec_id",
+        "prefix_score",
+        dot_product(F.col("embedding").cast("array<double>"), qfull).alias(
+            "similarity"
+        ),
+    )
+    return rer.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5)
+
+
+_PI_SCALE = 16777216  # 2^24 fixed-point: floor(term * 2^24) is engine-exact
+
+
+@query(
+    "vdb_power_iteration_step",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], {_Q}) AS dq
+  FROM embeddings
+),
+t AS (
+  SELECT pos.pos,
+         CAST(floor(d.v[pos.pos] * d.dq * {_PI_SCALE}) AS DECIMAL(20,0)) AS term
+  FROM d CROSS JOIN pos
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(term) AS BIGINT) AS y_fixed
+FROM t GROUP BY pos
+""",
+    tags=("vector", "linear-algebra", "pca", "agg"),
+)
+def vdb_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE POWER-ITERATION STEP toward the corpus's dominant principal
+    direction: y = Σᵢ vᵢ(vᵢ·q) = (VᵀV)q — the matvec at the heart of
+    PCA / spectral methods, computed WITHOUT materializing the Gram
+    matrix (the vdb_gram_matrix twin materializes VᵀV; this folds the
+    query through instead, O(N·d) work vs O(N·d²)).
+
+    Exactness: vᵢ·q is the same sequential fold both engines use;
+    each contribution vᵢⱼ·(vᵢ·q) is then FLOOR-quantized to 2⁻²⁴
+    fixed point, so the per-component sum is an exact integer
+    aggregation — immune to float summation order, the same
+    fixed-point trick as ann_kmeans_one_iter and dedup_pagerank.
+    DECIMAL(20,0) terms keep the running sum exact past 10⁹ rows.
+
+    Plan shape at 100 TB: one scan computes the dot in codegen,
+    posexplode fans out d rows per vector, and the groupBy(pos)
+    aggregates with map-side partial sums — shuffle volume is
+    O(partitions·d) longs, independent of N. Iterating multiplies
+    plans, not state: each step is this same job with q := y/‖y‖."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    d = emb.select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        dot_product(F.col("embedding").cast("array<double>"), q).alias("dq"),
+    )
+    exploded = d.select(F.posexplode("v").alias("pos0", "val"), "dq")
+    term = (
+        F.floor(F.col("val") * F.col("dq") * F.lit(float(_PI_SCALE)))
+        .cast("decimal(20,0)")
+        .alias("term")
+    )
+    return (
+        exploded.select((F.col("pos0") + 1).cast("int").alias("pos"), term)
+        .groupBy("pos")
+        .agg(F.sum("term").cast("long").alias("y_fixed"))
+    )
