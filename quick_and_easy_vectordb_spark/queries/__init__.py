@@ -84,6 +84,9 @@ _CHECK_PRIORITY = [
     "text_vocab_growth",
     "vdb_matryoshka_prefix_search",
     "vdb_power_iteration_step",
+    "ev_stream_foreachbatch_upsert",
+    "src_partitioned_parquet_prune",
+    "src_json_lines_roundtrip",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -2545,3 +2545,97 @@ def ev_ordered_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_convert_us"),
     )
     return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+
+
+# State roots for the foreachBatch-upsert sink, keyed by sf_dir: each
+# invocation resets its root (the stream must start from an empty
+# table) but the FINAL version must outlive the call — the returned
+# DataFrame is evaluated lazily by the driver after we return.
+_FOREACHBATCH_STATE: dict[str, str] = {}
+
+
+@query(
+    "ev_stream_foreachbatch_upsert",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, {_DSUM_VAL} AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "streaming", "foreachBatch", "merge", "exactly-once"),
+)
+def ev_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch + keyed MERGE — the canonical PRODUCTION STREAMING
+    SINK pattern (the one the Structured Streaming guide recommends
+    for upserts into warehouses): the events file is staged THREE
+    times (an at-least-once source replaying every record twice) and
+    drained in per-file micro-batches; each batch MERGEs into a
+    versioned keyed table via operators/merge.py upsert (update-wins
+    on event_id), so replays overwrite themselves instead of
+    duplicating. The final table is aggregated per user and checked
+    against the SINGLE-COPY oracle — the row only matches if the
+    merge made a 3× replay idempotent, which is the exactly-once
+    upsert property AS a correctness row. Complements
+    ev_stream_dedup_ingest (dropDuplicates state inside the stream):
+    here dedup lives in the SINK table, surviving stream restarts
+    with zero in-stream state.
+
+    Version-per-batch writes keep the sink atomic: a batch writes
+    v{{n}} completely before it becomes the next batch's base, so a
+    crashed batch leaves the previous version intact (the same
+    pointer-swap protocol as sources/pydatasource.py's manifest).
+
+    Plan shape at 100 TB: a real deployment makes the merge
+    partition-scoped (Delta/Iceberg MERGE rewrites only matched
+    partitions); the full-table rewrite here is the fixture-sized
+    stand-in, while the PATTERN under test — idempotent keyed merge
+    per micro-batch, version-pointer atomicity, no in-stream dedup
+    state — is exactly the 100 TB one. The merge join is keyed on
+    event_id, co-partitioned batch-over-batch."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from quick_and_easy_vectordb_spark.operators.merge import upsert
+
+    key = _os.path.abspath(sf_dir)
+    old = _FOREACHBATCH_STATE.get(key)
+    if old and _os.path.isdir(old):
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="qev_fbatch_upsert_")
+    _FOREACHBATCH_STATE[key] = root
+
+    d = _stage_stream_dir(
+        sf_dir, ("events_a", "events_b", "events_c"), "ev_fbatch_replay_"
+    )
+    src = _stream_events_source(spark, d, maxFilesPerTrigger=1).select(
+        "event_id", "user_id", "value"
+    )
+
+    def _merge_batch(batch_df, batch_id: int) -> None:
+        versions = sorted(
+            int(v[1:]) for v in _os.listdir(root) if v.startswith("v")
+        )
+        if versions:
+            current = spark.read.parquet(_os.path.join(root, f"v{versions[-1]}"))
+        else:
+            current = spark.createDataFrame(
+                [], "event_id long, user_id long, value double"
+            )
+        merged = upsert(current, batch_df, on="event_id")
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(root, f"v{batch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", _os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sorted(int(v[1:]) for v in _os.listdir(root) if v.startswith("v"))
+    table = spark.read.parquet(_os.path.join(root, f"v{final[-1]}"))
+    return table.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

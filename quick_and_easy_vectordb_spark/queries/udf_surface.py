@@ -721,3 +721,144 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", affine_with_init("n_chars").alias("transformed")
     )
+
+
+# Materialized source-roundtrip scratch dirs, keyed by (kind, sf_dir):
+# written once per process, reused by repeated invocations (the
+# returned DataFrame scans them lazily, so they must outlive the call).
+_SRC_SCRATCH: dict[tuple[str, str], str] = {}
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """(path, already_written) for a cached per-process scratch dir."""
+    import os
+    import tempfile
+
+    key = (kind, os.path.abspath(sf_dir))
+    d = _SRC_SCRATCH.get(key)
+    if d is not None and os.path.isdir(d):
+        return d, True
+    d = tempfile.mkdtemp(prefix=f"qev_{kind}_")
+    _SRC_SCRATCH[key] = d
+    return d, False
+
+
+@query(
+    "src_partitioned_parquet_prune",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+GROUP BY 1
+""",
+    tags=("sink", "source", "partition-pruning", "parquet"),
+)
+def src_partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-PRUNED read of a date-partitioned parquet layout —
+    THE 100 TB access pattern (hive-style `event_date=.../` dirs; a
+    one-week dashboard query must read 7 directories, not 365): the
+    events table is written once per process through
+    sources/writers.py:write_corpus partitioned by event_date, read
+    back with a date-range predicate, and aggregated. The oracle runs
+    the same week over the ORIGINAL single-file table, so the row
+    matches only if partitioning lost/duplicated/misfiled no rows AND
+    every non-partition column survived the roundtrip bit-exactly
+    (value doubles, event ids, user ids).
+
+    The pruning itself is pinned by tests/test_round6_sources.py:
+    the scan's `PartitionFilters` carry the date bounds and
+    `partitionValues` read is 7 of ~30 — Catalyst never opens the
+    out-of-range directories.
+
+    Plan shape at 100 TB: the write is one shuffle-free pass (
+    partitionBy fans files out per task); the read scans only
+    matching directories — I/O scales with the QUERY's date range,
+    not the corpus. ts is carried as epoch micros (BIGINT) so the
+    partition column, not a timestamp physical encoding, is the only
+    date representation in the layout."""
+    import os
+
+    d, ready = _scratch_dir("part_prune", sf_dir)
+    path = os.path.join(d, "events_by_date")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        from quick_and_easy_vectordb_spark.sources.writers import write_corpus
+
+        write_corpus(ev, path, partition_by="event_date")
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").cast("string").between("2024-01-08", "2024-01-14")
+    )
+    return back.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "src_json_lines_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "source", "json", "roundtrip"),
+)
+def src_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in JSON-LINES sink → source ROUNDTRIP as a correctness
+    row: events are written once per process with df.write.json (one
+    JSON object per line — the interchange format every ingest
+    pipeline meets), read back with an EXPLICIT schema (schema
+    inference on a 100 TB lake is a full extra pass — never default
+    to it), and aggregated per type against the parquet-direct
+    oracle. Doubles survive because Spark's JSON writer emits the
+    shortest round-trip representation and the reader parses it to
+    the identical bits; timestamps are carried as epoch-micro BIGINTs
+    (a textual timestamp roundtrip would re-enter parser/formatter
+    territory where engines disagree — integer micros never do).
+
+    Plan shape at 100 TB: write and read are both embarrassingly
+    parallel per-file passes; the explicit schema keeps the read a
+    single pass with full predicate/column pruning available to the
+    scan (json scans prune columns at parse time)."""
+    import os
+
+    d, ready = _scratch_dir("jsonl", sf_dir)
+    path = os.path.join(d, "events_jsonl")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, us long, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.min("us").cast("long").alias("first_us"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )
