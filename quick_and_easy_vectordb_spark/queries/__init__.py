@@ -87,6 +87,20 @@ _CHECK_PRIORITY = [
     "ev_stream_foreachbatch_upsert",
     "src_partitioned_parquet_prune",
     "src_json_lines_roundtrip",
+    # -- round-6 continuation: bitmap distinct, interval sweep-line,
+    #    changepoint, sketch set-ops, zipf fit, soft dedup, mutual kNN,
+    #    int4 SQ, silence trim, schema evolution --
+    "ev_bitmap_daily_actives",
+    "ev_rolling_wau_bitmap",
+    "ev_max_concurrent_sessions",
+    "ev_cusum_changepoint",
+    "ev_kmv_set_ops",
+    "text_zipf_fit",
+    "dedup_soft_weight",
+    "vdb_reciprocal_knn_pairs",
+    "ann_int4_search",
+    "mm_audio_silence_trim",
+    "src_parquet_schema_merge",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -896,3 +896,91 @@ def ann_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("drift"), F.asc("label"))
     )
+
+
+SQL_INT4_DQ = f"""el4 AS (
+  SELECT vec_id, pos.p AS p, CAST(embedding[pos.p] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS p) pos
+),
+stats4 AS (
+  SELECT list(mn ORDER BY p) AS mns, list(mx - mn ORDER BY p) AS spans
+  FROM (SELECT p, MIN(v) AS mn, MAX(v) AS mx FROM el4 GROUP BY p)
+),
+dq4 AS (
+  SELECT e.vec_id,
+         list_transform({_EMB}, (x, i) ->
+           CASE WHEN s.spans[i] > 0
+                THEN s.mns[i]
+                     + (LEAST(15.0, FLOOR((x - s.mns[i]) * 16.0 / s.spans[i]))
+                        + 0.5) * s.spans[i] / 16.0
+                ELSE s.mns[i] END) AS e4
+  FROM embeddings e CROSS JOIN stats4 s
+)"""
+
+
+@query(
+    "ann_int4_search",
+    oracle=f"""
+WITH {SQL_INT4_DQ}
+SELECT vec_id, {sql_dot('e4', sql_vec(QUERY_VEC))} AS int4_score
+FROM dq4
+ORDER BY int4_score DESC, vec_id
+LIMIT 5
+""",
+    tags=("ann", "quantization", "int4", "topk"),
+)
+def ann_int4_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT4 scalar quantization top-k — the 8x-compression point on
+    the SQ ladder (64 dims -> 32 bytes; two codes per byte on disk):
+    per-dim [min, max] trained from the corpus in one
+    map-side-combined groupBy, 16 uniform bins, bin-MIDPOINT
+    reconstruction scored against the query. The 4-bit codebook is
+    where modern vector stores land for memory-resident search
+    (recall loss vs SQ8 is the measured trade); the code path is
+    ann_sq8_search's with 16 levels, so the two share audit
+    structure and their recall gap is directly comparable.
+
+    Plan shape at 100 TB: train = one O(dim)-row aggregate
+    broadcast back onto an unshuffled corpus scan; score = JVM
+    transform + the shared sequential-fold dot; top-k =
+    TakeOrderedAndProject. No shuffle touches vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = el.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    stats = per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mn", "mx"))).alias("arr")
+    ).select(
+        F.transform("arr", lambda s: s.mn).alias("mns"),
+        F.transform("arr", lambda s: s.mx - s.mn).alias("spans"),
+    )
+    dq = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(
+                F.element_at("spans", i + 1) > 0,
+                F.element_at("mns", i + 1)
+                + (
+                    F.least(
+                        F.lit(15.0),
+                        F.floor(
+                            (x - F.element_at("mns", i + 1))
+                            * F.lit(16.0)
+                            / F.element_at("spans", i + 1)
+                        ),
+                    )
+                    + F.lit(0.5)
+                )
+                * F.element_at("spans", i + 1)
+                / F.lit(16.0),
+            ).otherwise(F.element_at("mns", i + 1)),
+        ).alias("e4"),
+    )
+    q = vector_literal(QUERY_VEC)
+    return (
+        dq.select("vec_id", dot_product(F.col("e4"), q).alias("int4_score"))
+        .orderBy(F.desc("int4_score"), F.asc("vec_id"))
+        .limit(5)
+    )

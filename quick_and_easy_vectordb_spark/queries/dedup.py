@@ -1059,3 +1059,54 @@ def dedup_lsh_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_band_matches"))
         .filter(F.col("n_band_matches") >= 2)
     )
+
+
+@query(
+    "dedup_soft_weight",
+    oracle=f"""
+WITH h AS (
+  SELECT source, md5({SQL_NORM}) AS h FROM documents
+),
+cs AS (SELECT h, COUNT(*) AS c FROM h GROUP BY h)
+SELECT h.source,
+       CAST(cs.c AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / cs.c AS soft_weight_total
+FROM h JOIN cs ON cs.h = h.h
+GROUP BY h.source, cs.c
+""",
+    tags=("dedup", "soft-dedup", "weighting"),
+)
+def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT DEDUPLICATION weights (down-weight duplicates instead of
+    dropping them — the sampling-weight alternative to hard removal,
+    cf. SlimPajama-style per-cluster reweighting): every document in
+    an exact-duplicate cluster of size c gets weight 1/c, so each
+    distinct content contributes total mass 1 regardless of copy
+    count. Reported per (source, cluster_size) so the output stays
+    EXACT: the per-cell weight mass is one integer-over-integer
+    division (n_docs/c) — a per-source float sum over millions of
+    docs would be accumulation-order-dependent and unverifiable.
+
+    Plan shape at 100 TB: identical skeleton to dedup_exact — the
+    shuffle carries (md5, source) pairs only (text never leaves the
+    map side), the cluster-size join is hash-keyed, and the final
+    rollup is O(sources * distinct cluster sizes), a few hundred
+    rows. Downstream samplers consume the (source, c) → weight table
+    as a broadcast dim against the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("h")
+    )
+    cs = h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        h.join(cs, "h")
+        .groupBy("source", "c")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            F.col("c").cast("long").alias("cluster_size"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs").cast("double") / F.col("c")).alias("soft_weight_total"),
+        )
+    )

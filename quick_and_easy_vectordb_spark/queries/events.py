@@ -2639,3 +2639,545 @@ def ev_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 continuation: bitmap distinct counting, interval concurrency,
+# changepoint detection, sketch set algebra
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "ev_bitmap_daily_actives",
+    oracle="""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+)
+SELECT day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+       CAST(COUNT(DISTINCT user_id // 32) AS BIGINT) AS n_words
+FROM e GROUP BY day
+""",
+    tags=("events", "bitmap", "distinct", "dau"),
+)
+def ev_bitmap_daily_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily-active-users via BITMAP aggregation (the
+    roaring-bitmap technique every OLAP engine uses for distinct-user
+    rollups): user ids are bucketed into 32-bit words
+    (word = uid//32, bit = uid%32), a per-(day, word) BIT_OR collapses
+    all activity into one long per word, and the daily count is the
+    sum of popcounts. The oracle is the naive COUNT(DISTINCT) — a
+    result match proves the bitmap algebra end to end.
+
+    Plan shape at 100 TB: the shuffle carries (day, word, bitmap)
+    rows — at most n_users/32 longs per day regardless of event
+    volume, with map-side BIT_OR partials absorbing the per-partition
+    duplication before the exchange (vs COUNT DISTINCT's
+    (day, user) expansion). Bitmaps also merge across days/nodes by
+    OR, which ev_rolling_wau_bitmap exploits. 32-bit words keep the
+    1<<bit mask inside non-negative long range in every engine."""
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.select(
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        F.floor(F.col("user_id") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    bm = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bm"))
+    return bm.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "ev_rolling_wau_bitmap",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM e)
+SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau_7d
+FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+    tags=("events", "bitmap", "distinct", "rolling-window", "wau"),
+)
+def ev_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day via BITMAP OR-MERGE — the
+    query COUNT DISTINCT cannot do incrementally: a user active on
+    day d and d-3 must count ONCE in every window containing both.
+    Each (day, word) bitmap from the daily layer is contributed to the
+    7 windows it can influence (a bounded x7 explode — the same
+    bucket-fanout trick as the binned range join), windows OR-merge
+    per word, and the answer is a popcount sum. The oracle is the
+    naive self-join COUNT(DISTINCT) over the trailing window.
+
+    Plan shape at 100 TB: two shuffles of word-level bitmaps
+    (O(users/32) per day, never per-event rows); the x7 fanout is a
+    constant. This is how a 100 TB lakehouse serves WAU/MAU without
+    re-scanning 7 days of raw events per day — daily bitmaps are the
+    incremental state, OR is the merge."""
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.select(
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+        F.floor(F.col("user_id") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    daily = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bm"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "word",
+        "bm",
+    )
+    rolled = contrib.groupBy("day", "word").agg(F.bit_or("bm").alias("bm"))
+    observed = daily.select("day").distinct()
+    return (
+        rolled.join(observed, "day")
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("wau_7d"))
+    )
+
+
+@query(
+    "ev_max_concurrent_sessions",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sids AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+  FROM sids GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT s_us AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT e_us + 1 AS t, -1 AS d FROM sess
+),
+merged AS (
+  SELECT t // 3600000000 AS hr, t, SUM(d) AS d FROM deltas GROUP BY 1, 2
+),
+carry AS (
+  SELECT hr, COUNT(*) AS c FROM (
+    SELECT unnest(range(s_us // 3600000000 + 1, e_us // 3600000000 + 1)) AS hr
+    FROM sess
+  ) GROUP BY hr
+),
+hours AS (SELECT hr FROM merged UNION SELECT hr FROM carry),
+allpts AS (
+  SELECT hr, t, SUM(d) AS d FROM (
+    SELECT hr, t, d FROM merged
+    UNION ALL
+    SELECT hr, hr * 3600000000 AS t, 0 AS d FROM hours
+  ) GROUP BY hr, t
+),
+run AS (
+  SELECT hr, t, SUM(d) OVER (PARTITION BY hr ORDER BY t) AS pfx FROM allpts
+),
+hp AS (SELECT hr, MAX(pfx) AS mp FROM run GROUP BY hr),
+peak AS (
+  SELECT hp.hr, COALESCE(c.c, 0) + hp.mp AS peak_hr
+  FROM hp LEFT JOIN carry c ON c.hr = hp.hr
+)
+SELECT CAST(hr // 24 AS BIGINT) AS day,
+       CAST(MAX(peak_hr) AS BIGINT) AS peak_concurrent
+FROM peak GROUP BY 1
+""",
+    tags=("events", "interval", "sweep-line", "sessionize", "concurrency"),
+)
+def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per day — the classic interval sweep-line
+    ("how many sessions were open at once"), decomposed so no global
+    sort exists: sessions (30-min-gap sessionize) become +1/-1 delta
+    points; each HOUR runs its own prefix-sum sweep; a session active
+    across an hour boundary contributes to that hour's CARRY-IN via a
+    bounded explode over the hour range it spans (never a range
+    join). A synthetic zero-delta point at each hour start makes the
+    hour-start instant an explicit sweep row, so peak_hour =
+    carry + max(prefix) holds with no boundary special-casing —
+    including the edge where a session END lands exactly on the
+    boundary. Daily peak = max over hourly peaks, exact because every
+    instant belongs to exactly one hour.
+
+    Plan shape at 100 TB: the sweep's sort is PARTITIONED by hour
+    (thousands of independent sweeps) instead of one global
+    order-by-time pass — the two-level decomposition (in-partition
+    sweep + carried offset) is the standard parallel prefix-sum and
+    chains to any granularity if a single hour is still too hot.
+    Session intervals are one user-keyed shuffle; delta points are
+    2 rows per session; concurrency state never materializes beyond
+    a per-hour running integer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | ((F.col("us") - F.lag("us").over(order)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    run_w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("sid", F.sum("new_s").over(run_w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d")))
+    merged = (
+        deltas.withColumn("hr", F.floor(F.col("t") / _HOUR_US).cast("long"))
+        .groupBy("hr", "t")
+        .agg(F.sum("d").alias("d"))
+    )
+    spans = sess.select(
+        F.floor(F.col("s_us") / _HOUR_US).cast("long").alias("sh"),
+        F.floor(F.col("e_us") / _HOUR_US).cast("long").alias("eh"),
+    )
+    carry = (
+        spans.select(
+            F.explode(
+                F.when(
+                    F.col("eh") >= F.col("sh") + 1,
+                    F.sequence(F.col("sh") + 1, F.col("eh")),
+                )
+            ).alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hours = merged.select("hr").union(carry.select("hr")).distinct()
+    synth = hours.select(
+        "hr", (F.col("hr") * _HOUR_US).alias("t"), F.lit(0).cast("long").alias("d")
+    )
+    allpts = (
+        merged.select("hr", "t", F.col("d").cast("long").alias("d"))
+        .unionAll(synth)
+        .groupBy("hr", "t")
+        .agg(F.sum("d").alias("d"))
+    )
+    sweep = Window.partitionBy("hr").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hp = (
+        allpts.withColumn("pfx", F.sum("d").over(sweep))
+        .groupBy("hr")
+        .agg(F.max("pfx").alias("mp"))
+    )
+    peak = hp.join(carry, "hr", "left").select(
+        "hr", (F.coalesce(F.col("c"), F.lit(0)) + F.col("mp")).alias("peak_hr")
+    )
+    return peak.groupBy(
+        F.floor(F.col("hr") / 24).cast("long").alias("day")
+    ).agg(F.max("peak_hr").cast("long").alias("peak_concurrent"))
+
+
+@query(
+    "ev_cusum_changepoint",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DECIMAL(25,10)) AS s
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(s) AS DECIMAL(38,10)) AS t,
+         CAST(COUNT(*) AS DECIMAL(12,0)) AS n
+  FROM h GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hr,
+         h.s * tot.n - tot.t AS dev, tot.n
+  FROM h JOIN tot ON tot.event_type = h.event_type
+),
+cs AS (
+  SELECT event_type, hr, n,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY hr) AS cusum
+  FROM dev
+),
+rk AS (
+  SELECT event_type, hr, n, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, hr) AS rn
+  FROM cs
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       hr AS cp_hour,
+       CAST(CAST(abs(cusum) AS VARCHAR) AS DOUBLE) AS max_abs_cusum
+FROM rk WHERE rn = 1
+""",
+    tags=("events", "time-series", "changepoint", "cusum"),
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per event type: the cumulative sum
+    of deviations from the series mean peaks (in absolute value) at
+    the most likely level-shift hour (Page 1954). Division-free by
+    construction: deviations are computed as H*s_t - T (hour count
+    times hourly sum minus total) in DECIMAL with operand widths
+    chosen so every product/sum stays inside (38,10) EXACTLY in both
+    engines — a mean-based formulation would re-cast a pre-aggregated
+    double to decimal, the cross-engine divergence class SURVEY §:
+    exactness notes pin. The argmax tiebreak is earliest hour.
+
+    Plan shape at 100 TB: the raw scan collapses to O(types*hours)
+    rows in one map-side-combined aggregation; the prefix sum windows
+    over a per-type partition of that tiny series; the join-back of
+    per-type totals broadcasts. Adding a per-series key (user,
+    region) scales the partition count, not the partition size."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hr"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("decimal(25,10)")
+        .alias("s")
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("s").cast("decimal(38,10)").alias("t"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+    )
+    dev = h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("s") * F.col("n") - F.col("t")).alias("dev"),
+    )
+    cw = Window.partitionBy("event_type").orderBy("hr")
+    cs = dev.withColumn("cusum", F.sum("dev").over(cw))
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("hr")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("hr").alias("cp_hour"),
+            F.abs(F.col("cusum")).cast("string").cast("double").alias("max_abs_cusum"),
+        )
+    )
+
+
+@query(
+    "ev_kmv_set_ops",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('kmv-v1:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM du
+),
+kept AS (
+  SELECT event_type, user_id, h FROM (
+    SELECT event_type, user_id, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+onetype AS (
+  SELECT event_type,
+         COUNT(*) AS n_k, MAX(h) AS h_k
+  FROM kept GROUP BY event_type
+),
+est1 AS (
+  SELECT event_type,
+         CASE WHEN n_k < {_KMV_K} THEN CAST(n_k AS DOUBLE)
+              ELSE CAST({(_KMV_K - 1) * _KMV_SCALE} AS DOUBLE)
+                   / CAST(h_k AS DOUBLE) END AS est
+  FROM onetype
+),
+types AS (SELECT DISTINCT event_type FROM du),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+pk AS (
+  SELECT DISTINCT p.type_a, p.type_b, k.user_id, k.h
+  FROM pairs p JOIN kept k
+    ON k.event_type = p.type_a OR k.event_type = p.type_b
+),
+uk AS (
+  SELECT type_a, type_b, n_k, h_k FROM (
+    SELECT type_a, type_b,
+           COUNT(*) OVER (PARTITION BY type_a, type_b) AS n_all,
+           row_number() OVER (PARTITION BY type_a, type_b
+                              ORDER BY h, user_id) AS rn,
+           COUNT(*) OVER (PARTITION BY type_a, type_b
+                          ORDER BY h, user_id
+                          ROWS UNBOUNDED PRECEDING) AS n_k,
+           MAX(h) OVER (PARTITION BY type_a, type_b
+                        ORDER BY h, user_id
+                        ROWS UNBOUNDED PRECEDING) AS h_k
+    FROM pk
+  ) WHERE rn = LEAST(n_all, {_KMV_K})
+),
+estu AS (
+  SELECT type_a, type_b,
+         CASE WHEN n_k < {_KMV_K} THEN CAST(n_k AS DOUBLE)
+              ELSE CAST({(_KMV_K - 1) * _KMV_SCALE} AS DOUBLE)
+                   / CAST(h_k AS DOUBLE) END AS est_union
+  FROM uk
+),
+exu AS (
+  SELECT p.type_a, p.type_b, COUNT(DISTINCT d.user_id) AS exact_union
+  FROM pairs p JOIN du d
+    ON d.event_type = p.type_a OR d.event_type = p.type_b
+  GROUP BY p.type_a, p.type_b
+),
+ex1 AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type)
+SELECT e.type_a, e.type_b,
+       CAST(exu.exact_union AS BIGINT) AS exact_union,
+       CAST(xa.n + xb.n - exu.exact_union AS BIGINT) AS exact_intersect,
+       e.est_union,
+       ea.est + eb.est - e.est_union AS est_intersect,
+       (ea.est + eb.est - e.est_union) / e.est_union AS jaccard_est
+FROM estu e
+JOIN exu ON exu.type_a = e.type_a AND exu.type_b = e.type_b
+JOIN est1 ea ON ea.event_type = e.type_a
+JOIN est1 eb ON eb.event_type = e.type_b
+JOIN ex1 xa ON xa.event_type = e.type_a
+JOIN ex1 xb ON xb.event_type = e.type_b
+""",
+    tags=("events", "sketch", "kmv", "set-ops", "jaccard"),
+)
+def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA over every pair of event types: union
+    cardinality straight from the MERGED sketch (the bottom-k of
+    A union B is always contained in bottomk(A) union bottomk(B) — the
+    closure property that makes KMV mergeable), intersection by
+    inclusion-exclusion on the estimates, and a Jaccard estimate as
+    their ratio — audited against exact unions/intersections. This is
+    the audience-overlap / cross-contamination query at sketch cost:
+    once per-type sketches exist, every pairwise overlap is O(k)
+    arithmetic, no re-scan of the fact table.
+
+    Plan shape at 100 TB: the only data-sized work is the per-type
+    bottom-k (same two-level reduction as ev_kmv_distinct_estimate);
+    the pair lattice operates on <=types*k sketch rows — with 1000
+    types that is a few hundred thousand rows for half a million
+    pairwise overlaps. The exact-side audit joins exist only for the
+    correctness gate. All estimates are pure md5 functions —
+    bit-identical across engines, so the sketch VALUES are verified,
+    not just bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-v1:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kept = (
+        h.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    est_expr = lambda n_k, h_k: F.when(  # noqa: E731
+        F.col(n_k) < _KMV_K, F.col(n_k).cast("double")
+    ).otherwise(
+        F.lit((_KMV_K - 1) * _KMV_SCALE).cast("double") / F.col(h_k).cast("double")
+    )
+    one = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("h_k")
+    )
+    est1 = one.select("event_type", est_expr("n_k", "h_k").alias("est"))
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pk = (
+        kept.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "user_id", "h")
+        .distinct()
+    )
+    w2 = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id")
+    uk = (
+        pk.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("un_k"), F.max("h").alias("uh_k"))
+    )
+    estu = uk.select("type_a", "type_b", est_expr("un_k", "uh_k").alias("est_union"))
+    exu = (
+        du.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "user_id")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    ex1 = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ea = est1.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    eb = est1.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    xa = ex1.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    xb = ex1.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        estu.join(exu, ["type_a", "type_b"])
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(xa), "type_a")
+        .join(F.broadcast(xb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (F.col("n_a") + F.col("n_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_intersect"),
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+            (
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                / F.col("est_union")
+            ).alias("jaccard_est"),
+        )
+    )

@@ -977,3 +977,106 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(run, "doc_id long, afp string, total_energy long")
+
+
+@query(
+    "mm_audio_silence_trim",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, i, ((doc_id * 7 + i * 13) % 4096) - 2048 AS s FROM smp
+),
+loud AS (
+  SELECT doc_id, MIN(i) AS first_loud, MAX(i) AS last_loud,
+         COUNT(*) AS n_loud
+  FROM v WHERE abs(s) >= 1024 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(l.first_loud, -1) AS BIGINT) AS first_loud,
+       CAST(COALESCE(l.last_loud, -1) AS BIGINT) AS last_loud,
+       CAST(COALESCE(l.n_loud, 0) AS BIGINT) AS n_loud,
+       CAST(CASE WHEN l.doc_id IS NULL THEN 0
+                 ELSE l.last_loud - l.first_loud + 1 END AS BIGINT)
+         AS trimmed_len
+FROM dims d LEFT JOIN loud l ON l.doc_id = d.doc_id
+""",
+    tags=("multimodal", "decode", "audio", "silence-trim", "mapInPandas"),
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEADING/TRAILING SILENCE TRIM over the REAL WAV decoder — the
+    standard audio-preprocessing step before feature extraction
+    (ASR/embedding pipelines trim sub-threshold margins so padding
+    does not dominate short clips): decode 16-bit PCM via
+    operators/multimodal.decode_audio, mark samples with
+    |s| >= 1024 (~ -26 dBFS) as signal, report the first/last signal
+    index and the trimmed length. Clips with no signal trim to
+    length 0. The synthetic WAV payload is the same deterministic
+    ramp as mm_audio_frame_energy, so the oracle reproduces the
+    decoded samples in closed form; the Spark side runs the actual
+    byte-level RIFF parse.
+
+    Plan shape at 100 TB: one Arrow-batched mapInPandas pass, zero
+    shuffle — each clip is decoded once, trim bounds are a vectorized
+    argmax over the decoded array, and only 5 small integers leave
+    the worker per clip (the decoded waveform never enters a
+    shuffle)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "first_loud": [],
+                "last_loud": [],
+                "n_loud": [],
+                "trimmed_len": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)
+                assert rate == 8000 and audio.shape == (n, 1)
+                a = audio[:, 0].astype(np.int64)
+                idx = np.nonzero(np.abs(a) >= 1024)[0]
+                out["doc_id"].append(doc_id)
+                if idx.size:
+                    first, last = int(idx[0]), int(idx[-1])
+                    out["first_loud"].append(first)
+                    out["last_loud"].append(last)
+                    out["n_loud"].append(int(idx.size))
+                    out["trimmed_len"].append(last - first + 1)
+                else:
+                    out["first_loud"].append(-1)
+                    out["last_loud"].append(-1)
+                    out["n_loud"].append(0)
+                    out["trimmed_len"].append(0)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, first_loud long, last_loud long, "
+        "n_loud long, trimmed_len long",
+    )

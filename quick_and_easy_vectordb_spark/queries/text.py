@@ -1007,3 +1007,80 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_tokens").cast("long").alias("bucket_tokens"),
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
     )
+
+
+_ZIPF_TOP = 20
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+WITH d AS (SELECT lang, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT lang, unnest(string_split(t, ' ')) AS tok FROM d WHERE t <> ''
+),
+freq AS (SELECT lang, tok, COUNT(*) AS f FROM tok GROUP BY lang, tok),
+nd AS (SELECT lang, COUNT(*) AS n_distinct FROM freq GROUP BY lang),
+top AS (
+  SELECT lang, tok, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS r
+  FROM freq
+),
+agg AS (
+  SELECT lang,
+         MAX(f) AS f1,
+         COUNT(*) AS n_top,
+         SUM(abs(r * f - (SELECT MAX(f) FROM top t2
+                          WHERE t2.lang = top.lang AND t2.r <= {_ZIPF_TOP})))
+           AS dev
+  FROM top WHERE r <= {_ZIPF_TOP} GROUP BY lang
+)
+SELECT agg.lang,
+       CAST(nd.n_distinct AS BIGINT) AS n_distinct,
+       CAST(agg.f1 AS BIGINT) AS f1,
+       CAST(agg.n_top AS BIGINT) AS n_top,
+       CAST(agg.dev AS DOUBLE) / (agg.n_top * agg.f1) AS zipf_dev
+FROM agg JOIN nd ON nd.lang = agg.lang
+""",
+    tags=("text", "zipf", "distribution", "quality"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW adherence per language — a corpus-health signal
+    (natural text has r*f_r approximately constant over the head;
+    boilerplate-heavy or synthetic corpora deviate): over the top-20
+    token ranks, deviation = sum(|r*f_r - f1|) / (R*f1). RATIONAL by
+    construction — r*f_r is integer arithmetic, one final
+    int-over-int division; the classical log-log regression slope
+    needs ln(), which is 1-ulp engine-dependent and never
+    hash-verifiable (same design rule as text_tfidf_keywords'
+    rational idf). Tie ranks break lexicographically.
+
+    Plan shape at 100 TB: token frequency is one map-side-combined
+    groupBy; the rank window runs per-language over the (tiny
+    relative to tokens) distinct-type table — and only its top-20
+    survive to the fixed-size deviation aggregate. Vocabulary
+    pruning (text_vocab_prune) bounds the distinct-type table if a
+    pathological corpus explodes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    nd = freq.groupBy("lang").agg(F.count(F.lit(1)).alias("n_distinct"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
+    top = freq.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _ZIPF_TOP
+    )
+    top = top.withColumn("f1", F.max("f").over(Window.partitionBy("lang")))
+    agg = top.groupBy("lang").agg(
+        F.max("f").alias("f1"),
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum(F.abs(F.col("r") * F.col("f") - F.col("f1"))).alias("dev"),
+    )
+    return agg.join(nd, "lang").select(
+        "lang",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("n_top").cast("long").alias("n_top"),
+        (F.col("dev").cast("double") / (F.col("n_top") * F.col("f1"))).alias(
+            "zipf_dev"
+        ),
+    )

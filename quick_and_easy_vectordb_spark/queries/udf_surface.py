@@ -862,3 +862,70 @@ def src_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "src_parquet_schema_merge",
+    oracle="""
+WITH v1 AS (
+  SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_id % 97 = 0
+),
+v2 AS (
+  SELECT event_id, user_id, value
+  FROM events WHERE event_id % 101 = 0
+),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_with_value,
+       CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_without_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM u
+""",
+    tags=("source", "schema-evolution", "parquet", "mergeSchema"),
+)
+def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read: two parquet generations of the same
+    table — v1 written before a `value` column existed, v2 after —
+    live side by side in one dataset directory; a single read with
+    ``mergeSchema=true`` reconciles the footers into the union
+    schema and fills v1 rows with NULLs, exactly the
+    column-ADD evolution path every long-lived lake table goes
+    through. The aggregate separates inherited-NULL rows from real
+    values so a silent column drop (read resolving to v1's schema
+    only) cannot pass the oracle, which rebuilds the union from the
+    source table.
+
+    Plan shape at 100 TB: schema merge is a FOOTER-only operation
+    (no data read) and is priced accordingly — Spark samples footers
+    at planning time; per-file projection maps old files' missing
+    columns to nulls at scan time with zero rewrite of historical
+    data. Explicitly setting mergeSchema per-read (not globally)
+    keeps the common non-evolving read on the cheap single-footer
+    path."""
+    import os
+
+    d, ready = _scratch_dir("schema_merge", sf_dir)
+    root = os.path.join(d, "events_evolving")
+    if not ready or not os.path.isdir(root):
+        ev = load_table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 97 == 0).select(
+            "event_id", "user_id"
+        ).write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+        ev.filter(F.col("event_id") % 101 == 0).select(
+            "event_id", "user_id", "value"
+        ).write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value").cast("long").alias("n_with_value"),
+        (F.count(F.lit(1)) - F.count("value")).cast("long").alias("n_without_value"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -1547,3 +1547,79 @@ def vdb_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(F.sum("term").cast("long").alias("y_fixed"))
     )
+
+
+@query(
+    "vdb_reciprocal_knn_pairs",
+    oracle=f"""
+WITH nodes AS (
+  SELECT vec_id, label, {_EMB} AS e FROM embeddings WHERE vec_id % 7 = 0
+),
+edges AS (
+  SELECT src_id, nbr_id, label FROM (
+    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, a.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {sql_cosine('a.e', 'b.e')} DESC, b.vec_id) AS rn
+    FROM nodes a JOIN nodes b
+      ON b.label = a.label AND b.vec_id <> a.vec_id
+  ) WHERE rn <= 3
+)
+SELECT e1.label,
+       CAST(COUNT(*) AS BIGINT) AS n_mutual_pairs,
+       CAST(MIN(e1.src_id) AS BIGINT) AS min_pair_src
+FROM edges e1 JOIN edges e2
+  ON e2.src_id = e1.nbr_id AND e2.nbr_id = e1.src_id
+WHERE e1.src_id < e1.nbr_id
+GROUP BY e1.label
+""",
+    tags=("vector", "knn-graph", "reciprocal", "mutual-knn"),
+)
+def vdb_reciprocal_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL (reciprocal) k-NN pairs per label block: i and j are a
+    mutual pair when each lists the other in its top-3 neighbors —
+    the high-precision edge set used for near-dup verification,
+    reciprocal-rank-fusion graph pruning, and as the agreement
+    backbone in k-NN-graph based clustering (mutual edges are far
+    less likely to cross cluster boundaries than one-directional
+    ones). Universe is the vec_id %% 7 node subset of vdb_knn_graph
+    so both directions of every candidate edge exist.
+
+    Plan shape at 100 TB: the k-NN edges come from the blocked
+    label self-join (per-block quadratic, never all-pairs, same as
+    vdb_knn_graph); mutuality is then ONE self-equi-join of the
+    O(nodes*k) edge list on the reversed key — edge lists are tiny
+    relative to vectors, and the join key (src,nbr) is uniform, so
+    no skew handling is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = nodes.select(
+        F.col("vec_id").alias("src_id"), "label", F.col("e").alias("ea")
+    )
+    b = nodes.select(F.col("vec_id").alias("nbr_id"), "label", F.col("e").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("nbr_id") != F.col("src_id"))
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc(cosine_similarity(F.col("ea"), F.col("eb"))), F.asc("nbr_id")
+    )
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src_id", "nbr_id", "label")
+    )
+    e2 = edges.select(
+        F.col("src_id").alias("r_nbr"), F.col("nbr_id").alias("r_src")
+    )
+    return (
+        edges.filter(F.col("src_id") < F.col("nbr_id"))
+        .join(
+            e2,
+            (F.col("src_id") == F.col("r_src")) & (F.col("nbr_id") == F.col("r_nbr")),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mutual_pairs"),
+            F.min("src_id").cast("long").alias("min_pair_src"),
+        )
+    )

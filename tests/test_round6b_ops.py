@@ -1,0 +1,273 @@
+"""Semantic contracts for the round-6 continuation operators: bitmap
+distinct algebra, rolling OR-merge windows, the hour-decomposed
+interval sweep, CUSUM argmax, KMV set algebra, rational Zipf fit, soft
+dedup mass conservation, mutual-kNN symmetry, int4 reconstruction
+error, silence-trim bounds, and schema-merge row accounting — each
+validated by an independent numpy/pandas recomputation on sf0.001 so
+the DuckDB oracle gate is not the only line of defense.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(spark, SF).toPandas()
+
+
+def _events():
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["us"] = ev["ts"].astype("int64") // (
+        1000 if ev["ts"].dtype.str.endswith("ns]") else 1
+    )
+    return ev
+
+
+def test_bitmap_daily_actives_equals_nunique(spark):
+    """The word-bucketed BIT_OR/popcount pipeline must reproduce the
+    naive per-day distinct-user count exactly."""
+    out = _run(spark, "ev_bitmap_daily_actives").set_index("day")
+    ev = _events()
+    ev["day"] = ev["us"] // DAY_US
+    exp = ev.groupby("day")["user_id"].nunique()
+    assert len(out) == len(exp)
+    for day, n in exp.items():
+        assert out.loc[day, "n_active"] == n
+        assert out.loc[day, "n_words"] == ev[ev["day"] == day]["user_id"].floordiv(
+            32
+        ).nunique()
+
+
+def test_rolling_wau_equals_trailing_union(spark):
+    """Each day's OR-merged 7-day bitmap popcount must equal the
+    distinct-user count of the trailing 7 calendar days."""
+    out = _run(spark, "ev_rolling_wau_bitmap").set_index("day")
+    ev = _events()
+    ev["day"] = ev["us"] // DAY_US
+    days = sorted(ev["day"].unique())
+    assert sorted(out.index) == days
+    for d in days:
+        users = ev[(ev["day"] >= d - 6) & (ev["day"] <= d)]["user_id"].nunique()
+        assert out.loc[d, "wau_7d"] == users
+
+
+def _brute_sessions(ev: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for uid, grp in ev.sort_values(["us", "event_id"]).groupby("user_id"):
+        start = prev = None
+        for us in grp["us"]:
+            if prev is None or us - prev > 1_800_000_000:
+                if start is not None:
+                    rows.append((start, prev))
+                start = us
+            prev = us
+        rows.append((start, prev))
+    return pd.DataFrame(rows, columns=["s_us", "e_us"])
+
+
+def test_max_concurrency_equals_global_sweep(spark):
+    """The hour-decomposed sweep (carry-in + per-hour prefix) must
+    equal a single global brute-force sweep over all session
+    intervals."""
+    out = _run(spark, "ev_max_concurrent_sessions").set_index("day")
+    sess = _brute_sessions(_events())
+    deltas = sorted(
+        [(s, 1) for s in sess["s_us"]] + [(e + 1, -1) for e in sess["e_us"]]
+    )
+    # merge deltas at identical instants, then walk
+    merged: dict[int, int] = {}
+    for t, d in deltas:
+        merged[t] = merged.get(t, 0) + d
+    run = 0
+    peak: dict[int, int] = {}
+    times = sorted(merged)
+    for i, t in enumerate(times):
+        run += merged[t]
+        # the concurrency value `run` holds on [t, next_t): attribute it
+        # to every day that interval touches
+        nxt = times[i + 1] if i + 1 < len(times) else t + 1
+        for day in range(t // DAY_US, (nxt - 1) // DAY_US + 1):
+            peak[day] = max(peak.get(day, 0), run)
+    # the spark query only emits days that have a delta point or carry
+    for day in out.index:
+        assert out.loc[day, "peak_concurrent"] == peak[day], day
+
+
+def test_cusum_peak_is_argmax(spark):
+    """cp_hour must be the earliest hour attaining the maximum
+    |cumulative deviation| when recomputed with exact integer
+    arithmetic on micro-scaled values."""
+    out = _run(spark, "ev_cusum_changepoint").set_index("event_type")
+    ev = _events()
+    ev["hr"] = ev["us"] // HOUR_US
+    # decimal(30,10) cast of a double rounds half-up at 10 dp; value
+    # has ~6 significant digits so scaling by 1e10 and rounding matches
+    ev["v10"] = (ev["value"] * 1e10).round().astype("int64")
+    for etype, grp in ev.groupby("event_type"):
+        h = grp.groupby("hr")["v10"].sum().sort_index()
+        n = len(h)
+        total = h.sum()
+        dev = h * n - total
+        cusum = dev.cumsum()
+        mx = cusum.abs().max()
+        cp = cusum.abs().idxmax()  # pandas idxmax returns FIRST max
+        assert out.loc[etype, "n_hours"] == n
+        assert out.loc[etype, "cp_hour"] == cp
+        assert abs(out.loc[etype, "max_abs_cusum"] - mx / 1e10) < 1e-6 * max(
+            1.0, mx / 1e10
+        )
+
+
+def test_kmv_set_ops_exact_and_estimates(spark):
+    """Exact union/intersection must match pandas; the union estimate
+    must obey the same bottom-k closure a direct sketch of the union
+    would produce; inclusion-exclusion must tie the three estimates."""
+    out = _run(spark, "ev_kmv_set_ops")
+    ev = _events()
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    for _, r in out.iterrows():
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["exact_union"] == len(a | b)
+        assert r["exact_intersect"] == len(a & b)
+        # direct KMV of the union from scratch
+        hs = sorted(
+            int(hashlib.md5(f"kmv-v1:{u}".encode()).hexdigest()[:12], 16)
+            for u in (a | b)
+        )
+        k = 64
+        if len(hs) < k:
+            direct = float(len(hs))
+        else:
+            direct = (k - 1) * 16**12 / hs[k - 1]
+        assert abs(r["est_union"] - direct) < 1e-9 * max(1.0, direct)
+        assert (
+            abs(
+                (r["est_union"] + r["est_intersect"])
+                - (r["est_union"] * (1 + r["jaccard_est"]))
+            )
+            < 1e-6
+        )
+
+
+def test_zipf_fit_exact_recompute(spark):
+    """Integer recomputation of the rational Zipf deviation."""
+    out = _run(spark, "text_zipf_fit").set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["norm"] = (
+        docs["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    )
+    for lang, grp in docs.groupby("lang"):
+        toks = grp["norm"].str.split(" ").explode()
+        freq = toks.value_counts()
+        assert out.loc[lang, "n_distinct"] == len(freq)
+        top = sorted(
+            freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:20]
+        f1 = top[0][1]
+        dev = sum(abs((r + 1) * f - f1) for r, (_, f) in enumerate(top))
+        assert out.loc[lang, "f1"] == f1
+        assert out.loc[lang, "n_top"] == len(top)
+        assert abs(out.loc[lang, "zipf_dev"] - dev / (len(top) * f1)) < 1e-12
+
+
+def test_soft_weight_mass_conservation(spark):
+    """Total soft-dedup mass across all (source, cluster_size) cells
+    must equal the number of DISTINCT contents — each cluster
+    contributes exactly 1 regardless of copy count."""
+    out = _run(spark, "dedup_soft_weight")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    norm = docs["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    n_clusters = norm.nunique()
+    assert abs(out["soft_weight_total"].sum() - n_clusters) < 1e-6
+    assert out["n_docs"].sum() == len(docs)
+
+
+def test_reciprocal_pairs_brute_force(spark):
+    """Mutual top-3 pairs recomputed with numpy cosine must match."""
+    out = _run(spark, "vdb_reciprocal_knn_pairs").set_index("label")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    sub = emb[emb["vec_id"] % 7 == 0]
+    total_pairs = 0
+    for label, grp in sub.groupby("label"):
+        ids = grp["vec_id"].to_numpy()
+        m = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        edges = set()
+        for i in range(len(ids)):
+            order = sorted(
+                range(len(ids)), key=lambda j: (-sims[i, j], ids[j])
+            )[:3]
+            for j in order:
+                edges.add((ids[i], ids[j]))
+        mutual = {
+            (a, b) for (a, b) in edges if a < b and (b, a) in edges
+        }
+        if mutual:
+            assert out.loc[label, "n_mutual_pairs"] == len(mutual)
+            total_pairs += len(mutual)
+    assert total_pairs == out["n_mutual_pairs"].sum()
+
+
+def test_int4_reconstruction_error_bound(spark):
+    """Midpoint reconstruction error per dim is at most span/32 (half
+    a 16-level bin), and the top-5 must match a numpy recomputation of
+    the full quantize/dequantize/score pipeline."""
+    out = _run(spark, "ann_int4_search")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    span = mx - mn
+    codes = np.minimum(15.0, np.floor((m - mn) * 16.0 / np.where(span > 0, span, 1)))
+    recon = np.where(span > 0, mn + (codes + 0.5) * span / 16.0, mn)
+    assert (np.abs(recon - m) <= span / 32 + 1e-12).all()
+    from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
+
+    scores = recon @ np.array(QUERY_VEC)
+    ids = emb["vec_id"].to_numpy()
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:5]
+    assert list(out["vec_id"]) == [ids[i] for i in order]
+    for rank, i in enumerate(order):
+        assert abs(out["int4_score"].iloc[rank] - scores[i]) < 1e-9
+
+
+def test_silence_trim_invariants(spark):
+    """Trim bounds are consistent; a direct numpy recomputation of the
+    synthetic ramp matches for every clip."""
+    out = _run(spark, "mm_audio_silence_trim")
+    for _, r in out.iterrows():
+        doc_id = int(r["doc_id"])
+        n = 64 + doc_id % 64
+        s = ((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048
+        idx = np.nonzero(np.abs(s) >= 1024)[0]
+        if idx.size:
+            assert r["first_loud"] == idx[0]
+            assert r["last_loud"] == idx[-1]
+            assert r["trimmed_len"] == idx[-1] - idx[0] + 1
+            assert r["n_loud"] == idx.size
+            assert r["n_loud"] <= r["trimmed_len"] <= n
+        else:
+            assert r["trimmed_len"] == 0 and r["first_loud"] == -1
+
+
+def test_schema_merge_row_accounting(spark):
+    """Rows from the pre-evolution generation surface with NULL value;
+    generation sizes add up."""
+    out = _run(spark, "src_parquet_schema_merge").iloc[0]
+    ev = _events()
+    n97 = int((ev["event_id"] % 97 == 0).sum())
+    n101 = int((ev["event_id"] % 101 == 0).sum())
+    assert out["n_rows"] == n97 + n101
+    assert out["n_without_value"] == n97
+    assert out["n_with_value"] == n101
