@@ -2828,72 +2828,16 @@ def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session intervals are one user-keyed shuffle; delta points are
     2 rows per session; concurrency state never materializes beyond
     a per-hour running integer."""
+    from quick_and_easy_vectordb_spark.operators.intervals import (
+        peak_concurrency_daily,
+        sessionize_intervals,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
-    order = Window.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = ev.withColumn(
-        "new_s",
-        F.when(
-            F.lag("us").over(order).isNull()
-            | ((F.col("us") - F.lag("us").over(order)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    run_w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = (
-        flagged.withColumn("sid", F.sum("new_s").over(run_w))
-        .groupBy("user_id", "sid")
-        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
-    )
-    deltas = sess.select(
-        F.col("s_us").alias("t"), F.lit(1).alias("d")
-    ).unionAll(sess.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d")))
-    merged = (
-        deltas.withColumn("hr", F.floor(F.col("t") / _HOUR_US).cast("long"))
-        .groupBy("hr", "t")
-        .agg(F.sum("d").alias("d"))
-    )
-    spans = sess.select(
-        F.floor(F.col("s_us") / _HOUR_US).cast("long").alias("sh"),
-        F.floor(F.col("e_us") / _HOUR_US).cast("long").alias("eh"),
-    )
-    carry = (
-        spans.select(
-            F.explode(
-                F.when(
-                    F.col("eh") >= F.col("sh") + 1,
-                    F.sequence(F.col("sh") + 1, F.col("eh")),
-                )
-            ).alias("hr")
-        )
-        .groupBy("hr")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    hours = merged.select("hr").union(carry.select("hr")).distinct()
-    synth = hours.select(
-        "hr", (F.col("hr") * _HOUR_US).alias("t"), F.lit(0).cast("long").alias("d")
-    )
-    allpts = (
-        merged.select("hr", "t", F.col("d").cast("long").alias("d"))
-        .unionAll(synth)
-        .groupBy("hr", "t")
-        .agg(F.sum("d").alias("d"))
-    )
-    sweep = Window.partitionBy("hr").orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    hp = (
-        allpts.withColumn("pfx", F.sum("d").over(sweep))
-        .groupBy("hr")
-        .agg(F.max("pfx").alias("mp"))
-    )
-    peak = hp.join(carry, "hr", "left").select(
-        "hr", (F.coalesce(F.col("c"), F.lit(0)) + F.col("mp")).alias("peak_hr")
-    )
-    return peak.groupBy(
-        F.floor(F.col("hr") / 24).cast("long").alias("day")
-    ).agg(F.max("peak_hr").cast("long").alias("peak_concurrent"))
+    sess = sessionize_intervals(ev)
+    return peak_concurrency_daily(sess)
 
 
 @query(

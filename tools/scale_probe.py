@@ -310,6 +310,43 @@ def main() -> None:
 
     probes["stream_sessionize (1 session/event state)"] = stream_sessionize_probe
 
+    # Round-6 continuation shapes: bitmap distinct rollup and the
+    # hour-decomposed interval sweep (ev_bitmap_daily_actives /
+    # ev_max_concurrent_sessions). Both must stay ~linear: the bitmap
+    # shuffle is bounded by users/32 words per day regardless of event
+    # volume; the sweep's sorts are per-hour partitions, never global.
+
+    def bitmap_distinct_probe(n: int) -> None:
+        ev = synth_fact(spark, n)
+        words = ev.select(
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day"),
+            F.floor(F.col("key") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(key % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        bm = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bm"))
+        noop(
+            bm.groupBy("day").agg(F.sum(F.bit_count("bm")).cast("long").alias("n"))
+        )
+
+    probes["bitmap_distinct (word bit_or + popcount)"] = bitmap_distinct_probe
+
+    def concurrency_sweep_probe(n: int) -> None:
+        from quick_and_easy_vectordb_spark.operators.intervals import (
+            peak_concurrency_daily,
+            sessionize_intervals,
+        )
+
+        ev = synth_fact(spark, n).select(
+            F.col("key").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.unix_micros("ts").alias("us"),
+        )
+        noop(peak_concurrency_daily(sessionize_intervals(ev)))
+
+    probes["concurrency_sweep (hour-partitioned prefix)"] = concurrency_sweep_probe
+
     # Round-5 continuation shapes: the session's new operator families.
 
     # SQ8: train per-dim [min,max] (posexplode + groupBy(pos)), broadcast
@@ -503,7 +540,11 @@ def main() -> None:
         "clean). The capped-LSH shape includes the count-window cap of",
         "operators/dedup.py:lsh_candidate_pairs; the round-5 continuation",
         "adds SQ8 train+score, the blocked kNN-graph, and the",
-        "stream-stream interval join.",
+        "stream-stream interval join; round 6 adds the bitmap distinct",
+        "rollup and the hour-partitioned concurrency sweep, and applies",
+        "the scaled_shuffle_partitions spill guard to the q21 per-order",
+        "aggregation (its 10x->30x segment was 7.1x wall for 3x data",
+        "before the guard, sublinear after).",
         "",
         "| operator shape | 1x sec | 10x sec | 30x sec | 10x ratio | 30x ratio |",
         "|---|---|---|---|---|---|",
