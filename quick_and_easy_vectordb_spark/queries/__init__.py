@@ -101,6 +101,10 @@ _CHECK_PRIORITY = [
     "ann_int4_search",
     "mm_audio_silence_trim",
     "src_parquet_schema_merge",
+    "mm_phash_hamming_pairs",
+    "text_mix_rebalance_weights",
+    "ev_stratified_sample_alloc",
+    "rel_observe_metrics",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -521,3 +521,47 @@ def text_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("draw"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "text_mix_rebalance_weights",
+    oracle="""
+WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS k FROM documents)
+SELECT s.source,
+       CAST(s.n AS BIGINT) AS n_docs,
+       1.0 / t.k AS target_share,
+       CAST(s.n AS DOUBLE) / t.total AS actual_share,
+       CAST(t.total AS DOUBLE) / (t.k * s.n) AS weight
+FROM s, t
+""",
+    tags=("curation", "sampling", "domain-mix", "rebalance"),
+)
+def text_mix_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIX REBALANCING weights: per-source sampling multipliers
+    that turn the corpus's ACTUAL source distribution into a TARGET
+    mix (uniform here; any broadcastable target table slots in) —
+    weight_s = target_share / actual_share = N / (k * n_s). This is
+    the knob every pretraining recipe turns (upsample small
+    high-quality domains, downsample crawl bulk); composed with
+    dedup_soft_weight's 1/cluster_size it gives the final per-doc
+    sampling weight. Every emitted number is a single
+    integer-over-integer division — exact on any engine.
+
+    Plan shape at 100 TB: one map-side-combined groupBy(source) plus
+    a 1-row total — the output is an O(sources) broadcast dim the
+    sampler joins against the corpus scan; nothing here rescans
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("source").alias("k"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.lit(1.0) / F.col("k")).alias("target_share"),
+        (F.col("n").cast("double") / F.col("total")).alias("actual_share"),
+        (F.col("total").cast("double") / (F.col("k") * F.col("n"))).alias("weight"),
+    )

@@ -3125,3 +3125,78 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+_STRAT_K = 50
+
+
+@query(
+    "ev_stratified_sample_alloc",
+    oracle=f"""
+WITH s AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+t AS (SELECT COUNT(*) AS total FROM events),
+alloc AS (
+  SELECT s.event_type,
+         GREATEST(1, ({_STRAT_K} * s.n) // t.total) AS n_alloc
+  FROM s, t
+),
+rk AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('strat-v1:' || CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+)
+SELECT rk.event_type, CAST(rk.rn AS BIGINT) AS rn, rk.event_id, rk.user_id,
+       CAST(a.n_alloc AS BIGINT) AS n_alloc
+FROM rk JOIN alloc a ON a.event_type = rk.event_type
+WHERE rk.rn <= a.n_alloc
+""",
+    tags=("events", "sampling", "stratified", "deterministic"),
+)
+def ev_stratified_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED sampling with PROPORTIONAL ALLOCATION, fully
+    deterministic: each stratum (event type) gets
+    floor(K * n_s / N) slots (min 1 — floor allocation; the
+    largest-remainder top-up is a trivial extension), filled by the
+    md5-minimum rule — rank events by md5('strat-v1:' || id) and keep
+    the first n_alloc. Unlike df.sample() (engine- and
+    partitioning-dependent RNG, never cross-engine verifiable), the
+    hash rank makes the EXACT sampled rows a pure function of the
+    data, so the sample itself is oracle-checked, reproducible across
+    reruns, and stable under repartitioning — the property an
+    auditable training-data pipeline needs from its samplers.
+
+    Plan shape at 100 TB: allocation is an O(strata) broadcast; the
+    rank is a per-stratum top-k window — WindowGroupLimit pushes the
+    n_alloc bound below the sort, so per-partition state is O(alloc),
+    not O(events). Same skeleton as ev_topk_per_type with a hash in
+    place of a business column."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = ev.agg(F.count(F.lit(1)).alias("total"))
+    alloc = s.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.greatest(
+            F.lit(1), F.floor(F.lit(_STRAT_K) * F.col("n") / F.col("total"))
+        ).alias("n_alloc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("strat-v1:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    rk = ev.select(
+        "event_type", "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        rk.join(F.broadcast(alloc), "event_type")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .select(
+            "event_type",
+            F.col("rn").cast("long").alias("rn"),
+            "event_id",
+            "user_id",
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+        )
+    )

@@ -790,10 +790,9 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_image_phash",
-    oracle="""
-WITH dims AS (
+# Closed-form reconstruction of the aHash pipeline (shared by the
+# mm_image_phash oracle and the hamming-pair dedup built on top of it).
+SQL_PHASH_CTES = """dims AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
 ),
 blocks AS (
@@ -820,12 +819,21 @@ bsum AS (
 ),
 tot AS (
   SELECT doc_id, SUM(s) AS ts, SUM(n) AS tn FROM bsum GROUP BY 1
-)
-SELECT b.doc_id,
-       string_agg(CASE WHEN b.s * t.tn > t.ts * b.n THEN '1' ELSE '0' END,
-                  '' ORDER BY b.by, b.bx) AS phash
-FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
-GROUP BY b.doc_id
+),
+ph AS (
+  SELECT b.doc_id,
+         string_agg(CASE WHEN b.s * t.tn > t.ts * b.n THEN '1' ELSE '0' END,
+                    '' ORDER BY b.by, b.bx) AS phash
+  FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+  GROUP BY b.doc_id
+)"""
+
+
+@query(
+    "mm_image_phash",
+    oracle=f"""
+WITH {SQL_PHASH_CTES}
+SELECT doc_id, phash FROM ph
 """,
     tags=("multimodal", "phash", "dedup", "mapInPandas"),
 )
@@ -1080,3 +1088,115 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, first_loud long, last_loud long, "
         "n_loud long, trimmed_len long",
     )
+
+
+@query(
+    "mm_phash_hamming_pairs",
+    oracle=f"""
+WITH {SQL_PHASH_CTES},
+classes AS (
+  SELECT phash, COUNT(*) AS c FROM ph GROUP BY phash
+),
+cross_pairs AS (
+  SELECT len(list_filter(range(1, 65),
+             i -> substr(a.phash, CAST(i AS INTEGER), 1)
+                  <> substr(b.phash, CAST(i AS INTEGER), 1))) AS hamming,
+         a.c * b.c AS n_images
+  FROM classes a JOIN classes b ON a.phash < b.phash
+),
+hist AS (
+  SELECT CAST(hamming AS BIGINT) AS hamming,
+         CAST(COUNT(*) AS BIGINT) AS n_class_pairs,
+         CAST(SUM(n_images) AS BIGINT) AS n_image_pairs
+  FROM cross_pairs WHERE hamming <= 7 GROUP BY 1
+),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS hamming,
+         CAST(COUNT(*) AS BIGINT) AS n_class_pairs,
+         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_image_pairs
+  FROM classes WHERE c >= 2
+)
+SELECT * FROM hist
+UNION ALL
+SELECT * FROM zero WHERE n_class_pairs > 0
+""",
+    tags=("multimodal", "phash", "dedup", "hamming", "multi-index"),
+)
+def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VISUAL NEAR-DUPLICATE pairs by perceptual-hash Hamming
+    distance — the image half of corpus dedup: images are reduced to
+    their aHash CLASS (distinct 64-bit fingerprint + member count),
+    and near-dup classes are found with MULTI-INDEX HASHING
+    (Norouzi et al. 2012): 8 bands of 8 bits; by pigeonhole any two
+    hashes within Hamming distance 7 agree EXACTLY on at least one
+    band, so the banded equi-join is a lossless candidate generator
+    for the <=7 threshold — unlike probabilistic LSH banding, recall
+    here is 1.0 by construction, which is what makes the oracle (a
+    naive filtered all-pairs over classes) able to match it
+    bit-for-bit. Output is the pair histogram by distance, weighted
+    by class sizes (distance 0 = exact-duplicate images).
+
+    Plan shape at 100 TB: dedup-to-classes first (one phash groupBy)
+    collapses the image count to the DISTINCT-fingerprint count; the
+    8x band explode shuffles 8 small rows per class into 8-bit-keyed
+    buckets whose expected size is D/256 per band — the per-bucket
+    quadratic verify is the same candidate-then-verify layout as
+    dedup_minhash_lsh, with the same hot-bucket cap available if a
+    degenerate corpus concentrates one band value."""
+    ph = mm_image_phash(spark, sf_dir)
+    classes = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("c"))
+    bands = classes.select(
+        "phash",
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substring("phash", b * 8 + 1, 8).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("phash", "c", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("band"), F.col("key"), F.col("phash").alias("pa"), F.col("c").alias("ca")
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"), F.col("phash").alias("pb"), F.col("c").alias("cb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb", "ca", "cb")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.substring(F.col("pa"), 1, 64).substr(i, F.lit(1))
+            != F.substring(F.col("pb"), 1, 64).substr(i, F.lit(1)),
+        )
+    )
+    hist = (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 7)
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_class_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_image_pairs"),
+        )
+    )
+    zero = (
+        classes.filter(F.col("c") >= 2)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_class_pairs"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias(
+                "n_image_pairs"
+            ),
+        )
+        .select(
+            F.lit(0).cast("long").alias("hamming"), "n_class_pairs", "n_image_pairs"
+        )
+        .filter(F.col("n_class_pairs") > 0)
+    )
+    return hist.unionAll(zero)

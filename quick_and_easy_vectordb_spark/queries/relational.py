@@ -1199,3 +1199,72 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "rel_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+         AS n_big_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS total_price,
+       CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS first_order_us,
+       CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_order_us
+FROM orders
+""",
+    tags=("relational", "observe", "telemetry", "accumulator"),
+)
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBSERVATION API (df.observe + pyspark.sql.Observation):
+    named aggregate metrics computed as an accumulator SIDE-CHANNEL of
+    another action — the mechanism for pipeline telemetry (row counts,
+    null rates, freshness watermarks) without a second scan of the
+    data. Here the observed scan's own result is discarded (a noop
+    sink drives it) and the METRICS become the query result, so the
+    oracle directly verifies what the accumulator path computed: a
+    count, a conditional count (DISTINCT is disallowed inside
+    CollectMetrics — the API's documented mergeability constraint), a
+    decimal-exact revenue total, and min/max freshness stamps.
+
+    The Observation.get call is a driver-side read of one O(1) metric
+    row (the documented constant-cost exception, like pq_encode's
+    codebook-shape guard) — never a data collect.
+
+    Plan shape at 100 TB: CollectMetrics wraps the scan; metrics
+    merge per-task like any partial aggregate and add no shuffle, no
+    extra pass, and no skew surface — the defining property vs
+    running a separate aggregation job (which doubles the I/O). In
+    production the same observe() rides the REAL write action, so
+    telemetry is free."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("od_us"),
+    )
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("od_us").alias("first_order_us"),
+        F.max("od_us").alias("last_order_us"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_orders"],
+                m["n_big_orders"],
+                m["total_price"],
+                m["first_order_us"],
+                m["last_order_us"],
+            )
+        ],
+        "n_orders long, n_big_orders long, total_price double, "
+        "first_order_us long, last_order_us long",
+    )

@@ -271,3 +271,70 @@ def test_schema_merge_row_accounting(spark):
     assert out["n_rows"] == n97 + n101
     assert out["n_without_value"] == n97
     assert out["n_with_value"] == n101
+
+
+def test_phash_hamming_pairs_brute_force(spark):
+    """The banded multi-index candidate set must reproduce the naive
+    all-pairs <=7 histogram exactly (pigeonhole: <=7 diffs over 8
+    bands forces an identical band)."""
+    from itertools import combinations
+
+    ph = _run(spark, "mm_image_phash")
+    out = _run(spark, "mm_phash_hamming_pairs").set_index("hamming")
+    classes = ph.groupby("phash").size()
+    hist: dict[int, list[int]] = {}
+    for (pa, ca), (pb, cb) in combinations(classes.items(), 2):
+        d = sum(1 for x, y in zip(pa, pb) if x != y)
+        if d <= 7:
+            hist.setdefault(d, [0, 0])
+            hist[d][0] += 1
+            hist[d][1] += ca * cb
+    dup = classes[classes >= 2]
+    if len(dup):
+        hist.setdefault(0, [0, 0])
+        hist[0][0] += len(dup)
+        hist[0][1] += int((dup * (dup - 1) // 2).sum())
+    assert sorted(out.index) == sorted(hist)
+    for d, (ncp, nip) in hist.items():
+        assert out.loc[d, "n_class_pairs"] == ncp
+        assert out.loc[d, "n_image_pairs"] == nip
+
+
+def test_stratified_sample_allocation(spark):
+    """Allocation is proportional (floor, min 1) and the selected rows
+    are exactly the md5-minimal ones per stratum."""
+    out = _run(spark, "ev_stratified_sample_alloc")
+    ev = _events()
+    total = len(ev)
+    for etype, grp in ev.groupby("event_type"):
+        alloc = max(1, 50 * len(grp) // total)
+        sel = out[out["event_type"] == etype]
+        assert len(sel) == alloc
+        assert (sel["n_alloc"] == alloc).all()
+        ranked = sorted(
+            grp["event_id"],
+            key=lambda i: (hashlib.md5(f"strat-v1:{i}".encode()).hexdigest(), i),
+        )[:alloc]
+        assert sorted(sel["event_id"]) == sorted(ranked)
+
+
+def test_mix_rebalance_weights_normalize(spark):
+    """weight * actual_share == target_share for every source, and the
+    weighted corpus mass equals the original corpus size."""
+    out = _run(spark, "text_mix_rebalance_weights")
+    k = len(out)
+    for _, r in out.iterrows():
+        assert abs(r["weight"] * r["actual_share"] - r["target_share"]) < 1e-12
+        assert abs(r["target_share"] - 1.0 / k) < 1e-15
+    n = out["n_docs"].sum()
+    assert abs((out["weight"] * out["n_docs"]).sum() - n) < 1e-6
+
+
+def test_observe_metrics_match_direct_agg(spark):
+    """The CollectMetrics side-channel must equal a direct aggregation
+    of the same scan."""
+    out = _run(spark, "rel_observe_metrics").iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert out["n_orders"] == len(orders)
+    assert out["n_big_orders"] == int((orders["o_totalprice"] > 100000).sum())
+    assert abs(out["total_price"] - orders["o_totalprice"].sum()) < 1e-4
