@@ -69,61 +69,57 @@ def peak_concurrency_daily(sess: DataFrame) -> DataFrame:
     """(day, peak_concurrent): maximum number of simultaneously-open
     [s_us, e_us] intervals per calendar day, exact.
 
-    Convention: an interval is active at instant t iff
-    s_us <= t <= e_us, expressed as +1 at s_us and -1 at e_us + 1.
-    A synthetic zero-delta point at each hour start makes the
-    hour-start instant an explicit sweep row, so
-    peak_hour = carry + max(prefix) holds with no boundary special
-    cases (including a -1 landing exactly on the boundary, where the
-    bare carry value is never attained and must not win the max)."""
-    deltas = sess.select(
-        F.col("s_us").alias("t"), F.lit(1).alias("d")
-    ).unionAll(sess.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d")))
-    merged = (
-        deltas.withColumn("hr", F.floor(F.col("t") / HOUR_US).cast("long"))
-        .groupBy("hr", "t")
-        .agg(F.sum("d").alias("d"))
+    CLIPPING formulation: an interval is active at instant t iff
+    s_us <= t <= e_us. Each session is clipped to every hour it spans
+    (a bounded explode): per (session, hour), a +1 delta at
+    max(s_us, hour_start) and a -1 at e_us + 1 kept only when it
+    falls INSIDE the hour. A session covering an entire hour is then
+    a bare +1 at the hour start, so per-hour
+    peak = max(prefix sums) with NO separate carry-in table — the
+    carry is encoded as ordinary deltas at the boundary instant.
+
+    Why clipping instead of carry + in-hour sweep (the first-cut
+    design): (a) the carry set "active at hour start" is subtly NOT
+    the prefix of deltas before the hour — a session ending at
+    exactly hour_start - 1us puts its -1 at hour_start (in-hour)
+    while the carry excludes its +1, undercounting every instant of
+    that hour by one (tests/test_intervals.py pins the corner);
+    (b) carry needed a second and third traversal of the sessions
+    relation, which the optimizer recomputes (no reusable exchange),
+    tripling the sessionize work — clipping consumes sessions exactly
+    ONCE, so the plan is a single linear chain."""
+    h0 = F.floor(F.col("s_us") / HOUR_US).cast("long")
+    h1 = F.floor(F.col("e_us") / HOUR_US).cast("long")
+    per_hour = sess.select(
+        F.col("s_us"),
+        F.col("e_us"),
+        F.explode(F.sequence(h0, h1)).alias("hr"),
     )
-    spans = sess.select(
-        F.floor(F.col("s_us") / HOUR_US).cast("long").alias("sh"),
-        F.floor(F.col("e_us") / HOUR_US).cast("long").alias("eh"),
+    end_in_hour = (F.col("e_us") + 1) < (F.col("hr") + 1) * HOUR_US
+    start_pt = F.struct(
+        F.greatest(F.col("s_us"), F.col("hr") * HOUR_US).alias("t"),
+        F.lit(1).cast("long").alias("d"),
     )
-    # carry-in: sessions strictly spanning an hour start (bounded
-    # explode; Spark's sequence() REVERSES when start > stop, so the
-    # empty case must be guarded to null, which explode drops).
-    carry = (
-        spans.select(
-            F.explode(
-                F.when(
-                    F.col("eh") >= F.col("sh") + 1,
-                    F.sequence(F.col("sh") + 1, F.col("eh")),
-                )
-            ).alias("hr")
-        )
-        .groupBy("hr")
-        .agg(F.count(F.lit(1)).alias("c"))
+    end_pt = F.struct(
+        (F.col("e_us") + 1).alias("t"), F.lit(-1).cast("long").alias("d")
     )
-    hours = merged.select("hr").union(carry.select("hr")).distinct()
-    synth = hours.select(
-        "hr", (F.col("hr") * HOUR_US).alias("t"), F.lit(0).cast("long").alias("d")
-    )
-    allpts = (
-        merged.select("hr", "t", F.col("d").cast("long").alias("d"))
-        .unionAll(synth)
-        .groupBy("hr", "t")
-        .agg(F.sum("d").alias("d"))
-    )
+    pts = per_hour.select(
+        "hr",
+        F.explode(
+            F.when(end_in_hour, F.array(start_pt, end_pt)).otherwise(
+                F.array(start_pt)
+            )
+        ).alias("p"),
+    ).select("hr", F.col("p.t").alias("t"), F.col("p.d").alias("d"))
+    merged = pts.groupBy("hr", "t").agg(F.sum("d").alias("d"))
     sweep = Window.partitionBy("hr").orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     hp = (
-        allpts.withColumn("pfx", F.sum("d").over(sweep))
+        merged.withColumn("pfx", F.sum("d").over(sweep))
         .groupBy("hr")
-        .agg(F.max("pfx").alias("mp"))
+        .agg(F.max("pfx").alias("peak_hr"))
     )
-    peak = hp.join(carry, "hr", "left").select(
-        "hr", (F.coalesce(F.col("c"), F.lit(0)) + F.col("mp")).alias("peak_hr")
-    )
-    return peak.groupBy(
+    return hp.groupBy(
         F.floor(F.col("hr") / 24).cast("long").alias("day")
     ).agg(F.max("peak_hr").cast("long").alias("peak_concurrent"))

@@ -2770,64 +2770,47 @@ sess AS (
   SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
   FROM sids GROUP BY user_id, sid
 ),
-deltas AS (
-  SELECT s_us AS t, 1 AS d FROM sess
+per_hour AS (
+  SELECT s_us, e_us,
+         unnest(range(s_us // 3600000000, e_us // 3600000000 + 1)) AS hr
+  FROM sess
+),
+pts AS (
+  SELECT hr, GREATEST(s_us, hr * 3600000000) AS t, 1 AS d FROM per_hour
   UNION ALL
-  SELECT e_us + 1 AS t, -1 AS d FROM sess
+  SELECT hr, e_us + 1 AS t, -1 AS d FROM per_hour
+  WHERE e_us + 1 < (hr + 1) * 3600000000
 ),
-merged AS (
-  SELECT t // 3600000000 AS hr, t, SUM(d) AS d FROM deltas GROUP BY 1, 2
-),
-carry AS (
-  SELECT hr, COUNT(*) AS c FROM (
-    SELECT unnest(range(s_us // 3600000000 + 1, e_us // 3600000000 + 1)) AS hr
-    FROM sess
-  ) GROUP BY hr
-),
-hours AS (SELECT hr FROM merged UNION SELECT hr FROM carry),
-allpts AS (
-  SELECT hr, t, SUM(d) AS d FROM (
-    SELECT hr, t, d FROM merged
-    UNION ALL
-    SELECT hr, hr * 3600000000 AS t, 0 AS d FROM hours
-  ) GROUP BY hr, t
-),
+merged AS (SELECT hr, t, SUM(d) AS d FROM pts GROUP BY 1, 2),
 run AS (
-  SELECT hr, t, SUM(d) OVER (PARTITION BY hr ORDER BY t) AS pfx FROM allpts
+  SELECT hr, t, SUM(d) OVER (PARTITION BY hr ORDER BY t) AS pfx FROM merged
 ),
-hp AS (SELECT hr, MAX(pfx) AS mp FROM run GROUP BY hr),
-peak AS (
-  SELECT hp.hr, COALESCE(c.c, 0) + hp.mp AS peak_hr
-  FROM hp LEFT JOIN carry c ON c.hr = hp.hr
-)
+hp AS (SELECT hr, MAX(pfx) AS peak_hr FROM run GROUP BY hr)
 SELECT CAST(hr // 24 AS BIGINT) AS day,
        CAST(MAX(peak_hr) AS BIGINT) AS peak_concurrent
-FROM peak GROUP BY 1
+FROM hp GROUP BY 1
 """,
     tags=("events", "interval", "sweep-line", "sessionize", "concurrency"),
 )
 def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PEAK CONCURRENCY per day — the classic interval sweep-line
     ("how many sessions were open at once"), decomposed so no global
-    sort exists: sessions (30-min-gap sessionize) become +1/-1 delta
-    points; each HOUR runs its own prefix-sum sweep; a session active
-    across an hour boundary contributes to that hour's CARRY-IN via a
-    bounded explode over the hour range it spans (never a range
-    join). A synthetic zero-delta point at each hour start makes the
-    hour-start instant an explicit sweep row, so peak_hour =
-    carry + max(prefix) holds with no boundary special-casing —
-    including the edge where a session END lands exactly on the
-    boundary. Daily peak = max over hourly peaks, exact because every
-    instant belongs to exactly one hour.
+    sort exists: sessions (30-min-gap sessionize) are CLIPPED to each
+    hour they span (bounded explode), each hour runs an independent
+    prefix-sum sweep over its clipped +1/-1 deltas, and the daily
+    peak is the max over hourly peaks — exact because every instant
+    belongs to exactly one hour and a spanning session surfaces as a
+    +1 at the hour-start instant (operators/intervals.py documents
+    why clipping replaced the carry-in formulation: a subtle
+    boundary undercount, and a plan that re-traversed sessions three
+    times).
 
-    Plan shape at 100 TB: the sweep's sort is PARTITIONED by hour
-    (thousands of independent sweeps) instead of one global
-    order-by-time pass — the two-level decomposition (in-partition
-    sweep + carried offset) is the standard parallel prefix-sum and
-    chains to any granularity if a single hour is still too hot.
-    Session intervals are one user-keyed shuffle; delta points are
-    2 rows per session; concurrency state never materializes beyond
-    a per-hour running integer."""
+    Plan shape at 100 TB: one user-keyed shuffle for sessionize
+    (spill-guarded by scaled_shuffle_partitions), then a single
+    linear chain — explode, (hr,t) merge, per-hour window, two
+    rollups; the sweep's sort is PARTITIONED by hour (thousands of
+    independent sweeps), never a global order-by-time pass, and the
+    decomposition chains to minutes if a single hour is too hot."""
     from quick_and_easy_vectordb_spark.operators.intervals import (
         peak_concurrency_daily,
         sessionize_intervals,
