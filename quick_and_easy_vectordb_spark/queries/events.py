@@ -2732,7 +2732,9 @@ def ev_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask"
         ),
     )
-    daily = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bm"))
+    # daily bitmaps feed the x7 fanout AND the observed-day grid;
+    # persisted so the event-sized aggregation runs once.
+    daily = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bm")).persist()
     contrib = daily.select(
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
         "word",
@@ -2886,7 +2888,7 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(30,10)"))
         .cast("decimal(25,10)")
         .alias("s")
-    )
+    ).persist()  # O(types*hours) series, read by totals + deviations
     tot = h.groupBy("event_type").agg(
         F.sum("s").cast("decimal(38,10)").alias("t"),
         F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
@@ -3016,7 +3018,12 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, so the sketch VALUES are verified,
     not just bounds."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    # du feeds four consumers (sketch build, per-type counts, pair
+    # unions); persisted so the distinct-(type,user) shuffle — the
+    # only data-sized work here — happens once instead of per branch
+    # (same multi-consumer persist pattern as operators/graph.py:56).
+    # Its footprint is the distinct count, not the event count.
+    du = ev.select("event_type", "user_id").distinct().persist()
     h = du.withColumn(
         "h",
         F.conv(
@@ -3034,6 +3041,7 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _KMV_K)
         .drop("rn")
+        .persist()  # O(types * k) rows, read by 3 sketch branches
     )
     est_expr = lambda n_k, h_k: F.when(  # noqa: E731
         F.col(n_k) < _KMV_K, F.col(n_k).cast("double")

@@ -1144,7 +1144,10 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh, with the same hot-bucket cap available if a
     degenerate corpus concentrates one band value."""
     ph = mm_image_phash(spark, sf_dir)
-    classes = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("c"))
+    # classes feeds both band sides and the distance-0 rollup; without
+    # the persist each consumer would re-run the full image decode
+    # (the mapInPandas pass) from scratch. O(distinct phash) rows.
+    classes = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("c")).persist()
     bands = classes.select(
         "phash",
         "c",

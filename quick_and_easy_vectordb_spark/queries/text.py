@@ -1063,7 +1063,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological corpus explodes it."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(tokens("text")).alias("tok"))
-    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    # freq feeds the vocabulary count and the rank window; persisted
+    # so the token explode + count (the only data-sized work) runs once.
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f")).persist()
     nd = freq.groupBy("lang").agg(F.count(F.lit(1)).alias("n_distinct"))
     w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
     top = freq.withColumn("r", F.row_number().over(w)).filter(

@@ -1607,6 +1607,7 @@ def vdb_reciprocal_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("src_id", "nbr_id", "label")
+        .persist()  # O(nodes*k) edge list, read forward + reversed
     )
     e2 = edges.select(
         F.col("src_id").alias("r_nbr"), F.col("nbr_id").alias("r_src")
