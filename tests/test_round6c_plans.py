@@ -17,7 +17,11 @@ from quick_and_easy_vectordb_spark.queries import QUERIES
 def test_bitmap_daily_actives_two_shuffles(spark, sf_dir):
     """The bitmap rollup is exactly two exchanges: events →
     (day, word) bitmaps, bitmaps → per-day popcount sums. Anything
-    more means the per-event rows leaked past the first aggregate."""
+    more means the per-event rows leaked past the first aggregate.
+    (Cache cleared first: ev_rolling_wau_bitmap persists an identical
+    daily-bitmap fragment that the CacheManager would otherwise
+    substitute here, hiding the first exchange.)"""
+    spark.catalog.clearCache()
     df = QUERIES["ev_bitmap_daily_actives"].fn(spark, sf_dir)
     assert shuffle_count(df) == 2
 
