@@ -105,6 +105,9 @@ _CHECK_PRIORITY = [
     "text_mix_rebalance_weights",
     "ev_stratified_sample_alloc",
     "rel_observe_metrics",
+    "ev_stream_bitmap_actives",
+    "udf_udtf_analyze",
+    "mm_video_scene_cuts",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

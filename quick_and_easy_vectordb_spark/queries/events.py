@@ -3191,3 +3191,64 @@ def ev_stratified_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_alloc").cast("long").alias("n_alloc"),
         )
     )
+
+
+@query(
+    "ev_stream_bitmap_actives",
+    oracle="""
+SELECT CAST(epoch_us(ts) // 86400000000 * 86400 AS BIGINT) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+       CAST(COUNT(DISTINCT user_id // 32) AS BIGINT) AS n_words
+FROM events GROUP BY 1
+""",
+    tags=("events", "streaming", "bitmap", "distinct", "dau"),
+)
+def ev_stream_bitmap_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users maintained as INCREMENTAL STREAMING BITMAP
+    state: the stream aggregates BIT_OR per (day-window, word) — the
+    same word-bucketed layout as the batch ev_bitmap_daily_actives,
+    but held in the state store and updated by OR as events arrive
+    (OR is idempotent and commutative, so replays and out-of-order
+    batches converge to the same registers — the property that makes
+    bitmaps the right streaming-distinct state, vs a count that
+    double-increments on replay). The batch rollup of the sink sums
+    popcounts per day; the oracle is the exact COUNT(DISTINCT).
+
+    Plan shape at 100 TB: state is O(users/32) longs per open day —
+    ~3 MB per 100M users — hash-partitioned by (window, word) across
+    executors; in the incremental deployment a watermark closes
+    day windows and evicts their registers. Contrast with
+    ev_distinct_users_hourly_streamed (one state row per
+    user-hour): the bitmap holds 32 users per row, trading row count
+    for fixed-width registers."""
+    sink = "ev_stream_bitmap_actives_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    bm = (
+        src.select(
+            F.window("ts", "1 day").alias("w"),
+            F.floor(F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(F.col("w.start").alias("day_start"), "word")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+    q = (
+        bm.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.unix_timestamp("day_start").alias("window_start"))
+        .agg(
+            F.sum(F.bit_count("bm")).cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )

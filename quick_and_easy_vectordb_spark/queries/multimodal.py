@@ -8,7 +8,7 @@ batching, and schema handling, not just JVM expressions)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.embed import (
@@ -1203,3 +1203,88 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_class_pairs") > 0)
     )
     return hist.unionAll(zero)
+
+
+_SCENE_CUT_THRESH = 1 << 31
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+         ('0x' || substr(md5(text || ':' || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT
+           AS intensity
+  FROM documents CROSS JOIN (SELECT unnest(range(16)) AS i) i
+),
+deltas AS (
+  SELECT doc_id, frame_idx,
+         abs(intensity - lag(intensity) OVER (
+           PARTITION BY doc_id ORDER BY frame_idx)) AS d
+  FROM frames
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(CASE WHEN d > {_SCENE_CUT_THRESH} THEN 1 END) AS BIGINT)
+         AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN d > {_SCENE_CUT_THRESH}
+                               THEN frame_idx END), -1) AS BIGINT)
+         AS first_cut_idx
+FROM deltas GROUP BY doc_id
+""",
+    tags=("multimodal", "video", "scene-cuts", "temporal"),
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO SCENE-CUT detection plumbing: per-clip frame sequence →
+    per-frame intensity → lag delta → threshold = cut boundary (the
+    shot-segmentation primitive before any per-scene sampling or
+    captioning). Frames are the deterministic md5 pseudo-content of
+    mm_frame_sample (the container notes there apply: a real corpus
+    supplies decoded frame histograms through the same (doc_id,
+    frame_idx, intensity) contract; intensity here is the first 32
+    bits of the frame hash so the threshold math is integer-exact).
+
+    Plan shape at 100 TB: frame expansion is a constant x16 Generate
+    with no shuffle; the lag window partitions BY CLIP (millions of
+    independent tiny partitions — the best case for window exec);
+    the rollup is map-side combinable. Nothing materializes more
+    than one frame row, so clip length scales the partition, not
+    the state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("frame_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("text"), F.lit(":"), F.col("frame_idx").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("intensity"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.abs(F.col("intensity") - F.lag("intensity").over(w)).alias("d"),
+    )
+    cut = F.col("d") > _SCENE_CUT_THRESH
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.count(F.when(cut, 1)).cast("long").alias("n_cuts"),
+        F.coalesce(F.min(F.when(cut, F.col("frame_idx"))), F.lit(-1))
+        .cast("long")
+        .alias("first_cut_idx"),
+    )

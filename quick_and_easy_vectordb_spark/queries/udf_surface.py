@@ -929,3 +929,67 @@ def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "udf_udtf_analyze",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       w[i + 1] AS g1, w[i + 2] AS g2, w[i + 3] AS g3
+FROM toks CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+WHERE i + 3 <= len(w)
+""",
+    tags=("udf", "udtf", "analyze", "dynamic-schema"),
+)
+def udf_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze`` method — the Spark 4
+    polymorphic-table-function surface: the OUTPUT SCHEMA is computed
+    at plan time from a literal argument (n-gram width -> columns
+    g1..gn), which a fixed returnType cannot express. Called with
+    n=3 here, so the catalog resolves LATERAL qev_ngrams(text, 3) to
+    (pos, g1, g2, g3) before any data moves; calling it with n=2
+    elsewhere would resolve a two-column shape from the SAME
+    registration. The oracle replicates the window of consecutive
+    tokens with array indexing.
+
+    Plan shape at 100 TB: same LATERAL expansion as udf_udtf_chunk —
+    embarrassingly parallel per row, no shuffle; analyze() runs ONCE
+    on the driver at resolution (cost O(1)), so the dynamic schema
+    adds nothing at execution time."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    try:
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult  # noqa: F401
+    except ImportError:  # pragma: no cover - pyspark < 3.5
+        raise
+
+    class NGramsDynamic:
+        @staticmethod
+        def analyze(text, n):
+            schema = StructType().add("pos", LongType())
+            for i in range(int(n.value)):
+                schema = schema.add(f"g{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            words = " ".join(text.lower().split()).split()
+            for i in range(len(words) - n + 1):
+                yield (i, *words[i : i + n])
+
+    spark.udtf.register("qev_ngrams", udtf(NGramsDynamic))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs_ngram"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.g1, g.g2, g.g3 "
+        "FROM __udtf_docs_ngram d, LATERAL qev_ngrams(d.text, 3) g"
+    )

@@ -338,3 +338,52 @@ def test_observe_metrics_match_direct_agg(spark):
     assert out["n_orders"] == len(orders)
     assert out["n_big_orders"] == int((orders["o_totalprice"] > 100000).sum())
     assert abs(out["total_price"] - orders["o_totalprice"].sum()) < 1e-4
+
+
+def test_stream_bitmap_matches_batch_bitmap(spark):
+    """The streaming bitmap state must converge to the batch bitmap
+    result exactly (OR-idempotence across micro-batches)."""
+    streamed = _run(spark, "ev_stream_bitmap_actives").set_index("window_start")
+    batch = _run(spark, "ev_bitmap_daily_actives")
+    for _, r in batch.iterrows():
+        ws = int(r["day"]) * 86400
+        assert streamed.loc[ws, "n_active"] == r["n_active"]
+        assert streamed.loc[ws, "n_words"] == r["n_words"]
+    assert len(streamed) == len(batch)
+
+
+def test_udtf_analyze_dynamic_width(spark):
+    """The same UDTF registration must resolve different output
+    schemas for different literal n — the property a fixed returnType
+    cannot express."""
+    _run(spark, "udf_udtf_analyze")  # registers qev_ngrams
+    spark.sql("SELECT 1").collect()
+    two = spark.sql(
+        "SELECT * FROM qev_ngrams('alpha beta gamma', 2)"
+    )
+    assert [f.name for f in two.schema.fields] == ["pos", "g1", "g2"]
+    rows = sorted(map(tuple, two.collect()))
+    assert rows == [(0, "alpha", "beta"), (1, "beta", "gamma")]
+    four = spark.sql("SELECT * FROM qev_ngrams('a b c', 4)")
+    assert [f.name for f in four.schema.fields] == ["pos", "g1", "g2", "g3", "g4"]
+    assert four.count() == 0  # 3 tokens cannot form a 4-gram
+
+
+def test_scene_cuts_recompute(spark):
+    """Frame-intensity deltas recomputed in pure Python must match."""
+    out = _run(spark, "mm_video_scene_cuts").set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, drow in docs.head(50).iterrows():
+        doc_id, text = int(drow["doc_id"]), drow["text"]
+        inten = [
+            int(hashlib.md5(f"{text}:{i}".encode()).hexdigest()[:8], 16)
+            for i in range(16)
+        ]
+        cuts = [
+            i
+            for i in range(1, 16)
+            if abs(inten[i] - inten[i - 1]) > (1 << 31)
+        ]
+        assert out.loc[doc_id, "n_frames"] == 16
+        assert out.loc[doc_id, "n_cuts"] == len(cuts)
+        assert out.loc[doc_id, "first_cut_idx"] == (cuts[0] if cuts else -1)
