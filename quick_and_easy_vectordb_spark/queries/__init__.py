@@ -108,6 +108,10 @@ _CHECK_PRIORITY = [
     "ev_stream_bitmap_actives",
     "udf_udtf_analyze",
     "mm_video_scene_cuts",
+    "ann_kmeans_iterated",
+    "src_orc_roundtrip",
+    "src_csv_quoted_roundtrip",
+    "ev_burst_detection",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

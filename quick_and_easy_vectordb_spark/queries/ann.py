@@ -984,3 +984,133 @@ def ann_int4_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("int4_score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def _km_iter_oracle(rounds: int = 3) -> str:
+    """Generate the SQL oracle for `ann_kmeans_iterated`: `rounds`
+    assign/update cycles with Lloyd's algorithm, seeds = the same
+    hyperplanes as the Spark side, fixed-point (floor * 2^30) centroid
+    means so every round's centroids are bit-identical across engines,
+    and empty clusters retaining their previous centroid."""
+    seeds = " UNION ALL ".join(
+        f"SELECT {k} AS cluster, {sql_vec(hyperplane(k, DIM))} AS carr"
+        for k in range(_KM_K)
+    )
+    parts = [f"pos AS (SELECT unnest(range(1, {DIM} + 1)) AS p)",
+             f"c0arr AS ({seeds})"]
+    dist = (
+        "sqrt(list_sum(list_transform(list_zip({e}, c.carr),"
+        " q -> (q[1] - q[2]) * (q[1] - q[2]))))"
+    ).format(e=_EMB)
+    for r in range(1, rounds + 1):
+        prev = f"c{r-1}arr"
+        parts.append(f"""x{r} AS (
+  SELECT v.vec_id,
+         MAX(CASE WHEN c.cluster = 0 THEN {dist} END) AS d0,
+         MAX(CASE WHEN c.cluster = 1 THEN {dist} END) AS d1,
+         MAX(CASE WHEN c.cluster = 2 THEN {dist} END) AS d2,
+         MAX(CASE WHEN c.cluster = 3 THEN {dist} END) AS d3
+  FROM embeddings v CROSS JOIN {prev} c GROUP BY v.vec_id
+)""")
+        parts.append(f"""a{r} AS (
+  SELECT vec_id,
+         CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+              WHEN d1 <= d2 AND d1 <= d3 THEN 1
+              WHEN d2 <= d3 THEN 2
+              ELSE 3 END AS cluster
+  FROM x{r}
+)""")
+        parts.append(f"""m{r} AS (
+  SELECT a.cluster, pos.p - 1 AS pos,
+         CAST(CAST(SUM(CAST(floor(CAST(v.embedding[pos.p] AS DOUBLE)
+                                  * 1073741824.0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) / 1073741824.0 / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM embeddings v JOIN a{r} a ON a.vec_id = v.vec_id CROSS JOIN pos
+  GROUP BY 1, 2
+)""")
+        if r < rounds:
+            parts.append(f"""c{r}arr AS (
+  SELECT p.cluster, COALESCE(m.carr, p.carr) AS carr
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(c ORDER BY pos) AS carr FROM m{r} GROUP BY cluster
+  ) m ON m.cluster = p.cluster
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+       c, CAST(n AS BIGINT) AS n
+FROM m{rounds}"""
+    )
+
+
+@query(
+    "ann_kmeans_iterated",
+    oracle=_km_iter_oracle(3),
+    tags=("ann", "kmeans", "iterative", "lloyd", "agg"),
+)
+def ann_kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE Lloyd's k-means (3 assign/update rounds) — the
+    representative of the iterative-algorithm class on Spark: each
+    round assigns vectors to their nearest centroid in a pure scan
+    (centroids enter as LITERALS — the driver collects the O(k*dim)
+    centroid table between rounds and re-broadcasts it, exactly
+    MLlib's model-update loop; 256 doubles, the documented
+    constant-cost exception, never data), then recomputes fixed-point
+    centroid means (floor * 2^30 before summing, so the means — and
+    therefore every subsequent round's assignments — are bit-identical
+    across engines; a naive double mean would drift by summation
+    order and de-synchronize round 2). Argmin ties break toward the
+    lower cluster index; empty clusters keep their previous centroid
+    (standard Lloyd). The oracle replays all three rounds in SQL from
+    the same hyperplane seeds.
+
+    Plan shape at 100 TB: per round, one embarrassingly-parallel
+    assignment scan + one map-side-combined groupBy(cluster, pos)
+    whose shuffle carries O(k*dim) partials per task — the classic
+    'train with a DataFrame job' loop; rounds are sequential by
+    nature, everything inside a round is one pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent: dict[int, list[float]] = {k: hyperplane(k, DIM) for k in range(_KM_K)}
+    rounds = 3
+    m = None
+    for r in range(1, rounds + 1):
+        d = [l2_distance(F.col("e"), vector_literal(cent[k])) for k in range(_KM_K)]
+        cluster = (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+        a = emb.select("vec_id", "e", cluster.alias("cluster"))
+        el = a.select("cluster", F.posexplode("e").alias("pos", "v"))
+        m = el.groupBy("cluster", "pos").agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(1073741824.0)).cast("long"))
+                .cast("double")
+                / F.lit(1073741824.0)
+                / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if r < rounds:
+            # model-update collect: O(k*dim) centroid rows, never data
+            rows = m.collect()
+            new = {}
+            for k in range(_KM_K):
+                vals = sorted(
+                    ((row["pos"], row["c"]) for row in rows if row["cluster"] == k)
+                )
+                if vals:
+                    new[k] = [v for _, v in vals]
+                else:
+                    new[k] = cent[k]
+            cent = new
+    return m.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("pos").cast("long").alias("pos"),
+        "c",
+        F.col("n").cast("long").alias("n"),
+    )

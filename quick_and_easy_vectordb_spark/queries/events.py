@@ -3252,3 +3252,55 @@ def ev_stream_bitmap_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_words"),
         )
     )
+
+
+@query(
+    "ev_burst_detection",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+),
+w AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN CURRENT ROW
+                        AND 299999999 FOLLOWING) AS burst
+  FROM e
+),
+mx AS (SELECT user_id, MAX(burst) AS max_burst FROM w GROUP BY user_id)
+SELECT CAST(max_burst AS BIGINT) AS max_burst,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1
+""",
+    tags=("events", "burst", "rate-limit", "range-frame"),
+)
+def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION (bot/rate-limit signal): each user's maximum
+    event count inside ANY 5-minute window, computed exactly with a
+    forward RANGE frame anchored at each event (a burst's peak window
+    always starts at one of its events, so per-event forward counts
+    cover every candidate window — no time grid needed, no
+    approximation from bucketing). Output is the corpus-level burst
+    histogram (max_burst -> user count), the distribution a rate
+    limiter is calibrated against.
+
+    Plan shape at 100 TB: one user-keyed shuffle; the range frame
+    scans each user's sorted timeline with a sliding two-pointer —
+    O(events) work and O(window) state per user, the same cost class
+    as a lag window. The rollups are map-side combinable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.currentRow, 299_999_999)
+    )
+    mx = (
+        ev.withColumn("burst", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("burst").alias("max_burst"))
+    )
+    return mx.groupBy(F.col("max_burst").cast("long").alias("max_burst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

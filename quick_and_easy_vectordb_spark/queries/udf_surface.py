@@ -993,3 +993,127 @@ def udf_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.pos, g.g1, g.g2, g.g3 "
         "FROM __udtf_docs_ngram d, LATERAL qev_ngrams(d.text, 3) g"
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "source", "orc", "roundtrip"),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source roundtrip — the second columnar lake format
+    (Hive-lineage estates are ORC-heavy; an engine claiming lake
+    coverage must read and write it): events written once per process
+    with df.write.orc, read back with an explicit schema, aggregated
+    per type against the parquet-direct oracle. Doubles and longs are
+    stored binary in ORC, so the roundtrip is bit-exact by format
+    design; timestamps travel as epoch-micro BIGINTs (same rationale
+    as src_json_lines_roundtrip).
+
+    Plan shape at 100 TB: identical to the parquet path — per-file
+    parallel write/read, predicate pushdown and column pruning reach
+    the ORC reader exactly as they do parquet (both are
+    FileFormat-based scans under the same planner)."""
+    import os
+
+    d, ready = _scratch_dir("orc", sf_dir)
+    path = os.path.join(d, "events_orc")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, us long, value double"
+    ).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.min("us").cast("long").alias("first_us"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "src_csv_quoted_roundtrip",
+    oracle="""
+WITH t AS (
+  SELECT event_id, event_type,
+         event_type || ',"' || CAST(user_id AS VARCHAR) || '",' AS tricky
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT tricky) AS BIGINT) AS n_distinct,
+       MIN(tricky) AS min_tricky,
+       CAST(SUM(len(tricky)) AS BIGINT) AS total_len
+FROM t GROUP BY event_type
+""",
+    tags=("sink", "source", "csv", "quoting", "roundtrip"),
+)
+def src_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source roundtrip with ADVERSARIAL field content:
+    every row carries a string containing the delimiter AND quote
+    characters (`type,"123",`), so the writer must quote-and-escape
+    and the reader must undo both exactly — the failure mode that
+    silently shears columns in naive split-on-comma ingest. Written
+    once per process with explicit quote/escape options, read back
+    with an explicit schema (never inference), and fingerprinted
+    per type (count, distinct, min, total length) against an oracle
+    that rebuilds the strings from the source table — a single
+    mis-parsed row changes the distinct count or length sum.
+
+    Plan shape at 100 TB: CSV scan/write are per-file parallel; the
+    explicit schema keeps the read single-pass. CSV is the ingest
+    interchange floor — the engine reads it, fingerprints it, and
+    the curation pipeline moves it to parquet."""
+    import os
+
+    d, ready = _scratch_dir("csv_quoted", sf_dir)
+    path = os.path.join(d, "events_csv")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.concat(
+                F.col("event_type"),
+                F.lit(',"'),
+                F.col("user_id").cast("string"),
+                F.lit('",'),
+            ).alias("tricky"),
+        )
+        (
+            ev.write.mode("overwrite")
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("header", "false")
+            .csv(path)
+        )
+    back = (
+        spark.read.schema("event_id long, event_type string, tricky string")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", "false")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("tricky").cast("long").alias("n_distinct"),
+        F.min("tricky").alias("min_tricky"),
+        F.sum(F.length("tricky")).cast("long").alias("total_len"),
+    )

@@ -387,3 +387,61 @@ def test_scene_cuts_recompute(spark):
         assert out.loc[doc_id, "n_frames"] == 16
         assert out.loc[doc_id, "n_cuts"] == len(cuts)
         assert out.loc[doc_id, "first_cut_idx"] == (cuts[0] if cuts else -1)
+
+
+def test_kmeans_iterated_matches_numpy_lloyd(spark):
+    """Three Lloyd rounds recomputed in numpy with the same
+    fixed-point centroid rule must agree on assignments and means."""
+    out = _run(spark, "ann_kmeans_iterated")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    from quick_and_easy_vectordb_spark.operators.ann import hyperplane
+
+    cent = {k: np.array(hyperplane(k, 64)) for k in range(4)}
+    for _ in range(3):
+        d = np.stack(
+            [np.sqrt(((m - cent[k]) ** 2).sum(axis=1)) for k in range(4)]
+        )
+        assign = np.argmin(d, axis=0)  # ties -> lowest index, same rule
+        means = {}
+        for k in range(4):
+            rows = m[assign == k]
+            if len(rows):
+                fp = np.floor(rows * 1073741824.0).astype("int64").sum(axis=0)
+                means[k] = fp.astype("float64") / 1073741824.0 / len(rows)
+            else:
+                means[k] = cent[k]
+        last_sizes = {k: int((assign == k).sum()) for k in range(4)}
+        cent = means
+    for _, r in out.iterrows():
+        k, p = int(r["cluster"]), int(r["pos"])
+        assert abs(r["c"] - cent[k][p]) < 1e-9
+        assert r["n"] == last_sizes[k]
+
+
+def test_burst_histogram_brute_force(spark):
+    """Per-user sliding 5-minute max recomputed with a two-pointer."""
+    out = _run(spark, "ev_burst_detection").set_index("max_burst")
+    ev = _events()
+    bursts = {}
+    for uid, grp in ev.groupby("user_id"):
+        ts = sorted(grp["us"])
+        best = 0
+        for i in range(len(ts)):
+            cnt = sum(1 for t in ts if ts[i] <= t <= ts[i] + 299_999_999)
+            best = max(best, cnt)
+        bursts[uid] = best
+    hist = pd.Series(list(bursts.values())).value_counts()
+    assert sorted(out.index) == sorted(hist.index)
+    for b, n in hist.items():
+        assert out.loc[b, "n_users"] == n
+
+
+def test_csv_and_orc_roundtrips_preserve_rows(spark):
+    """Row counts per type survive both format roundtrips."""
+    ev = _events()
+    per_type = ev.groupby("event_type").size()
+    for name in ("src_orc_roundtrip", "src_csv_quoted_roundtrip"):
+        out = _run(spark, name).set_index("event_type")
+        for t, n in per_type.items():
+            assert out.loc[t, "n"] == n
