@@ -112,6 +112,10 @@ _CHECK_PRIORITY = [
     "src_orc_roundtrip",
     "src_csv_quoted_roundtrip",
     "ev_burst_detection",
+    "udf_cogroup_apply",
+    "rel_try_arithmetic",
+    "vdb_postfilter_search",
+    "src_small_file_compaction",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -1268,3 +1268,61 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders long, n_big_orders long, total_price double, "
         "first_order_us long, last_order_us long",
     )
+
+
+_TRY_C = 9007199254740992  # 2^53; orderkeys above ~1023 overflow long
+
+
+@query(
+    "rel_try_arithmetic",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey > 9223372036854775807 // {_TRY_C}
+              THEN NULL ELSE o_orderkey * {_TRY_C} END AS p,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3 - 1) END AS q
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(p) AS BIGINT) AS n_mul_overflow,
+       CAST(MIN(p) AS BIGINT) AS min_product,
+       CAST(MAX(p) AS BIGINT) AS max_product,
+       CAST(COUNT(*) - COUNT(q) AS BIGINT) AS n_div_by_zero,
+       CAST(CAST(SUM(CAST(q AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS total_ratio
+FROM t
+""",
+    tags=("relational", "ansi", "try-arithmetic", "overflow"),
+)
+def rel_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI try_* arithmetic surface — the load-bearing difference
+    between Spark 4's ANSI mode and legacy: a plain `*` THROWS on
+    long overflow mid-job (killing a 100 TB pipeline hours in), while
+    try_multiply/try_divide return NULL and let the query account for
+    the poisoned rows explicitly. Here every orderkey above 2^63/2^53
+    overflows the multiply and every key ≡ 1 (mod 3) divides by zero;
+    the aggregate reports both null populations plus bounds/sums over
+    the survivors. The oracle reproduces the NULL rule with range
+    CASEs (DuckDB, like ANSI Spark, would THROW on the raw
+    expressions — which is exactly the behavior try_* exists to
+    absorb).
+
+    Plan shape at 100 TB: pure scan-side expressions inside
+    whole-stage codegen; try_* compiles to the same arithmetic with
+    an overflow branch — no UDF, no row-level exception handling."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.try_multiply(F.col("o_orderkey"), F.lit(_TRY_C)).alias("p"),
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3 - 1)
+        ).alias("q"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("p")).cast("long").alias("n_mul_overflow"),
+        F.min("p").cast("long").alias("min_product"),
+        F.max("p").cast("long").alias("max_product"),
+        (F.count(F.lit(1)) - F.count("q")).cast("long").alias("n_div_by_zero"),
+        F.sum(F.col("q").cast("decimal(38,10)")).cast("double").alias("total_ratio"),
+    )

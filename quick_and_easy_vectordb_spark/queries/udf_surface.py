@@ -1117,3 +1117,141 @@ def src_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tricky").alias("min_tricky"),
         F.sum(F.length("tricky")).cast("long").alias("total_len"),
     )
+
+
+@query(
+    "udf_cogroup_apply",
+    oracle="""
+WITH e AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_event_us
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+         CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_order_us
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(e.first_event_us, -1) AS BIGINT) AS first_event_us,
+       CAST(COALESCE(o.last_order_us, -1) AS BIGINT) AS last_order_us
+FROM e FULL OUTER JOIN o ON o.user_id = e.user_id
+""",
+    tags=("udf", "cogroup", "applyInPandas", "grouped-map"),
+)
+def udf_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas — the two-sided grouped-map surface
+    (df.groupBy().cogroup(other.groupBy()).applyInPandas): each key's
+    slices from BOTH relations arrive together as two pandas frames,
+    the API for per-entity logic that needs both sides at once
+    (pandas merge_asof reconciliation, custom outer-join semantics,
+    per-user feature assembly from activity + transactions). Here
+    each user's events and orders are reduced to integer profile
+    fields, so the cogroup path is hash-checked exactly against a
+    FULL OUTER JOIN of plain aggregates — including keys present on
+    only one side (one of the two frames arrives EMPTY, the edge
+    every cogroup consumer must handle).
+
+    Plan shape at 100 TB: both sides shuffle once on the key into
+    co-partitioned slices (the same layout a sort-merge join uses);
+    Python sees each pair exactly once via Arrow. State is one
+    key's slices at a time."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("od_us"),
+    )
+
+    def profile(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [len(epdf)],
+                "n_orders": [len(opdf)],
+                "first_event_us": [
+                    int(epdf["us"].min()) if len(epdf) else -1
+                ],
+                "last_order_us": [
+                    int(opdf["od_us"].max()) if len(opdf) else -1
+                ],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            profile,
+            "user_id long, n_events long, n_orders long, "
+            "first_event_us long, last_order_us long",
+        )
+    )
+
+
+@query(
+    "src_small_file_compaction",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS n_files_small,
+       CAST(4 AS BIGINT) AS n_files_compacted,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+""",
+    tags=("sink", "compaction", "small-files", "maintenance"),
+)
+def src_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance job every lake
+    runs: a fragmented table (repartition(64) simulates streaming
+    ingest's per-trigger files) is rewritten as 4 right-sized files
+    with a round-robin repartition, and the compacted copy must hold
+    the BIT-IDENTICAL dataset (row count, key sum, decimal-exact
+    value total — the oracle checks all three against the source
+    table, so a dropped or duplicated file fails the hash). The file
+    counts are part of the contract: both are deterministic
+    (repartition(n) writes exactly n non-empty parts here) and
+    verified against the directory listing by the unit test.
+
+    Plan shape at 100 TB: compaction is one round-robin shuffle
+    sized by target file size (repartition(bytes/target)); real
+    deployments do it per partition-directory so the rewrite
+    parallelizes across dates and never touches cold partitions.
+    Small files are a 100 TB KILLER (per-file open cost dominates
+    scans; footer metadata bloats the driver) — this job is why the
+    engine's scans stay O(data) instead of O(files)."""
+    import os
+
+    d, ready = _scratch_dir("compaction", sf_dir)
+    frag = os.path.join(d, "events_fragmented")
+    compact = os.path.join(d, "events_compacted")
+    if not ready or not os.path.isdir(compact):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compact)
+    back = spark.read.parquet(compact)
+    n_small = len(
+        [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    )
+    n_compacted = len(
+        [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    )
+    return back.agg(
+        F.lit(n_small).cast("long").alias("n_files_small"),
+        F.lit(n_compacted).cast("long").alias("n_files_compacted"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )

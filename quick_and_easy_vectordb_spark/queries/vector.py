@@ -1624,3 +1624,60 @@ def vdb_reciprocal_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("src_id").cast("long").alias("min_pair_src"),
         )
     )
+
+
+@query(
+    "vdb_postfilter_search",
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, {sql_cosine(_EMB, _Q)} AS score,
+         ROW_NUMBER() OVER (ORDER BY {sql_cosine(_EMB, _Q)} DESC, vec_id)
+           AS global_rank
+  FROM embeddings
+)
+SELECT r.vec_id, r.score, CAST(r.global_rank AS BIGINT) AS global_rank
+FROM ranked r
+JOIN documents d ON d.doc_id = r.vec_id
+WHERE r.global_rank <= 20 AND d.lang = 'en' AND d.n_chars >= 200
+""",
+    tags=("vector", "search", "post-filter", "topk"),
+)
+def vdb_postfilter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-FILTER search — the other half of the filtered-ANN design
+    space (vdb_filtered_search is the PRE-filter half): take the
+    global top-20 by cosine FIRST, then apply the metadata predicate.
+    Cheaper per query on a selective-index deployment (one global
+    top-k probe, no filtered index needed) but RECALL-LOSSY: the
+    result can hold fewer than k qualifying rows — exactly what this
+    query's output documents (global_rank is kept so the surviving
+    rows show where the filter bit). Production systems pick
+    per-predicate: post-filter when the predicate passes most rows,
+    pre-filter (or filtered cells) when selective. Shipping both
+    strategies against the same oracle pins that the engine computes
+    either semantics exactly.
+
+    Plan shape at 100 TB: global top-20 is TakeOrderedAndProject
+    (per-partition heap, 20-row reduce); the metadata join then
+    touches 20 rows — a broadcast of the RESULT side, the inverse
+    of pre-filter's broadcast of the id set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    ranked = (
+        emb.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(20)
+        .withColumn(
+            "global_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("vec_id"))
+            ).cast("long"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    return ranked.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "score", "global_rank")

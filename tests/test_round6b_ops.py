@@ -445,3 +445,52 @@ def test_csv_and_orc_roundtrips_preserve_rows(spark):
         out = _run(spark, name).set_index("event_type")
         for t, n in per_type.items():
             assert out.loc[t, "n"] == n
+
+
+def test_cogroup_covers_one_sided_keys(spark):
+    """Keys with events but no orders (and vice versa) must appear
+    with the sentinel values — the empty-frame edge."""
+    out = _run(spark, "udf_cogroup_apply").set_index("user_id")
+    ev_users = set(_events()["user_id"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    ord_users = set(orders["o_custkey"])
+    assert set(out.index) == ev_users | ord_users
+    only_ev = ev_users - ord_users
+    if only_ev:
+        u = next(iter(only_ev))
+        assert out.loc[u, "n_orders"] == 0 and out.loc[u, "last_order_us"] == -1
+    only_ord = ord_users - ev_users
+    if only_ord:
+        u = next(iter(only_ord))
+        assert out.loc[u, "n_events"] == 0 and out.loc[u, "first_event_us"] == -1
+
+
+def test_try_arithmetic_null_populations(spark):
+    """Overflow and division-by-zero populations match direct counts."""
+    out = _run(spark, "rel_try_arithmetic").iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    limit = (2**63 - 1) // 9007199254740992
+    assert out["n_mul_overflow"] == int((orders["o_orderkey"] > limit).sum())
+    assert out["n_div_by_zero"] == int((orders["o_orderkey"] % 3 == 1).sum())
+    assert out["n_rows"] == len(orders)
+
+
+def test_postfilter_is_subset_of_global_topk(spark):
+    """Post-filter rows are exactly the qualifying members of the
+    global top-20, and never more than 20."""
+    out = _run(spark, "vdb_postfilter_search")
+    assert len(out) <= 20
+    assert (out["global_rank"] <= 20).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    for vid in out["vec_id"]:
+        assert docs.loc[vid, "lang"] == "en"
+        assert docs.loc[vid, "n_chars"] >= 200
+
+
+def test_compaction_reduces_file_count(spark):
+    """64 fragment files become 4 compacted files on disk, and the
+    compacted table holds every row."""
+    out = _run(spark, "src_small_file_compaction").iloc[0]
+    assert out["n_files_small"] == 64
+    assert out["n_files_compacted"] == 4
+    assert out["n_rows"] == len(_events())
