@@ -116,6 +116,8 @@ _CHECK_PRIORITY = [
     "rel_try_arithmetic",
     "vdb_postfilter_search",
     "src_small_file_compaction",
+    "src_xml_roundtrip",
+    "dedup_band_tuning",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

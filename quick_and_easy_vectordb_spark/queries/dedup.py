@@ -1110,3 +1110,130 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs").cast("double") / F.col("c")).alias("soft_weight_total"),
         )
     )
+
+
+_TUNE_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
+
+
+def _band_tuning_oracle() -> str:
+    """Generate the SQL oracle for `dedup_band_tuning`: candidate and
+    verified-pair counts for every (bands, rows-per-band) factoring of
+    the 12 minhashes, sharing one signature table and one exact-Jaccard
+    verification over the union of all configs' candidates."""
+    parts = [f"""{SQL_SHINGLES},
+hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""]
+    cand_unions = []
+    for b, r in _TUNE_CONFIGS:
+        parts.append(f"""bands_{b} AS (
+  SELECT doc_id, seed // {r} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // {r}
+)""")
+        parts.append(f"""cand_{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{b} a JOIN bands_{b} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)""")
+        cand_unions.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band, id_a, id_b FROM cand_{b}"
+        )
+    parts.append("allc AS (" + " UNION ALL ".join(cand_unions) + ")")
+    parts.append("""dp AS (SELECT DISTINCT id_a, id_b FROM allc),
+inter AS (
+  SELECT d.id_a, d.id_b, COUNT(*) AS n_inter
+  FROM dp d
+  JOIN sh s1 ON s1.doc_id = d.id_a
+  JOIN sh s2 ON s2.doc_id = d.id_b AND s2.shingle = s1.shingle
+  GROUP BY d.id_a, d.id_b
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS j
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.id_a
+  JOIN cnt cb ON cb.doc_id = i.id_b
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(CASE WHEN j.j >= {JACCARD_T} THEN 1 END) AS BIGINT)
+         AS n_verified,
+       CAST(COUNT(CASE WHEN j.j >= {JACCARD_T} THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS precision
+FROM allc c LEFT JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+GROUP BY 1, 2"""
+    )
+
+
+@query(
+    "dedup_band_tuning",
+    oracle=_band_tuning_oracle(),
+    tags=("dedup", "minhash", "lsh", "tuning", "s-curve"),
+)
+def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND TUNING table — the measurement behind choosing (b, r):
+    every factoring of the 12 minhashes (2x6, 3x4, 4x3, 6x2) is
+    evaluated on the SAME signature table, reporting candidate count
+    and verified-pair precision per config. This is the s-curve
+    trade made empirical: more bands / shorter rows moves the
+    collision threshold left (more candidates, lower precision,
+    higher recall) — the table a deployment consults before
+    committing a band layout to 100 TB. Exact Jaccard is computed
+    ONCE over the union of all configs' candidates and attributed
+    back, so adding configs costs band hashing, not re-verification.
+
+    Plan shape at 100 TB: signatures are built once (persisted, as
+    in dedup_minhash_lsh); each config adds one (band, key) shuffle
+    of O(docs * b) short rows; the verify join is bounded by the
+    UNION of candidate sets — in practice dominated by the most
+    permissive config, which the tuner would cap exactly like
+    lsh_candidate_pairs does in production."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES).persist()
+    per_config = []
+    for b, r in _TUNE_CONFIGS:
+        cand = (
+            lsh_candidate_pairs(sigs, NUM_HASHES, b, None)
+            .select("id_a", "id_b")
+            .distinct()  # a pair can collide in several bands
+            .select(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "id_a",
+                "id_b",
+            )
+        )
+        per_config.append(cand)
+    allc = per_config[0]
+    for c in per_config[1:]:
+        allc = allc.unionByName(c)
+    allc = allc.persist()
+    dp = allc.select("id_a", "id_b").distinct()
+    jac = jaccard_pairs(sh, dp, threshold=0.0)  # unthresholded: tuner judges
+    joined = allc.join(jac, ["id_a", "id_b"], "left")
+    return joined.groupBy("n_bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= JACCARD_T, 1))
+        .cast("long")
+        .alias("n_verified"),
+        (
+            F.count(F.when(F.col("jaccard") >= JACCARD_T, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("precision"),
+    )

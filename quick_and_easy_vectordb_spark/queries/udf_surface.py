@@ -1255,3 +1255,67 @@ def src_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "source", "xml", "roundtrip"),
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source roundtrip — the format Spark 4 folded into
+    core (spark-xml graduated from a package; enterprise feeds and
+    document corpora still arrive as XML): events written once per
+    process with rowTag elements, read back with an explicit schema
+    (XML inference is a full extra pass AND type-lossy), aggregated
+    per type against the parquet-direct oracle. Doubles survive
+    because the XML writer emits shortest-roundtrip decimal text and
+    the reader parses it back to identical bits; timestamps travel
+    as epoch-micro BIGINTs (same rationale as the JSONL/ORC twins —
+    textual timestamps re-enter formatter territory where engines
+    disagree).
+
+    Plan shape at 100 TB: per-file parallel write/read like every
+    FileFormat; XML parse cost is the highest of the roundtrip trio
+    (tag-soup tokenizing vs ORC's binary columns), which is exactly
+    why the curation pipeline's first move is XML -> parquet."""
+    import os
+
+    d, ready = _scratch_dir("xml", sf_dir)
+    path = os.path.join(d, "events_xml")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        ev.write.mode("overwrite").format("xml").option("rowTag", "event").save(
+            path
+        )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id long, user_id long, event_type string, us long, value double"
+        )
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.min("us").cast("long").alias("first_us"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )

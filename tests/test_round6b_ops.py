@@ -494,3 +494,36 @@ def test_compaction_reduces_file_count(spark):
     assert out["n_files_small"] == 64
     assert out["n_files_compacted"] == 4
     assert out["n_rows"] == len(_events())
+
+
+def test_band_tuning_monotone_candidates(spark):
+    """More bands (shorter rows) can only widen the candidate set of
+    any stricter config derived from the same signatures when row
+    groups nest (6x2 bands refine 3x4's concatenation? they do not
+    nest pairwise in general — but the verified TRUE-PAIR count must
+    be monotone non-decreasing in band count, because a pair agreeing
+    on a full r-row band agrees on each of its nested shorter
+    bands when r is a multiple: 6 divides into 2s, 4 into 2s... here
+    (2,6)->(4,3) does not nest, so assert only the extremes, which
+    do: a 6-row band (b=2) is two consecutive 3-row bands (b=4) and
+    three 2-row bands (b=6))."""
+    out = _run(spark, "dedup_band_tuning").set_index("n_bands")
+    # any pair caught by b=2 (12=2x6) is caught by b=4 (3-row bands
+    # nest in 6-row bands) and by b=6 (2-row bands nest likewise)
+    assert out.loc[2, "n_candidates"] <= out.loc[4, "n_candidates"]
+    assert out.loc[4, "n_candidates"] <= out.loc[6, "n_candidates"] * 3
+    assert out.loc[2, "n_verified"] <= out.loc[4, "n_verified"]
+    assert out.loc[2, "n_verified"] <= out.loc[6, "n_verified"]
+    for b in (2, 3, 4, 6):
+        assert 0 <= out.loc[b, "precision"] <= 1
+
+
+def test_xml_roundtrip_matches_orc(spark):
+    """All three format roundtrips reduce to identical aggregates."""
+    xml = _run(spark, "src_xml_roundtrip").set_index("event_type")
+    orc = _run(spark, "src_orc_roundtrip").set_index("event_type")
+    assert sorted(xml.index) == sorted(orc.index)
+    for t in xml.index:
+        assert xml.loc[t, "n"] == orc.loc[t, "n"]
+        assert xml.loc[t, "sum_users"] == orc.loc[t, "sum_users"]
+        assert xml.loc[t, "total_value"] == orc.loc[t, "total_value"]
