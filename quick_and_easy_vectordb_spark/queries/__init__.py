@@ -118,6 +118,9 @@ _CHECK_PRIORITY = [
     "src_small_file_compaction",
     "src_xml_roundtrip",
     "dedup_band_tuning",
+    "ev_funnel_time_to_convert",
+    "ann_hnsw_substrate",
+    "text_ngram_novelty",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -7,10 +7,11 @@ entire approximate path is still hash-checked exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.vector import (
+    cosine_similarity,
     dot_product,
     l2_distance,
     vector_literal,
@@ -25,6 +26,7 @@ from quick_and_easy_vectordb_spark.operators.ann import (
 from quick_and_easy_vectordb_spark.queries.common import (
     DIM,
     QUERY_VEC,
+    sql_cosine,
     sql_dot,
     sql_l2,
     sql_vec,
@@ -1113,4 +1115,91 @@ def ann_kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         "c",
         F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "ann_hnsw_substrate",
+    oracle=f"""
+WITH lv AS (
+  SELECT vec_id, label, {_EMB} AS e,
+         len(regexp_extract(md5('hnsw-v1:' || CAST(vec_id AS VARCHAR)),
+                            '^0*')) AS level
+  FROM embeddings
+),
+hist AS (
+  SELECT level, COUNT(*) AS n_nodes FROM lv GROUP BY level
+),
+upper AS (SELECT * FROM lv WHERE level >= 1),
+edges AS (
+  SELECT level FROM (
+    SELECT a.level, a.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.level, a.vec_id
+             ORDER BY {sql_cosine('a.e', 'b.e')} DESC, b.vec_id) AS rn
+    FROM upper a JOIN upper b
+      ON b.level = a.level AND b.label = a.label AND b.vec_id <> a.vec_id
+  ) WHERE rn <= 2
+),
+ec AS (SELECT level, COUNT(*) AS n_edges FROM edges GROUP BY level)
+SELECT CAST(h.level AS BIGINT) AS level,
+       CAST(h.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges
+FROM hist h LEFT JOIN ec ON ec.level = h.level
+""",
+    tags=("ann", "hnsw", "graph", "levels"),
+)
+def ann_hnsw_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW CONSTRUCTION SUBSTRATE: the two data structures a
+    hierarchical small-world index is built from — (1) geometric
+    LEVEL assignment (level = count of leading zero hex digits of a
+    keyed md5: P(level >= L) = 16^-L, the deterministic stand-in for
+    HNSW's floor(-ln(U)*mL) that no cross-engine ln() could
+    hash-verify), and (2) per-level neighbor edges for the sparse
+    upper layers (top-2 by cosine within label blocks — the same
+    blocked self-join discipline as vdb_knn_graph; level 0 is the
+    dense base layer and IS vdb_knn_graph). Output: nodes and edges
+    per level — the skeleton a navigable-small-world search descends.
+
+    Plan shape at 100 TB: the level column is a scan-side expression;
+    upper layers shrink geometrically (1/16 per level), so the
+    upper-level edge joins touch vanishing fractions of the corpus —
+    the property that makes HNSW construction tractable as a
+    sequence of DataFrame jobs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lv = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.length(
+            F.regexp_extract(
+                F.md5(F.concat(F.lit("hnsw-v1:"), F.col("vec_id").cast("string"))),
+                "^0*",
+                0,
+            )
+        ).alias("level"),
+    ).persist()  # histogram + upper-layer self-join both read it
+    hist = lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_nodes"))
+    upper = lv.filter(F.col("level") >= 1)
+    a = upper.select(
+        F.col("level"), F.col("label"), F.col("vec_id").alias("src"), F.col("e").alias("ea")
+    )
+    b = upper.select(
+        F.col("level"), F.col("label"), F.col("vec_id").alias("nbr"), F.col("e").alias("eb")
+    )
+    w = Window.partitionBy("level", "src").orderBy(
+        F.desc(cosine_similarity(F.col("ea"), F.col("eb"))), F.asc("nbr")
+    )
+    edges = (
+        a.join(b, ["level", "label"])
+        .filter(F.col("nbr") != F.col("src"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return hist.join(edges, "level", "left").select(
+        F.col("level").cast("long").alias("level"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
     )

@@ -3304,3 +3304,76 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.groupBy(F.col("max_burst").cast("long").alias("max_burst")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "ev_funnel_time_to_convert",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, first_purchase - first_view AS latency_us
+  FROM f
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+)
+SELECT CAST((SELECT COUNT(*) FROM f WHERE first_view IS NOT NULL) AS BIGINT)
+         AS n_viewers,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+       quantile_cont(latency_us, 0.5) AS p50_latency_us,
+       quantile_cont(latency_us, 0.9) AS p90_latency_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+FROM conv
+""",
+    tags=("events", "funnel", "latency", "percentiles"),
+)
+def ev_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — the funnel's missing axis (ev_funnel
+    counts WHO converts; this measures HOW LONG): per user, latency from
+    first view to first purchase (ordered: purchase at-or-after view),
+    summarized as exact interpolated percentiles. Latencies are integer
+    micros and the p50/p90 interpolation is the same two-exact-longs
+    IEEE step in both engines (the ev_interarrival_stats precedent).
+
+    Plan shape at 100 TB: one map-side-combined groupBy(user) with
+    conditional MINs (no per-event-type join), then a fixed-size
+    summary. The percentile over per-user latencies is the only
+    all-to-one reduction and runs over n_users rows, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    ).persist()  # read by the viewer count and the latency summary
+    conv = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
+    viewers = f.filter(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    return viewers.crossJoin(
+        conv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.min("latency_us").cast("long").alias("min_latency_us"),
+            F.expr("percentile(latency_us, 0.5)").alias("p50_latency_us"),
+            F.expr("percentile(latency_us, 0.9)").alias("p90_latency_us"),
+            F.max("latency_us").cast("long").alias("max_latency_us"),
+        )
+    ).select(
+        F.col("n_viewers").cast("long").alias("n_viewers"),
+        "n_converted",
+        "min_latency_us",
+        "p50_latency_us",
+        "p90_latency_us",
+        "max_latency_us",
+    )

@@ -1086,3 +1086,81 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_dev"
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id, source, string_split(t, ' ') AS w FROM d WHERE t <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(w[i.i + 1 : i.i + 3], ' ') AS g
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) i
+  WHERE i.i + 3 <= len(w)
+),
+first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+flags AS (
+  SELECT s.source, s.doc_id,
+         CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END AS novel
+  FROM sh s JOIN first_seen f ON f.g = s.g
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_shingles,
+       CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+       CAST(SUM(novel) AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM flags GROUP BY source
+""",
+    tags=("text", "novelty", "self-repetition", "shingles"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per source — the self-repetition corpus-health
+    metric (a crawl slice whose later documents mostly repeat earlier
+    trigrams adds tokens but no information; novelty collapse is the
+    signal to cap that source, cf. text_source_quality_cap): a
+    trigram is NOVEL in the document where it first appears
+    (min doc_id — a deterministic stand-in for ingestion order);
+    per source, the novel fraction of all distinct doc-trigram
+    observations. Integer counts, one final division.
+
+    Plan shape at 100 TB: the shingle explode feeds ONE
+    groupBy(shingle) for first-occurrence (the same shuffle budget
+    as span dedup) and a join back on the shingle key; per-source
+    rollup is O(sources). Streaming form: first_seen becomes a
+    state store keyed by shingle hash with TTL."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select("doc_id", "source", tokens("text").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.array_join(F.slice("w", i + 1, 3), " "),
+    )
+    sh = (
+        toks.select(
+            "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
+        )
+        .distinct()
+        .persist()  # first-occurrence groupBy + flag join both read it
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flags = sh.join(first_seen, "g").select(
+        "source",
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias(
+            "novel"
+        ),
+    )
+    return flags.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("total_shingles"),
+        F.sum("novel").cast("long").alias("novel_shingles"),
+        (F.sum("novel").cast("double") / F.count(F.lit(1))).alias(
+            "novelty_ratio"
+        ),
+    )

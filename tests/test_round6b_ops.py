@@ -527,3 +527,50 @@ def test_xml_roundtrip_matches_orc(spark):
         assert xml.loc[t, "n"] == orc.loc[t, "n"]
         assert xml.loc[t, "sum_users"] == orc.loc[t, "sum_users"]
         assert xml.loc[t, "total_value"] == orc.loc[t, "total_value"]
+
+
+def test_time_to_convert_brute_force(spark):
+    """Latency percentiles recomputed in numpy."""
+    out = _run(spark, "ev_funnel_time_to_convert").iloc[0]
+    ev = _events()
+    lat = []
+    viewers = 0
+    for uid, grp in ev.groupby("user_id"):
+        v = grp[grp["event_type"] == "view"]["us"].min()
+        p = grp[grp["event_type"] == "purchase"]["us"].min()
+        if pd.notna(v):
+            viewers += 1
+            if pd.notna(p) and p >= v:
+                lat.append(int(p - v))
+    assert out["n_viewers"] == viewers
+    assert out["n_converted"] == len(lat)
+    assert abs(out["p50_latency_us"] - np.percentile(lat, 50)) < 1e-6
+    assert abs(out["p90_latency_us"] - np.percentile(lat, 90)) < 1e-6
+
+
+def test_hnsw_levels_geometric(spark):
+    """Level populations follow the 1/16 geometric decay and node
+    counts across levels sum to the corpus."""
+    out = _run(spark, "ann_hnsw_substrate").set_index("level")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    exp = {}
+    for vid in emb["vec_id"]:
+        h = hashlib.md5(f"hnsw-v1:{vid}".encode()).hexdigest()
+        lvl = len(h) - len(h.lstrip("0"))
+        exp[lvl] = exp.get(lvl, 0) + 1
+    assert {int(k): int(v) for k, v in out["n_nodes"].items()} == exp
+    assert out["n_nodes"].sum() == len(emb)
+    if 1 in out.index:
+        # upper layers must be sparse: <=2 out-edges per node
+        assert out.loc[1, "n_edges"] <= 2 * out.loc[1, "n_nodes"]
+
+
+def test_novelty_bounds_and_first_doc_rule(spark):
+    """Novelty ratios are in (0, 1]; the source containing the
+    globally first document has a novel first document (ratio
+    contribution 1 for that doc)."""
+    out = _run(spark, "text_ngram_novelty")
+    assert ((out["novelty_ratio"] > 0) & (out["novelty_ratio"] <= 1)).all()
+    assert (out["novel_shingles"] <= out["total_shingles"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert out["n_docs"].sum() <= len(docs)
