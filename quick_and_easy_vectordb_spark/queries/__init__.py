@@ -121,6 +121,9 @@ _CHECK_PRIORITY = [
     "ev_funnel_time_to_convert",
     "ann_hnsw_substrate",
     "text_ngram_novelty",
+    "ev_gapfill_interpolate",
+    "text_tokenizer_fertility",
+    "mm_image_dedup_keep_best",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

@@ -3377,3 +3377,107 @@ def ev_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_latency_us",
         "max_latency_us",
     )
+
+
+@query(
+    "ev_gapfill_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS day_value
+  FROM events WHERE user_id % 5 = 0
+  GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.day, d.day_value,
+         last_value(d.day_value IGNORE NULLS) OVER w AS v_prev,
+         last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                    IGNORE NULLS) OVER w AS d_prev,
+         first_value(d.day_value IGNORE NULLS) OVER wf AS v_next,
+         first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER wf AS d_next
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            ELSE v_prev + (v_next - v_prev) * (day - d_prev)
+                 / (d_next - d_prev) END AS filled_value,
+       CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS interpolated
+FROM joined
+""",
+    tags=("events", "time-series", "gap-fill", "interpolation"),
+)
+def ev_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-INTERPOLATION gap fill — the imputation a sequence model
+    wants when activity is a LEVEL, not an event count (sensor
+    readings, balances): missing days get
+    v_prev + (v_next - v_prev) * (day - d_prev)/(d_next - d_prev),
+    the straight line between the surrounding observations
+    (ev_resample_gapfill is the LOCF step-function twin; shipping both
+    pins the two imputation semantics). Interpolation inputs are the
+    decimal-exact daily sums, and the arithmetic is the identical
+    IEEE multiply-add in both engines; the grid's endpoints are
+    always observed, so every gap is interior and the denominator
+    is never zero.
+
+    Plan shape at 100 TB: one user-keyed shuffle shared by the dense
+    grid join and BOTH fill windows (forward for prev, backward for
+    next — two window passes over the same partitioning, no extra
+    exchange)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    daily = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(dsum("value").alias("day_value"))
+    bounds = daily.groupBy(F.col("user_id").alias("b_user")).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        F.col("b_user").alias("user_id"),
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    filled = j.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("d_prev"),
+        F.first("day_value", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("d_next"),
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (F.col("day") - F.col("d_prev"))
+            / (F.col("d_next") - F.col("d_prev"))
+        )
+        .alias("filled_value"),
+        F.when(F.col("day_value").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("interpolated"),
+    )

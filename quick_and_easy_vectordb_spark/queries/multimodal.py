@@ -1288,3 +1288,35 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cut_idx"),
     )
+
+
+@query(
+    "mm_image_dedup_keep_best",
+    oracle=f"""
+WITH {SQL_PHASH_CTES}
+SELECT phash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM ph GROUP BY phash
+""",
+    tags=("multimodal", "phash", "dedup", "keep-best"),
+)
+def mm_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE exact-perceptual dedup with survivor election — the
+    visual twin of dedup_exact: images collapse to their aHash class
+    (computed by the REAL decoder pipeline of mm_image_phash), the
+    lowest doc_id in each class survives, the rest are drop
+    candidates. Classes of size 1 pass through — the output is the
+    keep/drop decision table a curation job anti-joins against the
+    corpus. mm_phash_hamming_pairs extends the same classes to
+    NEAR-duplicates; this query is the exact-match fast path that
+    removes the bulk before any pair comparison runs.
+
+    Plan shape at 100 TB: one Arrow decode pass (zero shuffle), then
+    ONE shuffle of (phash, doc_id) pairs — pixels never enter an
+    exchange; identical shuffle budget to text dedup_exact."""
+    ph = mm_image_phash(spark, sf_dir)
+    return ph.groupBy("phash").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )

@@ -1164,3 +1164,51 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, text, {SQL_NORM} AS t FROM documents
+),
+m AS (
+  SELECT lang,
+         CAST({SQL_NTOK} AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+           AS bpe
+  FROM d
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility
+FROM m GROUP BY lang
+""",
+    tags=("text", "tokenizer", "fertility", "budget"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — subword tokens per word, the
+    metric tokenizer evaluations report per language (high fertility
+    = the vocabulary splinters that language, inflating compute per
+    unit of text and starving it of effective context; the number
+    that drives vocab rebalancing in multilingual training): BPE-ish
+    pre-token count over whitespace-token count, both corpus-summed
+    integers, one final division.
+
+    Plan shape at 100 TB: both token counts are scan-side regexp
+    expressions inside codegen; one map-side-combined
+    groupBy(lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+    )

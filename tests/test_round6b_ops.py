@@ -574,3 +574,41 @@ def test_novelty_bounds_and_first_doc_rule(spark):
     assert (out["novel_shingles"] <= out["total_shingles"]).all()
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     assert out["n_docs"].sum() <= len(docs)
+
+
+def test_interpolation_is_exact_on_gaps(spark):
+    """Interpolated values recomputed from the observed neighbors."""
+    out = _run(spark, "ev_gapfill_interpolate")
+    obs = out[out["interpolated"] == 0].set_index(["user_id", "day"])[
+        "filled_value"
+    ]
+    for _, r in out[out["interpolated"] == 1].iterrows():
+        uid, day = r["user_id"], r["day"]
+        udays = sorted(
+            d for (u, d) in obs.index if u == uid
+        )
+        d_prev = max(d for d in udays if d < day)
+        d_next = min(d for d in udays if d > day)
+        vp, vn = obs[(uid, d_prev)], obs[(uid, d_next)]
+        want = vp + (vn - vp) * (day - d_prev) / (d_next - d_prev)
+        assert abs(r["filled_value"] - want) < 1e-9
+
+
+def test_fertility_at_least_one(spark):
+    """BPE-ish pre-tokens can only split words, never merge them, so
+    fertility >= 1 for any corpus of word-ish text."""
+    out = _run(spark, "text_tokenizer_fertility")
+    assert (out["fertility"] >= 1.0).all()
+    assert (out["bpe_tokens"] >= out["ws_tokens"]).all()
+
+
+def test_image_keep_best_consistent_with_hamming_zero(spark):
+    """Copies counted by keep-best must equal the distance-0 image
+    pairs of mm_phash_hamming_pairs."""
+    kb = _run(spark, "mm_image_dedup_keep_best")
+    dup = kb[kb["n_copies"] >= 2]
+    pairs = int((dup["n_copies"] * (dup["n_copies"] - 1) // 2).sum())
+    hist = _run(spark, "mm_phash_hamming_pairs").set_index("hamming")
+    got = int(hist.loc[0, "n_image_pairs"]) if 0 in hist.index else 0
+    assert got == pairs
+    assert kb["n_copies"].sum() == 500  # every sf0.001 image classed
