@@ -124,6 +124,7 @@ _CHECK_PRIORITY = [
     "ev_gapfill_interpolate",
     "text_tokenizer_fertility",
     "mm_image_dedup_keep_best",
+    "rel_null_safe_join",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

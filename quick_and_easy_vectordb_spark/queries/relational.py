@@ -1326,3 +1326,91 @@ def rel_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("q")).cast("long").alias("n_div_by_zero"),
         F.sum(F.col("q").cast("decimal(38,10)")).cast("double").alias("total_ratio"),
     )
+
+
+@query(
+    "rel_null_safe_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN n_chars % 7 = 0 THEN NULL
+                       ELSE n_chars % 100 END AS k
+  FROM documents
+),
+plain AS (
+  SELECT COUNT(*) AS n FROM e JOIN dim ON dim.k = e.k
+),
+nullsafe AS (
+  SELECT COUNT(*) AS n FROM e JOIN dim ON dim.k IS NOT DISTINCT FROM e.k
+)
+SELECT CAST((SELECT COUNT(*) FROM e WHERE k IS NULL) AS BIGINT)
+         AS n_null_events,
+       CAST((SELECT n FROM plain) AS BIGINT) AS n_plain_matches,
+       CAST((SELECT n FROM nullsafe) AS BIGINT) AS n_nullsafe_matches,
+       CAST((SELECT n FROM nullsafe) - (SELECT n FROM plain) AS BIGINT)
+         AS n_null_bridge
+""",
+    tags=("relational", "join", "null-safe", "three-valued-logic"),
+)
+def rel_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) vs plain
+    `=` — the three-valued-logic trap every entity-resolution join
+    hits: under standard SQL equality NULL keys match NOTHING
+    (silently dropping every record whose key failed extraction),
+    while the null-safe operator treats NULL as a joinable value.
+    Both semantics are computed on the same relations (a nullable key
+    parsed from the JSON props, nulled for k % 7 = 0) and the delta —
+    the rows the null bridge adds — is an explicit output column, so
+    the engine's <=> implementation is pinned exactly, not just
+    exercised.
+
+    Plan shape at 100 TB: `<=>` remains a HASH-JOINABLE equi-key in
+    Spark (null hashes like a value) — no fallback to
+    nested-loop — which is precisely why it, and not `OR (a IS NULL
+    AND b IS NULL)` (non-equi, breaks the hash join), is the
+    production form."""
+    ev = load_table(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k").cast("long")
+    e = ev.select(
+        "event_id",
+        F.when(k_raw % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(k_raw)
+        .alias("k"),
+    ).persist()  # null count + two join probes read it
+    docs = load_table(spark, sf_dir, "documents")
+    dim = (
+        docs.select(
+            F.when(F.col("n_chars") % 7 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("n_chars") % 100)
+            .alias("k")
+        )
+        .distinct()
+        .persist()
+    )
+    n_null = e.filter(F.col("k").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_events")
+    )
+    plain = e.join(dim, e["k"] == dim["k"]).agg(
+        F.count(F.lit(1)).alias("n_plain_matches")
+    )
+    nullsafe = e.join(dim, e["k"].eqNullSafe(dim["k"])).agg(
+        F.count(F.lit(1)).alias("n_nullsafe_matches")
+    )
+    return (
+        n_null.crossJoin(plain)
+        .crossJoin(nullsafe)
+        .select(
+            F.col("n_null_events").cast("long").alias("n_null_events"),
+            F.col("n_plain_matches").cast("long").alias("n_plain_matches"),
+            F.col("n_nullsafe_matches").cast("long").alias("n_nullsafe_matches"),
+            (F.col("n_nullsafe_matches") - F.col("n_plain_matches"))
+            .cast("long")
+            .alias("n_null_bridge"),
+        )
+    )

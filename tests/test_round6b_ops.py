@@ -612,3 +612,20 @@ def test_image_keep_best_consistent_with_hamming_zero(spark):
     got = int(hist.loc[0, "n_image_pairs"]) if 0 in hist.index else 0
     assert got == pairs
     assert kb["n_copies"].sum() == 500  # every sf0.001 image classed
+
+
+def test_null_safe_join_bridge_accounting(spark):
+    """The null-safe surplus equals n_null_events when the dim side
+    contains a NULL key (every null event matches it exactly once),
+    else zero."""
+    import json
+
+    out = _run(spark, "rel_null_safe_join").iloc[0]
+    ev = _events()
+    ks = ev["props"].map(lambda p: json.loads(p).get("k"))
+    n_null = int((ks % 7 == 0).sum())
+    assert out["n_null_events"] == n_null
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    dim_has_null = bool((docs["n_chars"] % 7 == 0).any())
+    expected_bridge = n_null if dim_has_null else 0
+    assert out["n_null_bridge"] == expected_bridge
