@@ -102,29 +102,31 @@ _CHECK_PRIORITY = [
     "mm_audio_silence_trim",
     "src_parquet_schema_merge",
     "mm_phash_hamming_pairs",
-    "text_mix_rebalance_weights",
-    "ev_stratified_sample_alloc",
-    "rel_observe_metrics",
+    "dedup_band_tuning",
+    "ann_kmeans_iterated",
+    "ann_hnsw_substrate",
+    "ev_burst_detection",
+    "udf_cogroup_apply",
     "ev_stream_bitmap_actives",
     "udf_udtf_analyze",
     "mm_video_scene_cuts",
-    "ann_kmeans_iterated",
-    "src_orc_roundtrip",
-    "src_csv_quoted_roundtrip",
-    "ev_burst_detection",
-    "udf_cogroup_apply",
-    "rel_try_arithmetic",
-    "vdb_postfilter_search",
-    "src_small_file_compaction",
-    "src_xml_roundtrip",
-    "dedup_band_tuning",
+    # -- (a ~50-entry driver prefix cuts about here; the rest of the
+    #    round-6 additions queue first for the round-7 window) --
+    "text_mix_rebalance_weights",
+    "ev_stratified_sample_alloc",
+    "rel_observe_metrics",
     "ev_funnel_time_to_convert",
-    "ann_hnsw_substrate",
     "text_ngram_novelty",
     "ev_gapfill_interpolate",
     "text_tokenizer_fertility",
     "mm_image_dedup_keep_best",
     "rel_null_safe_join",
+    "rel_try_arithmetic",
+    "vdb_postfilter_search",
+    "src_orc_roundtrip",
+    "src_csv_quoted_roundtrip",
+    "src_xml_roundtrip",
+    "src_small_file_compaction",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",
