@@ -3160,10 +3160,11 @@ def ev_stratified_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable training-data pipeline needs from its samplers.
 
     Plan shape at 100 TB: allocation is an O(strata) broadcast; the
-    rank is a per-stratum top-k window — WindowGroupLimit pushes the
-    n_alloc bound below the sort, so per-partition state is O(alloc),
-    not O(events). Same skeleton as ev_topk_per_type with a hash in
-    place of a business column."""
+    rank window carries a LITERAL rn <= K pre-filter (valid because
+    n_alloc <= K by construction) so WindowGroupLimit bounds
+    per-partition state at O(K), not O(events) — the join-derived
+    n_alloc bound alone could not push below the sort. Same skeleton
+    as ev_topk_per_type with a hash in place of a business column."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     t = ev.agg(F.count(F.lit(1)).alias("total"))
@@ -3177,9 +3178,13 @@ def ev_stratified_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("strat-v1:"), F.col("event_id").cast("string"))),
         "event_id",
     )
+    # literal rn <= K first: n_alloc <= K by construction, and a
+    # LITERAL bound is what WindowGroupLimit can push below the sort
+    # (the join-derived n_alloc bound cannot); the join filter then
+    # refines within the K survivors.
     rk = ev.select(
         "event_type", "event_id", "user_id", F.row_number().over(w).alias("rn")
-    )
+    ).filter(F.col("rn") <= _STRAT_K)
     return (
         rk.join(F.broadcast(alloc), "event_type")
         .filter(F.col("rn") <= F.col("n_alloc"))

@@ -67,25 +67,11 @@ def test_int4_search_is_top_k(spark, sf_dir):
 def test_stratified_sample_window_group_limit(spark, sf_dir):
     """The per-stratum md5 rank must carry a WindowGroupLimit (heap
     bound below the sort) — the property that keeps per-task state
-    O(alloc) instead of O(events).
-
-    The limit pushdown needs a literal rank bound, so the plan is
-    checked on the rank window alone; the query's alloc-join filter
-    applies the same bound post-hoc."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    from quick_and_easy_vectordb_spark.sources.catalog import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.md5(F.concat(F.lit("strat-v1:"), F.col("event_id").cast("string"))),
-        "event_id",
-    )
-    ranked = ev.select(
-        "event_type", "event_id", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 50)
-    assert "WindowGroupLimit" in formatted_plan(ranked)
+    O(K) instead of O(events). The query achieves this with a LITERAL
+    rn <= K pre-filter (n_alloc <= K by construction); the
+    join-derived n_alloc bound alone could not push."""
+    df = QUERIES["ev_stratified_sample_alloc"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df)
 
 
 def test_reciprocal_pairs_no_cartesian(spark, sf_dir):
