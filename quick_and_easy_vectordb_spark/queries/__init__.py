@@ -103,6 +103,8 @@ _CHECK_PRIORITY = [
     "src_parquet_schema_merge",
     "mm_phash_hamming_pairs",
     "dedup_band_tuning",
+    "vdb_norm_pruned_search",
+    "ev_multi_distinct_profile",
     "ann_kmeans_iterated",
     "ann_hnsw_substrate",
     "ev_burst_detection",

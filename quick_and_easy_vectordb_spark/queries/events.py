@@ -3486,3 +3486,44 @@ def ev_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interpolated"),
     )
+
+
+@query(
+    "ev_multi_distinct_profile",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT CAST(round(value) AS BIGINT)) AS BIGINT)
+         AS n_value_levels
+FROM events GROUP BY event_type
+""",
+    tags=("events", "multi-distinct", "expand", "agg"),
+)
+def ev_multi_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE COUNT(DISTINCT) over DIFFERENT columns in one aggregate —
+    the query shape that forces Spark's EXPAND operator (each input
+    row is replicated once per distinct-aggregate with a grouping-id,
+    then a single two-phase aggregation dedups all three at once):
+    the cardinality profile (users, active days, value levels) every
+    per-segment health dashboard computes. One query, not three — the
+    Expand replication is what buys the single shuffle.
+
+    Plan shape at 100 TB: Expand multiplies rows 3x BEFORE the
+    exchange, so the shuffle carries 3x(events) thinned rows — the
+    planner's trade against running three separate jobs (3 full
+    scans). When the 3x shuffle dominates, the alternative is one
+    pass of per-column sketches (ev_kmv_distinct_estimate's path) —
+    both layouts exist in this engine, which is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+        ).cast("long").alias("n_days"),
+        F.count_distinct(F.round("value").cast("long"))
+        .cast("long")
+        .alias("n_value_levels"),
+    )

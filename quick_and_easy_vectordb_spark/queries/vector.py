@@ -1681,3 +1681,71 @@ def vdb_postfilter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "score", "global_rank")
+
+
+@query(
+    "vdb_norm_pruned_search",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {sql_dot(_EMB, _Q)} AS score,
+         sqrt({sql_dot(_EMB, _EMB)}) AS xnorm
+  FROM embeddings
+),
+top5 AS (
+  SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 5
+),
+thresh AS (SELECT MIN(score) AS tau FROM top5),
+qn AS (SELECT sqrt({sql_dot(sql_vec(QUERY_VEC), sql_vec(QUERY_VEC))}) AS qnorm)
+SELECT t.vec_id, t.score,
+       CAST((SELECT COUNT(*) FROM scored s, thresh, qn
+             WHERE s.xnorm * qn.qnorm >= thresh.tau) AS BIGINT)
+         AS n_must_scan,
+       CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_total
+FROM top5 t
+""",
+    tags=("vector", "search", "norm-pruning", "cauchy-schwarz"),
+)
+def vdb_norm_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORM-BOUNDED exact search — the Cauchy–Schwarz pruning every
+    exact MIPS engine applies before touching vector data:
+    dot(q, x) <= ||q||*||x||, so once a candidate top-k threshold tau
+    exists, any vector with ||x|| < tau/||q|| PROVABLY cannot enter
+    the result and its components never need reading. The output is
+    the exact top-5 (identical to vdb_topk_dot — pruning is lossless)
+    plus the audit columns: how many vectors the bound forces a scan
+    of vs the corpus size — the I/O-savings certificate. In a stored
+    index, ||x|| is a precomputed 8-byte column and the prune is a
+    scan-range predicate on a norm-sorted layout.
+
+    Plan shape at 100 TB: norms come from the same single pass that
+    scores (here); deployed, phase 1 seeds tau from the norm-ordered
+    head (top-k of a tiny prefix) and phase 2 is a pushed-down
+    ||x|| >= tau/||q|| scan filter — both phases TakeOrdered, no
+    shuffle of vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id",
+        dot_product(F.col("embedding"), q).alias("score"),
+        F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))).alias(
+            "xnorm"
+        ),
+    ).persist()  # one scoring pass feeds top-k, threshold, and audit
+    top5 = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+    # ||q|| via the SAME sequential fold the oracle's list_dot_product
+    # mirrors — a Python math.sqrt(sum(...)) could differ by an ulp
+    # and flip the boundary count.
+    qnorm = F.sqrt(dot_product(q, q))
+    thresh = top5.agg(F.min("score").alias("tau"))
+    audit = (
+        scored.crossJoin(F.broadcast(thresh))
+        .agg(
+            F.count(
+                F.when(F.col("xnorm") * qnorm >= F.col("tau"), 1)
+            )
+            .cast("long")
+            .alias("n_must_scan"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    return top5.select("vec_id", "score").crossJoin(F.broadcast(audit))

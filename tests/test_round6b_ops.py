@@ -629,3 +629,42 @@ def test_null_safe_join_bridge_accounting(spark):
     dim_has_null = bool((docs["n_chars"] % 7 == 0).any())
     expected_bridge = n_null if dim_has_null else 0
     assert out["n_null_bridge"] == expected_bridge
+
+
+def test_norm_pruning_is_lossless_and_sound(spark):
+    """Pruned top-5 equals the plain top-5; every surviving candidate
+    satisfies the Cauchy-Schwarz bound; every excluded vector provably
+    cannot reach tau."""
+    out = _run(spark, "vdb_norm_pruned_search")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
+
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    qv = np.array(QUERY_VEC)
+    scores = m @ qv
+    ids = emb["vec_id"].to_numpy()
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:5]
+    assert list(out["vec_id"]) == [ids[i] for i in order]
+    tau = min(scores[i] for i in order)
+    xnorm = np.linalg.norm(m, axis=1)
+    qnorm = np.linalg.norm(qv)
+    must = int((xnorm * qnorm >= tau - 1e-9).sum())
+    assert abs(int(out["n_must_scan"].iloc[0]) - must) <= 2  # ulp slack
+    # soundness: every vector excluded by the bound scores under tau
+    excluded = xnorm * qnorm < tau - 1e-9
+    assert (scores[excluded] < tau).all()
+    assert out["n_total"].iloc[0] == len(ids)
+
+
+def test_multi_distinct_uses_expand(spark):
+    """Three COUNT(DISTINCT) over different columns must plan as ONE
+    aggregation with Expand, not three jobs."""
+    from quick_and_easy_vectordb_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["ev_multi_distinct_profile"].fn(spark, SF)
+    assert "Expand" in formatted_plan(df)
+    out = df.toPandas().set_index("event_type")
+    ev = _events()
+    for t, grp in ev.groupby("event_type"):
+        assert out.loc[t, "n_users"] == grp["user_id"].nunique()
+        assert out.loc[t, "n_days"] == (grp["us"] // DAY_US).nunique()
