@@ -105,6 +105,8 @@ _CHECK_PRIORITY = [
     "dedup_band_tuning",
     "vdb_norm_pruned_search",
     "ev_multi_distinct_profile",
+    "text_length_percentiles",
+    "udf_pandas_window_agg",
     "ann_kmeans_iterated",
     "ann_hnsw_substrate",
     "ev_burst_detection",

@@ -1212,3 +1212,43 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe").cast("long").alias("bpe_tokens"),
         (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
     )
+
+
+@query(
+    "text_length_percentiles",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.10) AS p10_chars,
+       quantile_cont(n_chars, 0.50) AS p50_chars,
+       quantile_cont(n_chars, 0.90) AS p90_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+    tags=("text", "percentiles", "length", "curation"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT document-length percentiles per language — the numbers a
+    curation pass reads before choosing its min/max length cutoffs
+    (cutoffs copied from an English recipe amputate languages whose
+    scripts pack more meaning per character; per-language p10/p90 is
+    the principled alternative). Interpolated percentiles over exact
+    integers — the same two-longs IEEE step in both engines
+    (ev_interarrival_stats precedent).
+
+    Plan shape at 100 TB: percentile per group is a sort-based
+    aggregate over each language partition of ONE integer column —
+    n_chars is already materialized in the table, so the scan reads
+    two columns. The approx path (percentile_approx / GK sketch,
+    udf_approx_quantiles) takes over when exact per-group sorts
+    outgrow their partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.10)").alias("p10_chars"),
+        F.expr("percentile(n_chars, 0.50)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.90)").alias("p90_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -1319,3 +1319,54 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "udf_pandas_window_agg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling3
+FROM events
+WHERE user_id % 50 = 0
+""",
+    tags=("udf", "pandas-udaf", "window", "bounded-frame"),
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas GROUPED_AGG UDAF evaluated as a WINDOW function over a
+    bounded ROWS frame — the third execution context of the pandas
+    UDAF surface (after groupBy aggregation, udf_grouped_agg_median,
+    and SQL registration): Spark re-evaluates the UDAF once per row
+    over that row's frame slice, shipping each slice to Python via
+    Arrow. Integer rolling sum so the hash check is exact; the
+    oracle is the equivalent native windowed SUM — proving the
+    UDAF-over-window path computes the standard semantics, frame
+    slicing included.
+
+    Plan shape at 100 TB: same user-keyed window shuffle as any lag;
+    cost model differs — O(frame) Python work per ROW (vs native
+    sliding-sum's O(1) update), which is the documented price of
+    custom window logic and why the frame is bounded (an unbounded
+    pandas frame re-aggregates the whole partition per row)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def int_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        int_sum(F.round("value").cast("long")).over(w).alias("rolling3"),
+    )

@@ -668,3 +668,41 @@ def test_multi_distinct_uses_expand(spark):
     for t, grp in ev.groupby("event_type"):
         assert out.loc[t, "n_users"] == grp["user_id"].nunique()
         assert out.loc[t, "n_days"] == (grp["us"] // DAY_US).nunique()
+
+
+def test_length_percentiles_numpy(spark):
+    """Interpolated percentiles vs numpy per language."""
+    out = _run(spark, "text_length_percentiles").set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for lang, grp in docs.groupby("lang"):
+        v = grp["n_chars"].to_numpy()
+        assert abs(out.loc[lang, "p50_chars"] - np.percentile(v, 50)) < 1e-9
+        assert abs(out.loc[lang, "p90_chars"] - np.percentile(v, 90)) < 1e-9
+        assert out.loc[lang, "min_chars"] == v.min()
+
+
+def test_pandas_window_udaf_matches_native(spark):
+    """The UDAF-over-window result must equal the native windowed SUM
+    row for row."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    got = _run(spark, "udf_pandas_window_agg").set_index("event_id")
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    want = (
+        ev.select(
+            "event_id",
+            F.sum(F.round("value").cast("long")).over(w).alias("rolling3"),
+        )
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert got["rolling3"].sort_index().equals(
+        want["rolling3"].sort_index().astype("int64")
+    )
