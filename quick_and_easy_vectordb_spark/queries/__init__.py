@@ -107,6 +107,8 @@ _CHECK_PRIORITY = [
     "ev_multi_distinct_profile",
     "text_length_percentiles",
     "udf_pandas_window_agg",
+    "vdb_random_projection_search",
+    "text_source_divergence_tv",
     "ann_kmeans_iterated",
     "ann_hnsw_substrate",
     "ev_burst_detection",

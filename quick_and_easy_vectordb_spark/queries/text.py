@@ -1252,3 +1252,83 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "text_source_divergence_tv",
+    oracle=f"""
+WITH d AS (SELECT source, {SQL_NORM} AS t FROM documents),
+tok AS (SELECT source, unnest(string_split(t, ' ')) AS tok FROM d WHERE t <> ''),
+sc AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok),
+st AS (SELECT source, SUM(n) AS ns FROM sc GROUP BY source),
+cc AS (SELECT tok, SUM(n) AS m FROM sc GROUP BY tok),
+ct AS (SELECT SUM(n) AS mt FROM sc),
+terms AS (
+  SELECT s.source,
+         abs(COALESCE(c.n, 0) * ct.mt - cc.m * st.ns) AS num
+  FROM (SELECT DISTINCT source FROM sc) s
+  JOIN st ON st.source = s.source
+  CROSS JOIN ct
+  JOIN cc ON TRUE
+  LEFT JOIN sc c ON c.source = s.source AND c.tok = cc.tok
+)
+SELECT t.source,
+       CAST(st.ns AS BIGINT) AS n_tokens,
+       CAST(SUM(t.num) AS DOUBLE) / (2.0 * st.ns * ct.mt) AS tv_distance
+FROM terms t
+JOIN st ON st.source = t.source
+CROSS JOIN ct
+GROUP BY t.source, st.ns, ct.mt
+""",
+    tags=("text", "distribution-shift", "total-variation", "drift"),
+)
+def text_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION SHIFT per source as TOTAL-VARIATION distance
+    between the source's unigram distribution and the corpus's:
+    TV = (1/2) * sum_w |p_s(w) - p(w)| — the drift detector that,
+    unlike KL/JS divergence, needs NO logarithm (ln is never
+    hash-verifiable cross-engine; same design rule as text_zipf_fit)
+    and is a true metric bounded in [0, 1]. Every numerator term is
+    the integer cross-multiply |n_w*M - m_w*N_s| (absent words
+    contribute m_w*N_s via the left join's NULL -> n_w = 0), with ONE
+    final division — bit-exact by construction. High TV = the source
+    speaks a different unigram language than the corpus (template
+    spam, code, another register) — the flag feeding
+    text_source_quality_cap.
+
+    Plan shape at 100 TB: per-source and corpus term counts are two
+    map-side-combined aggregations of the same token explode
+    (persisted); the term union is a vocabulary-sized join keyed on
+    the token, pruned by text_vocab_prune's cap when a pathological
+    corpus explodes the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n")).persist()
+    st = sc.groupBy("source").agg(F.sum("n").alias("ns"))
+    cc = sc.groupBy("tok").agg(F.sum("n").alias("m"))
+    ct = sc.agg(F.sum("n").alias("mt"))
+    sources = sc.select("source").distinct()
+    grid = sources.crossJoin(cc)  # every (source, vocab word) pair
+    terms = (
+        grid.join(sc, ["source", "tok"], "left")
+        .join(st, "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            "ns",
+            "mt",
+            F.abs(
+                F.coalesce(F.col("n"), F.lit(0)) * F.col("mt")
+                - F.col("m") * F.col("ns")
+            ).alias("num"),
+        )
+    )
+    return terms.groupBy("source", "ns", "mt").agg(
+        F.sum("num").alias("sn")
+    ).select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        (F.col("sn").cast("double") / (2.0 * F.col("ns") * F.col("mt"))).alias(
+            "tv_distance"
+        ),
+    )

@@ -1749,3 +1749,109 @@ def vdb_norm_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top5.select("vec_id", "score").crossJoin(F.broadcast(audit))
+
+
+_RP_DIMS = 16
+_RP_TOPC = 20
+
+
+def _rp_planes() -> list[list[float]]:
+    from quick_and_easy_vectordb_spark.operators.ann import hyperplane
+
+    return [hyperplane(100 + j, DIM) for j in range(_RP_DIMS)]
+
+
+def _rp_oracle() -> str:
+    planes = _rp_planes()
+    proj = lambda col: ", ".join(  # noqa: E731
+        sql_dot(col, sql_vec(p)) for p in planes
+    )
+    # the projected query enters BOTH engines as the same 17-digit
+    # exponent literals (computed once here in Python) — computing it
+    # per-engine would hinge on two fold implementations agreeing to
+    # the last ulp, the divergence class queries/common.py documents.
+    qproj = ", ".join(
+        f"{sum(float(a) * float(b) for a, b in zip(QUERY_VEC, p)):.17e}"
+        for p in planes
+    )
+    prod = " + ".join(f"px[{j + 1}] * qx[{j + 1}]" for j in range(_RP_DIMS))
+    return f"""
+WITH pr AS (
+  SELECT vec_id, embedding, [{proj('{e}')}] AS px, [{qproj}] AS qx
+  FROM embeddings
+),
+approx AS (
+  SELECT vec_id, embedding, ({prod}) AS proj_score
+  FROM pr
+),
+cand AS (
+  SELECT vec_id, embedding, proj_score,
+         ROW_NUMBER() OVER (ORDER BY proj_score DESC, vec_id) AS prank
+  FROM approx
+)
+SELECT vec_id, {sql_dot(_EMB, _Q)} AS score,
+       CAST(prank AS BIGINT) AS proj_rank
+FROM cand WHERE prank <= {_RP_TOPC}
+ORDER BY score DESC, vec_id LIMIT 5
+""".replace("{e}", _EMB)
+
+
+@query(
+    "vdb_random_projection_search",
+    oracle=_rp_oracle(),
+    tags=("vector", "random-projection", "johnson-lindenstrauss", "rerank"),
+)
+def vdb_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-PROJECTION retrieval (Johnson–Lindenstrauss): vectors
+    compress 64 → 16 dims through a fixed hyperplane matrix, the
+    top-20 candidates are taken by PROJECTED dot product (16
+    multiplies vs 64 — the 4x-cheaper first pass, and the 4x-smaller
+    column a first-pass scan would read from disk), then exact-scored
+    and top-5'd — the third compression family on the shelf next to
+    scalar quantization (SQ8/int4: fewer bits per dim) and Matryoshka
+    (prefix dims): JL mixes ALL input dims into each output dim, so
+    it degrades gracefully where prefix truncation is biased by dim
+    order. proj_rank is kept so the candidate stage is visible in
+    the verified output.
+
+    Plan shape at 100 TB: the projection is a scan-side transform
+    (broadcast literal matrix), candidates come from ONE
+    TakeOrderedAndProject over projected scores, and only 20 rows
+    reach the exact scorer — in a stored deployment the 16-dim
+    column is materialized at write time and the 64-dim vector is
+    fetched per candidate only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _rp_planes()
+    e = F.col("embedding").cast("array<double>")
+    px = [dot_product(e, vector_literal(p)) for p in planes]
+    qx = [
+        sum(float(a) * float(b) for a, b in zip(QUERY_VEC, p)) for p in planes
+    ]
+    # proj_score via the same left-to-right add chain the oracle's
+    # px[1]*qx[1] + ... literal expression uses; qx values are exact
+    # Python dots of literal lists — identical to the oracle's
+    # sql_dot over the same literals by the shared-fold guarantee.
+    proj_score = px[0] * F.lit(qx[0])
+    for j in range(1, _RP_DIMS):
+        proj_score = proj_score + px[j] * F.lit(qx[j])
+    cand = (
+        emb.select("vec_id", "embedding", proj_score.alias("proj_score"))
+        .orderBy(F.desc("proj_score"), F.asc("vec_id"))
+        .limit(_RP_TOPC)
+        .withColumn(
+            "proj_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("proj_score"), F.asc("vec_id")))
+            .cast("long"),
+        )
+    )
+    q = vector_literal(QUERY_VEC)
+    return (
+        cand.select(
+            "vec_id",
+            dot_product(F.col("embedding"), q).alias("score"),
+            "proj_rank",
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )

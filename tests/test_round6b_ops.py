@@ -706,3 +706,50 @@ def test_pandas_window_udaf_matches_native(spark):
     assert got["rolling3"].sort_index().equals(
         want["rolling3"].sort_index().astype("int64")
     )
+
+
+def test_random_projection_candidates_then_exact(spark):
+    """The result is the exact top-5 AMONG the projected top-20 — and
+    proj_rank certifies candidate membership."""
+    out = _run(spark, "vdb_random_projection_search")
+    assert len(out) == 5
+    assert (out["proj_rank"] <= 20).all()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
+    from quick_and_easy_vectordb_spark.queries.vector import _rp_planes
+
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    qv = np.array(QUERY_VEC)
+    planes = np.array(_rp_planes())
+    px = m @ planes.T
+    qx = planes @ qv
+    proj = px @ qx
+    ids = emb["vec_id"].to_numpy()
+    cand = sorted(range(len(ids)), key=lambda i: (-proj[i], ids[i]))[:20]
+    scores = m @ qv
+    best = sorted(cand, key=lambda i: (-scores[i], ids[i]))[:5]
+    assert list(out["vec_id"]) == [ids[i] for i in best]
+
+
+def test_tv_distance_bounds_and_pandas(spark):
+    """TV in [0,1]; exact integer recompute for two sources."""
+    out = _run(spark, "text_source_divergence_tv").set_index("source")
+    assert ((out["tv_distance"] >= 0) & (out["tv_distance"] <= 1)).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    norm = docs["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    toks = pd.DataFrame({"source": docs["source"], "tok": norm.str.split(" ")}).explode(
+        "tok"
+    )
+    sc = toks.groupby(["source", "tok"]).size().rename("n").reset_index()
+    st = sc.groupby("source")["n"].sum()
+    cc = sc.groupby("tok")["n"].sum()
+    mt = int(sc["n"].sum())
+    for src in list(st.index)[:2]:
+        ns = int(st[src])
+        scounts = sc[sc["source"] == src].set_index("tok")["n"]
+        sn = sum(
+            abs(int(scounts.get(tok, 0)) * mt - int(m) * ns)
+            for tok, m in cc.items()
+        )
+        assert abs(out.loc[src, "tv_distance"] - sn / (2.0 * ns * mt)) < 1e-12
+        assert out.loc[src, "n_tokens"] == ns
