@@ -3053,20 +3053,28 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est1 = one.select("event_type", est_expr("n_k", "h_k").alias("est"))
     types = du.select("event_type").distinct()
+    # the pair lattice is the ONLY intentionally non-equi join here —
+    # O(types^2) rows of strings; persisted so its 4 consumers (two
+    # sketch attaches, two exact attaches) read one materialization.
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(
             types.select(F.col("event_type").alias("type_b")),
             F.col("type_a") < F.col("type_b"),
         )
+        .persist()
     )
+    # attach each kept row to its pairs via TWO equi-joins (as the
+    # left and as the right member) — an OR predicate would force a
+    # nested-loop over the pair lattice, quadratic in type count.
     pk = (
-        kept.join(
-            F.broadcast(pairs),
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        kept.join(F.broadcast(pairs), kept["event_type"] == pairs["type_a"])
         .select("type_a", "type_b", "user_id", "h")
+        .unionAll(
+            kept.join(
+                F.broadcast(pairs), kept["event_type"] == pairs["type_b"]
+            ).select("type_a", "type_b", "user_id", "h")
+        )
         .distinct()
     )
     w2 = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id")
@@ -3078,12 +3086,13 @@ def ev_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     estu = uk.select("type_a", "type_b", est_expr("un_k", "uh_k").alias("est_union"))
     exu = (
-        du.join(
-            F.broadcast(pairs),
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        du.join(F.broadcast(pairs), du["event_type"] == pairs["type_a"])
         .select("type_a", "type_b", "user_id")
+        .unionAll(
+            du.join(
+                F.broadcast(pairs), du["event_type"] == pairs["type_b"]
+            ).select("type_a", "type_b", "user_id")
+        )
         .distinct()
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("exact_union"))
