@@ -109,6 +109,7 @@ _CHECK_PRIORITY = [
     "udf_pandas_window_agg",
     "vdb_random_projection_search",
     "text_source_divergence_tv",
+    "ev_holt_linear_forecast",
     "ann_kmeans_iterated",
     "ann_hnsw_substrate",
     "ev_burst_detection",

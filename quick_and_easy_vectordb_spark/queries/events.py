@@ -3536,3 +3536,106 @@ def ev_multi_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_value_levels"),
     )
+
+
+@query(
+    "ev_holt_linear_forecast",
+    oracle="""
+WITH RECURSIVE h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i
+  FROM h
+),
+n AS (SELECT event_type, COUNT(*) AS n_hours,
+             CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS total_events
+      FROM ser GROUP BY event_type),
+f AS (
+  SELECT event_type, i, x AS l, CAST(0 AS DOUBLE) AS b
+  FROM ser WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i,
+         0.5 * s.x + 0.5 * (f.l + f.b) AS l,
+         0.5 * s.x - 0.5 * (0.5 * s.x + 0.5 * (f.l + f.b)) + f.b AS b
+  FROM f JOIN ser s ON s.event_type = f.event_type AND s.i = f.i + 1
+)
+SELECT f.event_type,
+       CAST(n.n_hours AS BIGINT) AS n_hours,
+       n.total_events,
+       f.l AS level,
+       f.b AS trend,
+       f.l + f.b AS forecast_next
+FROM f JOIN n ON n.event_type = f.event_type AND f.i = n.n_hours
+""",
+    tags=("events", "time-series", "forecast", "holt", "fold"),
+)
+def ev_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND forecast (double exponential smoothing,
+    alpha = beta = 0.5) over each type's hourly count series — the
+    one-step capacity forecast, and the representative of
+    INHERENTLY-SEQUENTIAL per-series recurrences expressed as an
+    ORDERED ARRAY FOLD (F.aggregate over the collected series with a
+    STRUCT accumulator), seeded from the first observation; the
+    oracle replays the same recurrence as a RECURSIVE CTE (DuckDB's
+    list_reduce mis-evaluates struct accumulators beyond two
+    elements — found while building this oracle — so the recursion,
+    not the fold, is the reliable SQL spelling). The trend update is
+    written as b_new = 0.5*x - 0.5*l_new + b_old in BOTH engines
+    (algebraically the classical 0.5*(l_new - l_old) + 0.5*b_old),
+    with the identical expression shape, so every IEEE step
+    matches.
+
+    Plan shape at 100 TB: the raw scan collapses to O(types*hours)
+    map-side; each series folds WITHIN its group's collected array —
+    state is one (level, trend) struct per series, and a million
+    independent series parallelize as a million cheap folds (the
+    same per-key-sequential / cross-key-parallel layout as
+    applyInPandasWithState, without Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ser = h.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "n"))),
+            lambda s: F.struct(
+                s.n.cast("double").alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").cast("long").alias("total_events"),
+    )
+
+    def merge(acc, e):
+        # mirrors the oracle's sequential-accumulator form:
+        # b_new = 0.5*e - 0.5*l_new + b_old (see the oracle comment)
+        l_new = F.lit(0.5) * e.l + F.lit(0.5) * (acc.l + acc.b)
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.5) * e.l - F.lit(0.5) * l_new + acc.b).alias("b"),
+        )
+
+    fit = ser.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        "total_events",
+        F.aggregate(
+            F.slice(F.col("arr"), 2, F.size("arr") - 1),
+            F.element_at(F.col("arr"), 1),
+            merge,
+        ).alias("st"),
+    )
+    return fit.select(
+        "event_type",
+        "n_hours",
+        "total_events",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+    )

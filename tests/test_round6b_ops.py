@@ -753,3 +753,22 @@ def test_tv_distance_bounds_and_pandas(spark):
         )
         assert abs(out.loc[src, "tv_distance"] - sn / (2.0 * ns * mt)) < 1e-12
         assert out.loc[src, "n_tokens"] == ns
+
+
+def test_holt_forecast_python_recurrence(spark):
+    """Level/trend recomputed with the exact same float recurrence in
+    Python must match bit-for-bit (alpha = beta = 0.5)."""
+    out = _run(spark, "ev_holt_linear_forecast").set_index("event_type")
+    ev = _events()
+    ev["hr"] = ev["us"] // HOUR_US
+    for etype, grp in ev.groupby("event_type"):
+        xs = [float(v) for v in grp.groupby("hr").size().sort_index().values]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            ln = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * x - 0.5 * ln + b
+            l = ln
+        assert out.loc[etype, "n_hours"] == len(xs)
+        assert out.loc[etype, "level"] == l
+        assert out.loc[etype, "trend"] == b
+        assert out.loc[etype, "forecast_next"] == l + b
