@@ -1,0 +1,66 @@
+"""Contract tests for bench.py's driver-facing output protocol.
+
+The grading driver captures only a ~2 KB TAIL of bench.py's stdout and
+parses the LAST line as the headline JSON (VERDICT r5 "What's wrong"
+#2: round 5 lost its parsed number because one verbose line outgrew
+the capture). bench.py therefore prints the verbose per-run detail on
+an earlier ``DETAIL:`` line and a compact headline as the final line.
+These tests pin that invariant against future suite growth without
+running Spark: they reconstruct the worst-case final line from the
+live registry's bench set.
+"""
+
+from __future__ import annotations
+
+import json
+
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+# The driver keeps roughly the last 2048 bytes of stdout. The final
+# line must fit with margin even after a trailing newline.
+DRIVER_TAIL_BYTES = 2048
+MARGIN_BYTES = 256
+
+
+def _worst_case_final_line() -> str:
+    bench_names = [n for n, q in QUERIES.items() if q.bench]
+    # Worst case: every per-query timing renders at full width
+    # (4 decimal places, 4 integer digits), every error slot unused.
+    timings = {n: 9999.9999 for n in bench_names}
+    return json.dumps(
+        {
+            "metric": (
+                f"headline-suite wall seconds "
+                f"({len(bench_names)} queries, best-of-3)"
+            ),
+            "value": 99999.9999,
+            "unit": "sec",
+            "queries": timings,
+            "value_median": 99999.9999,
+            "sf": 0.1,
+            "repeats": 3,
+            "n_errors": 0,
+        }
+    )
+
+
+def test_final_line_fits_driver_tail():
+    line = _worst_case_final_line()
+    assert len(line) + 1 <= DRIVER_TAIL_BYTES - MARGIN_BYTES, (
+        f"bench final line would be {len(line)} bytes; the driver tail "
+        f"keeps ~{DRIVER_TAIL_BYTES}. Shrink the bench set or move "
+        f"per-query timings to the DETAIL line."
+    )
+
+
+def test_final_line_parses_and_has_headline_fields():
+    doc = json.loads(_worst_case_final_line())
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in doc
+    assert doc["unit"] == "sec"
+
+
+def test_bench_set_is_nonempty_and_registered():
+    bench_names = [n for n, q in QUERIES.items() if q.bench]
+    assert len(bench_names) >= 10
+    assert len(set(bench_names)) == len(bench_names)
