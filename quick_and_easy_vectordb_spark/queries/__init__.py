@@ -40,19 +40,50 @@ from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 # come first; queries already oracle-green in a prior round move to the back
 # (they stay covered by pytest + tools/check.py).
 #
-# Round-5 prefix = the 17 queries that have never appeared in ANY
-# CORRECTNESS_r*.json (rounds 1-4 sampled 143 of the 160; VERDICT r4
-# "What's missing" #3), then queries NEW this round (no driver row possible
-# yet), then the round-1-only-evidence backlog (oldest external evidence,
-# refreshed in FIFO order). Everything checked green in round 4 moves to
-# the back of the line.
+# Round-7 prefix = the 23 round-6-continuation queries that have never
+# appeared in ANY CORRECTNESS_r*.json (rounds 1-6 cumulatively sampled 242
+# of the 265), then queries NEW in round 7 (no driver row possible yet),
+# then the oldest-external-evidence backlog in FIFO refresh order.
+# Everything checked green in round 6 moves to the back of the line.
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
-    # -- round-6 prefix: the 19 queries that have never appeared in ANY
-    #    CORRECTNESS_r*.json (VERDICT r5 'What's missing' #1) — they sat at
-    #    positions 50-68 of the r5 order, just past the driver's ~50-entry
-    #    cutoff. With them first, every one of the 212 registered queries
-    #    will have at least one green driver row. --
+    # -- round-7 prefix: the 23 round-6-continuation queries that have never
+    #    appeared in ANY CORRECTNESS_r*.json — they sat just past the
+    #    round-6 ~50-entry driver cutoff (CORRECTNESS_r06.json sampled the
+    #    first 50 and all 50 passed). With them first, every query
+    #    registered through round 6 will have at least one green driver
+    #    row. --
+    "ann_hnsw_substrate",
+    "ann_kmeans_iterated",
+    "ev_burst_detection",
+    "ev_funnel_time_to_convert",
+    "ev_gapfill_interpolate",
+    "ev_holt_linear_forecast",
+    "ev_stratified_sample_alloc",
+    "ev_stream_bitmap_actives",
+    "mm_image_dedup_keep_best",
+    "mm_video_scene_cuts",
+    "rel_null_safe_join",
+    "rel_observe_metrics",
+    "rel_try_arithmetic",
+    "src_csv_quoted_roundtrip",
+    "src_orc_roundtrip",
+    "src_small_file_compaction",
+    "src_xml_roundtrip",
+    "text_mix_rebalance_weights",
+    "text_ngram_novelty",
+    "text_tokenizer_fertility",
+    "udf_cogroup_apply",
+    "udf_udtf_analyze",
+    "vdb_postfilter_search",
+    # -- new in round 7, no driver row possible yet (names appended by the
+    #    round-7 sessions as each lands oracle-checked) --
+    "ev_ks_two_sample",
+    "ev_welch_ab_test",
+    "ev_chisq_type_weekday",
+    "ev_lag_feature_matrix",
+    # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
+    #    the FIFO backlog below --
     "text_curation_pipeline",
     "ev_append_mode_finalized_windows",
     "ann_sq8_recall",
@@ -109,31 +140,8 @@ _CHECK_PRIORITY = [
     "udf_pandas_window_agg",
     "vdb_random_projection_search",
     "text_source_divergence_tv",
-    "ev_holt_linear_forecast",
-    "ann_kmeans_iterated",
-    "ann_hnsw_substrate",
-    "ev_burst_detection",
-    "udf_cogroup_apply",
-    "ev_stream_bitmap_actives",
-    "udf_udtf_analyze",
-    "mm_video_scene_cuts",
     # -- (a ~50-entry driver prefix cuts about here; the rest of the
     #    round-6 additions queue first for the round-7 window) --
-    "text_mix_rebalance_weights",
-    "ev_stratified_sample_alloc",
-    "rel_observe_metrics",
-    "ev_funnel_time_to_convert",
-    "text_ngram_novelty",
-    "ev_gapfill_interpolate",
-    "text_tokenizer_fertility",
-    "mm_image_dedup_keep_best",
-    "rel_null_safe_join",
-    "rel_try_arithmetic",
-    "vdb_postfilter_search",
-    "src_orc_roundtrip",
-    "src_csv_quoted_roundtrip",
-    "src_xml_roundtrip",
-    "src_small_file_compaction",
     # -- oldest-external-evidence backlog, FIFO refresh; everything that
     #    went green in rounds 4-5 rotates to the back of the line --
     "dedup_exact",

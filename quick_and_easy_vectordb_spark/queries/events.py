@@ -3639,3 +3639,351 @@ def ev_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend"),
         (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
     )
+
+
+@query(
+    "ev_ks_two_sample",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'view')
+),
+per AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM e GROUP BY value
+),
+cum AS (
+  SELECT value,
+         SUM(c1) OVER (ORDER BY value) AS a1,
+         SUM(c2) OVER (ORDER BY value) AS a2
+  FROM per
+),
+tot AS (SELECT MAX(a1) AS n1, MAX(a2) AS n2 FROM cum)
+SELECT CAST(tot.n1 AS BIGINT) AS n1,
+       CAST(tot.n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(a1 * tot.n2 - a2 * tot.n1)) AS BIGINT) AS max_num,
+       CAST(MAX(ABS(a1 * tot.n2 - a2 * tot.n1)) AS DOUBLE)
+         / (tot.n1 * tot.n2) AS ks_stat
+FROM cum, tot
+GROUP BY tot.n1, tot.n2
+""",
+    tags=("events", "statistics", "distribution-shift", "ks-test"),
+)
+def ev_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV statistic between the `click` and
+    `view` value distributions — the nonparametric drift test a data
+    pipeline runs between yesterday's and today's feature
+    distribution before a model retrain (complements
+    text_source_divergence_tv, which needs binning; KS is
+    binning-free). D = max over the pooled support of
+    |ECDF1 − ECDF2|, kept EXACT and division-free until the final
+    step: the running difference is the integer
+    |a1·n2 − a2·n1| (a_i = cumulative counts), whose max divided by
+    n1·n2 is D — no per-row double rounding can accumulate.
+
+    Plan shape at 100 TB: a (value)-grouped count collapses the fact
+    table to its distinct support first (map-side combine). The ECDF
+    prefix sum is DISTRIBUTED, not a single-partition window: values
+    are range-bucketed (floor(value/8)), the cumsum runs per bucket in
+    parallel, and each bucket adds a broadcast offset = the prefix
+    total of all lower buckets (classic two-level scan: ~62 bucket
+    totals on the driver-free broadcast path). The final max is one
+    map-side-combined aggregate. Nothing global-sorts the support."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    ).withColumn("bkt", F.floor(F.col("value") / F.lit(8.0)))
+    # Two-level distributed prefix sum: per-bucket cumsum + broadcast
+    # bucket-offset table (offset = sum of all strictly-lower buckets).
+    wb = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        per.groupBy("bkt")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("t1").over(woff), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("t2").over(woff), F.lit(0)).alias("o2"),
+        )
+    )
+    cum = per.join(F.broadcast(offsets), "bkt").select(
+        (F.col("o1") + F.sum("c1").over(wb)).alias("a1"),
+        (F.col("o2") + F.sum("c2").over(wb)).alias("a2"),
+    )
+    tot = cum.agg(F.max("a1").alias("n1"), F.max("a2").alias("n2"))
+    num = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1")).alias("d"),
+    )
+    return num.groupBy("n1", "n2").agg(F.max("d").alias("max_num")).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("max_num").cast("long").alias("max_num"),
+        (F.col("max_num").cast("double") / (F.col("n1") * F.col("n2"))).alias(
+            "ks_stat"
+        ),
+    )
+
+
+@query(
+    "ev_welch_ab_test",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 2 AS variant, value FROM events
+  WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+    CAST(CAST(SUM(CASE WHEN variant = 0
+        THEN CAST(value AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE) AS s_a,
+    CAST(CAST(SUM(CASE WHEN variant = 1
+        THEN CAST(value AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE) AS s_b,
+    CAST(CAST(SUM(CASE WHEN variant = 0
+        THEN CAST(value * value AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE)
+      AS q_a,
+    CAST(CAST(SUM(CASE WHEN variant = 1
+        THEN CAST(value * value AS DECIMAL(30,10)) END) AS VARCHAR) AS DOUBLE)
+      AS q_b
+  FROM e
+),
+m AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+         (q_a - (s_a / n_a) * s_a) / (n_a - 1) AS var_a,
+         (q_b - (s_b / n_b) * s_b) / (n_b - 1) AS var_b
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       mean_a, mean_b, var_a, var_b,
+       (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+       ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+         / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+            + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_dof
+FROM m
+""",
+    tags=("events", "statistics", "ab-test", "experimentation"),
+)
+def ev_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S unequal-variance t-test — the experimentation
+    primitive behind every A/B readout: users are deterministically
+    hash-assigned to variants (user_id parity — in production, a
+    salted hash), per-variant mean/variance of purchase value are
+    computed from decimal-exact moment sums, and the t statistic and
+    Welch–Satterthwaite degrees of freedom come out as a fixed double
+    expression tree (sqrt and division are IEEE-deterministic, so
+    both engines produce bit-identical results; the decimal moment
+    sums make the inputs identical under ANY partitioning).
+
+    Variance via the moment identity (Σx² − x̄·Σx)/(n−1): one pass,
+    no mean-first re-scan; x² ≤ 2.5e5 fits decimal(30,10) exactly to
+    1e-10, and both engines round double→decimal identically (pinned
+    by every dsum user in this file).
+
+    Plan shape at 100 TB: one map-side-combined conditional aggregate
+    over the scan — 6 running numbers total, no shuffle of rows, no
+    second pass. The reduction is a single 1-row exchange."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.col("user_id") % 2
+    dec = "decimal(30,10)"
+    s = e.agg(
+        F.sum(F.when(v == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(v == 0, F.col("value").cast(dec))).cast("double").alias("s_a"),
+        F.sum(F.when(v == 1, F.col("value").cast(dec))).cast("double").alias("s_b"),
+        F.sum(F.when(v == 0, (F.col("value") * F.col("value")).cast(dec)))
+        .cast("double")
+        .alias("q_a"),
+        F.sum(F.when(v == 1, (F.col("value") * F.col("value")).cast(dec)))
+        .cast("double")
+        .alias("q_b"),
+    )
+    m = s.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b")).alias("mean_b"),
+        ((F.col("q_a") - (F.col("s_a") / F.col("n_a")) * F.col("s_a"))
+         / (F.col("n_a") - 1)).alias("var_a"),
+        ((F.col("q_b") - (F.col("s_b") / F.col("n_b")) * F.col("s_b"))
+         / (F.col("n_b") - 1)).alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n)).alias(
+            "t_stat"
+        ),
+        (
+            ((va_n + vb_n) * (va_n + vb_n))
+            / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1))
+        ).alias("welch_dof"),
+    )
+
+
+@query(
+    "ev_chisq_type_weekday",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(n) AS r FROM o GROUP BY 1),
+ct AS (SELECT dow, SUM(n) AS c FROM o GROUP BY 1),
+g AS (SELECT SUM(n) AS total, COUNT(DISTINCT event_type) AS nr,
+             COUNT(DISTINCT dow) AS nc FROM o),
+terms AS (
+  SELECT CAST(
+    CAST((o.n * g.total - rt.r * ct.c) AS DOUBLE)
+      * (o.n * g.total - rt.r * ct.c)
+      / (CAST(g.total AS DOUBLE) * rt.r * ct.c)
+    AS DECIMAL(30,10)) AS term,
+    g.nr AS nr, g.nc AS nc
+  FROM o
+  JOIN rt ON rt.event_type = o.event_type
+  JOIN ct ON ct.dow = o.dow
+  CROSS JOIN g
+)
+SELECT CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+FROM terms GROUP BY nr, nc
+""",
+    tags=("events", "statistics", "chi-square", "independence"),
+)
+def ev_chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARE test of independence between event type and
+    day-of-week — "does traffic mix shift by weekday?", the
+    categorical sibling of ev_ks_two_sample. Each cell's term is
+    computed on INTEGERS as (n·N − r·c)² / (N·r·c) — n·N ≤ ~4e14 at
+    this scale stays under 2⁵³, so the numerator is exact and the
+    single double division is correctly rounded and identical in both
+    engines — then the ~35 terms are summed in decimal so the total
+    is order-independent (a plain double sum over cells would vary
+    with join output order).
+
+    DOW convention: Spark dayofweek()−1 == DuckDB dayofweek(), the
+    numbering pinned by ev_weekday_seasonality's CORRECTNESS row.
+
+    Plan shape at 100 TB: the contingency table is a map-side-combined
+    (type, dow) count — 35 rows — and everything after (marginals,
+    grand total, terms) is driver-free arithmetic over those 35 rows
+    with broadcast joins. One shuffle of 35 rows, total."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = o.groupBy("event_type").agg(F.sum("n").alias("r"))
+    ct = o.groupBy("dow").agg(F.sum("n").alias("c"))
+    g = o.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    num = F.col("n") * F.col("total") - F.col("r") * F.col("c")
+    terms = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            (
+                num.cast("double") * num
+                / (F.col("total").cast("double") * F.col("r") * F.col("c"))
+            ).cast("decimal(30,10)").alias("term"),
+            "nr",
+            "nc",
+        )
+    )
+    return terms.groupBy("nr", "nc").agg(
+        F.sum("term").cast("double").alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "ev_lag_feature_matrix",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         value,
+         LAG(value, 1) OVER w AS lag1,
+         LAG(value, 2) OVER w AS lag2,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS rolling_mean3,
+         CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS BIGINT)
+           AS gap_us
+  FROM (SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'purchase') t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT * FROM f
+""",
+    tags=("events", "feature-engineering", "window", "ml-pipeline"),
+)
+def ev_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-FEATURE MATRIX — the classic ML feature-engineering pass
+    that turns an event log into per-example training features:
+    for every purchase, the user's previous two purchase values
+    (lag1/lag2), a 3-row rolling mean, and the microsecond gap since
+    the prior purchase. This is the batch shape of a feature store's
+    point-in-time-correct backfill (only PAST rows enter each
+    feature — the window frame is the leakage guard).
+
+    The rolling mean sums in decimal so it is partition-order exact;
+    ties in ts are broken by event_id so lag assignment is
+    deterministic in both engines.
+
+    Plan shape at 100 TB: one shuffle on user_id (the window's
+    ClusteredDistribution), all four features from the SAME sorted
+    window pass — Spark collapses the co-partitioned window specs
+    into one WindowExec. Event-type pushdown reaches the scan."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    ts_us = (F.unix_micros("ts")).cast("long")
+    return e.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf)
+        ).alias("rolling_mean3"),
+        (ts_us - F.unix_micros(F.lag("ts", 1).over(w))).cast("long").alias(
+            "gap_us"
+        ),
+    )
