@@ -78,6 +78,8 @@ _CHECK_PRIORITY = [
     "vdb_postfilter_search",
     # -- new in round 7, no driver row possible yet (names appended by the
     #    round-7 sessions as each lands oracle-checked) --
+    "vdb_shard_topk_merge",
+    "vdb_retrieval_metrics",
     "ev_ks_two_sample",
     "ev_welch_ab_test",
     "ev_chisq_type_weekday",

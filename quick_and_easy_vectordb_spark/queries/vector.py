@@ -1855,3 +1855,205 @@ def vdb_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: scatter-gather shard search + retrieval-quality metrics
+# --------------------------------------------------------------------------
+
+_SHARDS = 8
+
+
+@query(
+    "vdb_shard_topk_merge",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, vec_id % {_SHARDS} AS shard,
+         {sql_cosine(_EMB, _Q)} AS similarity
+  FROM embeddings
+)
+SELECT vec_id, CAST(shard AS BIGINT) AS shard, similarity
+FROM scored ORDER BY similarity DESC, vec_id LIMIT 10
+""",
+    tags=("vector", "topk", "shard", "scatter-gather"),
+)
+def vdb_shard_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCATTER-GATHER shard search — the serving topology of every
+    distributed vector store (and of Spark's own TakeOrdered,
+    made explicit here as an operator): the corpus is hash-sharded
+    (vec_id % 8 — in production, the partitioning of the index
+    files), each shard computes its LOCAL top-k with a per-shard
+    heap, and the global answer is the top-k of the 8·k survivors.
+    Correct by the standard argument: any global top-k row is a
+    top-k row of its own shard, so the merge set contains the
+    answer. Result is IDENTICAL to the unsharded query — the oracle
+    is simply the global top-10, which is the point.
+
+    Plan shape at 100 TB: the per-shard ranking is a window with
+    rank ≤ k, which Spark executes as WindowGroupLimit — a bounded
+    per-partition heap BEFORE the shard shuffle, so each of the 1000
+    executors ships at most shards·k rows; the final merge sorts
+    8·k = 80 rows. The vector column never leaves the scan stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id",
+        (F.col("vec_id") % _SHARDS).cast("long").alias("shard"),
+        cosine_similarity(F.col("embedding"), q).alias("similarity"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    local = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    return local.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
+
+
+def _ndcg_literals() -> tuple[list[float], list[float]]:
+    """Rank-discount table 1/log2(i+1) for i=1..10 and its prefix sums
+    (leading 0 for the R=0 case). Rendered as IDENTICAL double
+    literals into both the Spark plan and the DuckDB oracle, so no
+    cross-engine log() evaluation ever happens."""
+    import math
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+    cum = [0.0]
+    for d in disc:
+        cum.append(cum[-1] + d)
+    return disc, cum
+
+
+_DISC, _CUMDISC = _ndcg_literals()
+
+
+@query(
+    "vdb_retrieval_metrics",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+),
+labcnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         {sql_cosine('c.embedding::DOUBLE[]', 'q.qv')} AS score
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, qlabel, label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+),
+top AS (
+  SELECT query_id, qlabel,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rn
+  FROM ranked WHERE rn <= 10
+),
+per AS (
+  SELECT query_id, qlabel,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_at_10,
+         CAST(SUM(rel) AS DOUBLE) / 10 AS p_at_10,
+         CASE WHEN MIN(CASE WHEN rel = 1 THEN rn END) IS NULL
+              THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rn END)
+         END AS mrr,
+         CAST(CAST(SUM(CAST(
+           rel * list_extract({sql_vec(_DISC)}, rn)
+           AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dcg
+  FROM top GROUP BY query_id, qlabel
+)
+SELECT per.query_id,
+       CAST(labcnt.n - 1 AS BIGINT) AS n_rel_corpus,
+       per.n_rel_at_10, per.p_at_10, per.mrr,
+       CASE WHEN labcnt.n - 1 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE per.dcg / list_extract({sql_vec(_CUMDISC)},
+                 CAST(LEAST(labcnt.n - 1, 10) + 1 AS INTEGER))
+       END AS ndcg_at_10
+FROM per JOIN labcnt ON labcnt.label = per.qlabel
+""",
+    tags=("vector", "evaluation", "ndcg", "mrr"),
+)
+def vdb_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION — NDCG@10, MRR, and precision@10
+    per query, with label agreement as graded relevance (the
+    eval harness every embedding-model upgrade runs before swapping
+    the index; extends ann_recall_at_k/ann_pq_recall, which only
+    measure self-recall of the ANN structure, to ranking QUALITY
+    against ground truth). The rank discount 1/log2(rank+1) and its
+    prefix sums are PRECOMPUTED double literals injected into both
+    engines, so no cross-engine transcendental evaluation is ever
+    compared; DCG sums its ≤10 exact terms in decimal; IDCG is a
+    prefix-sum lookup at min(|relevant corpus|, 10).
+
+    Plan shape at 100 TB: the 5-query panel broadcasts over a single
+    corpus scan (the vdb_batch_knn shape — for large panels the
+    LSH-bucketed equi-join variant applies); per-query ranking is
+    WindowGroupLimit-bounded; label marginals are one map-side count
+    broadcast back. Metric arithmetic happens on 50 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    labcnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id",
+            "qlabel",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            "rn",
+        )
+    )
+    disc = F.array(*[F.lit(d) for d in _DISC])
+    cumdisc = F.array(*[F.lit(d) for d in _CUMDISC])
+    per = top.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("long").alias("n_rel_at_10"),
+        (F.sum("rel").cast("double") / 10).alias("p_at_10"),
+        F.coalesce(
+            F.lit(1).cast("double")
+            / F.min(F.when(F.col("rel") == 1, F.col("rn"))),
+            F.lit(0).cast("double"),
+        ).alias("mrr"),
+        F.sum(
+            (F.col("rel") * F.element_at(disc, F.col("rn"))).cast(
+                "decimal(30,10)"
+            )
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    joined = per.join(
+        F.broadcast(labcnt), per.qlabel == labcnt.label
+    )
+    r = F.col("n") - 1
+    return joined.select(
+        "query_id",
+        r.cast("long").alias("n_rel_corpus"),
+        "n_rel_at_10",
+        "p_at_10",
+        "mrr",
+        F.when(r == 0, F.lit(0).cast("double"))
+        .otherwise(
+            F.col("dcg")
+            / F.element_at(cumdisc, (F.least(r, F.lit(10)) + 1).cast("int"))
+        )
+        .alias("ndcg_at_10"),
+    )
