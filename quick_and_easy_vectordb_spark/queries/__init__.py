@@ -84,6 +84,10 @@ _CHECK_PRIORITY = [
     "ev_welch_ab_test",
     "ev_chisq_type_weekday",
     "ev_lag_feature_matrix",
+    "rel_gdpr_cascade_erasure",
+    "rel_ntile_deciles",
+    "udf_sql_scalar_function",
+    "ev_variant_shred",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

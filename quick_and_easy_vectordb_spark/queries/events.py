@@ -3987,3 +3987,51 @@ def ev_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
+
+
+@query(
+    "ev_variant_shred",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM v GROUP BY event_type
+""",
+    tags=("events", "variant", "semi-structured", "engine-surface"),
+)
+def ev_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT shredding (Spark 4's semi-structured type, the
+    open-format answer to JSON columns at scale): `parse_json` turns
+    the props string into a binary VARIANT once, `variant_get`
+    extracts a TYPED path — all JVM-side, no Python, no schema
+    declared up front — and the integers aggregate exactly.
+    Complements ev_json_extract (string-path get_json_object): the
+    VARIANT encoding is the one that survives 100 TB because the
+    parse cost is paid once at ingest and every later path access is
+    a binary offset lookup, not a re-parse; in a lakehouse the
+    encoded column also shreds into parquet subcolumns so path reads
+    prune like real columns.
+
+    Plan shape at 100 TB: parse + extract fuse into the scan's
+    project (WholeStageCodegen), then one map-side-combined grouped
+    aggregate; distinct-k adds the one unavoidable pre-shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.countDistinct("k").cast("long").alias("n_distinct_k"),
+    )

@@ -1627,3 +1627,163 @@ def rel_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "n_orders", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: compliance erasure cascade + distributed NTILE
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rel_gdpr_cascade_erasure",
+    oracle=f"""
+WITH erased AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+dead_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM erased)
+),
+dead_li AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)
+),
+kept_li AS (
+  SELECT l_extendedprice, l_discount FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_customers_erased,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_orders) AS n_orders_erased,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_li) AS n_lineitems_erased,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_li) AS n_lineitems_kept,
+  (SELECT {_dsum('l_extendedprice * (1 - l_discount)')} FROM kept_li)
+    AS kept_revenue
+""",
+    tags=("relational", "compliance", "erasure", "anti-join"),
+)
+def rel_gdpr_cascade_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN cascade — the compliance deletion every
+    production dataset must support: a deletion set of customers
+    (here: custkey % 97 = 0, standing in for the request queue)
+    propagates through the FK graph (customer → orders → lineitem),
+    and the job reports the blast radius per table plus an integrity
+    proof over the SURVIVING data (kept-lineitem count + decimal-exact
+    kept revenue — the number that must not change when the erasure
+    re-runs, i.e. idempotence evidence).
+
+    Plan shape at 100 TB: the deletion set and the dead-order keyset
+    are each orders-of-magnitude smaller than their fact tables, so
+    both cascade hops are BROADCAST joins (semi for the blast counts,
+    anti for the survivors) — the fact tables stream through
+    unshuffled, and the five summary numbers are map-side-combined
+    1-row aggregates. In a lakehouse this materializes as a
+    partition-preserving anti-join rewrite of each table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    dead_o = o.join(
+        F.broadcast(erased), o.o_custkey == erased.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    dead_li = li.join(
+        F.broadcast(dead_o), li.l_orderkey == dead_o.o_orderkey, "leftsemi"
+    )
+    kept_li = li.join(
+        F.broadcast(dead_o), li.l_orderkey == dead_o.o_orderkey, "leftanti"
+    )
+    n_cust = erased.agg(F.count(F.lit(1)).cast("long").alias("n_customers_erased"))
+    n_ord = dead_o.agg(F.count(F.lit(1)).cast("long").alias("n_orders_erased"))
+    n_dead = dead_li.agg(F.count(F.lit(1)).cast("long").alias("n_lineitems_erased"))
+    kept = kept_li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems_kept"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "kept_revenue"
+        ),
+    )
+    return (
+        n_cust.crossJoin(F.broadcast(n_ord))
+        .crossJoin(F.broadcast(n_dead))
+        .crossJoin(F.broadcast(kept))
+    )
+
+
+@query(
+    "rel_ntile_deciles",
+    oracle=f"""
+WITH r AS (
+  SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       {_dsum('c_acctbal')} AS sum_bal
+FROM r GROUP BY decile
+""",
+    tags=("relational", "window", "ntile", "distributed-rank"),
+)
+def rel_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE report over account balance — NTILE(10) with exact
+    equal-size bucket semantics, computed WITHOUT the single-partition
+    window a bare ``NTILE() OVER (ORDER BY …)`` forces in any engine.
+    The global rank is assembled from the two-level distributed
+    prefix sum (ev_ks_two_sample's scan shape): rows are
+    range-bucketed on floor(c_acctbal/500), each bucket computes
+    row_number in parallel, and a broadcast ~40-row offset table
+    lifts local ranks to global ones. NTILE's uneven-bucket rule is
+    then pure arithmetic on the rank: with N rows and k tiles, the
+    first N % k tiles take ⌈N/k⌉ rows — exactly what the oracle's
+    built-in NTILE produces, which is the point of the test.
+
+    Plan shape at 100 TB: one shuffle on the range bucket (vs ALL
+    rows to ONE partition for the naive window), tiny offset
+    broadcast, then a map-side-combined decile rollup. This is how
+    quantile bucketing should actually run on a 1000-executor
+    cluster."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).alias("bkt"),
+    )
+    wloc = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+            F.sum("cnt").over(wall).alias("n_total"),
+        )
+    )
+    ranked = b.join(F.broadcast(offsets), "bkt").select(
+        "c_acctbal",
+        (F.col("off") + F.row_number().over(wloc)).alias("r"),
+        "n_total",
+    )
+    # NTILE(k): size = N div k, rem = N mod k; ranks 1..rem*(size+1)
+    # fall in the first rem (larger) tiles, the rest in size-row tiles.
+    k = F.lit(10)
+    size = (F.col("n_total") / k).cast("long")
+    rem = F.col("n_total") % k
+    r0 = F.col("r") - 1
+    decile = F.when(
+        r0 < rem * (size + 1), (r0 / (size + 1)).cast("long") + 1
+    ).otherwise(rem + ((r0 - rem * (size + 1)) / size).cast("long") + 1)
+    return (
+        ranked.select("c_acctbal", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+        .select(F.col("decile").cast("long").alias("decile"), "n", "min_bal", "max_bal", "sum_bal")
+    )

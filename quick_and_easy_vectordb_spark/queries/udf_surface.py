@@ -1370,3 +1370,51 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         int_sum(F.round("value").cast("long")).over(w).alias("rolling3"),
     )
+
+
+@query(
+    "udf_sql_scalar_function",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(
+         l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS charged
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag
+""",
+    tags=("udf", "sql-udf", "engine-surface"),
+)
+def udf_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (Spark 4 `CREATE TEMPORARY FUNCTION …
+    RETURNS … RETURN expr`) — the zero-overhead UDF tier: the body is
+    SQL, so Catalyst INLINES it into the caller's plan and the whole
+    expression stays inside WholeStageCodegen (no Python worker, no
+    serialization boundary — contrast udf_arrow_scalar, which
+    measures the Arrow-transport tier). The function computes TPC-H's
+    charged amount and the query proves inlining by aggregating
+    through it decimal-exactly; the oracle is the inlined expression,
+    which only matches if the UDF truly expanded in place.
+
+    Plan shape at 100 TB: identical to writing the expression by hand
+    — one map-side-combined grouped aggregate over a pushed-filter
+    scan. That IS the feature."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qev_charged("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN price * (1 - disc) * (1 + tax)"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("qev_li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(qev_charged(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(30,10))) AS DOUBLE) AS charged
+        FROM qev_li_sqludf
+        WHERE l_quantity < 25
+        GROUP BY l_returnflag
+        """
+    )
