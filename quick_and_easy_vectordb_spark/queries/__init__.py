@@ -88,6 +88,8 @@ _CHECK_PRIORITY = [
     "rel_ntile_deciles",
     "udf_sql_scalar_function",
     "ev_variant_shred",
+    "src_binaryfile_ingest",
+    "src_dynamic_partition_overwrite",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1418,3 +1418,125 @@ def udf_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "src_binaryfile_ingest",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 50
+""",
+    tags=("source", "binaryfile", "multimodal", "ingest"),
+)
+def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` SOURCE — the ingestion path every multimodal
+    corpus actually starts from: a directory of raw files (images,
+    audio, documents) read as (path, length, content BINARY) rows
+    with NO parsing, which is how 100 TB of JPEGs enters Spark before
+    any decode UDF runs. Fifty documents are staged as real .txt
+    files on disk, read back through the binaryFile format, keyed by
+    filename regexp, and fingerprinted (md5 + byte length) against
+    the parquet-direct oracle — proving the file boundary is
+    byte-transparent end to end.
+
+    Plan shape at 100 TB: one file = one row = one task unit;
+    `pathGlobFilter`/`recursiveFileLookup` prune at LISTING time
+    (before any read), and the scan parallelizes over the file
+    listing exactly like parquet does over row groups. The content
+    column streams straight into mapInPandas decoders
+    (operators/multimodal.py) without re-shuffling."""
+    import os
+
+    d, ready = _scratch_dir("binfiles", sf_dir)
+    files = os.path.join(d, "docs")
+    if not ready or not os.path.isdir(files):
+        os.makedirs(files, exist_ok=True)
+        # Fixture staging, not the operator: 50 rows materialize once
+        # per process to create the on-disk file corpus the binaryFile
+        # SOURCE (the thing under test) then reads distributed.
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(files, f"doc_{r.doc_id:05d}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(files)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
+    "src_dynamic_partition_overwrite",
+    oracle="""
+WITH staged AS (
+  SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+         CASE WHEN CAST(strftime(o_orderdate, '%Y') AS INTEGER) = 1997
+              THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM staged GROUP BY yr
+""",
+    tags=("sink", "source", "partition-overwrite", "lakehouse"),
+)
+def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the lakehouse UPSERT-by-partition
+    primitive (Hive's INSERT OVERWRITE ... PARTITION, Delta's
+    replaceWhere): orders land partitioned by year; a restatement job
+    then rewrites ONLY the 1997 partition (a 10% price adjustment)
+    by writing a 1997-only DataFrame in overwrite mode with
+    partitionOverwriteMode=dynamic — every other year's files are
+    untouched (STATIC mode would have deleted them; the oracle's
+    full-history totals prove they survived). This is how a 100 TB
+    fact table takes a one-partition correction without a 100 TB
+    rewrite.
+
+    Plan shape at 100 TB: the initial write shuffles once on the
+    partition column; the restatement reads/writes one partition
+    (partition pruning at the scan, dynamic commit protocol at the
+    sink); the verification aggregate prunes per-partition files in
+    parallel."""
+    import os
+
+    d, ready = _scratch_dir("dynpart", sf_dir)
+    path = os.path.join(d, "orders_by_year")
+    if not ready or not os.path.isdir(path):
+        o = load_table(spark, sf_dir, "orders").select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_totalprice").alias("price"),
+        )
+        o.write.mode("overwrite").partitionBy("yr").parquet(path)
+        # Restate ONLY 1997: dynamic mode replaces just the partitions
+        # present in this DataFrame.
+        restated = (
+            spark.read.parquet(path)
+            .filter(F.col("yr") == 1997)
+            .select((F.col("price") * 0.9).alias("price"), "yr")
+        )
+        restated.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("yr").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_price"),
+    ).select(F.col("yr").cast("long").alias("yr"), "n", "total_price")
