@@ -90,6 +90,8 @@ _CHECK_PRIORITY = [
     "ev_variant_shred",
     "src_binaryfile_ingest",
     "src_dynamic_partition_overwrite",
+    "text_bpe_train_rounds",
+    "text_positional_phrase_search",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1332,3 +1332,210 @@ def text_source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_distance"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: BPE tokenizer training + positional-index phrase search
+# --------------------------------------------------------------------------
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE training oracle: each round re-derives pair counts
+    from the previous round's symbol sequences, picks the best pair
+    (count DESC, pair ASC), and applies the TWO-PASS space-delimited
+    replace (both engines' replace() is non-overlapping left-to-right
+    and skips the occurrence that shares a boundary space with the
+    previous match — pass 2 catches exactly those; verified identical
+    in Spark and DuckDB)."""
+    sql = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(str_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+seq0 AS (
+  SELECT word, freq, array_to_string(str_split(word, ''), ' ') AS seq
+  FROM words
+)"""
+    for r in range(1, rounds + 1):
+        p, c, b, s = f"pairs{r}", f"seq{r - 1}", f"best{r}", f"seq{r}"
+        sql += f""",
+{p} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, len(str_split(seq, ' '))),
+             i -> str_split(seq, ' ')[i] || ' ' || str_split(seq, ' ')[i + 1]
+           )) AS pair,
+           freq
+    FROM {c}
+  ) GROUP BY pair
+),
+{b} AS (
+  SELECT pair, cnt, replace(pair, ' ', '') AS merged
+  FROM {p} ORDER BY cnt DESC, pair LIMIT 1
+),
+{s} AS (
+  SELECT w.word, w.freq,
+         trim(replace(
+           replace(' ' || w.seq || ' ', ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+           ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS seq
+  FROM {c} w CROSS JOIN {b} b
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round, b.pair AS merge_pair, b.cnt AS pair_freq,
+       (SELECT CAST(SUM(freq * len(str_split(seq, ' '))) AS BIGINT)
+        FROM seq{r}) AS corpus_tokens_after
+FROM best{r} b"""
+        for r in range(1, rounds + 1)
+    )
+    return sql + "\n" + rows
+
+
+@query(
+    "text_bpe_train_rounds",
+    oracle=_bpe_oracle(3),
+    tags=("text", "tokenizer", "bpe", "iterative", "llm-pipeline"),
+)
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING — three merge rounds of the actual
+    byte-pair-encoding algorithm every LLM vocabulary is built with:
+    count adjacent symbol-pair frequencies (weighted by word
+    frequency), merge the most frequent pair (ties → lexicographic),
+    repeat. Output = the learned merge table (round, pair, frequency)
+    plus the corpus token count after each merge — the compression
+    curve a tokenizer team actually reads.
+
+    The merge operates on the DISTINCT-word frequency table, not the
+    corpus — the standard trick that makes BPE scale: 100 TB of text
+    has a few hundred million distinct words, so each round is a
+    groupBy over pairs-of-symbols of THAT table. Merging uses a
+    two-pass space-delimited replace: both engines' replace() is
+    non-overlapping left-to-right, which skips an occurrence sharing
+    a boundary space with the previous match ('a n a n' → first pass
+    merges occurrences 1,3,5…, second pass the rest) — two passes
+    reproduce exact greedy BPE, pinned by the cross-engine hash.
+
+    Plan shape at 100 TB: per round, one map-side-combined pair count
+    + a 1-row broadcast (the argmax) joined back — the word table is
+    never shuffled; three rounds = three such passes declared lazily
+    in ONE DAG (Catalyst sees through the loop). The word-frequency
+    base is the only corpus-sized shuffle, paid once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        "word", "freq", F.concat_ws(" ", F.split("word", "")).alias("seq")
+    )
+    round_rows = []
+    for r in range(1, 4):
+        syms = F.split("seq", " ")
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        counts = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        wbest = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(
+                "pair",
+                "cnt",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("seq"),
+            "pair",
+            "cnt",
+        )
+        metrics = vocab.groupBy("pair", "cnt").agg(
+            F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+            .cast("long")
+            .alias("corpus_tokens_after")
+        )
+        round_rows.append(
+            metrics.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("pair").alias("merge_pair"),
+                F.col("cnt").alias("pair_freq"),
+                "corpus_tokens_after",
+            )
+        )
+        vocab = vocab.select("word", "freq", "seq")
+    out = round_rows[0]
+    for rr in round_rows[1:]:
+        out = out.unionAll(rr)
+    return out
+
+
+@query(
+    "text_positional_phrase_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(lower(text), ' ')) AS w,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+t1 AS (SELECT doc_id, pos FROM toks WHERE w = 'data'),
+t2 AS (SELECT doc_id, pos FROM toks WHERE w = 'column'),
+hits AS (
+  SELECT t1.doc_id, t1.pos
+  FROM t1 JOIN t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos
+FROM hits GROUP BY doc_id
+""",
+    tags=("text", "retrieval", "positional-index", "phrase-query"),
+)
+def text_positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH over a POSITIONAL inverted index — the search
+    feature BM25 bag-of-words scoring cannot express: find documents
+    where 'data' is IMMEDIATELY followed by 'column', via the
+    adjacency self-join on (doc, position+1) that positional postings
+    lists exist for (Lucene's PhraseQuery, re-expressed relationally).
+    Output per matching doc: occurrence count and first/last match
+    position (the snippet-highlighting inputs).
+
+    Plan shape at 100 TB: posexplode is scan-side (no shuffle); each
+    term's postings are filtered BEFORE the join, so the equi-join on
+    (doc_id, pos) shuffles only the two terms' postings — the classic
+    term-selectivity win; rare-term-first ordering comes free from
+    size-based join planning (AQE). A pre-materialized postings table
+    bucketed by term would make this shuffle-free; the adjacency
+    predicate rides the equi-join key, never a range condition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    t1 = toks.filter(F.col("w") == "data").select("doc_id", "pos")
+    t2 = toks.filter(F.col("w") == "column").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+    )
