@@ -89,6 +89,8 @@ def decode_image(payload: bytes):
         return _decode_png(b)
     if b[:2] == b"\xff\xd8":
         return _decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -112,6 +114,121 @@ def decode_image(payload: bytes):
         "the deterministic md5-based fake featureizer for such "
         "payloads"
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec appendix): variable code
+    width starting at min_code_size+1 growing to 12 bits, CLEAR code
+    2^mcs resets the dictionary, END code terminates, codes packed
+    LSB-first. Returns exactly ``n_pixels`` palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # LSB-first bit reader over the de-sub-blocked byte stream.
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset_table() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset_table()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != n_pixels:
+        raise ValueError(f"LZW decoded {len(out)} of {n_pixels} pixels")
+    return bytes(out)
+
+
+def _decode_gif(b: bytes):
+    """GIF87a/89a first frame via a pure-Python LZW decoder: logical
+    screen descriptor, global/local color table, extension-block
+    skipping, de-sub-blocking, LZW expand, palette mapping to an
+    (H, W, 3) RGB ndarray. Adam-style interlaced frames raise
+    NotImplementedError — extend here if a corpus needs them."""
+    import numpy as np
+
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    packed = b[10]
+    pos = 13
+    global_ct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label, then sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        ct = global_ct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = b[pos]
+        pos += 1
+        chunks = []
+        while b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), mcs, w * h), np.uint8
+        )
+        return ct[idx].reshape(h, w, 3)
+    raise ValueError("GIF contains no image descriptor")
 
 
 def _decode_png(b: bytes):

@@ -92,6 +92,7 @@ _CHECK_PRIORITY = [
     "src_dynamic_partition_overwrite",
     "text_bpe_train_rounds",
     "text_positional_phrase_search",
+    "mm_decode_gif_stats",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1320,3 +1320,180 @@ def mm_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("keep_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: GIF (LZW) decode under the oracle gate. The encoder lives
+# here, NOT in operators/: production only ever decodes (same split as
+# the JPEG/PNG synth paths above).
+# ---------------------------------------------------------------------------
+
+
+def gif_encode(indices, w: int, h: int, palette) -> bytes:
+    """Minimal GIF89a writer with a REAL greedy-LZW compressor:
+    variable code width (tracking the decoder's width schedule
+    exactly — the width grows when the DECODER's table, which lags
+    the encoder's by one entry, fills the current code space), CLEAR
+    at stream start and on 4096-entry overflow, LSB-first packing,
+    255-byte sub-blocks, plus a graphic-control extension block so
+    the decoder's extension-skipping path is exercised on every
+    image."""
+    n_colors = len(palette)
+    assert n_colors == 16
+    mcs = 4
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+    dec_size = end + 1
+    first = True
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def sim_regular() -> None:
+        # Mirror the decoder: no append on the first code after CLEAR,
+        # one append per later code, then the width check.
+        nonlocal dec_size, first, width
+        if first:
+            first = False
+        else:
+            dec_size += 1
+        if dec_size == (1 << width) and width < 12:
+            width += 1
+
+    def sim_clear() -> None:
+        nonlocal dec_size, first, width
+        dec_size = end + 1
+        first = True
+        width = mcs + 1
+
+    dic = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    put(clear)
+    sim_clear()
+    s = bytes(indices[:1])
+    for c in bytes(indices[1:]):
+        sc = s + bytes([c])
+        if sc in dic:
+            s = sc
+            continue
+        put(dic[s])
+        sim_regular()
+        dic[sc] = next_code
+        next_code += 1
+        s = bytes([c])
+        if next_code == 4096:
+            put(clear)
+            sim_clear()
+            dic = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = end + 1
+    put(dic[s])
+    sim_regular()
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    header = b"GIF89a"
+    lsd = (
+        w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | 0x03, 0, 0])  # global table, 2<<3 = 16 colors
+    )
+    gct = b"".join(bytes(c) for c in palette)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # skipped by the decoder
+    imgd = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    )
+    blocks = bytearray([mcs])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + lsd + gct + gce + imgd + bytes(blocks) + b"\x3b"
+
+
+@query(
+    "mm_decode_gif_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+),
+c AS (
+  SELECT doc_id, w, h, (doc_id * 37 + i * 17) % 16 AS idx FROM px
+),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((idx * 17) % 256 + (idx * 29) % 256 + (idx * 47) % 256)
+           AS pix_sum,
+         COUNT(*) AS n
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(pix_sum AS BIGINT) AS pix_sum,
+       CAST(pix_sum AS DOUBLE) / CAST(n * 3 AS DOUBLE) AS mean_val
+FROM s
+""",
+    tags=("multimodal", "decode", "gif", "lzw", "mapInPandas"),
+)
+def mm_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the oracle gate — the fourth compressed
+    codec (after PNG's zlib, JPEG's Huffman+DCT, WAV's PCM) and the
+    first DICTIONARY codec: per document a 16-color palette image
+    (w = 8 + id%8, h = 8 + id%5, index i = (id·37 + i·17) mod 16,
+    palette j → ((17j)%256, (29j)%256, (47j)%256)) is LZW-compressed
+    by gif_encode (real greedy LZW with variable code width — streams
+    here grow 5→6 bits mid-image, so the width schedule is exercised,
+    as is extension skipping via an embedded GCE block) and decoded
+    by operators/multimodal.py:_decode_gif via decode_image's
+    magic-number dispatch; pixel statistics then match the closed
+    form. Interlaced GIF raises by documented contract.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffle,
+    only doc_id read — identical to mm_decode_png_stats."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    palette = [((j * 17) % 256, (j * 29) % 256, (j * 47) % 256) for j in range(16)]
+    pal_arr = np.array(palette, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "pix_sum": [], "mean_val": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                idx = ((doc_id * 37 + np.arange(w * h) * 17) % 16).astype(np.uint8)
+                payload = gif_encode(idx.tobytes(), w, h, palette)
+                img = decode_image(payload)  # the real LZW parser
+                assert img.shape == (h, w, 3)
+                assert np.array_equal(
+                    img.astype(np.int64), pal_arr[idx].reshape(h, w, 3)
+                )
+                pix_sum = int(img.astype(np.int64).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pix_sum"].append(pix_sum)
+                out["mean_val"].append(pix_sum / float(img.size))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width long, height long, pix_sum long, mean_val double",
+    )
