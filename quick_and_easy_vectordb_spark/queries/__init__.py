@@ -93,6 +93,8 @@ _CHECK_PRIORITY = [
     "text_bpe_train_rounds",
     "text_positional_phrase_search",
     "mm_decode_gif_stats",
+    "mm_image_tiles",
+    "mm_audio_downsample",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1497,3 +1497,175 @@ def mm_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
     )
+
+
+@query(
+    "mm_image_tiles",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
+),
+geo AS (
+  SELECT doc_id, w, h,
+         (i // (w * 3)) AS y,
+         ((i % (w * 3)) // 3) AS x,
+         (doc_id * 37 + i * 17) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST(y // 4 AS BIGINT) AS tile_row,
+       CAST(x // 4 AS BIGINT) AS tile_col,
+       CAST(SUM(v) AS BIGINT) AS tile_sum,
+       CAST(SUM(v) AS DOUBLE) / 48 AS tile_mean
+FROM geo
+WHERE y < 4 * (h // 4) AND x < 4 * (w // 4)
+GROUP BY doc_id, y // 4, x // 4
+""",
+    tags=("multimodal", "tiles", "patch", "vit", "mapInPandas"),
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT PATCH EXTRACTION — the preprocessing every vision
+    transformer pipeline runs at corpus scale: each image is cut
+    into non-overlapping 4×4 patches (remainder rows/cols cropped,
+    the standard behavior before a resize), and each patch reduces
+    to its RGB sum/mean — the stand-in for the flatten+project step
+    whose output feeds the patch-embedding matmul. One image row
+    fans out to (⌊h/4⌋·⌊w/4⌋) patch rows INSIDE the Arrow batch, so
+    the fan-out costs no shuffle and no JVM row materialization;
+    the numpy reshape (h//4, 4, w//4, 4, 3) → transpose → sum does
+    per-image tiling at memcpy speed.
+
+    Plan shape at 100 TB: embarrassingly parallel mapInPandas over
+    the image partition layout; downstream per-patch consumers read
+    an already-patch-keyed table. Only doc_id is scanned here (the
+    raster is synthesized from the PNG-query formula; with real
+    payloads the binary column rides the same batch)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "tile_row": [], "tile_col": [],
+                "tile_sum": [], "tile_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = (
+                    (doc_id * 37 + np.arange(w * h * 3) * 17) % 256
+                ).astype(np.int64).reshape(h, w, 3)
+                th, tw = h // 4, w // 4
+                crop = raster[: th * 4, : tw * 4, :]
+                tiles = (
+                    crop.reshape(th, 4, tw, 4, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(th, tw, 48)
+                )
+                sums = tiles.sum(axis=2)
+                for r in range(th):
+                    for c in range(tw):
+                        out["doc_id"].append(doc_id)
+                        out["tile_row"].append(r)
+                        out["tile_col"].append(c)
+                        out["tile_sum"].append(int(sums[r, c]))
+                        out["tile_mean"].append(sums[r, c] / 48.0)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, tile_row long, tile_col long, tile_sum long, "
+        "tile_mean double",
+    )
+
+
+@query(
+    "mm_audio_downsample",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n // 2 AS n_out, unnest(range(n // 2)) AS j FROM dims
+),
+pair AS (
+  SELECT doc_id, n_out, j,
+         ((doc_id * 7 + (2 * j) * 13) % 4096) - 2048 AS a,
+         ((doc_id * 7 + (2 * j + 1) * 13) % 4096) - 2048 AS b
+  FROM smp
+),
+d AS (
+  SELECT doc_id, n_out,
+         (a + b) // 2 - CASE WHEN (a + b) < 0 AND (a + b) % 2 <> 0
+                             THEN 1 ELSE 0 END AS s
+  FROM pair
+)
+SELECT doc_id,
+       CAST(MAX(n_out) AS BIGINT) AS n_samples_out,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM d GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "resample", "mapInPandas"),
+)
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO DOWNSAMPLE 2× — the sample-rate normalization every
+    speech corpus pass runs before feature extraction (16 kHz →
+    8 kHz): decode the PCM payload with the real RIFF parser, then
+    decimate with a 2-tap mean filter (the box anti-alias kernel;
+    a windowed-sinc drops in at the same spot). Integer FLOOR
+    division (numpy semantics) keeps the output int16-exact; DuckDB's
+    integer `//` TRUNCATES toward zero, so the oracle adds the
+    negative-odd correction term — a fourth cross-engine exactness
+    class (after the three decimal ones), pinned by this hash.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffle;
+    output rows carry (new sample count, sum, energy) per clip so
+    the comparison stays O(clips) while the decimation itself
+    touched every sample."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples_out": [], "sample_sum": [], "energy": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)
+                assert rate == 16000
+                a = audio[: (n // 2) * 2, 0].astype(np.int64)
+                # floor-divide mean of adjacent pairs (box kernel)
+                ds = (a[0::2] + a[1::2]) // 2
+                out["doc_id"].append(doc_id)
+                out["n_samples_out"].append(len(ds))
+                out["sample_sum"].append(int(ds.sum()))
+                out["energy"].append(int((ds * ds).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples_out long, sample_sum long, energy long",
+    )
