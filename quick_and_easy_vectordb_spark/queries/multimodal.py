@@ -1669,3 +1669,101 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_samples_out long, sample_sum long, energy long",
     )
+
+
+def _hist_bins_sql() -> str:
+    return ",\n         ".join(
+        f"CAST(SUM(CASE WHEN v // 32 = {k} THEN 1 ELSE 0 END) AS BIGINT) AS h{k}"
+        for k in range(8)
+    )
+
+
+def _hist_l1_sql(a: str, b: str) -> str:
+    return " + ".join(f"ABS({a}.h{k} - {b}.h{k})" for k in range(8))
+
+
+@query(
+    "mm_color_hist_neardup",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, (doc_id * 37 + unnest(range(w * h * 3)) * 17) % 256 AS v
+  FROM dims
+),
+hist AS (
+  SELECT doc_id, w, h,
+         {_hist_bins_sql()}
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_hist_l1_sql('a', 'b')} AS BIGINT) AS l1
+FROM hist a JOIN hist b
+  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+WHERE {_hist_l1_sql('a', 'b')} <= 2
+""",
+    tags=("multimodal", "near-dup", "histogram", "blocking"),
+)
+def mm_color_hist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR-HISTOGRAM near-duplicate pairs — the cheap global-feature
+    dedup every image corpus runs before (or instead of) perceptual
+    hashing: an 8-bin intensity histogram per image (computed in the
+    same Arrow pass that decoded it), then a candidate join BLOCKED
+    on image dimensions and filtered to L1 distance ≤ 2. Complements
+    mm_phash_hamming_pairs: pHash catches structural near-dups,
+    histograms catch palette/recompression variants pHash can miss.
+
+    Plan shape at 100 TB: the histogram is a fixed 8-long vector per
+    image (map-side, zero shuffle); the pairing is a BLOCKED
+    self-equi-join — never all-pairs — with the same hot-block story
+    as every LSH family here (a dimension bucket that large is a
+    thumbnail farm; cap and divert, operators/dedup.py pattern). The
+    L1 filter is 8 integer subtractions inside codegen, evaluated
+    on the join output stream."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": []}
+            out.update({f"h{k}": [] for k in range(8)})
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = (doc_id * 37 + np.arange(w * h * 3) * 17) % 256
+                hist = np.bincount(raster // 32, minlength=8)
+                out["doc_id"].append(doc_id)
+                out["w"].append(w)
+                out["h"].append(h)
+                for k in range(8):
+                    out[f"h{k}"].append(int(hist[k]))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hist = docs.mapInPandas(
+        run,
+        "doc_id long, w long, h long, "
+        + ", ".join(f"h{k} long" for k in range(8)),
+    )
+    a = hist.alias("a")
+    b = hist.alias("b")
+    l1 = sum(
+        F.abs(F.col(f"a.h{k}") - F.col(f"b.h{k}")) for k in range(8)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            l1.cast("long").alias("l1"),
+        )
+        .filter(F.col("l1") <= 2)
+    )
