@@ -96,6 +96,7 @@ _CHECK_PRIORITY = [
     "mm_image_tiles",
     "mm_audio_downsample",
     "mm_color_hist_neardup",
+    "ev_stream_checkpoint_recovery",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

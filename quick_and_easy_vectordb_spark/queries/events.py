@@ -28,6 +28,11 @@ _DSUM_VAL = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
 # instead of leaking a fresh mkdtemp each call (round-2 ADVICE).
 _STREAM_SRC_DIRS: dict[tuple[str, str], str] = {}
 
+# Checkpoint-recovery staging (ev_stream_checkpoint_recovery): the two
+# half-feed parquet dirs, cached per process; checkpoint + live dirs are
+# fresh per invocation so the restart sequence replays deterministically.
+_CKPT_SCRATCH: dict[str, str] = {}
+
 
 def _stage_stream_dir(sf_dir: str, layout: tuple[str, ...], prefix: str) -> str:
     """Return a directory containing ``events.parquet`` symlinked once
@@ -4034,4 +4039,101 @@ def ev_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum("k").cast("long").alias("sum_k"),
         F.countDistinct("k").cast("long").alias("n_distinct_k"),
+    )
+
+
+@query(
+    "ev_stream_checkpoint_recovery",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {_DSUM_VAL} AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("events", "streaming", "checkpoint", "fault-tolerance"),
+)
+def ev_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RESTART — the fault-tolerance contract Structured
+    Streaming actually sells: a stateful aggregation runs over the
+    first half of the feed, the query STOPS (simulating a crash or
+    deploy), the second half arrives, and a NEW query object restarts
+    from the same checkpoint. The restarted run reads ONLY the unseen
+    file (the checkpoint's file-source log proves offset recovery),
+    yet its complete-mode output carries the FULL totals — which is
+    only possible if the aggregation STATE was recovered from the
+    state store, not rebuilt from the sink. The batch oracle over the
+    whole table is therefore a proof of end-to-end exactly-once
+    across a restart; a failed recovery would emit second-half-only
+    totals and hash-mismatch.
+
+    Plan shape at 100 TB: per micro-batch one shuffle into the state
+    store keyed by event_type (the distinct-user set state is bounded
+    by |users per type|; at 100 TB swap it for the two-stage streamed
+    bitmap of ev_stream_bitmap_actives — same restart contract);
+    restart cost is state-store reload (O(state), not O(history)) +
+    the file-source log replay (O(files seen), kept bounded by
+    compaction) — the knobs a production deploy actually cares
+    about."""
+    import os
+    import tempfile
+
+    halves_dir, ready = _CKPT_SCRATCH.get(os.path.abspath(sf_dir)), True
+    if halves_dir is None or not os.path.isdir(halves_dir):
+        ready = False
+        halves_dir = tempfile.mkdtemp(prefix="ev_ckpt_halves_")
+        _CKPT_SCRATCH[os.path.abspath(sf_dir)] = halves_dir
+    if not ready:
+        ev = load_table(spark, sf_dir, "events")
+        for name, keep in (("h0", 0), ("h1", 1)):
+            (
+                ev.filter(F.col("event_id") % 2 == keep)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(halves_dir, name))
+            )
+
+    def _links(src_sub: str, live: str) -> None:
+        sub = os.path.join(halves_dir, src_sub)
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.symlink(
+                    os.path.join(sub, f), os.path.join(live, f"{src_sub}_{f}")
+                )
+
+    live = tempfile.mkdtemp(prefix="ev_ckpt_live_")
+    ckpt = tempfile.mkdtemp(prefix="ev_ckpt_state_")
+    _links("h0", live)
+
+    def _run(sink: str) -> None:
+        spark.catalog.dropTempView(sink)
+        agg = (
+            _stream_events_source(spark, live)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.collect_set("user_id").alias("_users"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("_tv"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run("ev_ckpt_run1")  # first half only; then the "crash"
+    _links("h1", live)
+    _run("ev_ckpt_run2")  # restart: reads ONLY h1, state carries h0
+
+    final = spark.table("ev_ckpt_run2")
+    return final.select(
+        "event_type",
+        "n_events",
+        F.size("_users").cast("long").alias("n_users"),
+        F.col("_tv").cast("double").alias("total_value"),
     )
