@@ -97,6 +97,10 @@ _CHECK_PRIORITY = [
     "mm_audio_downsample",
     "mm_color_hist_neardup",
     "ev_stream_checkpoint_recovery",
+    "dedup_incremental_minhash",
+    "dedup_label_propagation",
+    "vdb_hybrid_score_blend",
+    "text_stopword_profile",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

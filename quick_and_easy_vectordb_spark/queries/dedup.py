@@ -1237,3 +1237,192 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: incremental (new-batch-vs-index) dedup
+# --------------------------------------------------------------------------
+
+_INCR_NEW_START = 400
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+newdocs AS (
+  SELECT doc_id FROM documents WHERE doc_id >= {_INCR_NEW_START}
+),
+hits AS (
+  SELECT p.id_b AS doc_id, p.id_a AS partner, p.jaccard
+  FROM pairs p WHERE p.id_b >= {_INCR_NEW_START}
+),
+best AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_partners,
+         MAX(jaccard) AS best_jaccard,
+         MIN(partner) FILTER (
+           WHERE jaccard = (SELECT MAX(h2.jaccard) FROM hits h2
+                            WHERE h2.doc_id = hits.doc_id)
+         ) AS best_partner
+  FROM hits GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       COALESCE(b.n_partners, 0) AS n_partners,
+       b.best_partner,
+       b.best_jaccard
+FROM newdocs n LEFT JOIN best b ON b.doc_id = n.doc_id
+""",
+    tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a production ingest actually
+    runs DAILY: an arriving batch (doc_id ≥ 400, standing in for
+    today's crawl) is checked against the existing INDEX (everything
+    earlier) plus itself, and each new document gets an admission
+    verdict: keep, or duplicate-of (best-matching earlier doc by
+    exact Jaccard, ties → smallest id). First-seen-wins falls out of
+    the id order: a pair's later member is always the candidate
+    duplicate.
+
+    The key scale property: candidate generation needs only NEW
+    bands probed against ALL bands. The pipeline declares the
+    SYMMETRIC capped candidate join (reusing
+    operators/dedup.py:lsh_candidate_pairs, hot-bucket cap and all)
+    and then filters id_b to the new batch — Catalyst pushes that
+    predicate through the verify join onto the pair stream, so the
+    expensive Jaccard verification runs only for new-doc pairs. In a
+    day-over-day deployment the index's shingles/signatures/bands are
+    precomputed tables (they are pure functions of immutable docs);
+    today's job shingles only the increment.
+
+    Plan shape at 100 TB: O(new·bands) probe rows into the band
+    shuffle; verification is the standard semi-filtered shingle join
+    over surviving candidates; the verdict is one groupBy over
+    verified pairs + a broadcast-sized left join back to the batch
+    roster."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs).persist()
+    sig = minhash_signatures(sh, NUM_HASHES)
+    cand = lsh_candidate_pairs(sig, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(sh, cand, JACCARD_T, prefilter=False)
+    hits = pairs.filter(F.col("id_b") >= _INCR_NEW_START).select(
+        F.col("id_b").alias("doc_id"),
+        F.col("id_a").alias("partner"),
+        "jaccard",
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("partner")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(wbest))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partners"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.min(F.when(F.col("rn") == 1, F.col("partner"))).alias(
+                "best_partner"
+            ),
+        )
+    )
+    newdocs = docs.filter(F.col("doc_id") >= _INCR_NEW_START).select("doc_id")
+    j = newdocs.join(best, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        F.when(F.col("n_partners").isNull(), 0).otherwise(1).alias("is_dup"),
+        F.coalesce(F.col("n_partners"), F.lit(0)).cast("long").alias(
+            "n_partners"
+        ),
+        "best_partner",
+        "best_jaccard",
+    )
+
+
+def _lpa_round_sql(prev: str, n: int) -> str:
+    return f"""
+v{n} AS (
+  SELECT e.dst AS node, l.lbl AS nlbl, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.lbl
+),
+l{n} AS (
+  SELECT node, nlbl AS lbl FROM (
+    SELECT node, nlbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nlbl) AS rn
+    FROM v{n}
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "dedup_label_propagation",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT dst AS node, dst AS lbl FROM edges),
+{_lpa_round_sql('l0', 1)},
+{_lpa_round_sql('l1', 2)}
+SELECT l2.node, CAST(l2.lbl AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l2.lbl) AS BIGINT) AS community_size
+FROM l2
+""",
+    tags=("dedup", "graph", "label-propagation", "community"),
+)
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection over the verified
+    near-dup graph — two synchronous rounds of "adopt your
+    neighborhood's majority label" (ties → smallest label), the
+    scalable community algorithm (Raghavan et al. 2007) that
+    complements connected components: CC merges anything touching,
+    LPA keeps weakly-bridged boilerplate families apart, which is
+    what you want before choosing one canonical doc per community.
+    Every step is deterministic (count DESC, label ASC argmax), so
+    two unrolled rounds hash-match the oracle exactly.
+
+    Plan shape at 100 TB: per round one groupBy (node, neighbor
+    label) on the edge list + a per-node WindowGroupLimit argmax —
+    both partition by node, so AQE coalesces them onto one exchange;
+    rounds are a lazily-composed DAG like ann_kmeans_iterated (at
+    real scale: localCheckpoint per round to cut lineage). Edge
+    lists come from the capped LSH pipeline, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs).persist()
+    sig = minhash_signatures(sh, NUM_HASHES)
+    cand = lsh_candidate_pairs(sig, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(sh, cand, JACCARD_T, prefilter=False)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("lbl").alias("nlbl")
+                ),
+                "src",
+            )
+            .groupBy("dst", "nlbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        warg = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("nlbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(warg))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("nlbl").alias("lbl"))
+        )
+    wsz = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").cast("long").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("long").alias("community_size"),
+    )

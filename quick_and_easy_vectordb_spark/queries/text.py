@@ -1539,3 +1539,54 @@ def text_positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("pos").cast("long").alias("first_pos"),
         F.max("pos").cast("long").alias("last_pos"),
     )
+
+
+_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is")
+
+
+@query(
+    "text_stopword_profile",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         unnest(str_split(lower(text), ' ')) AS w
+  FROM documents
+),
+f AS (
+  SELECT source, w <> '' AS real_tok,
+         w IN ({", ".join(f"'{t}'" for t in _STOPWORDS)}) AS is_stop
+  FROM toks
+)
+SELECT source,
+       CAST(SUM(CASE WHEN real_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN real_tok THEN 1 ELSE 0 END) AS stop_ratio
+FROM f GROUP BY source
+""",
+    tags=("text", "curation", "stopwords", "quality"),
+)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE stopword-ratio profile — the corpus-level curation
+    dial that text_quality_filter's per-document score rolls up to:
+    sources whose stopword ratio collapses toward 0 are usually
+    navigation boilerplate / keyword stuffing, ratios near the
+    natural-language band are prose. The stopword list is a broadcast
+    literal (an IN over 7 strings compiles to a codegen'd lookup
+    switch, no join); counts are integers and the ratio one exact
+    division, so the profile is bit-stable.
+
+    Plan shape at 100 TB: tokenize + classify scan-side, one
+    map-side-combined (source) rollup — 20 output rows from any
+    corpus size, no shuffle beyond the 20-group exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    is_real = (F.col("w") != "").cast("int")
+    is_stop = F.col("w").isin(*_STOPWORDS).cast("int")
+    return toks.groupBy("source").agg(
+        F.sum(is_real).cast("long").alias("n_tokens"),
+        F.sum(is_stop).cast("long").alias("n_stop"),
+        (F.sum(is_stop).cast("double") / F.sum(is_real)).alias("stop_ratio"),
+    )

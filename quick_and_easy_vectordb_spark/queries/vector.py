@@ -2057,3 +2057,96 @@ def vdb_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_at_10"),
     )
+
+
+_ALPHA = 0.7
+_BETA = 1 - _ALPHA  # computed ONCE in python; 1-0.7 differs by 1 ulp
+# from the decimal literal 0.3, so both engines get the same rendered
+# double (exponent form parses as DOUBLE in DuckDB, not DECIMAL)
+
+
+@query(
+    "vdb_hybrid_score_blend",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+lex AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"len(list_filter(w, x -> x = '{t}'))" for t in _HYBRID_TERMS)}
+              AS BIGINT) AS lex_score
+  FROM toks
+),
+vec AS (
+  SELECT vec_id AS doc_id, {sql_cosine(_EMB, _Q)} AS cos FROM embeddings
+),
+joined AS (
+  SELECT l.doc_id, CAST(l.lex_score AS DOUBLE) AS lex, v.cos
+  FROM lex l JOIN vec v ON v.doc_id = l.doc_id
+),
+ext AS (
+  SELECT MIN(lex) AS lo_l, MAX(lex) AS hi_l,
+         MIN(cos) AS lo_c, MAX(cos) AS hi_c
+  FROM joined
+),
+blended AS (
+  SELECT j.doc_id,
+         {_ALPHA:.17e} * ((j.cos - e.lo_c) / (e.hi_c - e.lo_c))
+           + {_BETA:.17e} * ((j.lex - e.lo_l) / (e.hi_l - e.lo_l))
+           AS blended
+  FROM joined j CROSS JOIN ext e
+)
+SELECT doc_id, blended FROM blended ORDER BY blended DESC, doc_id LIMIT 10
+""",
+    tags=("vector", "hybrid", "score-blend", "topk"),
+)
+def vdb_hybrid_score_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH via α-weighted score blending — the OTHER
+    standard fusion (vdb_hybrid_rrf is rank-based): each leg's score
+    is min-max normalized to [0,1] over the candidate set and
+    combined as α·vec + (1−α)·lex with α = 0.7 — the tunable
+    lexical/semantic dial every hybrid vector store exposes.
+    Normalization bounds are a 1-row global aggregate broadcast back
+    (the same two-pass shape as ev_winsorize_trimmed_stats); all
+    arithmetic is a fixed double expression tree, so the hash pins it
+    bit-exactly.
+
+    Plan shape at 100 TB: both legs are scan-side scores (no
+    shuffle), the bounds are one map-side-combined 1-row aggregate,
+    and the final top-10 is TakeOrderedAndProject. At serving time
+    the bounds come from the index's stored statistics and the
+    second pass disappears."""
+    from quick_and_easy_vectordb_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    lex_score = None
+    for t in _HYBRID_TERMS:
+        term = F.size(F.filter(w, lambda x: x == F.lit(t)))  # noqa: B023
+        lex_score = term if lex_score is None else lex_score + term
+    lex = docs.select("doc_id", lex_score.cast("double").alias("lex"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    vec = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity(F.col("embedding"), q).alias("cos"),
+    )
+    joined = lex.join(vec, "doc_id")
+    ext = joined.agg(
+        F.min("lex").alias("lo_l"),
+        F.max("lex").alias("hi_l"),
+        F.min("cos").alias("lo_c"),
+        F.max("cos").alias("hi_c"),
+    )
+    blended = joined.crossJoin(F.broadcast(ext)).select(
+        "doc_id",
+        (
+            F.lit(_ALPHA)
+            * ((F.col("cos") - F.col("lo_c")) / (F.col("hi_c") - F.col("lo_c")))
+            + F.lit(_BETA)
+            * ((F.col("lex") - F.col("lo_l")) / (F.col("hi_l") - F.col("lo_l")))
+        ).alias("blended"),
+    )
+    return blended.orderBy(F.desc("blended"), F.asc("doc_id")).limit(10)
