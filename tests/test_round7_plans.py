@@ -1,0 +1,93 @@
+"""Plan-shape regression tests for the round-7 operators: each pins
+the scale-critical property its docstring promises (per-shard heap +
+merge for scatter-gather top-k, bucket-partitioned windows instead of
+single-partition sorts for distributed NTILE/KS, broadcast-only
+cascades for GDPR erasure, equi-join-only candidate generation for
+the phrase index and incremental dedup, TakeOrdered for the hybrid
+blend, one user-window pass for the lag-feature matrix)."""
+
+from __future__ import annotations
+
+import re
+
+from quick_and_easy_vectordb_spark.plans.inspect import (
+    formatted_plan,
+    is_top_k,
+    shuffle_count,
+)
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+
+def test_shard_topk_merge_uses_per_shard_heaps(spark, sf_dir):
+    """Scatter-gather: a WindowGroupLimit (bounded heap) must run
+    BEFORE the shard exchange, and the gather is TakeOrdered — the
+    corpus never fully sorts."""
+    df = QUERIES["vdb_shard_topk_merge"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert is_top_k(df)
+
+
+def test_ntile_window_is_bucket_partitioned(spark, sf_dir):
+    """Distributed NTILE: the fact-table window partitions by the
+    range bucket (parallel), and no built-in ntile() — which would
+    force a single-partition sort — appears anywhere."""
+    df = QUERIES["rel_ntile_deciles"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(bkt" in plan
+    assert "ntile(" not in plan
+
+
+def test_ks_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    """The ECDF cumsum must ride the per-bucket window; only the
+    ~62-row bucket-offset table may see a single-partition window."""
+    df = QUERIES["ev_ks_two_sample"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_gdpr_cascade_is_broadcast_only(spark, sf_dir):
+    """Both cascade hops and the survivor anti-join must broadcast the
+    keyset — a sort-merge join here would shuffle the fact tables."""
+    df = QUERIES["rel_gdpr_cascade_erasure"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_search_equi_join_only(spark, sf_dir):
+    """The positional adjacency must be an equi-join on
+    (doc_id, pos+1), never a nested loop over postings."""
+    df = QUERIES["text_positional_phrase_search"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """Candidate generation stays banded (equi-join) even with the
+    new-batch filter applied downstream."""
+    spark.catalog.clearCache()
+    df = QUERIES["dedup_incremental_minhash"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_blend_is_top_k(spark, sf_dir):
+    df = QUERIES["vdb_hybrid_score_blend"].fn(spark, sf_dir)
+    assert is_top_k(df)
+
+
+def test_lag_features_single_user_shuffle(spark, sf_dir):
+    """All four features must come from ONE user_id-clustered
+    exchange: lag1/lag2/rolling/gap share the window's sort."""
+    df = QUERIES["ev_lag_feature_matrix"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_bpe_rounds_no_cartesian_blowup(spark, sf_dir):
+    """Each round's best-pair attach is a 1-row broadcast; the word
+    table must never expand through a CartesianProduct."""
+    df = QUERIES["text_bpe_train_rounds"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
