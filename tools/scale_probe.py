@@ -500,6 +500,178 @@ def main() -> None:
 
     probes["stream_stream_interval_join (2-side state)"] = stream_stream_probe
 
+    # ---- round-7 shapes -------------------------------------------------
+    from pyspark.sql import Window as _W
+
+    def bpe_round_probe(n: int) -> None:
+        """One BPE merge round (text_bpe_train_rounds shape): the
+        corpus-scan word count is the data-dependent cost; the pair
+        count + 1-row argmax + broadcast merge run over the distinct
+        vocab (bounded at 5000 synth words — exactly the at-scale
+        property the query's docstring claims)."""
+        docs = synth_docs(spark, n // 100)
+        words = (
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        vocab = words.select(
+            "word", "freq", F.concat_ws(" ", F.split("word", "")).alias("seq")
+        )
+        syms = F.split("seq", " ")
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        counts = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .withColumn(
+                "merged", F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        merged = vocab.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("seq"),
+        )
+        noop(
+            merged.agg(
+                F.sum(F.col("freq") * F.size(F.split("seq", " "))).alias("toks")
+            )
+        )
+
+    probes["bpe_merge_round (vocab-bounded)"] = bpe_round_probe
+
+    def ntile_prefix_sum_probe(n: int) -> None:
+        """Distributed NTILE (rel_ntile_deciles shape): bucket window
+        + broadcast offset table instead of a single-partition sort."""
+        b = synth_fact(spark, n).select(
+            "id", "price", F.floor(F.col("price") / 5).alias("bkt")
+        )
+        wloc = _W.partitionBy("bkt").orderBy("price", "id")
+        woff = _W.orderBy("bkt").rowsBetween(_W.unboundedPreceding, -1)
+        wall = _W.orderBy("bkt").rowsBetween(
+            _W.unboundedPreceding, _W.unboundedFollowing
+        )
+        offsets = (
+            b.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "bkt",
+                F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+                F.sum("cnt").over(wall).alias("n_total"),
+            )
+        )
+        ranked = b.join(F.broadcast(offsets), "bkt").select(
+            "price",
+            (F.col("off") + F.row_number().over(wloc)).alias("r"),
+            "n_total",
+        )
+        dec = ((F.col("r") - 1) * 10 / F.col("n_total")).cast("long")
+        noop(
+            ranked.select(dec.alias("d"), "price")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("price").alias("hi"))
+        )
+
+    probes["distributed_ntile (bucket prefix-sum)"] = ntile_prefix_sum_probe
+
+    def label_prop_round_probe(n: int) -> None:
+        """One synchronous LPA vote round (dedup_label_propagation
+        shape) over a hash-derived edge list: groupBy (node, label) +
+        per-node argmax window, both node-partitioned."""
+        k = max(n // 10, 1000)
+        edges = spark.range(n).select(
+            F.pmod(F.hash("id"), F.lit(k)).alias("src"),
+            F.pmod(F.hash("id", F.lit(7)), F.lit(k)).alias("dst"),
+        )
+        labels = edges.select(F.col("dst").alias("src"), F.col("dst").alias("lbl")).distinct()
+        votes = (
+            edges.join(labels, "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        warg = _W.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
+        noop(
+            votes.withColumn("rn", F.row_number().over(warg))
+            .filter(F.col("rn") == 1)
+            .groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+
+    probes["label_propagation_round"] = label_prop_round_probe
+
+    def incremental_band_probe(n: int) -> None:
+        """Incremental dedup candidate generation
+        (dedup_incremental_minhash shape): full band table, capped
+        pair expansion, new-batch filter pushed onto the pair
+        stream."""
+        from quick_and_easy_vectordb_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        d = n // 100
+        sig = minhash_signatures(
+            shingle_table(synth_docs(spark, d), "text", "doc_id"), 12
+        )
+        cand = lsh_candidate_pairs(sig, 12, 4, 64)
+        noop(
+            cand.filter(F.col("id_b") >= int(d * 0.8))
+            .groupBy("id_b")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+
+    probes["incremental_band_probe (new-vs-index)"] = incremental_band_probe
+
+    def lzw_decode_probe(n: int) -> None:
+        """GIF LZW decode (mm_decode_gif_stats shape): pure-Python
+        dictionary codec inside Arrow batches — embarrassingly
+        parallel, the probe pins that no hidden shuffle or driver
+        funnel creeps in as image count grows."""
+        import numpy as _np
+        import pandas as _pd
+
+        from quick_and_easy_vectordb_spark.operators.multimodal import (
+            decode_image,
+        )
+        from quick_and_easy_vectordb_spark.queries.multimodal import gif_encode
+
+        palette = [
+            ((j * 17) % 256, (j * 29) % 256, (j * 47) % 256) for j in range(16)
+        ]
+
+        def run(batches):
+            for pdf in batches:
+                sums = []
+                ids = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    w = h = 32
+                    idx = ((i * 37 + _np.arange(w * h) * 17) % 16).astype(
+                        _np.uint8
+                    )
+                    img = decode_image(gif_encode(idx.tobytes(), w, h, palette))
+                    ids.append(i)
+                    sums.append(int(img.sum()))
+                yield _pd.DataFrame({"id": ids, "s": sums})
+
+        noop(
+            spark.range(n // 2000)
+            .mapInPandas(run, "id long, s long")
+            .agg(F.sum("s").alias("total"))
+        )
+
+    probes["gif_lzw_decode (arrow batches)"] = lzw_decode_probe
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
