@@ -1275,6 +1275,7 @@ SELECT n.doc_id,
 FROM newdocs n LEFT JOIN best b ON b.doc_id = n.doc_id
 """,
     tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+    bench=True,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup — the shape a production ingest actually

@@ -1395,6 +1395,7 @@ FROM best{r} b"""
     "text_bpe_train_rounds",
     oracle=_bpe_oracle(3),
     tags=("text", "tokenizer", "bpe", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZER TRAINING — three merge rounds of the actual
