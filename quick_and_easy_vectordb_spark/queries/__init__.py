@@ -32,6 +32,7 @@ from quick_and_easy_vectordb_spark.queries import events  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import ann  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import multimodal  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
+from quick_and_easy_vectordb_spark.queries import lakehouse  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's per-round oracle gate checks a PREFIX of
@@ -101,6 +102,9 @@ _CHECK_PRIORITY = [
     "dedup_label_propagation",
     "vdb_hybrid_score_blend",
     "text_stopword_profile",
+    "src_webdataset_tar_roundtrip",
+    "src_snapshot_time_travel",
+    "vdb_ivf_index_persist",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

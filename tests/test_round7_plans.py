@@ -91,3 +91,25 @@ def test_bpe_rounds_no_cartesian_blowup(spark, sf_dir):
     df = QUERIES["text_bpe_train_rounds"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_webdataset_roundtrip_single_shuffle(spark, sf_dir):
+    """Tar-shard write+parse must be ONE exchange (the shard groupBy
+    the writer needs by definition): sample assembly on the read side
+    rides the format's contiguity contract, never a shuffle."""
+    df = QUERIES["src_webdataset_tar_roundtrip"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # distributed shard writer
+    assert "MapInPandas" in plan  # distributed shard parser
+
+
+def test_ivf_index_persist_partition_prunes_cell_scan(spark, sf_dir):
+    """The persisted-index search must touch only the probed cell:
+    the label-partitioned assignment scan carries a dynamic partition
+    pruning filter fed by the centroid-scoring subquery, and the
+    final top-k is a bounded heap, not a full sort."""
+    df = QUERIES["vdb_ivf_index_persist"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan
+    assert is_top_k(df)
