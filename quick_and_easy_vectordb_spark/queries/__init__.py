@@ -105,6 +105,10 @@ _CHECK_PRIORITY = [
     "src_webdataset_tar_roundtrip",
     "src_snapshot_time_travel",
     "vdb_ivf_index_persist",
+    "rel_zorder_clustering",
+    "src_json_corrupt_records",
+    "vdb_stream_append_search",
+    "rel_column_profile",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

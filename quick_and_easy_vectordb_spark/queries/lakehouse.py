@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.vector import (
+    dot_product,
     l2_distance,
     vector_literal,
 )
@@ -30,6 +31,7 @@ from quick_and_easy_vectordb_spark.operators.ann import centroids_by_key
 from quick_and_easy_vectordb_spark.queries.common import (
     DIM,
     QUERY_VEC,
+    sql_dot,
     sql_l2,
     sql_vec,
 )
@@ -373,4 +375,369 @@ def vdb_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l2_dist", "vec_id")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # x, y in [0, 1024)
+
+
+def _sql_morton(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "rel_zorder_clustering",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(o_orderkey % 1024 AS BIGINT) AS x,
+         CAST(CAST(floor(o_totalprice) AS BIGINT) % 1024 AS BIGINT) AS y
+  FROM orders
+),
+keyed AS (
+  SELECT x, y,
+         ({_sql_morton('x', 'y')}) >> 14 AS bz,
+         x >> 4 AS bl
+  FROM pts
+),
+z AS (
+  SELECT bz AS bucket, MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+  FROM keyed GROUP BY bz
+),
+l AS (
+  SELECT bl AS bucket, MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+  FROM keyed GROUP BY bl
+)
+SELECT * FROM (
+  SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+         CAST(SUM(xs) AS DOUBLE) / COUNT(*) AS avg_x_span,
+         CAST(SUM(ys) AS DOUBLE) / COUNT(*) AS avg_y_span
+  FROM z
+  UNION ALL
+  SELECT 'linear' AS layout, COUNT(*) AS n_buckets,
+         CAST(SUM(xs) AS DOUBLE) / COUNT(*) AS avg_x_span,
+         CAST(SUM(ys) AS DOUBLE) / COUNT(*) AS avg_y_span
+  FROM l
+)
+""",
+    tags=("relational", "lakehouse", "zorder", "data-layout", "pruning"),
+)
+def rel_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering — the multi-dimensional data
+    LAYOUT primitive behind Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders: interleaving the bits of two columns gives a 1-D sort key
+    whose contiguous ranges are small RECTANGLES in (x, y) space, so
+    file-level min/max statistics prune on EITHER dimension. The
+    query computes the morton key (pure integer bit arithmetic,
+    identical unrolled expression in both engines), splits the
+    keyspace into 64 contiguous buckets (≡ files under a
+    repartitionByRange write), and reports each bucket's average
+    bounding-box side — against the same metric for a LINEAR
+    (x-sorted) layout, whose buckets bound x tightly but leave y at
+    full range. The z-order rows show BOTH spans bounded: that
+    bounded bbox IS the reason min/max skipping works for 2-D
+    predicates at 100 TB.
+
+    Plan shape at 100 TB: the key is one codegen'd projection (no
+    UDF, no shuffle); bucketing is arithmetic on the key (the real
+    write would be one repartitionByRange on it); the span report is
+    a 64-group map-side-combined aggregate. Nothing here grows with
+    dimensions except the key expression."""
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_orderkey") % 1024).cast("long")
+    y = (F.floor("o_totalprice").cast("long") % 1024).cast("long")
+    pts = o.select(x.alias("x"), y.alias("y"))
+    morton = None
+    for i in range(_Z_BITS):
+        tx = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        morton = tx + ty if morton is None else morton + tx + ty
+    keyed = pts.select(
+        "x", "y",
+        F.shiftright(morton, 14).alias("bz"),
+        F.shiftright(F.col("x"), 4).alias("bl"),
+    )
+
+    def spans(df: DataFrame, bucket: str, name: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(bucket).alias("bucket"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                (F.sum("xs").cast("double") / F.count(F.lit(1))).alias(
+                    "avg_x_span"
+                ),
+                (F.sum("ys").cast("double") / F.count(F.lit(1))).alias(
+                    "avg_y_span"
+                ),
+            )
+            .select(F.lit(name).alias("layout"), "n_buckets", "avg_x_span",
+                    "avg_y_span")
+        )
+
+    return spans(keyed, "bz", "zorder").unionAll(spans(keyed, "bl", "linear"))
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record tolerant JSON ingestion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_json_corrupt_records",
+    oracle="""
+SELECT COUNT(*) FILTER (WHERE doc_id % 7 <> 3) AS n_good,
+       COUNT(*) FILTER (WHERE doc_id % 7 = 3) AS n_corrupt,
+       CAST(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT)
+         AS good_chars,
+       CAST(COUNT(DISTINCT lang) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT)
+         AS good_langs
+FROM documents
+""",
+    tags=("source", "json", "corrupt-records", "data-quality", "ingest"),
+)
+def src_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record ingestion — the real-world JSON
+    contract: at 100 TB some fraction of scraped lines is malformed,
+    and a production reader must COUNT and QUARANTINE them without
+    failing the job (FAILFAST) or silently dropping them (DROPMALFORMED).
+    Documents are staged as a jsonl dataset with every (doc_id % 7 == 3)
+    line deterministically truncated mid-token; the read declares an
+    explicit schema plus a columnNameOfCorruptRecord column, so bad
+    lines surface as rows with the raw line captured and parsed fields
+    null. The summary proves the partition: good rows aggregate to the
+    oracle's clean-subset totals, corrupt rows are all present and
+    countable (quarantine-table input), nothing was dropped.
+
+    Plan shape at 100 TB: schema-declared JSON scan (no inference
+    pass over the corpus); the corrupt column costs nothing on clean
+    rows; staging is a distributed text write, never driver-side."""
+    d, ready = _scratch_dir("json_corrupt", sf_dir)
+    path = os.path.join(d, "docs_jsonl")
+    if not ready or not os.path.isdir(path):
+        docs = load_table(spark, sf_dir, "documents")
+        js = docs.select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"),
+            F.col("doc_id"),
+        )
+        (
+            js.select(
+                F.when(
+                    F.col("doc_id") % 7 == 3, F.substring("line", 1, 9)
+                ).otherwise(F.col("line")).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    good = F.col("_bad").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("good_chars"),
+        F.countDistinct(F.when(good, F.col("lang"))).alias("good_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming vector ingest + search (the reference loop, stream-native)
+# ---------------------------------------------------------------------------
+
+_STREAM_APPEND_STATE: dict[str, str] = {}
+
+
+@query(
+    "vdb_stream_append_search",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {{DOT}} AS score FROM embeddings
+)
+SELECT vec_id, score,
+       (SELECT COUNT(*) FROM embeddings) AS n_total
+FROM scored ORDER BY score DESC, vec_id LIMIT 5
+""".replace("{DOT}", sql_dot(_EMB, sql_vec(QUERY_VEC))),
+    tags=("vector", "streaming", "append", "topk", "reference-parity"),
+)
+def vdb_stream_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CENTRAL LOOP — append vectors, then search
+    (reference app.py:105-118 append → app.py:40-48 search) — as
+    STRUCTURED STREAMING ingest: the corpus arrives as four
+    micro-batch files drained one per trigger; each batch APPENDS to
+    an accumulating parquet vector table via foreachBatch (the
+    scale-native form of the reference's read-concat-rewrite CSV
+    append, which copies the whole store per insert); when the stream
+    drains, a search session runs dot-product top-5 over the
+    accumulated table. The result only matches the all-data oracle if
+    every micro-batch landed exactly once — streaming ingest
+    correctness expressed as a search row, with the corpus count
+    carried alongside as the completeness witness.
+
+    Plan shape at 100 TB: per-batch cost is O(batch) (append-only
+    file commit — no table rewrite, the reference's O(N) concat
+    becomes O(1) amortized); the search is the engine's standard
+    pruned-scan TakeOrdered top-k, oblivious to how the table was
+    built. Checkpoint + file-source log give restart-safe
+    exactly-once across ingest failures
+    (ev_stream_checkpoint_recovery proves that property directly)."""
+    import shutil
+    import tempfile
+
+    d, ready = _scratch_dir("stream_append_src", sf_dir)
+    src_dir = os.path.join(d, "batches")
+    if not ready or not os.path.isdir(src_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        os.makedirs(src_dir, exist_ok=True)
+        for i in range(4):
+            part = os.path.join(d, f"stage_{i}")
+            emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part)
+            leaf = [
+                f for f in os.listdir(part)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ][0]
+            os.rename(
+                os.path.join(part, leaf),
+                os.path.join(src_dir, f"batch_{i}.parquet"),
+            )
+
+    # Fresh accumulating table + checkpoint per invocation: reusing a
+    # checkpoint would (correctly) skip already-ingested files and
+    # make the second run a no-op against a stale table.
+    key = os.path.abspath(sf_dir)
+    old = _STREAM_APPEND_STATE.get(key)
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="qev_stream_append_")
+    _STREAM_APPEND_STATE[key] = root
+    table = os.path.join(root, "vector_table")
+
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(table)
+
+    q = (
+        src.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(table)
+    n_total = store.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        store.select(
+            "vec_id",
+            dot_product(F.col("embedding"), vector_literal(QUERY_VEC)).alias(
+                "score"
+            ),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass column profiling (the data-catalog stats surface)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+def _profile_oracle() -> str:
+    def render(c: str) -> str:
+        if c == "l_shipdate":
+            return "CAST({v} AS VARCHAR)"
+        if c == "l_orderkey":
+            return "CAST({v} AS VARCHAR)"
+        return "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)"
+
+    parts = []
+    for c in _PROFILE_COLS:
+        r = render(c)
+        parts.append(f"""
+SELECT '{c}' AS col, 'n_non_null' AS metric,
+       CAST(COUNT({c}) AS VARCHAR) AS value FROM lineitem
+UNION ALL
+SELECT '{c}', 'n_distinct', CAST(COUNT(DISTINCT {c}) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT '{c}', 'min', {r.format(v=f"MIN({c})")} FROM lineitem
+UNION ALL
+SELECT '{c}', 'max', {r.format(v=f"MAX({c})")} FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "rel_column_profile",
+    oracle=_profile_oracle(),
+    tags=("relational", "profiling", "data-catalog", "engine-surface"),
+)
+def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-PASS column PROFILING — the data-catalog statistics
+    surface (df.summary() / Deequ profiles / ANALYZE TABLE, made
+    oracle-exact): per column, non-null count, exact distinct count,
+    min and max, emitted in long form (col, metric, value) the way a
+    catalog stores them. All 4 columns profile in ONE scan: the
+    per-column aggregates compute side by side in a single aggregate
+    node (count-distinct handled by Expand — one multi-distinct
+    aggregate, the rel_q6-style profile), and the long-form pivot is
+    a stack() projection of the 1-row result, not a second pass.
+    Values render through a decimal-fixed string contract so both
+    engines print identically.
+
+    Plan shape at 100 TB: one pass over the fact table (Expand
+    multiplies rows by the distinct-column count map-side — the
+    standard multi-distinct cost), partial aggregation before the
+    single exchange; the stack is driver-negligible. Profiling N
+    columns never becomes N scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def render(c: str, v) -> F.Column:
+        if c in ("l_quantity", "l_extendedprice"):
+            return v.cast("decimal(18,2)").cast("string")
+        return v.cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).cast("string").alias(f"{c}__n_non_null"),
+            F.countDistinct(F.col(c)).cast("string").alias(f"{c}__n_distinct"),
+            render(c, F.min(F.col(c))).alias(f"{c}__min"),
+            render(c, F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{m}', `{c}__{m}`"
+        for c in _PROFILE_COLS
+        for m in ("n_non_null", "n_distinct", "min", "max")
+    )
+    return one.selectExpr(
+        f"stack({4 * len(_PROFILE_COLS)}, {stack_args}) AS (col, metric, value)"
     )

@@ -113,3 +113,24 @@ def test_ivf_index_persist_partition_prunes_cell_scan(spark, sf_dir):
     plan = formatted_plan(df)
     assert "dynamicpruning" in plan
     assert is_top_k(df)
+
+
+def test_zorder_key_is_pure_codegen(spark, sf_dir):
+    """The morton key must be integer bit arithmetic in codegen — no
+    Python eval, no join; layout quality must come out as claimed:
+    z-order buckets bound BOTH dims, the linear layout leaves y at
+    ~full range."""
+    df = QUERIES["rel_zorder_clustering"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "Join" not in plan
+    rows = {r["layout"]: r for r in (x.asDict() for x in df.collect())}
+    assert rows["zorder"]["avg_y_span"] * 2 < rows["linear"]["avg_y_span"]
+    assert rows["zorder"]["avg_x_span"] < 1024 / 4
+
+
+def test_stream_append_search_is_top_k(spark, sf_dir):
+    """The search over the stream-accumulated table must plan as a
+    bounded-heap top-k, not a full sort."""
+    df = QUERIES["vdb_stream_append_search"].fn(spark, sf_dir)
+    assert is_top_k(df)
