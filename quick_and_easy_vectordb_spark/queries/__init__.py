@@ -33,6 +33,8 @@ from quick_and_easy_vectordb_spark.queries import ann  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import multimodal  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import udf_surface  # noqa: F401,E402
 from quick_and_easy_vectordb_spark.queries import lakehouse  # noqa: F401,E402
+from quick_and_easy_vectordb_spark.queries import geo  # noqa: F401,E402
+from quick_and_easy_vectordb_spark.queries import quality  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's per-round oracle gate checks a PREFIX of
@@ -109,6 +111,14 @@ _CHECK_PRIORITY = [
     "src_json_corrupt_records",
     "vdb_stream_append_search",
     "rel_column_profile",
+    "geo_grid_knn_join",
+    "geo_tile_pyramid",
+    "rel_data_expectations",
+    "rel_k_anonymity",
+    "rel_join_strategy_equivalence",
+    "dedup_graph_khop_reach",
+    "ev_jackknife_variance",
+    "mm_audio_wht_bands",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

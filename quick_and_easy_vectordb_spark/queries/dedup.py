@@ -1427,3 +1427,77 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("long").alias("community"),
         F.count(F.lit(1)).over(wsz).cast("long").alias("community_size"),
     )
+
+
+@query(
+    "dedup_graph_khop_reach",
+    oracle="""
+WITH RECURSIVE m AS (SELECT COUNT(*) AS n FROM customer),
+e AS (
+  SELECT c_custkey AS u, (c_custkey * 7919 + 1) % m.n AS v
+  FROM customer, m
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 104729 + 5) % m.n FROM customer, m
+),
+r(v, hop) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT e.v, r.hop + 1 FROM r JOIN e ON e.u = r.v WHERE r.hop < 3
+),
+mh AS (SELECT v, MIN(hop) AS hop FROM r GROUP BY v)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(v) AS BIGINT) AS node_checksum
+FROM mh GROUP BY hop
+""",
+    tags=("graph", "bfs", "reachability", "iterative"),
+)
+def dedup_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-HOP BFS REACHABILITY — the bounded graph-expansion primitive
+    (fraud-ring blast radius, social reach, recursive doc-link
+    crawl) that complements the UNBOUNDED closures already here
+    (dedup_clusters' connected components, dedup_pagerank): from a
+    seed set (every 97th node), expand exactly 3 frontier hops over
+    a 2-out-regular deterministic graph (out-edges of u are
+    (u*7919+1) mod N and (u*104729+5) mod N over the customer key
+    space) and report, per MINIMUM hop distance, how many nodes are
+    first reached there. The Spark side unrolls the 3 hops as
+    frontier equi-joins with a min-hop reduction; the oracle replays
+    the same expansion as a bounded recursive CTE.
+
+    Plan shape at 100 TB: each hop is one equi-join of the CURRENT
+    FRONTIER (not the reached set) against the edge table — the join
+    input stays O(frontier·out-degree); the min-hop dedup is one
+    groupBy that also caps frontier re-growth. Edges partition once
+    by source and every hop reuses that layout; k hops = k shuffles
+    of frontier-sized data, the textbook Pregel round economics."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    keyed = cust.crossJoin(F.broadcast(n))
+    edges = keyed.select(
+        F.col("c_custkey").alias("u"),
+        F.explode(
+            F.array(
+                (F.col("c_custkey") * 7919 + 1) % F.col("n"),
+                (F.col("c_custkey") * 104729 + 5) % F.col("n"),
+            )
+        ).alias("v"),
+    ).persist()
+    frontier = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("v"), F.lit(0).alias("hop")
+    )
+    reached = frontier
+    for h in range(1, 4):
+        frontier = (
+            frontier.select(F.col("v").alias("u"))
+            .distinct()
+            .join(edges, "u")
+            .select("v", F.lit(h).alias("hop"))
+            .distinct()
+        )
+        reached = reached.unionAll(frontier)
+    mh = reached.groupBy("v").agg(F.min("hop").alias("hop"))
+    return mh.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("v").cast("long").alias("node_checksum"),
+    )

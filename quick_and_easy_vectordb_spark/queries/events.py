@@ -4137,3 +4137,119 @@ def ev_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size("_users").cast("long").alias("n_users"),
         F.col("_tv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "ev_jackknife_variance",
+    oracle="""
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         SUM(CAST(value AS DECIMAL(30,10))) AS s_dec,
+         COUNT(*) AS n_h
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(s_dec) AS s, SUM(n_h) AS n, COUNT(*) AS g FROM h),
+e AS (
+  SELECT hr,
+         CAST(CAST(tot.s - h.s_dec AS VARCHAR) AS DOUBLE)
+           / CAST(tot.n - h.n_h AS DOUBLE) AS est
+  FROM h, tot
+),
+l AS (SELECT list(est ORDER BY hr) AS le FROM e),
+s1 AS (SELECT le, list_reduce(le, (a, b) -> a + b) AS sum_est FROM l),
+s2 AS (
+  SELECT le, tot.g AS g, tot.s AS s, tot.n AS n,
+         sum_est / CAST(tot.g AS DOUBLE) AS m
+  FROM s1, tot
+),
+s3 AS (
+  SELECT g, s, n, m,
+         list_reduce(list_transform(le, x -> (x - m) * (x - m)),
+                     (a, b) -> a + b) AS ss
+  FROM s2
+)
+SELECT CAST(g AS BIGINT) AS n_groups,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS grand_mean,
+       (CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)) * ss AS jk_var,
+       sqrt((CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)) * ss) AS jk_se
+FROM s3
+""",
+    tags=("events", "statistics", "jackknife", "uncertainty", "fold"),
+)
+def ev_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-GROUP JACKKNIFE standard error for the global mean
+    of `value` — the resampling-free uncertainty estimate a metrics
+    platform attaches to every dashboard number (and the honest
+    alternative to bootstrap when runs must be deterministic): with
+    hours as the delete groups, every leave-one-hour-out estimate is
+    computed IN CLOSED FORM from the per-hour aggregates
+    (est_h = (S - s_h)/(N - n_h)) — no second pass over the data, no
+    resampling shuffle, respecting within-hour correlation. The
+    across-groups mean and squared-deviation sums run as ORDERED
+    ARRAY FOLDS over the hour-sorted estimate array (the
+    ev_holt_linear_forecast discipline), with per-hour sums
+    decimal-exact, so every IEEE step matches the oracle's
+    list_reduce replay bit-for-bit.
+
+    Plan shape at 100 TB: ONE map-side-combined groupBy collapses
+    the fact table to O(hours) rows; totals broadcast back; the fold
+    runs over a ~720-element array. Jackknife over G groups costs
+    O(G) after the base aggregate — independent of row count, which
+    is the entire point at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / _HOUR_US).cast("long").alias("hr")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("s_dec"),
+        F.count(F.lit(1)).alias("n_h"),
+    )
+    tot = h.agg(
+        F.sum("s_dec").alias("s"),
+        F.sum("n_h").alias("n"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    e = h.crossJoin(F.broadcast(tot)).select(
+        "hr",
+        "g",
+        "s",
+        "n",
+        (
+            (F.col("s") - F.col("s_dec")).cast("double")
+            / (F.col("n") - F.col("n_h")).cast("double")
+        ).alias("est"),
+    )
+    folded = e.groupBy("g", "s", "n").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "est"))),
+            lambda r: r.est,
+        ).alias("le")
+    )
+    with_mean = folded.select(
+        "*",
+        (
+            F.aggregate(F.col("le"), F.lit(0.0), lambda a, x: a + x)
+            / F.col("g").cast("double")
+        ).alias("m"),
+    )
+    out = with_mean.select(
+        "g",
+        "s",
+        "n",
+        "m",
+        F.aggregate(
+            F.col("le"),
+            F.lit(0.0),
+            lambda a, x: a + (x - F.col("m")) * (x - F.col("m")),
+        ).alias("ss"),
+    )
+    jk = ((F.col("g") - 1).cast("double") / F.col("g").cast("double")) * F.col(
+        "ss"
+    )
+    return out.select(
+        F.col("g").cast("long").alias("n_groups"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "grand_mean"
+        ),
+        jk.alias("jk_var"),
+        F.sqrt(jk).alias("jk_se"),
+    )

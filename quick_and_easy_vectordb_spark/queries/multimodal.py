@@ -1767,3 +1767,108 @@ def mm_color_hist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l1") <= 2)
     )
+
+
+@query(
+    "mm_audio_wht_bands",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, CAST(i // 8 AS BIGINT) AS f, CAST(i % 8 AS BIGINT) AS j,
+         ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+  FROM smp WHERE i < (n // 8) * 8
+),
+k AS (SELECT unnest(range(8)) AS k),
+coef AS (
+  SELECT v.doc_id, v.f, k.k,
+         SUM(v.s * (1 - 2 * (bit_count(CAST(k.k AS BIGINT) & v.j) % 2)))
+           AS c
+  FROM v, k GROUP BY 1, 2, 3
+)
+SELECT CAST(k AS BIGINT) AS sequency,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(c * c) AS BIGINT) AS band_energy
+FROM coef GROUP BY k
+""",
+    tags=("multimodal", "audio", "spectral", "walsh-hadamard", "mapInPandas"),
+)
+def mm_audio_wht_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALSH-HADAMARD spectral band energies — frequency-domain audio
+    features under the bit-exact oracle gate: per document the same
+    16-bit PCM WAV as mm_decode_wav_stats is parsed by the REAL RIFF
+    decoder, split into full 8-sample frames (ragged tail dropped on
+    both sides), and each frame is transformed by the 8-point WHT —
+    the integer orthogonal transform (W[k,j] = (-1)^popcount(k AND j),
+    add/subtract only) that plays the DFT's role wherever
+    cross-engine float transcendentals are off the table (the
+    engine's exactness rule). Output: total energy per sequency band
+    k across the corpus — the global spectral profile a
+    speech-vs-music or silence classifier thresholds on. Everything
+    is int64, so the closed-form SQL oracle (parity via bit_count)
+    matches exactly.
+
+    Plan shape at 100 TB: decode + transform is one Arrow
+    mapInPandas pass emitting 8 PARTIAL band energies per document
+    (the O(docs·8) reduction happens inside the UDF batch, numpy
+    matrix multiply); the final rollup is an 8-group
+    map-side-combined aggregate. Zero shuffle of sample data."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    # 8x8 Walsh matrix in natural (Hadamard) order; integer +-1.
+    j = np.arange(8)
+    kk = np.arange(8)[:, None]
+    popcnt = np.vectorize(lambda x: bin(x).count("1"))
+    W = 1 - 2 * (popcnt(kk & j) % 2)  # shape (k, j)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"sequency": [], "n_frames": [], "band_energy": []}
+            acc = np.zeros(8, dtype=np.int64)
+            frames_total = 0
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype(
+                    "<i2"
+                )
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)  # the real parser
+                assert rate == 8000 and audio.shape == (n, 1)
+                a = audio[:, 0].astype(np.int64)
+                nf = n // 8
+                fr = a[: nf * 8].reshape(nf, 8)
+                coef = fr @ W.T  # (frames, k) integer-exact
+                acc += (coef * coef).sum(axis=0)
+                frames_total += nf
+            out["sequency"] = list(range(8))
+            out["n_frames"] = [frames_total] * 8
+            out["band_energy"] = [int(x) for x in acc]
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    partials = docs.mapInPandas(
+        run, "sequency long, n_frames long, band_energy long"
+    )
+    return partials.groupBy("sequency").agg(
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.sum("band_energy").cast("long").alias("band_energy"),
+    )

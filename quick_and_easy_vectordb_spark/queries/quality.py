@@ -1,0 +1,284 @@
+"""Data-quality and governance operators: expectation suites,
+k-anonymity audits, and physical-join-strategy equivalence.
+
+The reference (app.py:1-193) has no validation surface at all — a
+malformed CSV upload dies in a catch-all `except` (app.py:151-152).
+At 100 TB ingestion without declared expectations is how silent
+corruption propagates into training corpora, so the Deequ-style
+constraint report and the privacy audit are first-class operators
+here, built the same way as every other query: single-pass native
+aggregates with a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.functions.numeric import dsum
+from quick_and_easy_vectordb_spark.queries.registry import query
+from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+
+@query(
+    "rel_data_expectations",
+    oracle="""
+WITH scan AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+           AS v_complete,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice < 1000.0
+                                  OR o_totalprice > 400000.0) AS BIGINT)
+           AS v_range,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+              AS BIGINT) AS v_domain,
+         CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(
+                o_orderpriority, '^[1-5]-[A-Z ]+$')) AS BIGINT) AS v_pattern,
+         CAST(CASE WHEN MAX(o_orderdate) < TIMESTAMP '1997-01-01 00:00:00'
+                   THEN 1 ELSE 0 END AS BIGINT) AS v_fresh
+  FROM orders
+),
+ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_ref
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_custkey IS NULL
+),
+long_form AS (
+  SELECT 'completeness_custkey' AS "check", v_complete AS violations
+  FROM scan
+  UNION ALL SELECT 'uniqueness_orderkey', v_unique FROM scan
+  UNION ALL SELECT 'range_totalprice', v_range FROM scan
+  UNION ALL SELECT 'domain_orderstatus', v_domain FROM scan
+  UNION ALL SELECT 'pattern_orderpriority', v_pattern FROM scan
+  UNION ALL SELECT 'freshness_orderdate', v_fresh FROM scan
+  UNION ALL SELECT 'referential_custkey', v_ref FROM ref
+)
+SELECT "check", violations,
+       CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+FROM long_form
+""",
+    tags=("quality", "expectations", "validation", "deequ", "governance"),
+)
+def rel_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-EXPECTATION suite (Deequ / Great-Expectations semantics,
+    made oracle-exact): seven declared constraints over the orders
+    feed — completeness (custkey non-null), uniqueness (orderkey),
+    value range (totalprice within business bounds), domain
+    membership (orderstatus in its enum), regex pattern
+    (orderpriority shape), freshness (max orderdate past a cutoff),
+    and REFERENTIAL integrity (every custkey resolves in customer) —
+    emitted as a long-form report (check, violations, PASS/FAIL), the
+    shape a pipeline gate consumes. The in-scan checks share ONE
+    aggregate over one scan (conditional counts side by side, the
+    distinct via Expand); referential integrity is the only second
+    input, an anti-join counted with the dimension broadcast.
+
+    Plan shape at 100 TB: adding a check adds a conditional-count
+    expression, never a pass; the anti-join shuffles nothing when the
+    dimension broadcasts, else it is one key-partitioned shuffle.
+    The report itself is 7 rows — gate evaluation is driver-free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scan = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .cast("long")
+        .alias("v_complete"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") < 1000.0)
+                | (F.col("o_totalprice") > 400000.0),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("v_range"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("long")
+        .alias("v_domain"),
+        F.count(
+            F.when(~F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1)
+        )
+        .cast("long")
+        .alias("v_pattern"),
+        F.when(
+            F.max("o_orderdate")
+            < F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("v_fresh"),
+    )
+    ref = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v_ref"))
+    )
+    report = scan.crossJoin(F.broadcast(ref)).selectExpr(
+        "stack(7, "
+        "'completeness_custkey', v_complete, "
+        "'uniqueness_orderkey', v_unique, "
+        "'range_totalprice', v_range, "
+        "'domain_orderstatus', v_domain, "
+        "'pattern_orderpriority', v_pattern, "
+        "'freshness_orderdate', v_fresh, "
+        "'referential_custkey', v_ref) AS (`check`, violations)"
+    )
+    return report.select(
+        "check",
+        "violations",
+        F.when(F.col("violations") == 0, "PASS")
+        .otherwise("FAIL")
+        .alias("status"),
+    )
+
+
+_K_ANON = 5
+
+
+@query(
+    "rel_k_anonymity",
+    oracle=f"""
+WITH l1 AS (
+  SELECT c_nationkey AS qi1, c_mktsegment AS qi2, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+l2 AS (
+  SELECT n.n_regionkey AS qi1, c.c_mktsegment AS qi2, COUNT(*) AS n
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT 'nation_segment' AS qi_level,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(COUNT(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT)
+         AS groups_below_k,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < {_K_ANON}), 0) AS BIGINT)
+         AS rows_at_risk
+FROM l1
+UNION ALL
+SELECT 'region_segment',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(n) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT),
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < {_K_ANON}), 0) AS BIGINT)
+FROM l2
+""",
+    tags=("quality", "privacy", "k-anonymity", "governance"),
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002) — the re-identification check
+    a governed corpus runs before release: under quasi-identifier set
+    (nation, market segment), how many equivalence classes exist, how
+    small is the smallest, and how many ROWS sit in classes below
+    k=5 (each such row is linkable to fewer than k peers).
+    The second report row re-audits after one step up the
+    GENERALIZATION ladder — nation coarsened to region via the
+    dimension join — showing the standard remediation: fewer, larger
+    classes, fewer rows at risk. This is the quantitative companion
+    to rel_gdpr_cascade_erasure (deletion); together they are the
+    privacy surface of the engine.
+
+    Plan shape at 100 TB: each audit level is one map-side-combined
+    groupBy over the QI columns (class table is O(distinct QI
+    combos), tiny) plus an O(classes) summary aggregate; the
+    generalization join broadcasts the 25-row nation dimension. N
+    ladder steps cost N cheap aggregates over the same scan, and at
+    production scale all levels can share one Expand pass
+    (GROUPING SETS) — spelled separately here for clarity."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def audit(classes: DataFrame, level: str) -> DataFrame:
+        below = F.col("n") < _K_ANON
+        return classes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group_size"),
+            F.count(F.when(below, 1)).cast("long").alias("groups_below_k"),
+            F.coalesce(F.sum(F.when(below, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        ).select(F.lit(level).alias("qi_level"), "*")
+
+    l1 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    l2 = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return audit(l1, "nation_segment").unionAll(audit(l2, "region_segment"))
+
+
+_STRAT_AGG = """
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+"""
+
+
+@query(
+    "rel_join_strategy_equivalence",
+    oracle=f"""
+SELECT 'broadcast' AS strategy, * FROM ({_STRAT_AGG})
+UNION ALL SELECT 'merge', * FROM ({_STRAT_AGG})
+UNION ALL SELECT 'shuffle_hash', * FROM ({_STRAT_AGG})
+""",
+    tags=("relational", "join-strategy", "hints", "engine-surface"),
+)
+def rel_join_strategy_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL JOIN-STRATEGY equivalence — the engine-surface
+    contract that the three distributed join algorithms are
+    interchangeable on RESULTS and differ only in cost: the same
+    orders⋈customer revenue rollup executed under a BROADCAST hint
+    (replicate the dimension, zero shuffle of the fact), a MERGE hint
+    (sort-merge: both sides shuffle+sort on the key — the robust
+    choice when both sides are huge), and a SHUFFLE_HASH hint
+    (partition both sides, hash the smaller per partition — sort-free
+    but must fit the build side per task). All three branches carry
+    the decimal-exact revenue sum, so the three tagged result blocks
+    are bit-identical — which IS the assertion: strategy choice is a
+    Catalyst cost decision, not a semantics decision. The plan test
+    (tests/test_round7_plans.py) pins that the single physical plan
+    really contains BroadcastHashJoin, SortMergeJoin AND
+    ShuffledHashJoin nodes — the hints were honored, not silently
+    coalesced.
+
+    Plan shape at 100 TB: this query is the documentation of WHEN to
+    pick each: dimension < broadcast threshold → broadcast (the
+    engine's default everywhere, e.g. rel_q9's star joins);
+    both sides large + skew-prone → sort-merge with AQE; large but
+    uniformly partitioned with a small build side → shuffle-hash."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def rollup(hint: str, tag: str) -> DataFrame:
+        joined = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        return (
+            joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(tag).alias("strategy"), "*")
+        )
+
+    return (
+        rollup("broadcast", "broadcast")
+        .unionAll(rollup("merge", "merge"))
+        .unionAll(rollup("shuffle_hash", "shuffle_hash"))
+    )

@@ -134,3 +134,57 @@ def test_stream_append_search_is_top_k(spark, sf_dir):
     bounded-heap top-k, not a full sort."""
     df = QUERIES["vdb_stream_append_search"].fn(spark, sf_dir)
     assert is_top_k(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """All three physical join algorithms must appear in the ONE
+    plan — the hints were honored, not coalesced into a single
+    strategy."""
+    df = QUERIES["rel_join_strategy_equivalence"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_geo_knn_join_is_equi_join_plus_heap(spark, sf_dir):
+    """Grid blocking: candidates come from a broadcast EQUI-join on
+    the cell key (no cartesian, no Python), and the per-customer
+    top-1 is a bounded WindowGroupLimit heap."""
+    df = QUERIES["geo_grid_knn_join"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_geo_tile_pyramid_single_point_pass(spark, sf_dir):
+    """The quadkey is pure codegen arithmetic and the zoom-2 level
+    reaggregates tile rows — the plan reads the customer scan for
+    the z4 branch, never joins point data."""
+    df = QUERIES["geo_tile_pyramid"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_bfs_khop_joins_frontier_not_reached_set(spark, sf_dir):
+    """Each hop equi-joins the frontier against the edge table; no
+    cartesian shapes beyond the 1-row count broadcast."""
+    df = QUERIES["dedup_graph_khop_reach"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = {r["hop"]: r["n_nodes"] for r in df.collect()}
+    assert 0 in rows and 3 in rows
+
+
+def test_jackknife_is_group_closed_form(spark, sf_dir):
+    """The jackknife must stay JVM-side (closed-form from group
+    aggregates + an array fold) — no Python, no per-row resampling
+    join."""
+    df = QUERIES["ev_jackknife_variance"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    row = df.collect()[0]
+    assert row["n_groups"] > 100 and row["jk_se"] > 0.0
