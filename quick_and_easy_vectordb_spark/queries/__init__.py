@@ -119,6 +119,8 @@ _CHECK_PRIORITY = [
     "dedup_graph_khop_reach",
     "ev_jackknife_variance",
     "mm_audio_wht_bands",
+    "ev_ols_closed_form",
+    "geo_point_in_polygon",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

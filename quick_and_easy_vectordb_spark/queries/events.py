@@ -4253,3 +4253,104 @@ def ev_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         jk.alias("jk_var"),
         F.sqrt(jk).alias("jk_se"),
     )
+
+
+@query(
+    "ev_ols_closed_form",
+    oracle="""
+WITH xy AS (
+  SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x, value AS y
+  FROM events
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sxy,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS syy
+  FROM xy
+),
+d AS (
+  SELECT n, sx, sxx, sy, sxy, syy,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+         CAST(n AS DOUBLE) * syy - sy * sy AS var_y_n
+  FROM m
+)
+SELECT n,
+       cov_n / var_x_n AS slope,
+       (sy - (cov_n / var_x_n) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept,
+       (cov_n * cov_n) / (var_x_n * var_y_n) AS r2
+FROM d
+""",
+    tags=("events", "statistics", "regression", "ols", "ml-features"),
+)
+def ev_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINARY LEAST SQUARES in closed form — the daily-seasonality
+    trend fit (value ~ hour-of-day) every metrics pipeline runs,
+    expressed the only way a distributed engine should: ONE
+    map-side-combined aggregate collects the five sufficient moments
+    (Σx, Σx², Σy, Σxy, Σy² — x integer-exact, the y-moments
+    decimal-exact per the functions/numeric.py discipline), and
+    slope / intercept / R² fall out of the normal equations as pure
+    scalar arithmetic on the 1-row moment set. Spark's built-in
+    regr_slope/regr_r2 accumulate in floating point (order-dependent
+    across partitionings — not bit-stable, not oracle-checkable);
+    this shape is deterministic at ANY cluster layout and is how the
+    engine's other statistics (Welch t, chi-square, KS) are built.
+
+    Plan shape at 100 TB: the fit costs exactly one scan + one 1-row
+    exchange regardless of row count; K independent fits (per
+    segment) become one groupBy with the same moment expressions.
+    Closed-form-from-moments is the zero-iteration end of the
+    spectrum whose iterative end is ann_kmeans_iterated."""
+    ev = load_table(spark, sf_dir, "events")
+    xy = ev.select(
+        (F.floor(F.unix_micros("ts") / _HOUR_US) % 24)
+        .cast("long")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(30,10)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    d = m.select(
+        "*",
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        ).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("var_x_n"),
+        (
+            F.col("n").cast("double") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).alias("var_y_n"),
+    )
+    slope = F.col("cov_n") / F.col("var_x_n")
+    return d.select(
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (
+            (F.col("cov_n") * F.col("cov_n"))
+            / (F.col("var_x_n") * F.col("var_y_n"))
+        ).alias("r2"),
+    )

@@ -274,3 +274,111 @@ def geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z4.select(F.lit(4).cast("long").alias("zoom"), "*").unionAll(
         z2.select(F.lit(2).cast("long").alias("zoom"), "*")
     )
+
+
+# Irregular (non-convex) pentagon in the integer coordinate grid
+# (x = (key*104729) % 36000, y = (key*7919) % 18000).
+_POLY = [(2000, 2000), (30000, 5000), (27000, 15000), (15000, 9000),
+         (4000, 16000)]
+
+
+def _sql_pip_crossings(px: str, py: str) -> str:
+    """Unrolled ray-casting crossing count (horizontal ray to +x):
+    exact integer cross-multiplication, no division — identical
+    expression in both engines."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        # Edge straddles the ray iff (y1 > py) != (y2 > py); the
+        # intersection lies right of px iff
+        # (px - x1)*(y2 - y1) < (x2 - x1)*(py - y1), sign-flipped
+        # for downward edges — both written division-free.
+        if y2 > y1:
+            cond = (
+                f"({y1} <= {py} AND {py} < {y2} AND "
+                f"({px} - {x1}) * {y2 - y1} < {x2 - x1} * ({py} - {y1}))"
+            )
+        else:
+            cond = (
+                f"({y2} <= {py} AND {py} < {y1} AND "
+                f"({px} - {x1}) * {y2 - y1} > {x2 - x1} * ({py} - {y1}))"
+            )
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 104729) % 36000 AS px,
+         (c_custkey * 7919) % 18000 AS py
+  FROM customer
+),
+t AS (
+  SELECT c_custkey, (({_sql_pip_crossings('px', 'py')}) % 2) AS inside
+  FROM p
+)
+SELECT CAST(SUM(inside) AS BIGINT) AS n_inside,
+       CAST(COUNT(*) - SUM(inside) AS BIGINT) AS n_outside,
+       CAST(COALESCE(SUM(c_custkey * inside), 0) AS BIGINT)
+         AS inside_key_checksum
+FROM t
+""",
+    tags=("geo", "point-in-polygon", "ray-casting", "spatial-filter"),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON containment — the geofencing filter
+    (jurisdiction tagging, service-area assignment, geo-compliance
+    partitioning) evaluated by RAY CASTING against a non-convex
+    pentagon: a point is inside iff a horizontal ray crosses the
+    boundary an odd number of times. Every edge test is DIVISION-FREE
+    integer cross-multiplication over the integer coordinate grid
+    (the half-open y-range convention handles vertex-hit double
+    counting), unrolled identically in both engines — exact
+    arithmetic, no epsilon, no floating point anywhere.
+
+    Plan shape at 100 TB: the polygon is a compile-time constant
+    folded into ONE codegen projection over the point scan — zero
+    shuffle, zero join, cost linear in points and edges. For
+    many-polygon workloads the same test nests inside the grid-cell
+    blocking of geo_grid_knn_join (cell equi-join to candidate
+    polygons, then this exact test) — filter-by-geometry never needs
+    more than a broadcast and a scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    p = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729) % 36000).alias("px"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("py"),
+    )
+    crossings = None
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        px, py = F.col("px"), F.col("py")
+        if y2 > y1:
+            cond = (
+                (F.lit(y1) <= py)
+                & (py < F.lit(y2))
+                & ((px - x1) * (y2 - y1) < F.lit(x2 - x1) * (py - y1))
+            )
+        else:
+            cond = (
+                (F.lit(y2) <= py)
+                & (py < F.lit(y1))
+                & ((px - x1) * (y2 - y1) > F.lit(x2 - x1) * (py - y1))
+            )
+        term = F.when(cond, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    t = p.select("c_custkey", (crossings % 2).alias("inside"))
+    return t.agg(
+        F.sum("inside").cast("long").alias("n_inside"),
+        (F.count(F.lit(1)) - F.sum("inside")).cast("long").alias("n_outside"),
+        F.coalesce(F.sum(F.col("c_custkey") * F.col("inside")), F.lit(0))
+        .cast("long")
+        .alias("inside_key_checksum"),
+    )

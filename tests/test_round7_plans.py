@@ -188,3 +188,24 @@ def test_jackknife_is_group_closed_form(spark, sf_dir):
     assert "Python" not in plan
     row = df.collect()[0]
     assert row["n_groups"] > 100 and row["jk_se"] > 0.0
+
+
+def test_point_in_polygon_is_pure_codegen(spark, sf_dir):
+    """The ray-casting test must constant-fold into one projection:
+    no join, no Python, and exactly one (aggregation) exchange."""
+    df = QUERIES["geo_point_in_polygon"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Python" not in plan
+    row = df.collect()[0]
+    assert row["n_inside"] > 0 and row["n_outside"] > 0
+
+
+def test_ols_is_single_moment_aggregate(spark, sf_dir):
+    """The OLS fit must collapse to one aggregate over the scan —
+    one shuffle of a 1-row moment set, no self-joins, no Python."""
+    df = QUERIES["ev_ols_closed_form"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert shuffle_count(df) <= 1
