@@ -1,5 +1,6 @@
-"""Geospatial operators: grid-blocked nearest-neighbor join and
-hierarchical map-tile aggregation.
+"""Geospatial operators: grid-blocked nearest-neighbor join,
+hierarchical map-tile aggregation, and ray-casting polygon
+containment.
 
 Neither Spark nor the reference (app.py:1-193 has no spatial path)
 ships a native spatial join; at 100 TB the standard shape is
