@@ -121,6 +121,9 @@ _CHECK_PRIORITY = [
     "mm_audio_wht_bands",
     "ev_ols_closed_form",
     "geo_point_in_polygon",
+    "geo_dbscan_classify",
+    "geo_bbox_range_join",
+    "geo_trajectory_stats",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

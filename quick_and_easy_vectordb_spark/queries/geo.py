@@ -1,6 +1,7 @@
 """Geospatial operators: grid-blocked nearest-neighbor join,
-hierarchical map-tile aggregation, and ray-casting polygon
-containment.
+hierarchical map-tile aggregation, ray-casting polygon containment,
+grid-blocked DBSCAN classification, rectangle range-join, and
+trajectory summarization.
 
 Neither Spark nor the reference (app.py:1-193 has no spatial path)
 ships a native spatial join; at 100 TB the standard shape is
@@ -382,4 +383,312 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("c_custkey") * F.col("inside")), F.lit(0))
         .cast("long")
         .alias("inside_key_checksum"),
+    )
+
+
+# DBSCAN parameters on the integer grid (x ∈ [0,36000), y ∈ [0,18000)):
+# cell side == eps so every eps-neighbor is inside the 3x3 cell block.
+_EPS = 900
+_EPS2 = _EPS * _EPS
+_MIN_PTS = 3
+
+
+@query(
+    "geo_dbscan_classify",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 104729) % 36000 AS x,
+         (c_custkey * 7919) % 18000 AS y
+  FROM customer
+),
+pc AS (
+  SELECT id, x, y, x // {_EPS} AS cx, y // {_EPS} AS cy FROM p
+),
+pairs AS (
+  SELECT a.id AS pid, b.id AS qid
+  FROM pc a JOIN pc b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_EPS2}
+),
+ncnt AS (
+  SELECT pid, COUNT(*) AS n_nbr FROM pairs GROUP BY pid
+),
+flags AS (
+  SELECT pid AS id, n_nbr >= {_MIN_PTS} AS is_core FROM ncnt
+),
+cls AS (
+  SELECT f.id,
+         CASE WHEN f.is_core THEN 'core'
+              WHEN MAX(CASE WHEN qf.is_core THEN 1 ELSE 0 END) = 1
+                THEN 'border'
+              ELSE 'noise' END AS cls
+  FROM flags f
+  JOIN pairs pr ON pr.pid = f.id
+  JOIN flags qf ON qf.id = pr.qid
+  GROUP BY f.id, f.is_core
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(id) AS BIGINT) AS key_checksum
+FROM cls GROUP BY cls
+""",
+    tags=("geo", "dbscan", "clustering", "grid-blocking", "density"),
+)
+def geo_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN point classification — the density-based
+    spatial clustering primitive (hotspot detection, noise filtering
+    before spatial aggregation): every point is labeled core
+    (≥ min_pts neighbors within eps, self included), border (non-core
+    with a core neighbor), or noise. The O(N²) eps-neighborhood query
+    is blocked exactly like geo_grid_knn_join: cell side == eps, so
+    candidates live in the 3x3 neighbor block and candidate
+    generation is a plain equi-join on replicated cell ids — distance
+    math is division-free integer arithmetic.
+
+    Plan shape at 100 TB: one cell-keyed shuffle for the pair join
+    (the 9x replication rides the small/broadcast side when one side
+    is small; here both sides are the same scan so it shuffles on the
+    cell key), one groupBy for neighbor counts, one id-keyed join to
+    propagate core flags back through the pair list. Full DBSCAN
+    label propagation = iterate the connected-components
+    pointer-jumping of operators/graph.py over the core-core edges;
+    this query is the per-round classification kernel."""
+    cust = load_table(spark, sf_dir, "customer")
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("x"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("y"),
+    ).select(
+        "id", "x", "y",
+        (F.col("x") / _EPS).cast("long").alias("cx"),
+        (F.col("y") / _EPS).cast("long").alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+    )
+    q9 = p.select(
+        F.col("id").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        "cx", "cy",
+    ).select("qid", "qx", "qy", offsets.alias("o"), "cx", "cy").select(
+        "qid", "qx", "qy",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    dist2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    pairs = (
+        p.join(q9, ["cx", "cy"])
+        .filter(dist2 <= _EPS2)
+        .select(F.col("id").alias("pid"), "qid")
+    )
+    flags = (
+        pairs.groupBy("pid")
+        .agg((F.count(F.lit(1)) >= _MIN_PTS).alias("is_core"))
+        .withColumnRenamed("pid", "id")
+    )
+    qflags = flags.select(
+        F.col("id").alias("qid"), F.col("is_core").alias("q_core")
+    )
+    cls = (
+        flags.join(pairs, flags.id == pairs.pid)
+        .join(qflags, "qid")
+        .groupBy("id", "is_core")
+        .agg(F.max(F.when(F.col("q_core"), 1).otherwise(0)).alias("has_core"))
+        .select(
+            "id",
+            F.when(F.col("is_core"), "core")
+            .when(F.col("has_core") == 1, "border")
+            .otherwise("noise")
+            .alias("cls"),
+        )
+    )
+    return cls.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("id").cast("long").alias("key_checksum"),
+    )
+
+
+# Rectangle range-join parameters: cell side bounds the replication of
+# each rectangle at <= 2x2 cells because max(w, h) < _BOX_CELL.
+_BOX_CELL = 4000
+
+
+@query(
+    "geo_bbox_range_join",
+    oracle=f"""
+WITH r AS (
+  SELECT s_suppkey,
+         (s_suppkey * 104729) % 36000 AS x0,
+         (s_suppkey * 7919) % 18000 AS y0,
+         500 + (s_suppkey * 13) % 2500 AS w,
+         500 + (s_suppkey * 31) % 2500 AS h
+  FROM supplier
+),
+p AS (
+  SELECT c_custkey,
+         (c_custkey * 104729) % 36000 AS px,
+         (c_custkey * 7919) % 18000 AS py
+  FROM customer
+),
+hits AS (
+  SELECT r.s_suppkey, p.c_custkey
+  FROM r JOIN p
+    ON p.px >= r.x0 AND p.px < r.x0 + r.w
+   AND p.py >= r.y0 AND p.py < r.y0 + r.h
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_in_box,
+       CAST(SUM(c_custkey) AS BIGINT) AS point_checksum
+FROM hits GROUP BY s_suppkey
+""",
+    tags=("geo", "range-join", "bbox", "grid-blocking", "containment"),
+)
+def geo_bbox_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-containment RANGE JOIN — "which points fall in each
+    region's bounding box" (service areas, ad geofences, tile
+    prefetch): the join predicate is a 2-D interval containment that
+    naive SQL executes as a nested loop. Blocking: each rectangle is
+    replicated into the grid cells its half-open extent [x0, x0+w) x
+    [y0, y0+h) overlaps (≤ 2x2 cells because max(w,h) < cell side),
+    each point maps to exactly ONE cell, and candidates come from the
+    cell equi-join — so a (rect, point) pair is generated at most
+    once and needs no dedup. Containment is then exact integer
+    comparison.
+
+    Plan shape at 100 TB: the replicated rectangle table is ≤ 4x
+    |rects| — broadcast when small (here), else shuffle both sides on
+    the cell key; either way the planner sees a hash join on cell id,
+    never a nested-loop range predicate. Cell side trades rectangle
+    replication against per-cell point fan-in, the same dial as the
+    LSH band width."""
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    r = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 104729) % 36000).alias("x0"),
+        ((F.col("s_suppkey") * 7919) % 18000).alias("y0"),
+        (F.lit(500) + (F.col("s_suppkey") * 13) % 2500).alias("w"),
+        (F.lit(500) + (F.col("s_suppkey") * 31) % 2500).alias("h"),
+    )
+    cells = F.expr(
+        f"explode(flatten(transform("
+        f"  sequence(x0 div {_BOX_CELL}, (x0 + w - 1) div {_BOX_CELL}),"
+        f"  gx -> transform("
+        f"    sequence(y0 div {_BOX_CELL}, (y0 + h - 1) div {_BOX_CELL}),"
+        f"    gy -> struct(gx as cx, gy as cy)))))"
+    )
+    r_rep = r.select("*", cells.alias("c")).select(
+        "s_suppkey", "x0", "y0", "w", "h",
+        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+    )
+    p = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729) % 36000).alias("px"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("py"),
+    ).select(
+        "c_custkey", "px", "py",
+        (F.col("px") / _BOX_CELL).cast("long").alias("cx"),
+        (F.col("py") / _BOX_CELL).cast("long").alias("cy"),
+    )
+    hits = p.join(F.broadcast(r_rep), ["cx", "cy"]).filter(
+        (F.col("px") >= F.col("x0"))
+        & (F.col("px") < F.col("x0") + F.col("w"))
+        & (F.col("py") >= F.col("y0"))
+        & (F.col("py") < F.col("y0") + F.col("h"))
+    )
+    return hits.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_box"),
+        F.sum("c_custkey").cast("long").alias("point_checksum"),
+    )
+
+
+@query(
+    "geo_trajectory_stats",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         (user_id * 104729 + event_id * 7919) % 36000 AS x,
+         (user_id * 7919 + event_id * 104729) % 18000 AS y
+  FROM events
+),
+step AS (
+  SELECT user_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(px) AS BIGINT) AS n_steps,
+       CAST(COALESCE(SUM((x - px) * (x - px) + (y - py) * (y - py)), 0)
+            AS BIGINT) AS path_dist2,
+       CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT) AS bbox_area,
+       CAST(SUM(CASE WHEN rn = n THEN x ELSE 0 END)
+            - SUM(CASE WHEN rn = 1 THEN x ELSE 0 END) AS BIGINT) AS net_dx,
+       CAST(SUM(CASE WHEN rn = n THEN y ELSE 0 END)
+            - SUM(CASE WHEN rn = 1 THEN y ELSE 0 END) AS BIGINT) AS net_dy
+FROM step GROUP BY user_id
+""",
+    tags=("geo", "trajectory", "window", "telemetry"),
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY summarization — per-entity movement statistics from
+    an ordered event stream (fleet telemetry, device pings): each
+    user's positions in (ts, event_id) order yield step vectors via
+    LAG, and one grouped pass computes steps taken, total squared
+    path length, bounding-box area, and net first→last displacement.
+    All coordinates are integers on the synthetic grid; every
+    statistic is exact integer arithmetic (squared distances — no
+    sqrt crosses the engine boundary).
+
+    Plan shape at 100 TB: ONE shuffle on user_id serves both the
+    window (lag / row_number need user-partitioned ts order) and the
+    final groupBy — Catalyst reuses the hash partitioning, so the
+    plan is scan → exchange(user_id) → sort-in-partition → window →
+    partial+final agg. State per user is O(1); no second pass over
+    the events."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("user_id") * 104729) + F.col("event_id") * 7919).alias("hx"),
+        ((F.col("user_id") * 7919) + F.col("event_id") * 104729).alias("hy"),
+    ).select(
+        "user_id", "ts", "event_id",
+        (F.col("hx") % 36000).alias("x"),
+        (F.col("hy") % 18000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    step = pos.select(
+        "user_id", "x", "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    sd2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
+        F.col("y") - F.col("py")
+    ) * (F.col("y") - F.col("py"))
+    return step.groupBy("user_id").agg(
+        F.count("px").cast("long").alias("n_steps"),
+        F.coalesce(F.sum(sd2), F.lit(0)).cast("long").alias("path_dist2"),
+        ((F.max("x") - F.min("x")) * (F.max("y") - F.min("y")))
+        .cast("long")
+        .alias("bbox_area"),
+        (
+            F.sum(F.when(F.col("rn") == F.col("n"), F.col("x")).otherwise(0))
+            - F.sum(F.when(F.col("rn") == 1, F.col("x")).otherwise(0))
+        )
+        .cast("long")
+        .alias("net_dx"),
+        (
+            F.sum(F.when(F.col("rn") == F.col("n"), F.col("y")).otherwise(0))
+            - F.sum(F.when(F.col("rn") == 1, F.col("y")).otherwise(0))
+        )
+        .cast("long")
+        .alias("net_dy"),
     )
