@@ -124,6 +124,9 @@ _CHECK_PRIORITY = [
     "geo_dbscan_classify",
     "geo_bbox_range_join",
     "geo_trajectory_stats",
+    "rel_dp_histogram",
+    "ev_hll_daily_union",
+    "ev_survival_life_table",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -4354,3 +4354,189 @@ def ev_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("var_x_n") * F.col("var_y_n"))
         ).alias("r2"),
     )
+
+
+@query(
+    "ev_hll_daily_union",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_5pct,
+       TRUE AS all_daily_within_5pct
+FROM events
+""",
+    tags=("events", "sketch", "hll", "mergeable", "distinct"),
+)
+def ev_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the production shape for
+    incremental cardinality at 100 TB: one Apache DataSketches HLL
+    sketch per day (Spark's native `hll_sketch_agg`, a binary column
+    you can STORE in a daily rollup table), then `hll_union_agg` over
+    the stored sketches answers "distinct users over any day range"
+    without re-touching the raw events. The estimate is checked
+    against the exact distinct count under the sketch's error
+    contract (within 5%, far above lgK=12's ~1.6% RSE) — both the
+    per-day estimates and the unioned total — so the oracle pins the
+    accuracy CLAIM (the same pattern as ann_recall_at_k: the quality
+    metric itself is the checked output).
+
+    Plan shape at 100 TB: partial hll_sketch_agg runs map-side (a
+    4 KB register array per day per task), the exchange carries
+    sketches not user ids, and re-aggregation over stored daily
+    sketches is O(days) — the raw scan happens once, ever."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    per_day_ok = (
+        F.abs(
+            F.hll_sketch_estimate(F.col("sk")).cast("double")
+            - F.col("exact_day")
+        )
+        <= 0.05 * F.col("exact_day")
+    )
+    rolled = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.min(per_day_ok).alias("all_daily_within_5pct"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return rolled.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("union_est").cast("double") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_within_5pct"),
+        "all_daily_within_5pct",
+    )
+
+
+@query(
+    "ev_survival_life_table",
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         CAST(date_part('epoch', MAX(ts)) - date_part('epoch', MIN(ts))
+              AS BIGINT) AS span,
+         CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS last_s
+  FROM events GROUP BY user_id
+),
+gm AS (
+  SELECT CAST(date_part('epoch', MAX(ts)) AS BIGINT) AS gmax FROM events
+),
+lab AS (
+  SELECT span, CASE WHEN last_s >= gmax - 3600 THEN 1 ELSE 0 END AS cen
+  FROM spans, gm
+),
+ms AS (
+  SELECT MIN(span) AS lo, (MAX(span) - MIN(span)) // 8 + 1 AS width FROM lab
+),
+bins AS (
+  SELECT (span - lo) // width AS bin,
+         CAST(SUM(1 - cen) AS BIGINT) AS n_deaths,
+         CAST(SUM(cen) AS BIGINT) AS n_censored
+  FROM lab, ms GROUP BY 1
+),
+w AS (
+  SELECT bin, n_deaths, n_censored,
+         CAST(SUM(n_deaths + n_censored) OVER ()
+              - COALESCE(SUM(n_deaths + n_censored) OVER (
+                  ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM bins
+),
+f AS (
+  SELECT *, CAST(n_at_risk - n_deaths AS DOUBLE) / n_at_risk AS frac,
+         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS rk
+  FROM w
+),
+a AS (SELECT array_agg(frac ORDER BY bin) AS fr FROM f)
+SELECT bin, n_at_risk, n_deaths, n_censored,
+       list_reduce(fr[1:CAST(rk AS INTEGER)], (x, y) -> x * y) AS survival
+FROM f, a
+""",
+    tags=("events", "survival", "life-table", "kaplan-meier", "stats"),
+)
+def ev_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFE-TABLE (actuarial Kaplan-Meier) survival estimate over user
+    lifetimes — the churn/retention curve: each user's observed
+    lifetime is the span between their first and last event; users
+    still active in the final hour of the dataset are CENSORED
+    (lifetime ongoing, not ended). Lifetimes fall into 8 equi-width
+    intervals spanning the observed [min, max] lifetime range; per interval the table reports n_at_risk, deaths
+    (churned), censored, and the survival estimate
+    S(k) = prod_{j<=k} (n_j - d_j)/n_j. The prefix product is a LEFT
+    FOLD over the bin-sorted fraction array (`aggregate(slice(...))`
+    here, `list_reduce` in the oracle) — the identical
+    multiplication order in both engines, so even the floating
+    survival curve hash-matches bitwise; every count is exact
+    integer arithmetic.
+
+    Plan shape at 100 TB: one shuffle on user_id for the span
+    aggregation; everything after operates on ≤ 8 interval rows
+    (broadcast scalars for the global max timestamp and bin width).
+    The single-partition window over 8 rows is O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span"),
+        F.unix_timestamp(F.max("ts")).alias("last_s"),
+    )
+    gm = ev.agg(F.unix_timestamp(F.max("ts")).alias("gmax"))
+    lab = spans.crossJoin(F.broadcast(gm)).select(
+        "span",
+        F.when(F.col("last_s") >= F.col("gmax") - 3600, 1)
+        .otherwise(0)
+        .alias("cen"),
+    )
+    ms = lab.agg(
+        F.min("span").alias("lo"),
+        ((F.max("span") - F.min("span")) / 8 + 1).cast("long").alias("width"),
+    )
+    bins = (
+        lab.crossJoin(F.broadcast(ms))
+        .groupBy(F.expr("(span - lo) div width").alias("bin"))
+        .agg(
+            F.sum(1 - F.col("cen")).cast("long").alias("n_deaths"),
+            F.sum("cen").cast("long").alias("n_censored"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    ended = F.col("n_deaths") + F.col("n_censored")
+    f = bins.select(
+        "bin", "n_deaths", "n_censored",
+        (
+            F.sum(ended).over(w_all)
+            - F.coalesce(F.sum(ended).over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    ).withColumn(
+        "frac",
+        (F.col("n_at_risk") - F.col("n_deaths")).cast("double")
+        / F.col("n_at_risk"),
+    )
+    one = f.agg(
+        F.expr(
+            "array_sort(collect_list(struct(bin, n_at_risk, n_deaths,"
+            " n_censored, frac))) AS arr"
+        )
+    )
+    return one.select(
+        F.expr(
+            """
+inline(transform(sequence(1, size(arr)), k -> struct(
+  arr[k-1].bin AS bin,
+  arr[k-1].n_at_risk AS n_at_risk,
+  arr[k-1].n_deaths AS n_deaths,
+  arr[k-1].n_censored AS n_censored,
+  aggregate(slice(transform(arr, x -> x.frac), 1, k),
+            cast(1.0 AS double), (acc, x) -> acc * x) AS survival)))
+"""
+        )
+    )

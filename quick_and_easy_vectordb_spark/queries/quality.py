@@ -282,3 +282,87 @@ def rel_join_strategy_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(rollup("merge", "merge"))
         .unionAll(rollup("shuffle_hash", "shuffle_hash"))
     )
+
+
+# Discrete-Laplace (two-sided geometric) inverse-CDF thresholds for
+# epsilon = 0.25, truncated at |z| <= 20, scaled to the 16-bit hash
+# range: noise(u) = z for the smallest z with u < _DP_CUM[z + 20].
+# Precomputed once in exact Python so both engines evaluate the SAME
+# integer CASE ladder — no transcendental crosses the engine boundary.
+_DP_EPS_LABEL = "0.25"
+_DP_B = 20
+_DP_CUM = [55, 126, 217, 334, 484, 677, 925, 1243, 1651, 2175, 2848,
+           3712, 4821, 6246, 8075, 10424, 13440, 17312, 22284, 28669,
+           36867, 43252, 48224, 52096, 55112, 57461, 59290, 60715,
+           61824, 62688, 63361, 63885, 64293, 64611, 64859, 65052,
+           65202, 65319, 65410, 65481, 65536]
+_DP_SALT = "dp-v1"
+
+
+def _dp_noise_sql(u: str) -> str:
+    branches = [
+        f"WHEN {u} < {c} THEN {z - _DP_B}"
+        for z, c in enumerate(_DP_CUM[:-1])
+    ]
+    return "CASE " + " ".join(branches) + f" ELSE {_DP_B} END"
+
+
+@query(
+    "rel_dp_histogram",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM orders GROUP BY o_orderpriority
+),
+u AS (
+  SELECT priority, n_true,
+         ('0x' || substr(md5(priority || '{_DP_SALT}'), 1, 4))::BIGINT AS uh
+  FROM g
+)
+SELECT priority, n_true,
+       CAST({_dp_noise_sql('uh')} AS BIGINT) AS noise,
+       CAST(n_true + {_dp_noise_sql('uh')} AS BIGINT) AS n_released
+FROM u
+""",
+    tags=("quality", "privacy", "differential-privacy", "histogram",
+          "governance"),
+)
+def rel_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release — the privacy
+    mechanism a governed corpus applies before publishing group
+    counts: each count gets additive noise from a DISCRETE LAPLACE
+    (two-sided geometric) distribution with sensitivity 1 and
+    epsilon = 0.25, truncated at ±20. The draw is derandomized the
+    same way the engine's sampling operators are
+    (operators/sampling.py hash-bucket discipline): u =
+    md5(group || salt) mod 2^16 indexes a precomputed inverse-CDF
+    ladder of INTEGER thresholds, so the released value is a pure
+    function of (data, salt) — reproducible across engines and
+    reruns, auditable, yet distributed exactly as the mechanism
+    specifies over salt choices. Companion to rel_k_anonymity
+    (linkability audit) and rel_gdpr_cascade_erasure (deletion) on
+    the governance shelf.
+
+    Plan shape at 100 TB: one map-side-combined count per group plus
+    a codegen CASE projection — the noise ladder is constant-folded;
+    zero extra shuffle beyond the groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("priority"), F.lit(_DP_SALT))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    noise = F.lit(_DP_B)
+    for z, c in reversed(list(enumerate(_DP_CUM[:-1]))):
+        noise = F.when(u < c, z - _DP_B).otherwise(noise)
+    return g.select(
+        "priority",
+        "n_true",
+        noise.cast("long").alias("noise"),
+        (F.col("n_true") + noise).cast("long").alias("n_released"),
+    )
