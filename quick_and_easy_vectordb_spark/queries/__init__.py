@@ -127,6 +127,9 @@ _CHECK_PRIORITY = [
     "rel_dp_histogram",
     "ev_hll_daily_union",
     "ev_survival_life_table",
+    "rel_fk_discovery",
+    "rel_fd_check",
+    "rel_benford_check",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

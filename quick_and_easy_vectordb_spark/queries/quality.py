@@ -12,7 +12,7 @@ aggregates with a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
@@ -365,4 +365,228 @@ def rel_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         noise.cast("long").alias("noise"),
         (F.col("n_true") + noise).cast("long").alias("n_released"),
+    )
+
+
+# Candidate foreign-key pairs probed by rel_fk_discovery: four true
+# FKs from the star schema plus one deliberate non-FK control.
+_FK_CANDIDATES = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders.o_orderkey->customer.c_custkey",
+     "orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+@query(
+    "rel_fk_discovery",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{label}' AS candidate,
+       CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+       CAST(COUNT(*) FILTER (WHERE p.{pcol} IS NULL) AS BIGINT)
+         AS n_unmatched,
+       COUNT(*) FILTER (WHERE p.{pcol} IS NULL) = 0 AS is_inclusion
+FROM (SELECT DISTINCT {ccol} FROM {child}) c
+LEFT JOIN {parent} p ON p.{pcol} = c.{ccol}
+"""
+        for label, child, ccol, parent, pcol in _FK_CANDIDATES
+    ),
+    tags=("quality", "profiling", "inclusion-dependency", "foreign-key",
+          "discovery"),
+)
+def rel_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-KEY (inclusion-dependency) DISCOVERY — the schema
+    profiling step that recovers undeclared join paths in a data
+    lake (parquet carries no constraints): for each candidate pair,
+    is every distinct child value present in the parent column?
+    Four true star-schema edges and one deliberate non-FK control
+    are probed; the report gives distinct-child cardinality,
+    unmatched count, and the inclusion verdict. This is the
+    Spark-first reduction of the classic SPIDER/de Marchi IND
+    algorithms: distinct-project each side, then a left join keyed
+    on the value itself.
+
+    Plan shape at 100 TB: each probe is DISTINCT (map-side partial)
+    → left join against the parent KEY column only (dimension
+    parents broadcast; the one fact-fact probe shuffles two
+    distinct-key sets, never the fact rows). Candidates run as one
+    unioned DAG so the planner shares the repeated scans."""
+    frames = []
+    for label, child, ccol, parent, pcol in _FK_CANDIDATES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ccol).cast("long").alias("v"))
+            .distinct()
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pcol).cast("long").alias("pv"))
+            .distinct()
+        )
+        probe = c.join(p, c.v == p.pv, "left").agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+            F.count(F.when(F.col("pv").isNull(), 1))
+            .cast("long")
+            .alias("n_unmatched"),
+            (F.count(F.when(F.col("pv").isNull(), 1)) == 0).alias(
+                "is_inclusion"
+            ),
+        )
+        frames.append(probe)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
+# Candidate functional dependencies probed by rel_fd_check:
+# (determinant column, dependent column, table).
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),       # key → holds
+    ("lineitem", "l_orderkey", "l_returnflag"),  # violated
+    ("lineitem", "l_partkey", "l_suppkey"),      # violated
+    ("customer", "c_nationkey", "c_mktsegment"),  # violated
+]
+
+
+@query(
+    "rel_fd_check",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{table}.{lhs}->{rhs}' AS candidate,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+         AS n_violating_groups,
+       COUNT(*) FILTER (WHERE n_rhs > 1) = 0 AS holds
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+      FROM {table} GROUP BY {lhs}) g
+"""
+        for table, lhs, rhs in _FD_CANDIDATES
+    ),
+    tags=("quality", "profiling", "functional-dependency", "discovery"),
+)
+def rel_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY check — the other half of schema
+    profiling (Metanome/TANE-style, restricted to a declared
+    candidate set, which is how FD validation actually runs at
+    scale): does determinant column X fix dependent column Y? For
+    each candidate the report counts determinant groups and groups
+    carrying more than one distinct dependent value; zero violating
+    groups ⇒ the FD holds. One true key-FD and three expected
+    violations keep both verdict polarities exercised.
+
+    Plan shape at 100 TB: per candidate, one groupBy on the
+    determinant with a distinct-count — partial aggregation
+    map-side, one shuffle keyed on X; the verdict aggregate is a
+    scan over group rows. No joins, no row explosion."""
+    frames = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        frames.append(
+            g.agg(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.count(F.when(F.col("n_rhs") > 1, 1))
+                .cast("long")
+                .alias("n_violating_groups"),
+                (F.count(F.when(F.col("n_rhs") > 1, 1)) == 0).alias("holds"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
+# Benford first-digit expectations log10(1 + 1/d), printed by Python
+# repr so both engines parse the identical double literal.
+_BENFORD = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+@query(
+    "rel_benford_check",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM d GROUP BY digit
+),
+e AS (
+  {" UNION ALL ".join(f"SELECT {k} AS digit, {v} AS expected_freq" for k, v in _BENFORD.items())}
+)
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / c.total AS observed_freq,
+       e.expected_freq,
+       abs(CAST(c.n AS DOUBLE) / c.total - e.expected_freq) AS abs_dev
+FROM c JOIN e ON e.digit = c.digit
+""",
+    tags=("quality", "profiling", "benford", "fraud", "audit"),
+)
+def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the forensic screen for
+    fabricated or synthetically-padded numeric columns (audit teams
+    run exactly this over ledger amounts): the distribution of the
+    first significant digit of o_totalprice against the Benford
+    expectation log10(1 + 1/d). Expected frequencies are
+    compile-time double literals (Python repr), the observed
+    frequency is one per-row division, and the deviation column is
+    per-row arithmetic — no cross-row float aggregation, so the
+    report hash-matches bitwise. (The fixture prices are near-
+    uniform, so the audit correctly FLAGS them — large deviations on
+    low digits — demonstrating the detection, not vacuously
+    passing.)
+
+    Plan shape at 100 TB: one map-side-combined count over a single
+    projected column (first digit via floor → string head), a 9-row
+    broadcast join against the expectation literals. One shuffle of
+    9 groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("total", F.sum("n").over(w_all).cast("long"))
+    )
+    e = spark.createDataFrame(
+        [(k, float(v)) for k, v in _BENFORD.items()],
+        "digit long, expected_freq double",
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    return c.join(F.broadcast(e), "digit").select(
+        "digit", "n",
+        obs.alias("observed_freq"),
+        "expected_freq",
+        F.abs(obs - F.col("expected_freq")).alias("abs_dev"),
     )
