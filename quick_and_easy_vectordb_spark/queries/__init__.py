@@ -130,6 +130,9 @@ _CHECK_PRIORITY = [
     "rel_fk_discovery",
     "rel_fd_check",
     "rel_benford_check",
+    "ann_ivf_filtered_search",
+    "ann_ivf_balance_stats",
+    "ann_nprobe_recall_curve",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1203,3 +1203,231 @@ def ann_hnsw_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
     )
+
+
+# Shared IVF coarse-quantizer CTE prefix (decimal-exact per-label
+# centroids + query-to-centroid distances), reused by the filtered
+# search and the nprobe tuning curve below.
+_IVF_CTE = f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+q AS (
+  SELECT pos.pos AS pos, CAST(v[pos.pos] AS DOUBLE) AS qv
+  FROM (SELECT {sql_vec(QUERY_VEC)} AS v) CROSS JOIN pos
+),
+d AS (
+  SELECT cent.label,
+         CAST(CAST(SUM(CAST((cent.c - q.qv) * (cent.c - q.qv)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist2
+  FROM cent JOIN q ON q.pos = cent.pos
+  GROUP BY cent.label
+)"""
+
+_FILT_NPROBE = 2
+
+
+@query(
+    "ann_ivf_filtered_search",
+    oracle=f"""{_IVF_CTE},
+best AS (SELECT label FROM d ORDER BY dist2, label LIMIT {_FILT_NPROBE})
+SELECT e.label, e.vec_id, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN best b ON e.label = b.label
+WHERE e.vec_id % 3 = 0
+ORDER BY l2_dist, e.vec_id LIMIT 5
+""",
+    tags=("ann", "ivf", "filtered-search", "topk"),
+)
+def ann_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN search — top-k under a metadata predicate
+    (tenant id, language, date range; here the stand-in
+    vec_id % 3 = 0), the workload behind filtered-DiskANN / ACORN:
+    the filter is applied INSIDE the probed IVF cells BEFORE
+    distance scoring, so selectivity reduces scoring work instead of
+    post-hoc truncating the result (contrast vdb_postfilter_search,
+    which scores first and filters after — the recall-losing naive
+    order). nprobe=2 compensates for candidates removed by the
+    predicate.
+
+    Plan shape at 100 TB: centroid ranking is O(cells); the
+    candidate scan is predicate-first (Catalyst pushes the filter to
+    the probed-cell scan — with label-partitioned storage, partition
+    pruning + row-group filter), then exact L2 top-5 over the
+    filtered cells only. The filter never touches un-probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label")
+    qv = F.element_at(q, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qv) * (F.col("c") - qv))
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    best = (
+        dist2.orderBy("dist2", "key")
+        .limit(_FILT_NPROBE)
+        .select(F.col("key").alias("blabel"))
+    )
+    return (
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .join(F.broadcast(best), emb.label == F.col("blabel"))
+        .select(
+            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "ann_ivf_balance_stats",
+    oracle="""
+WITH sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(MIN(n) AS BIGINT) AS min_size,
+       CAST(MAX(n) AS BIGINT) AS max_size,
+       CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n) AS imbalance_factor
+FROM sizes
+""",
+    tags=("ann", "ivf", "index-stats", "skew"),
+)
+def ann_ivf_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BALANCE report — the health check run after every
+    (re)clustering: posting-list size min/max and the imbalance
+    factor max_size · n_lists / n_vectors (1.0 = perfectly even;
+    large values mean one hot cell dominates probe latency and, on a
+    cluster, one straggler task). The same skew discipline as
+    ann_lsh_bucket_histogram, reported as the single decision metric
+    used to trigger re-training the coarse quantizer.
+
+    Plan shape at 100 TB: one map-side-combined count per cell, one
+    O(cells) final aggregate. The imbalance division happens on a
+    single row — exact integer inputs, one per-row double divide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.min("n").cast("long").alias("min_size"),
+        F.max("n").cast("long").alias("max_size"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("imbalance_factor"),
+    )
+
+
+_CURVE_K = 10
+_CURVE_NPROBES = (1, 2, 4)
+
+
+@query(
+    "ann_nprobe_recall_curve",
+    oracle=f"""{_IVF_CTE},
+r AS (
+  SELECT label, row_number() OVER (ORDER BY dist2, label) AS rk FROM d
+),
+exact AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY {sql_l2(_EMB, sql_vec(QUERY_VEC))}, vec_id LIMIT {_CURVE_K}
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({np} AS BIGINT) AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+        JOIN r ON r.label = e.label AND r.rk <= {np}) AS n_scanned,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact
+        JOIN (SELECT vec_id FROM embeddings e
+              JOIN r ON r.label = e.label AND r.rk <= {np}
+              ORDER BY {sql_l2('e.' + _EMB, sql_vec(QUERY_VEC))}, vec_id
+              LIMIT {_CURVE_K}) a USING (vec_id)) AS n_hits,
+       (SELECT CAST(COUNT(*) AS DOUBLE) / {_CURVE_K} FROM exact
+        JOIN (SELECT vec_id FROM embeddings e
+              JOIN r ON r.label = e.label AND r.rk <= {np}
+              ORDER BY {sql_l2('e.' + _EMB, sql_vec(QUERY_VEC))}, vec_id
+              LIMIT {_CURVE_K}) a USING (vec_id)) AS recall
+"""
+        for np in _CURVE_NPROBES
+    ),
+    tags=("ann", "ivf", "tuning", "recall", "metric"),
+)
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE — recall@10 and scan cost as a function of
+    nprobe ∈ {{1, 2, 4}}: the exact table an ANN deployment reads to
+    pick its operating point (probe more cells → scan more vectors →
+    higher recall; the knee of this curve is the config decision).
+    Extends ann_recall_at_k (one point, LSH) to the full
+    cost/quality frontier for the IVF index; every cell of the curve
+    is deterministic and oracle-checked.
+
+    Plan shape at 100 TB: centroid ranking happens ONCE (O(cells)),
+    the ranked label list is broadcast, and the three probe sets are
+    three filtered scans that Spark runs as one unioned DAG over a
+    shared scan; each top-k is TakeOrderedAndProject, never a global
+    sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label")
+    qv = F.element_at(q, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qv) * (F.col("c") - qv))
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    ranked = dist2.select(
+        F.col("key").alias("blabel"),
+        F.row_number().over(Window.orderBy("dist2", "key")).alias("rk"),
+    )
+    scored = emb.select(
+        "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+    )
+    exact = scored.orderBy("l2_dist", "vec_id").limit(_CURVE_K).select("vec_id")
+    frames = []
+    for np_ in _CURVE_NPROBES:
+        probe_labels = ranked.filter(F.col("rk") <= np_)
+        cand = scored.join(
+            F.broadcast(probe_labels), scored.label == F.col("blabel")
+        )
+        approx = (
+            cand.orderBy("l2_dist", "vec_id").limit(_CURVE_K).select("vec_id")
+        )
+        n_scanned = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_scanned")
+        )
+        hits = approx.join(exact, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        frames.append(
+            n_scanned.crossJoin(F.broadcast(hits)).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_scanned",
+                "n_hits",
+                (F.col("n_hits").cast("double") / _CURVE_K).alias("recall"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
