@@ -209,3 +209,97 @@ def test_ols_is_single_moment_aggregate(spark, sf_dir):
     assert "Join" not in plan
     assert "Python" not in plan
     assert shuffle_count(df) <= 1
+
+
+# -- round-7 continuation 3: geo/profiling/sketch/ANN-tuning batch --
+
+
+def test_dbscan_candidates_are_equi_join(spark, sf_dir):
+    """The eps-neighborhood pair generation must be a cell-keyed
+    equi-join (replicated 3x3 blocking) — never a cross product with
+    a distance predicate."""
+    df = QUERIES["geo_dbscan_classify"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bbox_range_join_is_single_shuffle_broadcast(spark, sf_dir):
+    """Rectangle containment: replicated rects broadcast, the point
+    side joins on its single cell — one shuffle total (the final
+    groupBy), no nested-loop range join."""
+    df = QUERIES["geo_bbox_range_join"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_trajectory_reuses_user_partitioning(spark, sf_dir):
+    """The lag window and the per-user aggregate must share ONE
+    user_id exchange."""
+    df = QUERIES["geo_trajectory_stats"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_dp_histogram_noise_is_codegen_projection(spark, sf_dir):
+    """The noise ladder adds no shuffle beyond the groupBy, and no
+    Python UDF appears (the inverse-CDF CASE is constant-folded
+    JVM-side)."""
+    df = QUERIES["rel_dp_histogram"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_union_aggregates_sketches_not_ids(spark, sf_dir):
+    """The rollup re-aggregation must run over hll sketches (binary
+    register arrays), proving the mergeable-sketch shape."""
+    df = QUERIES["ev_hll_daily_union"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hll_sketch_agg" in plan
+    assert "hll_union_agg" in plan
+
+
+def test_fd_check_is_join_free(spark, sf_dir):
+    """FD validation is pure aggregation — any join in the plan means
+    the reduction regressed to a pairwise comparison."""
+    df = QUERIES["rel_fd_check"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+
+
+def test_fk_discovery_broadcasts_dimension_parents(spark, sf_dir):
+    """Dimension-side inclusion probes must broadcast the parent key
+    set; nothing may degenerate to a cross product."""
+    df = QUERIES["rel_fk_discovery"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_expectations_broadcast(spark, sf_dir):
+    """The 9-row expectation table must broadcast against the digit
+    counts."""
+    df = QUERIES["rel_benford_check"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_ivf_filters_before_topk(spark, sf_dir):
+    """Filtered ANN: the metadata predicate must sit below the top-k
+    (pre-filter), the probed-cell join must broadcast the winner
+    labels, and the top-k is a bounded heap."""
+    df = QUERIES["ann_ivf_filtered_search"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert is_top_k(df)
+
+
+def test_nprobe_curve_probe_sets_are_broadcast_topk(spark, sf_dir):
+    """Each curve point's candidate join broadcasts the ranked label
+    set and takes top-k with a heap, sharing one scan DAG."""
+    df = QUERIES["ann_nprobe_recall_curve"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert is_top_k(df)
