@@ -133,6 +133,9 @@ _CHECK_PRIORITY = [
     "ann_ivf_filtered_search",
     "ann_ivf_balance_stats",
     "ann_nprobe_recall_curve",
+    "text_winnowing_overlap",
+    "text_gini_concentration",
+    "src_cdc_log_compaction",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.vector import (
@@ -740,4 +740,75 @@ def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.selectExpr(
         f"stack({4 * len(_PROFILE_COLS)}, {stack_args}) AS (col, metric, value)"
+    )
+
+
+@query(
+    "src_cdc_log_compaction",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey % 5000 AS key, o_orderkey AS version,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS price
+  FROM orders
+),
+last AS (
+  SELECT key, op, price,
+         row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+  FROM log
+),
+final AS (SELECT key, op, price FROM last WHERE rn = 1)
+SELECT CAST(COUNT(*) FILTER (WHERE op = 'U') AS BIGINT) AS n_live,
+       CAST(COUNT(*) FILTER (WHERE op = 'D') AS BIGINT) AS n_tombstones,
+       CAST(CAST(SUM(CASE WHEN op = 'U'
+                  THEN CAST(price AS DECIMAL(30,10)) END)
+            AS VARCHAR) AS DOUBLE) AS live_price_total,
+       CAST(SUM(CASE WHEN op = 'U' THEN key ELSE 0 END) AS BIGINT)
+         AS live_key_checksum
+FROM final
+""",
+    tags=("lakehouse", "cdc", "compaction", "upsert", "merge"),
+)
+def src_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CHANGE-LOG COMPACTION — the Debezium-to-lakehouse apply
+    step: a change feed carries multiple versioned upserts/deletes
+    per key (synthesized here: key = o_orderkey % 5000 forces ~3
+    versions per key, version = the monotone source offset, every
+    7th change a delete); LAST-WRITER-WINS per key (row_number over
+    version DESC) yields the current snapshot; trailing deletes
+    become tombstones. Extends rel_merge_upsert (one merge batch,
+    unique keys) to the multi-version log the CDC pipeline actually
+    ships, and pairs with src_snapshot_time_travel (each compaction
+    output is the next snapshot).
+
+    Plan shape at 100 TB: ONE shuffle on key serves the version
+    window; the snapshot reduction is the same pass. Compaction
+    state per key is O(1) — the log never sorts globally, and with
+    the log bucketed by key on disk even that shuffle disappears."""
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        (F.col("o_orderkey") % 5000).alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("version"))
+    final = log.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return final.agg(
+        F.count(F.when(F.col("op") == "U", 1)).cast("long").alias("n_live"),
+        F.count(F.when(F.col("op") == "D", 1))
+        .cast("long")
+        .alias("n_tombstones"),
+        F.sum(
+            F.when(
+                F.col("op") == "U", F.col("price").cast("decimal(30,10)")
+            )
+        )
+        .cast("double")
+        .alias("live_price_total"),
+        F.sum(F.when(F.col("op") == "U", F.col("key")).otherwise(0))
+        .cast("long")
+        .alias("live_key_checksum"),
     )

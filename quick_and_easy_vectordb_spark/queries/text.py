@@ -1591,3 +1591,159 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_stop).cast("long").alias("n_stop"),
         (F.sum(is_stop).cast("double") / F.sum(is_real)).alias("stop_ratio"),
     )
+
+
+_WIN_W = 4       # winnowing window: w consecutive 3-gram hashes
+_WIN_SHARED = 2  # report pairs sharing >= this many fingerprints
+_WIN_HOT = 50    # drop fingerprints present in more docs (stopword guard)
+
+
+@query(
+    "text_winnowing_overlap",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         ('0x' || substr(md5(w[CAST(t.i AS INTEGER)] || ' ' ||
+                             w[CAST(t.i AS INTEGER) + 1] || ' ' ||
+                             w[CAST(t.i AS INTEGER) + 2]), 1, 12))::BIGINT AS h
+  FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS fh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, fh FROM win WHERE pos <= ng - {_WIN_W}
+),
+keep AS (
+  SELECT fh FROM fp GROUP BY fh HAVING COUNT(*) <= {_WIN_HOT}
+),
+fk AS (SELECT fp.doc_id, fp.fh FROM fp JOIN keep USING (fh))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fk a JOIN fk b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_SHARED}
+""",
+    tags=("text", "winnowing", "fingerprint", "near-dup", "moss"),
+)
+def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint overlap (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) — the position-aware alternative to MinHash
+    for local similarity: hash every word 3-gram IN ORDER, slide a
+    w=4 window over the hash sequence, keep each window's
+    minimum as a fingerprint (guaranteeing any shared run of ≥ w+2
+    words yields a shared fingerprint), then report document pairs
+    sharing ≥ 2 fingerprints. Fingerprints present in
+    more than 50 documents are dropped before pairing — the
+    same hot-bucket cap as the MinHash-LSH band join
+    (operators/dedup.py), guarding the self-join from stopword-gram
+    quadratic blowup.
+
+    Plan shape at 100 TB: gram hashing is per-row; the window min
+    needs ONE doc-keyed shuffle (same partitioning serves the
+    distinct); pairing is an equi-join on the fingerprint VALUE —
+    cap-bounded fan-out, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - 2),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    g = (
+        docs.filter(k >= 3)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    win = g.select(
+        "doc_id", "pos",
+        F.min("h").over(w_min).alias("fh"),
+        F.count(F.lit(1)).over(w_cnt).alias("ng"),
+    )
+    fp = (
+        win.filter(F.col("pos") <= F.col("ng") - _WIN_W)
+        .select("doc_id", "fh")
+        .distinct()
+    )
+    keep = fp.groupBy("fh").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") <= _WIN_HOT
+    )
+    fk = fp.join(keep.select("fh"), "fh")
+    a = fk.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = fk.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_SHARED)
+    )
+
+
+@query(
+    "text_gini_concentration",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars,
+                                 doc_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM((2 * i - n - 1) * n_chars) AS DOUBLE)
+         / (MAX(n) * SUM(n_chars)) AS gini
+FROM r GROUP BY source
+""",
+    tags=("text", "gini", "concentration", "corpus-audit"),
+)
+def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI concentration of document length per source — the corpus
+    inequality audit (is one source's token budget dominated by a few
+    giant documents?) used to decide length-capping before training.
+    Uses the exact rank formulation G = Σ(2i − n − 1)·x_i / (n·Σx)
+    over lengths sorted within source: every term is INTEGER
+    arithmetic (rank, count, n_chars), with a single per-row double
+    division at the end — bit-exact across engines, no sorting of
+    floats.
+
+    Plan shape at 100 TB: one shuffle on source serves both the rank
+    window and the aggregate (Catalyst reuses the partitioning);
+    per-source work parallelizes across sources. Skewed single-source
+    corpora would salt the rank via the ntile-bucket pattern of
+    rel_ntile_deciles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("n_chars"))
+            .cast("double")
+            / (F.max("n") * F.sum("n_chars"))
+        ).alias("gini"),
+    )
