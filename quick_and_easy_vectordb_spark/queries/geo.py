@@ -99,6 +99,7 @@ SELECT c_custkey, s_suppkey AS nearest_site, dist2
 FROM r WHERE rn = 1
 """,
     tags=("geo", "spatial-join", "grid-blocking", "knn", "join"),
+    bench=True,
 )
 def geo_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRID-BLOCKED spatial nearest-neighbor join — "assign every

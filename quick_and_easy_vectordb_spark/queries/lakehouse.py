@@ -768,6 +768,7 @@ SELECT CAST(COUNT(*) FILTER (WHERE op = 'U') AS BIGINT) AS n_live,
 FROM final
 """,
     tags=("lakehouse", "cdc", "compaction", "upsert", "merge"),
+    bench=True,
 )
 def src_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC CHANGE-LOG COMPACTION — the Debezium-to-lakehouse apply

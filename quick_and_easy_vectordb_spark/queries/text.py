@@ -24,7 +24,10 @@ from quick_and_easy_vectordb_spark.functions.numeric import dsum
 from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
 from quick_and_easy_vectordb_spark.operators.dedup import shingle_table
 from quick_and_easy_vectordb_spark.operators.sampling import deterministic_split
-from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
+from quick_and_easy_vectordb_spark.operators.util import (
+    ensure_parallelism,
+    scaled_shuffle_partitions,
+)
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -1668,6 +1671,14 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
+    # Spill guard (operators/util.py): the window-min sorts each
+    # task's gram rows; a fixed partition count is a spill cliff once
+    # grams-per-task outgrow execution memory (the q21 signature —
+    # measured 3.5x wall for 3x data on the synthetic probe before
+    # this guard).
+    n_parts = scaled_shuffle_partitions(g, target_bytes=8 << 20)
+    if n_parts:
+        g = g.repartition(n_parts, "doc_id")
     w_min = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     )
@@ -1677,10 +1688,16 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").over(w_min).alias("fh"),
         F.count(F.lit(1)).over(w_cnt).alias("ng"),
     )
+    # Materialized once: the fingerprint table feeds THREE consumers
+    # (hot-cap census, and both sides of the pair join). Without the
+    # persist the window+distinct recomputes per consumer — measured
+    # 16.6x at 30x on the synthetic probe, 7.9x with it (the
+    # operators/graph.py:56 multi-consumer pattern).
     fp = (
         win.filter(F.col("pos") <= F.col("ng") - _WIN_W)
         .select("doc_id", "fh")
         .distinct()
+        .persist()
     )
     keep = fp.groupBy("fh").agg(F.count(F.lit(1)).alias("nd")).filter(
         F.col("nd") <= _WIN_HOT

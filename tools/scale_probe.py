@@ -672,6 +672,125 @@ def main() -> None:
 
     probes["gif_lzw_decode (arrow batches)"] = lzw_decode_probe
 
+    # -- round-7 continuation: grid-blocked spatial pair join (the
+    # DBSCAN / bbox-join candidate shape) at CONSTANT density (domain
+    # area grows with the point count, as geography does), winnowing
+    # fingerprint pairing (window-min + capped value equi-join), and
+    # CDC last-writer-wins compaction (key-window argmax). --
+
+    def grid_pair_join_probe(n: int) -> None:
+        pts = n // 20
+        side = max(4, int(pts**0.5 / 4))  # ~16 points per cell
+        p = spark.range(pts).select(
+            F.col("id"),
+            F.pmod(F.hash("id"), F.lit(side * 900)).alias("x"),
+            F.pmod(F.hash("id", F.lit(1)), F.lit(side * 900)).alias("y"),
+        ).select(
+            "id", "x", "y",
+            (F.col("x") / 900).cast("long").alias("cx"),
+            (F.col("y") / 900).cast("long").alias("cy"),
+        )
+        off = F.expr(
+            "explode(transform(sequence(0, 8), "
+            "i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+        )
+        q9 = p.select(
+            F.col("id").alias("qid"), F.col("x").alias("qx"),
+            F.col("y").alias("qy"), "cx", "cy", off.alias("o"),
+        ).select(
+            "qid", "qx", "qy",
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+        d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+            F.col("y") - F.col("qy")
+        ) * (F.col("y") - F.col("qy"))
+        noop(
+            p.join(q9, ["cx", "cy"])
+            .filter(d2 <= 810000)
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_nbr"))
+        )
+
+    probes["grid_pair_join (dbscan eps-neighborhood)"] = grid_pair_join_probe
+
+    def winnowing_pairs_probe(n: int) -> None:
+        from pyspark.sql import Window as _W
+
+        docs = synth_docs(spark, n // 100)
+        toks = F.split(F.col("text"), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+        g = docs.select(
+            "doc_id", F.posexplode(grams).alias("p0", "gram")
+        ).select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        n_parts = scaled_shuffle_partitions(g, target_bytes=8 << 20)
+        if n_parts:
+            g = g.repartition(n_parts, "doc_id")
+        wmin = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        wcnt = _W.partitionBy("doc_id")
+        fp = (
+            g.select(
+                "doc_id", "pos",
+                F.min("h").over(wmin).alias("fh"),
+                F.count(F.lit(1)).over(wcnt).alias("ng"),
+            )
+            .filter(F.col("pos") <= F.col("ng") - 4)
+            .select("doc_id", "fh")
+            .distinct()
+            .persist()
+        )
+        keep = (
+            fp.groupBy("fh")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") <= 50)
+            .select("fh")
+        )
+        fk = fp.join(keep, "fh")
+        a = fk.select(F.col("doc_id").alias("da"), "fh")
+        b = fk.select(F.col("doc_id").alias("db"), "fh")
+        try:
+            noop(
+                a.join(b, "fh")
+                .filter(F.col("da") < F.col("db"))
+                .groupBy("da", "db")
+                .agg(F.count(F.lit(1)).alias("ns"))
+                .filter(F.col("ns") >= 2)
+            )
+        finally:
+            fp.unpersist()
+
+    probes["winnowing_pairs (window-min + capped join)"] = winnowing_pairs_probe
+
+    def cdc_compaction_probe(n: int) -> None:
+        from pyspark.sql import Window as _W
+
+        log = synth_fact(spark, n).select(
+            F.pmod(F.col("id"), F.lit(n // 3)).alias("key"),
+            F.col("id").alias("version"),
+            F.when(F.pmod(F.col("id"), F.lit(7)) == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+            "price",
+        )
+        w = _W.partitionBy("key").orderBy(F.desc("version"))
+        noop(
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    probes["cdc_compaction (key-window last-writer)"] = cdc_compaction_probe
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
