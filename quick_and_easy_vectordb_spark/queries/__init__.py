@@ -136,6 +136,8 @@ _CHECK_PRIORITY = [
     "text_winnowing_overlap",
     "text_gini_concentration",
     "src_cdc_log_compaction",
+    "ev_watermark_lag_audit",
+    "rel_join_cardinality_estimate",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -4540,3 +4540,97 @@ inline(transform(sequence(1, size(arr)), k -> struct(
 """
         )
     )
+
+
+_LAG_THRESHOLDS = (0, 60, 300, 900, 3600)
+
+
+@query(
+    "ev_watermark_lag_audit",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, CAST(date_part('epoch', ts) AS BIGINT) AS ts_s
+  FROM events
+),
+lat AS (
+  SELECT MAX(ts_s) OVER (ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) - ts_s AS lateness
+  FROM arr
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat)
+{" UNION ALL ".join(
+    f'''SELECT CAST({t} AS BIGINT) AS threshold_s,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lat
+        WHERE lateness <= {t}) AS n_within,
+       (SELECT CAST(COUNT(*) AS DOUBLE) FROM lat WHERE lateness <= {t})
+         / (SELECT n FROM tot) AS pct_within'''
+    for t in _LAG_THRESHOLDS)}
+""",
+    tags=("events", "streaming", "watermark", "out-of-order", "audit"),
+)
+def ev_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-LAG audit — the measurement that CONFIGURES every
+    streaming query's `withWatermark` delay: per event, lateness =
+    (running max of event time in ARRIVAL order) − its own event
+    time; the report gives event coverage at candidate watermark
+    delays {0s, 1m, 5m, 15m, 1h} — pick the smallest threshold whose
+    coverage meets the pipeline's completeness SLO, and that is your
+    watermark. Companion to ev_stream_dedup_within_watermark /
+    ev_append_mode_finalized_windows, which CONSUME such a delay.
+
+    Plan shape at 100 TB: the running max is the same TWO-LEVEL
+    distributed prefix as ev_ks_two_sample's ECDF — arrival-bucketed
+    per-partition running max plus a broadcast prefix-max offset
+    table of bucket maxima (O(buckets) rows); nothing global-sorts
+    the stream history. Threshold coverage is one map-side-combined
+    conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        (F.col("event_id") / 1024).cast("long").alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        arr.groupBy("bkt")
+        .agg(F.max("ts_s").alias("bmax"))
+        .select("bkt", F.max("bmax").over(woff).alias("omax"))
+    )
+    lat = (
+        arr.join(F.broadcast(offsets), "bkt")
+        .select(
+            (
+                F.greatest(
+                    F.coalesce(F.col("omax"), F.lit(-(1 << 62))),
+                    F.max("ts_s").over(wb),
+                )
+                - F.col("ts_s")
+            ).alias("lateness")
+        )
+    )
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("n")]
+    for t in _LAG_THRESHOLDS:
+        agg_cols.append(
+            F.sum(F.when(F.col("lateness") <= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"w{t}")
+        )
+    one = lat.agg(*agg_cols)
+    rows = []
+    for t in _LAG_THRESHOLDS:
+        rows.append(
+            one.select(
+                F.lit(t).cast("long").alias("threshold_s"),
+                F.col(f"w{t}").alias("n_within"),
+                (F.col(f"w{t}").cast("double") / F.col("n")).alias(
+                    "pct_within"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

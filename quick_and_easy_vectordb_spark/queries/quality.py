@@ -590,3 +590,112 @@ def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_freq",
         F.abs(obs - F.col("expected_freq")).alias("abs_dev"),
     )
+
+
+@query(
+    "rel_join_cardinality_estimate",
+    oracle="""
+WITH ca AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders
+  GROUP BY o_custkey
+),
+cb AS (
+  SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM customer
+  GROUP BY c_custkey
+),
+actual AS (
+  SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS n_actual
+  FROM ca JOIN cb USING (k)
+),
+ba AS (SELECT k % 64 AS b, SUM(c) AS c FROM ca GROUP BY 1),
+bb AS (SELECT k % 64 AS b, SUM(c) AS c FROM cb GROUP BY 1),
+bkt AS (
+  SELECT CAST(SUM(ba.c * bb.c) AS BIGINT) AS n_bucket_bound
+  FROM ba JOIN bb USING (b)
+),
+cat AS (
+  SELECT CAST((SELECT SUM(c) FROM ca) AS BIGINT) AS n_a,
+         CAST((SELECT SUM(c) FROM cb) AS BIGINT) AS n_b,
+         CAST(GREATEST((SELECT COUNT(*) FROM ca),
+                       (SELECT COUNT(*) FROM cb)) AS BIGINT) AS max_ndv
+)
+SELECT actual.n_actual, bkt.n_bucket_bound,
+       CAST(cat.n_a * cat.n_b AS DOUBLE) / cat.max_ndv AS n_catalog_est,
+       CAST(bkt.n_bucket_bound AS DOUBLE) / actual.n_actual
+         AS bucket_overestimate,
+       (CAST(cat.n_a * cat.n_b AS DOUBLE) / cat.max_ndv)
+         / actual.n_actual AS catalog_ratio
+FROM actual, bkt, cat
+""",
+    tags=("quality", "profiling", "cardinality-estimation", "optimizer",
+          "histogram"),
+)
+def rel_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY estimation audit — the optimizer-statistics
+    question behind every shuffle-planning decision ("how big will
+    this join be?"), answered three ways and compared: (1) EXACT join
+    size from full per-key histograms Σ c_A(k)·c_B(k); (2) the
+    64-BUCKET histogram bound Σ c_A(b)·c_B(b) — what a bounded-memory
+    statistics catalog can store; collisions make it an upper bound,
+    and the overestimate ratio quantifies the resolution cost; (3)
+    the classic catalog formula |A|·|B| / max(ndv) Spark's CBO uses
+    with only table-level stats. Running the audit tells you whether
+    ANALYZE-level histograms are worth their storage for a given key.
+
+    Plan shape at 100 TB: both histograms are map-side-combined
+    groupBys; the exact product joins HISTOGRAM rows (O(distinct
+    keys)), never fact rows; the bucket bound joins 64 rows. The
+    fact tables are scanned once each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    actual = (
+        ca.join(cb.withColumnRenamed("c", "c2"), "k")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("n_actual"))
+    )
+    ba = ca.groupBy((F.col("k") % 64).alias("b")).agg(F.sum("c").alias("c"))
+    bb = cb.groupBy((F.col("k") % 64).alias("b")).agg(F.sum("c").alias("c"))
+    bkt = (
+        ba.join(bb.withColumnRenamed("c", "c2"), "b")
+        .agg(
+            F.sum(F.col("c") * F.col("c2"))
+            .cast("long")
+            .alias("n_bucket_bound")
+        )
+    )
+    cat = ca.agg(
+        F.sum("c").alias("n_a"), F.count(F.lit(1)).alias("ndv_a")
+    ).crossJoin(
+        F.broadcast(
+            cb.agg(F.sum("c").alias("n_b"), F.count(F.lit(1)).alias("ndv_b"))
+        )
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.greatest("ndv_a", "ndv_b").cast("long").alias("max_ndv"),
+    )
+    return (
+        actual.crossJoin(F.broadcast(bkt))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_actual",
+            "n_bucket_bound",
+            (
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / F.col("max_ndv")
+            ).alias("n_catalog_est"),
+            (
+                F.col("n_bucket_bound").cast("double") / F.col("n_actual")
+            ).alias("bucket_overestimate"),
+            (
+                (F.col("n_a") * F.col("n_b")).cast("double")
+                / F.col("max_ndv")
+                / F.col("n_actual")
+            ).alias("catalog_ratio"),
+        )
+    )
