@@ -138,6 +138,7 @@ _CHECK_PRIORITY = [
     "src_cdc_log_compaction",
     "ev_watermark_lag_audit",
     "rel_join_cardinality_estimate",
+    "src_merge_on_read_deletes",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -813,3 +813,84 @@ def src_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("live_key_checksum"),
     )
+
+
+@query(
+    "src_merge_on_read_deletes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders WHERE o_orderstatus = 'F'
+),
+survivors AS (
+  SELECT * FROM base
+  WHERE pos % 97 <> 0 AND o_orderkey % 131 <> 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST((SELECT COUNT(*) FROM base) - COUNT(*) AS BIGINT) AS n_deleted,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS live_price_total
+FROM survivors
+""",
+    tags=("lakehouse", "merge-on-read", "delete-files", "iceberg", "anti-join"),
+)
+def src_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete files (Iceberg v2 semantics): deletes are
+    written as small SIDE FILES — a POSITION-delete file (row
+    ordinals within the base file) and an EQUALITY-delete file (key
+    predicates) — and applied at READ time by anti-joins, instead of
+    rewriting the base data (copy-on-write, which at 100 TB turns a
+    1-row delete into a multi-GB rewrite). The base snapshot (orders
+    with status F, with explicit write-time positions), both delete
+    files, and the reconciled read all round-trip through parquet on
+    disk; the oracle recomputes the surviving set relationally.
+    Completes the deletion story: rel_merge_upsert (COW merge),
+    src_cdc_log_compaction (log compaction), vdb_delete_vectors
+    (tombstone mask) — this is the lazy, file-level variant.
+
+    Plan shape at 100 TB: delete files are tiny by construction →
+    both anti-joins BROADCAST; the base scan streams once with no
+    shuffle at all. Compaction (folding delete files back into data
+    files) is exactly src_cdc_log_compaction's shape when read
+    amplification grows."""
+    d, written = _scratch_dir("mor", sf_dir)
+    base_path = os.path.join(d, "base")
+    pos_del_path = os.path.join(d, "pos_deletes")
+    eq_del_path = os.path.join(d, "eq_deletes")
+    if not written:
+        orders = load_table(spark, sf_dir, "orders")
+        w = Window.orderBy("o_orderkey")
+        base = (
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        )
+        base.write.mode("overwrite").parquet(base_path)
+        base_r = spark.read.parquet(base_path)
+        base_r.filter(F.col("pos") % 97 == 0).select("pos").write.mode(
+            "overwrite"
+        ).parquet(pos_del_path)
+        base_r.filter(F.col("o_orderkey") % 131 == 0).select(
+            "o_orderkey"
+        ).write.mode("overwrite").parquet(eq_del_path)
+    base = spark.read.parquet(base_path)
+    pos_del = spark.read.parquet(pos_del_path)
+    eq_del = spark.read.parquet(eq_del_path)
+    survivors = base.join(
+        F.broadcast(pos_del), "pos", "left_anti"
+    ).join(F.broadcast(eq_del), "o_orderkey", "left_anti")
+    n_base = base.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    return survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("live_price_total"),
+    ).crossJoin(F.broadcast(n_base)).select(
+        "n_live",
+        (F.col("n_base") - F.col("n_live")).cast("long").alias("n_deleted"),
+        "key_checksum",
+        "live_price_total",
+    )

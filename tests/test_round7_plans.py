@@ -303,3 +303,31 @@ def test_nprobe_curve_probe_sets_are_broadcast_topk(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert is_top_k(df)
+
+
+def test_watermark_audit_prefix_max_is_bucket_partitioned(spark, sf_dir):
+    """The running max must ride the arrival-bucket window (parallel);
+    only the O(buckets) offset table may see a single-partition
+    window."""
+    df = QUERIES["ev_watermark_lag_audit"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_cardinality_estimate_joins_histograms_not_facts(spark, sf_dir):
+    """The exact-size product must join aggregated histogram rows —
+    both join inputs carry a count column, and no fact-table column
+    (o_totalprice etc.) survives into any join."""
+    df = QUERIES["rel_join_cardinality_estimate"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "o_totalprice" not in plan
+
+
+def test_merge_on_read_deletes_broadcast_anti_joins(spark, sf_dir):
+    """Both delete files must apply as BROADCAST anti-joins over the
+    streaming base scan — no shuffle of the base data."""
+    df = QUERIES["src_merge_on_read_deletes"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
