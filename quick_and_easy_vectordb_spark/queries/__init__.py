@@ -139,6 +139,9 @@ _CHECK_PRIORITY = [
     "ev_watermark_lag_audit",
     "rel_join_cardinality_estimate",
     "src_merge_on_read_deletes",
+    "ev_roc_auc_exact",
+    "ev_calibration_bins",
+    "ev_cms_heavy_hitters",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

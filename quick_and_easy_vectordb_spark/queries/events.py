@@ -4634,3 +4634,302 @@ def ev_watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation analytics: exact ROC AUC, calibration, CMS sketch.
+# A training-data engine that can't score the models trained on its
+# output can't close the curation loop; these run the standard offline
+# metrics as distributed one-pass / one-shuffle aggregations. The
+# reference (app.py:1-193) has no evaluation surface at all.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_roc_auc_exact",
+    oracle="""
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS si,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS pos
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT si, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY si
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM s
+),
+t AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS pos_cnt,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS neg_cnt,
+         CAST(SUM(pos * (2 * off + cnt + 1)) AS BIGINT) AS su2
+  FROM r
+)
+SELECT pos_cnt, neg_cnt,
+       CAST(su2 - pos_cnt * (pos_cnt + 1) AS BIGINT) AS u2,
+       CAST(su2 - pos_cnt * (pos_cnt + 1) AS DOUBLE)
+         / (2.0 * pos_cnt * neg_cnt) AS auc
+FROM t
+""",
+    tags=("events", "evaluation", "roc-auc", "rank", "distributed-rank"),
+)
+def ev_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of `value` as a score for predicting
+    `event_type = 'purchase'`, via the rank formulation (Mann-Whitney
+    U with midranks for ties) — no threshold sweep, no sampling, no
+    trapezoid approximation. Scores are 2-decimal by construction so
+    `round(value*100)` is a lossless integer key; midranks are kept
+    DOUBLED (`2*offset + cnt + 1`) so every intermediate is integer
+    and the only float op is the final single division
+    `U2 / (2*P*N)` — bit-identical in any engine.
+
+    The global rank over distinct scores uses the same TWO-LEVEL
+    distributed prefix sum as ev_ks_two_sample / rel_ntile_deciles:
+    scores range-bucket on `si div 2000`, each bucket prefix-sums its
+    own counts in parallel, and a broadcast O(buckets) offset table
+    lifts local prefixes to global rank offsets — no single-partition
+    window ever sees the score table.
+
+    Plan shape at 100 TB: one map-side-combined aggregate collapses
+    N rows to |distinct scores|; one bucket-partitioned window plus a
+    tiny broadcast; one final scalar aggregate. Adding tied scores or
+    more data changes nothing structurally."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("si"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_pos"),
+        )
+        .groupBy("si")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("is_pos").cast("long").alias("pos"),
+        )
+        .withColumn("bkt", F.expr("si div 2000"))
+    )
+    wloc = Window.partitionBy("bkt").orderBy("si").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        s.groupBy("bkt")
+        .agg(F.sum("cnt").alias("bcnt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("boff"),
+        )
+    )
+    r = (
+        s.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "off",
+            F.col("boff") + F.coalesce(F.sum("cnt").over(wloc), F.lit(0)),
+        )
+    )
+    t = r.agg(
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("neg_cnt"),
+        F.sum(
+            F.col("pos") * (2 * F.col("off") + F.col("cnt") + 1)
+        ).cast("long").alias("su2"),
+    )
+    return t.select(
+        "pos_cnt",
+        "neg_cnt",
+        (F.col("su2") - F.col("pos_cnt") * (F.col("pos_cnt") + 1))
+        .cast("long")
+        .alias("u2"),
+        (
+            (F.col("su2") - F.col("pos_cnt") * (F.col("pos_cnt") + 1)).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.col("pos_cnt") * F.col("neg_cnt"))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "ev_calibration_bins",
+    oracle=f"""
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_pos,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+         / COUNT(*) AS frac_pos,
+       ({_DSUM_VAL} / COUNT(*)) / 500.0 AS mean_pred,
+       ABS(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             / COUNT(*)
+           - ({_DSUM_VAL} / COUNT(*)) / 500.0) AS gap
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "evaluation", "calibration", "reliability-diagram"),
+)
+def ev_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability-diagram) table: treat `value/500` as a
+    predicted probability of `purchase`, bin predictions into ten
+    equal-width bins, and report per bin the observed positive rate
+    vs the mean prediction plus their absolute gap — the exact table
+    a calibration plot / ECE computation consumes. Observed rate is a
+    rational (`pos/n`, one IEEE division); mean prediction divides a
+    decimal-exact sum (functions/numeric.py dsum) by the count and
+    then by the literal 500.0 in that fixed order, so every float is
+    the result of the same op sequence in both engines.
+
+    Plan shape at 100 TB: ONE map-side-combined aggregate over the
+    scan, 10 output rows. The bin key is computed per-row in codegen;
+    nothing shuffles but 10 partial-agg rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    frac = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).cast("double") / F.count(F.lit(1))
+    mean_pred = (dsum("value") / F.count(F.lit(1))) / F.lit(500.0)
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pos"),
+            frac.alias("frac_pos"),
+            mean_pred.alias("mean_pred"),
+            F.abs(frac - mean_pred).alias("gap"),
+        )
+    )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # buckets per row — deliberately small so collisions occur
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(row: int, key: str) -> str:
+    """DuckDB fragment: CMS bucket of *key* under hash row *row* —
+    mirrors the Spark conv(substr(md5,1,12),16,10) % w pipeline."""
+    return (
+        f"(('0x' || substr(md5('{row}:' || {key}), 1, 12))::BIGINT"
+        f" % {_CMS_W})"
+    )
+
+
+@query(
+    "ev_cms_heavy_hitters",
+    oracle=f"""
+WITH k AS (
+  SELECT event_type || '|' || props AS key,
+         CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+),
+counters AS (
+  SELECT t.r AS r, CASE t.r
+           WHEN 0 THEN {_cms_bucket_sql(0, 'key')}
+           WHEN 1 THEN {_cms_bucket_sql(1, 'key')}
+           WHEN 2 THEN {_cms_bucket_sql(2, 'key')}
+           ELSE {_cms_bucket_sql(3, 'key')} END AS b,
+         CAST(SUM(exact_cnt) AS BIGINT) AS c
+  FROM k, unnest([0, 1, 2, 3]) AS t(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT k.key, k.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
+  FROM k, unnest([0, 1, 2, 3]) AS t(r)
+  JOIN counters c ON c.r = t.r AND c.b = CASE t.r
+           WHEN 0 THEN {_cms_bucket_sql(0, 'k.key')}
+           WHEN 1 THEN {_cms_bucket_sql(1, 'k.key')}
+           WHEN 2 THEN {_cms_bucket_sql(2, 'k.key')}
+           ELSE {_cms_bucket_sql(3, 'k.key')} END
+  GROUP BY 1, 2
+)
+SELECT key, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, key
+LIMIT {_CMS_TOPK}
+""",
+    tags=("events", "sketch", "count-min", "heavy-hitters", "mergeable"),
+)
+def ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH over (event_type, props) keys: build a d=4 ×
+    w={_CMS_W} counter matrix with deterministic md5-derived hash
+    rows, then read back the CMS estimate for the top-{_CMS_TOPK}
+    keys by exact count next to the truth. `w` is deliberately
+    smaller than the key cardinality so bucket collisions actually
+    happen and the one-sided error (`cms_est >= exact_cnt`, never
+    under) is visible in the `overestimate` column — the property
+    that makes CMS usable as an admission filter.
+
+    Counters are built from the per-key counts rather than the raw
+    stream: CMS increments are associative, so pre-aggregating by key
+    first is bit-identical to streaming every event through the
+    sketch — that pre-aggregation IS Spark's map-side partial
+    combine, stated explicitly. The counter matrix is a FIXED
+    d·w = {_CMS_D * _CMS_W}-cell state no matter the input size —
+    the whole point of a sketch at 100 TB — and merging two sketches
+    is cell-wise addition of these tables.
+
+    Plan shape at 100 TB: one map-side-combined key count (the only
+    data-sized shuffle), a {_CMS_D}× explode of the key table into a
+    {_CMS_D * _CMS_W}-row counter aggregate, and a broadcast join of
+    the counter table back onto the key table. No driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    k = (
+        ev.select(
+            F.concat_ws("|", "event_type", "props").alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+
+    def bucket(row: int, col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}:"), F.col(col))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    hashed = k.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(r, "key").alias("b")
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    counters = hashed.groupBy("r", "b").agg(
+        F.sum("exact_cnt").cast("long").alias("c")
+    )
+    est = (
+        hashed.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    out = est.select(
+        "key",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+    return out.orderBy(F.desc("exact_cnt"), "key").limit(_CMS_TOPK)
