@@ -142,6 +142,9 @@ _CHECK_PRIORITY = [
     "ev_roc_auc_exact",
     "ev_calibration_bins",
     "ev_cms_heavy_hitters",
+    "text_token_budget_cut",
+    "vdb_embedding_covariance",
+    "vdb_mips_augmented_search",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1764,3 +1764,88 @@ def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.sum("n_chars"))
         ).alias("gini"),
     )
+
+
+_BUDGET_TOKENS = 20_000  # per-source whitespace-token budget
+
+
+@query(
+    "text_token_budget_cut",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, n_chars, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id, source, n_chars, CAST({SQL_NTOK} AS BIGINT) AS n_tok
+  FROM d
+),
+runs AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM tok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_total,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(COUNT(*) FILTER (WHERE cum - n_tok < {_BUDGET_TOKENS})
+            AS BIGINT) AS docs_kept,
+       CAST(COALESCE(SUM(n_tok)
+              FILTER (WHERE cum - n_tok < {_BUDGET_TOKENS}), 0)
+            AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(SUM(n_tok)
+              FILTER (WHERE cum - n_tok < {_BUDGET_TOKENS}), 0) AS DOUBLE)
+         / SUM(n_tok) AS kept_frac
+FROM runs
+GROUP BY source
+""",
+    tags=("text", "curation", "token-budget", "window"),
+)
+def text_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE TOKEN-BUDGET enforcement — the curation step that
+    turns "we want at most N tokens from each source" into a
+    deterministic cut: within each source, documents are ranked by a
+    quality proxy (longer first, doc_id tiebreak) and admitted while
+    the running token total BEFORE the document is under the
+    {_BUDGET_TOKENS}-token budget (so every source keeps >= 1 doc and
+    overruns by at most one document's tail, the same admission rule
+    as text_pack_sequences' bins). Output is the per-source budget
+    report: totals, kept counts, and the kept-token fraction a
+    mixture designer feeds back into sampling weights
+    (text_mix_rebalance_weights is the companion).
+
+    Plan shape at 100 TB: ONE shuffle keyed by source; each source's
+    running sum parallelizes as its own window partition. Source
+    count is small-but-skewed (a web crawl dwarfs a books corpus), so
+    the production form range-buckets WITHIN source on the rank key
+    and lifts local prefix sums with a broadcast offset table — the
+    rel_ntile_deciles two-level pattern; at this surface's source
+    cardinality the single window per source is the right plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = tok.withColumn("cum", F.sum("n_tok").over(w))
+    kept = F.col("cum") - F.col("n_tok") < _BUDGET_TOKENS
+    return runs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        (
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("n_tok")
+        ).alias("kept_frac"),
+    )

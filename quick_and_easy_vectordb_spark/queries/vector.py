@@ -2150,3 +2150,207 @@ def vdb_hybrid_score_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blended"),
     )
     return blended.orderBy(F.desc("blended"), F.asc("doc_id")).limit(10)
+
+
+_COV_DIMS = 8  # leading dims in the moment matrix (36 upper-tri pairs)
+
+
+def _cov_oracle() -> str:
+    qs = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{k + 1}] AS DOUBLE) * 1000) AS BIGINT)"
+        for k in range(_COV_DIMS)
+    )
+    return f"""
+WITH q AS (SELECT [{qs}] AS qs FROM embeddings),
+p AS (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j
+      FROM range({_COV_DIMS}) a(i), range({_COV_DIMS}) b(j)
+      WHERE a.i <= b.j),
+a AS (
+  SELECT p.i, p.j,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qs[CAST(p.i + 1 AS INTEGER)]) AS BIGINT) AS s_i,
+         CAST(SUM(qs[CAST(p.j + 1 AS INTEGER)]) AS BIGINT) AS s_j,
+         CAST(SUM(qs[CAST(p.i + 1 AS INTEGER)]
+                  * qs[CAST(p.j + 1 AS INTEGER)]) AS BIGINT) AS s_ij
+  FROM q, p GROUP BY p.i, p.j
+)
+SELECT i, j, n, s_i, s_j, s_ij,
+       (CAST(s_ij AS DOUBLE)
+          - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / n) / n
+         / 1000000.0 AS cov
+FROM a
+"""
+
+
+@query(
+    "vdb_embedding_covariance",
+    oracle=_cov_oracle(),
+    tags=("vector", "covariance", "moments", "pca-substrate"),
+)
+def vdb_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COVARIANCE MOMENT MATRIX over the leading {_COV_DIMS}
+    embedding dimensions — the sufficient statistics PCA / whitening /
+    Mahalanobis scoring start from. Each coordinate is quantized to
+    integer milli-units (`round(x*1000)`) so every moment
+    (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) is a pure INTEGER sum — associative, order-
+    independent, bit-identical under any partitioning — and the
+    covariance itself is derived per pair by one fixed float
+    expression `(s_ij - s_i*s_j/n)/n/1e6`. (At 100-TB row counts the
+    int64 product sums approach overflow; the production form swaps
+    the same expressions to decimal(38,0) — one config, same plan.
+    The companion one-shot power iteration is
+    vdb_power_iteration_step.)
+
+    Plan shape at 100 TB: ONE map-side-combined global aggregate
+    computes all {_COV_DIMS + _COV_DIMS * (_COV_DIMS + 1) // 2 + 1}
+    moments in a single pass over the scan (no per-pair passes, no
+    shuffle of vectors — partial-agg rows are one fixed-width tuple
+    per task); the 36-row moment matrix then unfolds driver-free via
+    an inline stack."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        *[
+            F.round(F.col("embedding").getItem(k).cast("double") * 1000)
+            .cast("long")
+            .alias(f"q{k}")
+            for k in range(_COV_DIMS)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k in range(_COV_DIMS):
+        aggs.append(F.sum(F.col(f"q{k}")).cast("long").alias(f"s{k}"))
+    pairs = [
+        (i, j) for i in range(_COV_DIMS) for j in range(_COV_DIMS) if i <= j
+    ]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.col(f"q{i}") * F.col(f"q{j}"))
+            .cast("long")
+            .alias(f"p{i}_{j}")
+        )
+    one = q.agg(*aggs)
+    unfolded = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("i"),
+                        F.lit(j).cast("long").alias("j"),
+                        F.col("n").alias("n"),
+                        F.col(f"s{i}").alias("s_i"),
+                        F.col(f"s{j}").alias("s_j"),
+                        F.col(f"p{i}_{j}").alias("s_ij"),
+                    )
+                    for i, j in pairs
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    return unfolded.withColumn(
+        "cov",
+        (
+            F.col("s_ij").cast("double")
+            - F.col("s_i").cast("double")
+            * F.col("s_j").cast("double")
+            / F.col("n")
+        )
+        / F.col("n")
+        / F.lit(1000000.0),
+    )
+
+
+@query(
+    "vdb_mips_augmented_search",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, {sql_dot(_EMB, _Q)} AS dp,
+         {sql_dot(_EMB, _EMB)} AS dvv
+  FROM embeddings
+),
+m AS (SELECT MAX(dvv) AS m2 FROM b),
+s AS (
+  SELECT vec_id, dp,
+         dp / (sqrt(list_dot_product({_Q}, {_Q}))
+               * sqrt(dvv + sqrt(m2 - dvv) * sqrt(m2 - dvv))) AS cos_aug
+  FROM b, m
+),
+ta AS (
+  SELECT vec_id, dp, cos_aug,
+         ROW_NUMBER() OVER (ORDER BY cos_aug DESC, vec_id) AS rank
+  FROM s ORDER BY cos_aug DESC, vec_id LIMIT 5
+),
+td AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dp DESC, vec_id) AS dot_rank
+  FROM s ORDER BY dp DESC, vec_id LIMIT 5
+)
+SELECT ta.rank, ta.vec_id, ta.dp AS dot, ta.cos_aug,
+       td.dot_rank, COALESCE(ta.rank = td.dot_rank, FALSE) AS ranks_match
+FROM ta LEFT JOIN td ON ta.vec_id = td.vec_id
+""",
+    tags=("vector", "search", "mips", "augmentation", "ann-transform"),
+)
+def vdb_mips_augmented_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS→COSINE AUGMENTATION (Bachrach et al. 2014 / the
+    Shrivastava-Li ALSH family): maximum-inner-product search does
+    not satisfy the triangle inequality, so cosine/L2-based ANN
+    indexes (LSH, IVF — ann.py) cannot serve it directly. The
+    standard reduction appends one coordinate `a_v = sqrt(M² −
+    ‖v‖²)` (M = max corpus norm, a one-row broadcast aggregate) so
+    every augmented vector has identical norm M and the augmented
+    [q,0]-cosine ORDER equals the raw dot-product order — proven in
+    the output by ranking BOTH ways and emitting `ranks_match` per
+    row. After this transform the whole LSH/IVF index surface
+    becomes MIPS-capable with zero further changes.
+
+    Plan shape at 100 TB: one narrow scan computes ⟨v,q⟩ and ‖v‖²
+    together; the max-norm M is a scalar broadcast (no second scan —
+    same cached base frame feeds both); both top-5s are
+    TakeOrderedAndProject heaps; the rank-comparison join touches 5
+    rows. Augmentation adds NO shuffle anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qlit = vector_literal(QUERY_VEC)
+    base = e.select(
+        "vec_id",
+        dot_product("embedding", qlit).alias("dp"),
+        dot_product("embedding", "embedding").alias("dvv"),
+    ).persist()
+    m2 = base.agg(F.max("dvv").alias("m2"))
+    av = F.sqrt(F.col("m2") - F.col("dvv"))
+    s = base.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "dp",
+        (
+            F.col("dp")
+            / (
+                F.sqrt(dot_product(qlit, qlit))
+                * F.sqrt(F.col("dvv") + av * av)
+            )
+        ).alias("cos_aug"),
+    )
+    wa = Window.orderBy(F.desc("cos_aug"), "vec_id")
+    wd = Window.orderBy(F.desc("dp"), "vec_id")
+    ta = (
+        s.orderBy(F.desc("cos_aug"), "vec_id")
+        .limit(5)
+        .withColumn("rank", F.row_number().over(wa).cast("long"))
+    )
+    td = (
+        s.orderBy(F.desc("dp"), "vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("d_vec_id"),
+            F.row_number().over(wd).cast("long").alias("dot_rank"),
+        )
+    )
+    return ta.join(
+        F.broadcast(td), ta["vec_id"] == td["d_vec_id"], "left"
+    ).select(
+        "rank",
+        "vec_id",
+        F.col("dp").alias("dot"),
+        "cos_aug",
+        "dot_rank",
+        F.coalesce(F.col("rank") == F.col("dot_rank"), F.lit(False)).alias(
+            "ranks_match"
+        ),
+    )
