@@ -145,6 +145,9 @@ _CHECK_PRIORITY = [
     "text_token_budget_cut",
     "vdb_embedding_covariance",
     "vdb_mips_augmented_search",
+    # -- new in round 7 continuation (this session), no driver row yet --
+    "ev_stream_left_outer_join",
+    "ev_stream_chained_agg",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

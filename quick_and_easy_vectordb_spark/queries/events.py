@@ -4933,3 +4933,233 @@ def ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy(F.desc("exact_cnt"), "key").limit(_CMS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Watermark-closed streaming: OUTER stream-stream join and CHAINED
+# stateful aggregations. Both need the event-time watermark to pass the
+# last real row before their final results exist (outer-join null
+# emission / second-level window finalization), which a finite file feed
+# never does on its own — the watermark stalls `delay` short of max(ts).
+# The fixture therefore stages one FAR-FUTURE SENTINEL row (2124-01-01)
+# as an extra source file: it drags the watermark past every real
+# timestamp, while the sentinel itself stays forever unfinalized
+# (watermark = sentinel_ts - delay < sentinel_ts), so it can never leak
+# into the output. This is the streaming analog of a punctuation /
+# end-of-stream marker — exactly what a production pipeline emits on
+# topic drain before decommissioning a job.
+# ---------------------------------------------------------------------------
+
+_SENTINEL_TS = "2124-01-01 00:00:00"
+_SENTINEL_NANOS = 4859827200 * 1_000_000_000
+
+
+def _stage_stream_dir_sentinel(
+    spark: SparkSession, sf_dir: str, kinds: tuple[str, ...], prefix: str
+) -> str:
+    """Staging dir = events parquet + one sentinel file holding a
+    far-future row per event_type in ``kinds`` (negative ids, so any
+    equi-join on user_id can never match real rows). The sentinel file
+    is written with the SAME logical ts type the batch reader probes
+    from the source footer, so the stream source's merged schema is
+    unchanged."""
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), "sentinel:" + ",".join(kinds))
+    d = _STREAM_SRC_DIRS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    base = _stage_stream_dir(sf_dir, ("events",), prefix)
+    d = tempfile.mkdtemp(prefix=prefix + "sent_")
+    for f in os.listdir(base):
+        os.symlink(os.path.realpath(os.path.join(base, f)), os.path.join(d, f))
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    one = spark.read.parquet(src).limit(1)
+    ts_dtype = one.schema["ts"].dataType
+    if ts_dtype.simpleString() == "bigint":  # TIMESTAMP(NANOS) as raw long
+        ts_lit = F.lit(_SENTINEL_NANOS).cast("long")
+    else:
+        ts_lit = F.lit(_SENTINEL_TS).cast(ts_dtype)
+    rows = None
+    for i, et in enumerate(kinds):
+        r = one.select(
+            F.lit(-(i + 1)).cast("long").alias("event_id"),
+            ts_lit.alias("ts"),
+            F.lit(-(i + 1)).cast("long").alias("user_id"),
+            F.lit(et).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    sdir = tempfile.mkdtemp(prefix=prefix + "write_")
+    rows.coalesce(1).write.mode("overwrite").parquet(sdir)
+    leaf = sorted(
+        f for f in os.listdir(sdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )[0]
+    os.symlink(os.path.join(sdir, leaf), os.path.join(d, "zz_sentinel.parquet"))
+    _STREAM_SRC_DIRS[key] = d
+    return d
+
+
+@query(
+    "ev_stream_left_outer_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "stream-stream-join", "outer-join",
+          "watermark-eviction"),
+)
+def ev_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-machine step
+    beyond ev_stream_stream_join's inner join: a purchase with NO
+    click in its preceding 30 minutes must still be emitted (null
+    right side), and Structured Streaming can only do that once the
+    click-side watermark proves no matching click can ever arrive.
+    That makes this query certify the EVICTION path of the join state
+    store, not just the match path: every null-padded row in the sink
+    is a row the engine held back until the watermark closed its
+    window, then released exactly once.
+
+    The far-future sentinel (see _stage_stream_dir_sentinel) pushes
+    the final watermark past every real purchase so the tail rows
+    close too; the sentinel purchase itself is the one row the
+    watermark never passes, so it stays buffered and out of the
+    output by the same inequality that governs every other row.
+
+    Oracle: the equivalent batch LEFT JOIN + COUNT(c.event_id) —
+    unmatched purchases appear with n_clicks_30m = 0 only if the
+    stream emitted their null-padded row.
+
+    Plan shape at 100 TB: identical to the inner interval join (both
+    sides hash-partitioned by user_id into co-located state stores,
+    per-row range probe) plus the watermark-driven eviction scan; a
+    shrunk production delay bounds state to O(users · 30 min)."""
+    sink = "ev_stream_left_outer_join_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir_sentinel(
+        spark, sf_dir, ("purchase", "click"), "ev_stream_louter_"
+    )
+    purchases = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id "
+            "AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+            "AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("purchase_id", F.col("p_user_id").alias("user_id"))
+        .agg(F.count("click_id").cast("long").alias("n_clicks_30m"))
+    )
+
+
+@query(
+    "ev_stream_chained_agg",
+    oracle="""
+WITH b5 AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n5
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(b5_start / 3600) * 3600 AS BIGINT) AS hour_start,
+       event_type,
+       CAST(MAX(n5) AS BIGINT) AS max_5m,
+       CAST(SUM(n5) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b5 GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "chained-aggregation",
+          "multiple-stateful-operators"),
+)
+def ev_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in ONE streaming query (Spark
+    3.4+ multiple-stateful-operator support): 5-minute tumbling counts
+    per event type feed a second windowed aggregation that rolls them
+    into hourly max/total/bucket-count — the classic two-level
+    downsample (raw → 5 min → 1 h) that pre-3.4 required two jobs
+    with an intermediate topic. Both levels run append-mode against
+    the same watermark; the second level's window(w5, '1 hour')
+    groups by the TIME COLUMN of the first level's window struct.
+
+    The sentinel row (see _stage_stream_dir_sentinel) finalizes every
+    real 5-minute and 1-hour window; its own 2124 window can never
+    finalize, so it is structurally absent from the sink.
+
+    Oracle: the same two-level rollup as nested batch GROUP BYs.
+
+    Plan shape at 100 TB: two cascaded shuffles — by (w5, type) then
+    by (hour, type) — each with partial aggregation before the
+    exchange; level-2 state is |hours × types|, negligible. This is
+    strictly cheaper than two separate jobs because level 2 consumes
+    level 1's in-flight stream, never a persisted intermediate."""
+    sink = "ev_stream_chained_agg_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir_sentinel(
+        spark, sf_dir, ("purchase",), "ev_stream_chain_"
+    )
+    s = _stream_events_source(spark, d).withWatermark("ts", "1 minute")
+    a1 = s.groupBy(
+        F.window("ts", "5 minutes").alias("w5"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n5"))
+    a2 = a1.groupBy(
+        F.window(F.col("w5"), "1 hour").alias("wh"), "event_type"
+    ).agg(
+        F.max("n5").cast("long").alias("max_5m"),
+        F.sum("n5").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    q = (
+        a2.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp(F.col("wh.start")).cast("long").alias("hour_start"),
+        "event_type",
+        "max_5m",
+        "total",
+        "n_buckets",
+    )
