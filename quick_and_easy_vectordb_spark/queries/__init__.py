@@ -148,6 +148,8 @@ _CHECK_PRIORITY = [
     # -- new in round 7 continuation (this session), no driver row yet --
     "ev_stream_left_outer_join",
     "ev_stream_chained_agg",
+    "ev_pr_auc_exact",
+    "ev_brier_decomposition",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -5163,3 +5163,263 @@ def ev_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         "n_buckets",
     )
+
+
+@query(
+    "ev_pr_auc_exact",
+    oracle="""
+WITH r AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS si, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+),
+o AS (
+  SELECT p,
+         CAST(row_number() OVER (ORDER BY si DESC, event_id) AS BIGINT) AS k,
+         CAST(SUM(p) OVER (ORDER BY si DESC, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+  FROM r
+)
+SELECT CAST(SUM(p) AS BIGINT) AS pos_cnt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN p = 1 THEN (cp * 1000000000000) // k
+                     ELSE 0 END) AS BIGINT) AS ap_fp,
+       CAST(SUM(CASE WHEN p = 1 THEN (cp * 1000000000000) // k
+                     ELSE 0 END) AS DOUBLE)
+         / (CAST(SUM(p) AS DOUBLE) * 1000000000000.0) AS ap
+FROM o
+""",
+    tags=("events", "evaluation", "pr-auc", "average-precision",
+          "distributed-rank"),
+)
+def ev_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION (area under the precision-recall curve, the
+    metric that matters when positives are rare) of `value` as a score
+    for `event_type = 'purchase'`, under the fully deterministic total
+    order (score DESC, event_id ASC):
+
+        AP = (1/P) * sum over positive ranks k of  cum_pos(k) / k
+
+    Each precision@k is kept as the FIXED-POINT integer
+    `(cum_pos * 10^12) div k` — exact integer arithmetic with one
+    deterministic truncation per positive, summed exactly; the only
+    float op is the final division, so the result hash-matches any
+    engine bit-for-bit (each term is within 1e-12 of the real
+    precision, so ap carries ~12 exact digits — documented fixed-point
+    semantics, not a float-summation accident).
+
+    Unlike ROC AUC (a pure rank statistic, ev_roc_auc_exact), AP needs
+    each positive row's own global rank, so the two-level prefix sum
+    here lifts PER-ROW ranks, not just per-score offsets: score groups
+    prefix-sum inside `si div 2000` range buckets (plus a broadcast
+    O(buckets) offset table), and each row finishes its rank with a
+    within-score window ordered by event_id — three window stages,
+    none of which ever sees more than one score-bucket's rows in a
+    single partition.
+
+    Plan shape at 100 TB: one map-side-combined aggregate to the
+    distinct-score table, one bucket-partitioned window over it, one
+    per-score window over the full rows (partitioned by si — bounded
+    skew since scores are 2-decimal), one scalar aggregate. At larger
+    P than ~9e6 the 10^12 scale factor must drop a digit or the term
+    sum must widen to DECIMAL(38,0) — the overflow margin is
+    documented, not silent."""
+    ev = load_table(spark, sf_dir, "events")
+    r0 = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("si"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    g = (
+        r0.groupBy("si")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("p").cast("long").alias("pos"),
+        )
+        .withColumn("ns", -F.col("si"))
+        .withColumn("nbkt", F.expr("ns div 2000"))
+    )
+    wloc = Window.partitionBy("nbkt").orderBy("ns").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    woff = Window.orderBy("nbkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        g.groupBy("nbkt")
+        .agg(
+            F.sum("cnt").alias("bcnt"),
+            F.sum("pos").alias("bpos"),
+        )
+        .select(
+            "nbkt",
+            F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("bo_cnt"),
+            F.coalesce(F.sum("bpos").over(woff), F.lit(0)).alias("bo_pos"),
+        )
+    )
+    goff = (
+        g.join(F.broadcast(offsets), "nbkt")
+        .select(
+            "si",
+            (
+                F.col("bo_cnt")
+                + F.coalesce(F.sum("cnt").over(wloc), F.lit(0))
+            ).alias("off_cnt"),
+            (
+                F.col("bo_pos")
+                + F.coalesce(F.sum("pos").over(wloc), F.lit(0))
+            ).alias("off_pos"),
+        )
+    )
+    wrow = Window.partitionBy("si").orderBy("event_id")
+    wrun = wrow.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        r0.join(F.broadcast(goff), "si")
+        .select(
+            "p",
+            (F.col("off_cnt") + F.row_number().over(wrow)).alias("k"),
+            (F.col("off_pos") + F.sum("p").over(wrun)).alias("cp"),
+        )
+    )
+    return ranked.agg(
+        F.sum("p").cast("long").alias("pos_cnt"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("p") == 1,
+                F.expr("(cp * 1000000000000L) div k"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_fp"),
+    ).select(
+        "pos_cnt",
+        "n",
+        "ap_fp",
+        (
+            F.col("ap_fp").cast("double")
+            / (F.col("pos_cnt").cast("double") * F.lit(1000000000000.0))
+        ).alias("ap"),
+    )
+
+
+@query(
+    "ev_brier_decomposition",
+    oracle="""
+WITH r AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(y) AS BIGINT) AS pos_v,
+         CAST(SUM(y * (v - 50000) * (v - 50000)
+                  + (1 - y) * v * v) AS BIGINT) AS s_v
+  FROM r GROUP BY v
+),
+t AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+         CAST(SUM(pos_v) AS BIGINT) AS pos_cnt,
+         CAST(CAST(SUM(CAST(s_v AS DECIMAL(38,0))) AS VARCHAR)
+              AS DOUBLE) AS s
+  FROM g
+),
+terms AS (
+  SELECT array_agg(CAST(n_v * v - 50000 * pos_v AS DOUBLE)
+                   * CAST(n_v * v - 50000 * pos_v AS DOUBLE) / n_v
+                   ORDER BY v) AS rel_t,
+         array_agg(n_v * (CAST(pos_v AS DOUBLE) / n_v
+                          - (SELECT CAST(pos_cnt AS DOUBLE) / n FROM t))
+                   * (CAST(pos_v AS DOUBLE) / n_v
+                      - (SELECT CAST(pos_cnt AS DOUBLE) / n FROM t))
+                   ORDER BY v) AS res_t
+  FROM g
+)
+SELECT n, pos_cnt,
+       s / (CAST(n AS DOUBLE) * 2500000000.0) AS brier,
+       list_reduce(rel_t, (x, y) -> x + y)
+         / (CAST(n AS DOUBLE) * 2500000000.0) AS reliability,
+       list_reduce(res_t, (x, y) -> x + y) / CAST(n AS DOUBLE)
+         AS resolution,
+       (CAST(pos_cnt AS DOUBLE) / n)
+         * (1.0 - CAST(pos_cnt AS DOUBLE) / n) AS uncertainty
+FROM t, terms
+""",
+    tags=("events", "evaluation", "brier", "murphy-decomposition",
+          "calibration"),
+)
+def ev_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the exact MURPHY (1973) decomposition
+    BS = reliability - resolution + uncertainty, conditioning on the
+    DISTINCT predicted value itself (p = v/50000 where v is the
+    lossless 2-decimal integer of `value`), under which the identity
+    is exact in real arithmetic — no binning approximation.
+
+    Exactness discipline, one class per component:
+    - BS numerator: sum of (v - 50000*y)^2 — pure integers, summed as
+      DECIMAL(38,0) so it cannot overflow at any scale; one final
+      float division.
+    - reliability / resolution: per-distinct-score terms whose inputs
+      (n_v*v - 50000*pos_v fits double exactly at < 2^53) go through
+      the IDENTICAL IEEE expression tree in both engines, then a
+      bin-ordered array LEFT FOLD (the ev_survival_life_table
+      pattern) fixes the float summation order — the doubles
+      hash-match bitwise.
+
+    Plan shape at 100 TB: one map-side-combined groupBy collapses N
+    rows to <= 50001 distinct scores; everything downstream is O(50k)
+    on one executor (the fold array), with the three scalars
+    broadcast. Adding data changes only the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    r0 = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = r0.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("y").cast("long").alias("pos_v"),
+        F.sum(
+            F.col("y") * (F.col("v") - 50000) * (F.col("v") - 50000)
+            + (1 - F.col("y")) * F.col("v") * F.col("v")
+        )
+        .cast("long")
+        .alias("s_v"),
+    )
+    t = g.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum("pos_v").cast("long").alias("pos_cnt"),
+        F.sum(F.col("s_v").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("s"),
+    )
+    base = F.col("pos_cnt").cast("double") / F.col("n")
+    d = F.col("n_v") * F.col("v") - 50000 * F.col("pos_v")
+    frac = F.col("pos_v").cast("double") / F.col("n_v")
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "v",
+        (d.cast("double") * d.cast("double") / F.col("n_v")).alias("rel_t"),
+        (F.col("n_v") * (frac - base) * (frac - base)).alias("res_t"),
+    )
+    folded = terms.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(v, rel_t))),"
+            " s -> s.rel_t), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("rel_sum"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(v, res_t))),"
+            " s -> s.res_t), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("res_sum"),
+    )
+    return t.crossJoin(F.broadcast(folded)).select(
+        "n",
+        "pos_cnt",
+        (F.col("s") / (F.col("n").cast("double") * F.lit(2500000000.0))).alias(
+            "brier"
+        ),
+        (
+            F.col("rel_sum")
+            / (F.col("n").cast("double") * F.lit(2500000000.0))
+        ).alias("reliability"),
+        (F.col("res_sum") / F.col("n").cast("double")).alias("resolution"),
+        (base * (F.lit(1.0) - base)).alias("uncertainty"),
+    )
