@@ -150,6 +150,8 @@ _CHECK_PRIORITY = [
     "ev_stream_chained_agg",
     "ev_pr_auc_exact",
     "ev_brier_decomposition",
+    "dedup_graph_source_modularity",
+    "dedup_graph_link_prediction",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

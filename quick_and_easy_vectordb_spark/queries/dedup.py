@@ -1501,3 +1501,239 @@ def dedup_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("v").cast("long").alias("node_checksum"),
     )
+
+
+@query(
+    "dedup_graph_source_modularity",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+sym AS (
+  SELECT id_a AS node FROM pairs
+  UNION ALL SELECT id_b FROM pairs
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
+dc AS (
+  SELECT dd.source, CAST(SUM(d) AS BIGINT) AS dsum
+  FROM deg JOIN documents dd ON dd.doc_id = deg.node
+  GROUP BY dd.source
+),
+t AS (
+  SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS m,
+         CAST((SELECT COUNT(*) FROM lab WHERE sa = sb) AS BIGINT) AS e_in,
+         CAST((SELECT SUM(dsum * dsum) FROM dc) AS BIGINT) AS sum_dc2
+)
+SELECT m, e_in AS e_intra, CAST(m - e_in AS BIGINT) AS e_cross, sum_dc2,
+       CAST(4 * m * e_in - sum_dc2 AS DOUBLE)
+         / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS q
+FROM t
+""",
+    tags=("dedup", "graph", "modularity", "curation-diagnostic"),
+)
+def dedup_graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the verified near-dup graph under the
+    SOURCE partition — the syndication diagnostic: Q near its maximum
+    means duplicates stay inside their source (dedup can run
+    per-source, embarrassingly parallel); Q near 0 or negative means
+    heavy cross-source copying (mirror sites, content farms) and only
+    a global dedup pass is sound.
+
+    For communities c: Q = sum_c [e_c/m - (D_c/2m)^2], which over
+    integer counts collapses to the single exact rational
+    (4*m*e_in - sum_c D_c^2) / (4*m^2) — every term integer (e_in =
+    intra-source edges, D_c = total degree per source), one float
+    division at the end, so the score hash-matches bitwise.
+
+    Plan shape at 100 TB: the LSH-capped pair generation dominates
+    (operators/dedup.py); the modularity bookkeeping is two
+    broadcast-scale joins of the edge list against the doc→source
+    projection, a degree groupBy keyed by node, and O(sources)
+    scalars. No step materializes anything bigger than the edge
+    list."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    sh = shingle_table(docs.select("doc_id", "text"), "text", "doc_id", 3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = (
+        jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+        .select("id_a", "id_b")
+        .persist()
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    sym = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dc = (
+        deg.join(src.select(F.col("doc_id").alias("node"), "source"), "node")
+        .groupBy("source")
+        .agg(F.sum("d").cast("long").alias("dsum"))
+    )
+    t = (
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .crossJoin(
+            lab.filter(F.col("sa") == F.col("sb")).agg(
+                F.count(F.lit(1)).cast("long").alias("e_in")
+            )
+        )
+        .crossJoin(
+            dc.agg(
+                F.sum(F.col("dsum") * F.col("dsum"))
+                .cast("long")
+                .alias("sum_dc2")
+            )
+        )
+    )
+    return t.select(
+        "m",
+        F.col("e_in").alias("e_intra"),
+        (F.col("m") - F.col("e_in")).cast("long").alias("e_cross"),
+        "sum_dc2",
+        (
+            (4 * F.col("m") * F.col("e_in") - F.col("sum_dc2")).cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m").cast("double")
+                * F.col("m").cast("double")
+            )
+        ).alias("q"),
+    )
+
+
+@query(
+    "dedup_graph_link_prediction",
+    oracle="""
+WITH m AS (SELECT COUNT(*) AS n FROM customer),
+e0 AS (
+  SELECT c_custkey AS u, (c_custkey * 7919 + 1) % m.n AS v
+  FROM customer, m
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 104729 + 5) % m.n FROM customer, m
+),
+ed AS (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM e0 WHERE u <> v
+),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+w AS (
+  SELECT e1.a AS a, e2.b AS c, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym e1 JOIN sym e2 ON e2.a = e1.b AND e1.a < e2.b
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT w.a, w.c, w.cn
+  FROM w LEFT JOIN ed p ON p.a = w.a AND p.b = w.c
+  WHERE p.a IS NULL
+)
+SELECT n.a AS id_a, n.c AS id_b, n.cn AS common_neighbors,
+       CAST(n.cn AS DOUBLE) / (da.d + dc.d - n.cn) AS jaccard_score
+FROM nonedge n
+JOIN deg da ON da.node = n.a
+JOIN deg dc ON dc.node = n.c
+ORDER BY n.cn DESC, n.a, n.c
+LIMIT 20
+""",
+    tags=("graph", "link-prediction", "common-neighbors"),
+)
+def dedup_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor count and neighborhood
+    Jaccard over the same deterministic 2-out-regular graph the k-hop
+    BFS uses (dedup_graph_khop_reach) — rank NON-edges at distance 2
+    by how much neighborhood they share, the "probably the same
+    entity / probably duplicates" review queue of every entity-
+    resolution pipeline. (The verified near-dup graph itself is
+    unsuitable as a fixture here: transitive copying makes its
+    components near-cliques, so it has almost no distance-2
+    non-edges to rank — an expander-shaped graph exercises the
+    operator for real.)
+
+    Candidate generation is the ordered wedge join from
+    dedup_graph_triangles (never all-pairs), minus existing edges via
+    one left-anti join. Scores are exact integers except the final
+    Jaccard division; the top-20 cutoff is the deterministic total
+    order (cn DESC, id_a, id_b).
+
+    Plan shape at 100 TB: two self equi-joins of the edge list keyed
+    by vertex (work bounded by sum of squared degrees — here 4·|V|),
+    a groupBy on wedge ends, an anti join back to the edge list, two
+    degree joins, and a TakeOrdered(20). Nothing materializes beyond
+    O(wedges)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    e0 = cust.crossJoin(F.broadcast(n)).select(
+        F.col("c_custkey").alias("u"),
+        F.explode(
+            F.array(
+                (F.col("c_custkey") * 7919 + 1) % F.col("n"),
+                (F.col("c_custkey") * 104729 + 5) % F.col("n"),
+            )
+        ).alias("v"),
+    )
+    ed = (
+        e0.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    sym = ed.unionAll(ed.select(F.col("b"), F.col("a")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    w = (
+        sym.alias("e1")
+        .join(
+            sym.alias("e2"),
+            (F.col("e2.a") == F.col("e1.b"))
+            & (F.col("e1.a") < F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedge = w.join(
+        ed,
+        (w["a"] == ed["a"]) & (w["c"] == ed["b"]),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .join(
+            deg.select(F.col("node").alias("c"), F.col("d").alias("dc")), "c"
+        )
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("c").alias("id_b"),
+            F.col("cn").alias("common_neighbors"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("cn"))
+            ).alias("jaccard_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), "id_a", "id_b"
+    ).limit(20)
