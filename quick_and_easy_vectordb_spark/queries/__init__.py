@@ -152,6 +152,8 @@ _CHECK_PRIORITY = [
     "ev_brier_decomposition",
     "dedup_graph_source_modularity",
     "dedup_graph_link_prediction",
+    "ann_vamana_occlusion_prune",
+    "ann_graph_beam_search",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1431,3 +1431,233 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionAll(fr)
     return out
+
+
+_VAMANA_ALPHA = 1.2
+
+
+@query(
+    "ann_vamana_occlusion_prune",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, {_EMB} AS emb FROM embeddings
+),
+src AS (
+  SELECT vec_id AS src_id, label, emb AS es FROM e WHERE vec_id % 7 = 0
+),
+cand0 AS (
+  SELECT s.src_id, n.vec_id AS nbr_id, n.emb,
+         1.0 - {sql_cosine('s.es', 'n.emb')} AS d
+  FROM src s JOIN e n ON n.label = s.label AND n.vec_id <> s.src_id
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY src_id ORDER BY d, nbr_id) AS rnk
+  FROM cand0
+),
+c8 AS (SELECT * FROM cand WHERE rnk <= 8),
+pruned AS (
+  SELECT DISTINCT c.src_id, c.nbr_id
+  FROM c8 c JOIN c8 cp ON cp.src_id = c.src_id AND cp.rnk < c.rnk
+  WHERE {_VAMANA_ALPHA} * (1.0 - {sql_cosine('cp.emb', 'c.emb')}) <= c.d
+)
+SELECT c.src_id, c.nbr_id, CAST(c.rnk AS BIGINT) AS cand_rank, c.d AS dist
+FROM c8 c LEFT JOIN pruned p
+  ON p.src_id = c.src_id AND p.nbr_id = c.nbr_id
+WHERE p.src_id IS NULL
+""",
+    tags=("ann", "graph-index", "vamana", "diskann", "edge-pruning"),
+)
+def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiskANN/Vamana-style OCCLUSION PRUNING of a k-NN candidate
+    list — the step that turns a raw nearest-neighbor list into a
+    navigable sparse graph: a candidate edge (node -> c) is dropped
+    when some strictly closer candidate c' "occludes" it, i.e.
+    alpha * d(c', c) <= d(node, c) with alpha = 1.2, so kept edges
+    spread in direction rather than piling onto the nearest cluster.
+    This is the NON-ITERATIVE variant of Vamana's RobustPrune: the
+    occlusion test runs against ALL closer candidates instead of only
+    previously-kept ones — a pure relational predicate (no sequential
+    state), deterministic, and at least as aggressive as the greedy
+    rule. Cited vs reference: the reference (app.py:40-48) has no
+    index at all; this is the 100 TB graph-index build path.
+
+    Per node the candidate list is the top-8 by cosine distance
+    inside the node's label block (the vdb_knn_graph blocking), and
+    the occlusion test is a per-node 8x8 self-join — constant work
+    per node, embarrassingly parallel.
+
+    Plan shape at 100 TB: one blocked equi-join builds candidates
+    (WindowGroupLimit keeps 8 per node before anything else grows),
+    one self equi-join keyed by src_id for the occlusion test, one
+    anti join. State per node is O(k^2) with k = 8 fixed."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    src = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("src_id"), "label", F.col("emb").alias("es")
+    )
+    cand0 = (
+        src.join(
+            emb.select(
+                F.col("vec_id").alias("nbr_id"), "label", "emb"
+            ),
+            "label",
+        )
+        .filter(F.col("nbr_id") != F.col("src_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            "emb",
+            (
+                F.lit(1.0) - cosine_similarity(F.col("es"), F.col("emb"))
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.asc("d"), F.asc("nbr_id"))
+    c8 = (
+        cand0.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 8)
+        .persist()
+    )
+    closer = c8.select(
+        F.col("src_id"),
+        F.col("rnk").alias("p_rnk"),
+        F.col("emb").alias("p_emb"),
+    )
+    pruned = (
+        c8.join(closer, "src_id")
+        .filter(F.col("p_rnk") < F.col("rnk"))
+        .filter(
+            F.lit(_VAMANA_ALPHA)
+            * (F.lit(1.0) - cosine_similarity(F.col("p_emb"), F.col("emb")))
+            <= F.col("d")
+        )
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+    return c8.join(pruned, ["src_id", "nbr_id"], "left_anti").select(
+        "src_id",
+        "nbr_id",
+        F.col("rnk").cast("long").alias("cand_rank"),
+        F.col("d").alias("dist"),
+    )
+
+
+_BEAM_WIDTH = 4
+_BEAM_HOPS = 3
+
+
+def _beam_oracle() -> str:
+    q = sql_vec(QUERY_VEC)
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, label, {_EMB} AS emb FROM embeddings
+),
+entry AS (SELECT vec_id, label FROM e ORDER BY vec_id LIMIT 1),
+blk AS (SELECT e.vec_id, e.emb FROM e JOIN entry en ON e.label = en.label),
+scored AS (
+  SELECT vec_id, emb, {sql_cosine('emb', q)} AS sim FROM blk
+),
+edg0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {sql_cosine('a.emb', 'b.emb')} DESC, b.vec_id) AS rn
+  FROM blk a JOIN blk b ON b.vec_id <> a.vec_id
+),
+edges AS (SELECT src, nbr FROM edg0 WHERE rn <= 3),
+b0 AS (SELECT vec_id FROM entry)"""]
+    prev = "b0"
+    for h in range(1, _BEAM_HOPS + 1):
+        parts.append(f""",
+c{h} AS (
+  SELECT vec_id FROM {prev}
+  UNION
+  SELECT ed.nbr FROM edges ed JOIN {prev} b ON ed.src = b.vec_id
+),
+b{h} AS (
+  SELECT s.vec_id FROM scored s JOIN c{h} USING (vec_id)
+  ORDER BY s.sim DESC, s.vec_id LIMIT {_BEAM_WIDTH}
+)""")
+        prev = f"b{h}"
+    parts.append(f"""
+SELECT s.vec_id, s.sim
+FROM scored s JOIN {prev} USING (vec_id)
+ORDER BY s.sim DESC, s.vec_id
+""")
+    return "".join(parts)
+
+
+@query(
+    "ann_graph_beam_search",
+    oracle=_beam_oracle(),
+    tags=("ann", "graph-index", "beam-search", "hnsw", "traversal"),
+)
+def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY BEAM SEARCH over a k-NN graph — the query-time half of
+    every graph ANN index (HNSW layer-0 / Vamana GreedySearch): from
+    a fixed entry point, repeatedly expand the beam's out-edges and
+    keep the BEAM_WIDTH=4 best-scoring nodes, for 3 unrolled hops;
+    only O(beam * degree) vectors are ever scored, vs the full scan
+    of vdb_topk_cosine. The graph is the top-3 cosine neighbors
+    within the entry node's label block; entry = the globally
+    minimal vec_id. Fully deterministic: every beam cutoff is the
+    total order (sim DESC, vec_id), so the oracle replays the
+    identical traversal as unrolled CTEs.
+
+    Plan shape at 100 TB: the edge build is the blocked self-join of
+    vdb_knn_graph (built once, reused across queries — see
+    vdb_ivf_index_persist for the persisted-index pattern); each hop
+    is one equi-join of the 4-row beam against the edge table keyed
+    by src (a broadcast of the beam), plus a TakeOrdered(4). Hop
+    count and beam width bound total work regardless of corpus
+    size — that is the entire point of graph ANN."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    entry = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("entry_id"), F.col("label").alias("entry_label")
+    )
+    blk = emb.join(
+        F.broadcast(entry), emb["label"] == F.col("entry_label")
+    ).select("vec_id", "emb", "entry_id").persist()
+    qv = vector_literal(QUERY_VEC)
+    scored = blk.select(
+        "vec_id", "emb", cosine_similarity(F.col("emb"), qv).alias("sim")
+    ).persist()
+    a = blk.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"))
+    b = blk.select(F.col("vec_id").alias("nbr"), F.col("emb").alias("eb"))
+    we = Window.partitionBy("src").orderBy(
+        F.desc("nsim"), F.asc("nbr")
+    )
+    edges = (
+        a.join(b, F.col("nbr") != F.col("src"))
+        .select(
+            "src",
+            "nbr",
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("nsim"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("src", "nbr")
+        .persist()
+    )
+    beam = blk.select(F.col("entry_id").alias("vec_id")).distinct()
+    for _ in range(_BEAM_HOPS):
+        cand = beam.unionAll(
+            edges.join(
+                F.broadcast(beam.withColumnRenamed("vec_id", "src")), "src"
+            ).select(F.col("nbr").alias("vec_id"))
+        ).distinct()
+        beam = (
+            scored.join(F.broadcast(cand), "vec_id")
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(_BEAM_WIDTH)
+            .select("vec_id")
+        )
+    return (
+        scored.join(F.broadcast(beam), "vec_id")
+        .select("vec_id", "sim")
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
