@@ -154,6 +154,8 @@ _CHECK_PRIORITY = [
     "dedup_graph_link_prediction",
     "ann_vamana_occlusion_prune",
     "ann_graph_beam_search",
+    "text_bpe_encode_apply",
+    "dedup_edit_distance_blocked",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1737,3 +1737,98 @@ def dedup_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("common_neighbors"), "id_a", "id_b"
     ).limit(20)
+
+
+@query(
+    "dedup_edit_distance_blocked",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, {SQL_NORM} AS norm FROM documents
+),
+k AS (
+  SELECT doc_id, norm,
+         substr(norm, 1, 12) || '|' ||
+           CAST(len(norm) // 32 AS VARCHAR) AS blk
+  FROM n WHERE len(norm) > 0
+),
+bsz AS (SELECT blk, COUNT(*) AS nb FROM k GROUP BY blk),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         substr(a.norm, 1, 64) AS pa, substr(b.norm, 1, 64) AS pb
+  FROM k a
+  JOIN k b ON b.blk = a.blk AND a.doc_id < b.doc_id
+  JOIN bsz z ON z.blk = a.blk AND z.nb <= 64
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(pa, pb) AS BIGINT) AS lev64,
+       1.0 - CAST(levenshtein(pa, pb) AS DOUBLE) / 64.0 AS prefix_sim
+FROM cand
+WHERE levenshtein(pa, pb) <= 8
+""",
+    tags=("dedup", "edit-distance", "levenshtein", "blocking"),
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-duplicate pairs — the character-level
+    complement to shingle Jaccard (dedup_minhash_lsh): Levenshtein
+    catches single-character corruptions, OCR noise, and small
+    insertions that leave most word shingles intact but matter for
+    byte-exact dedup decisions. Candidate pairs are BLOCKED on
+    (12-char normalized prefix, length div 32) — the classic
+    entity-resolution blocking key — with the same hot-block cap
+    (<= 64 members) the LSH path enforces, so no block can go
+    quadratic; the distance itself runs on the 64-char prefix,
+    bounding per-pair cost at a constant 64x64 DP regardless of
+    document length (full-text distance on a 100 TB corpus is
+    pointless once the prefix already disagrees by > 8 edits).
+
+    Both engines implement codepoint-level Levenshtein with unit
+    costs; the cross-engine hash pins that equivalence. The blocking
+    trades recall for scale exactly like every production ER system:
+    a near-dup pair differing inside its first 12 characters is
+    missed here and caught by the shingle path.
+
+    Plan shape at 100 TB: one shuffle on the block key, block-local
+    pair generation capped at 64*63/2 pairs, constant-cost distance
+    in whole-stage codegen (levenshtein is a JVM builtin). No
+    all-pairs product anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    )
+    k = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+    ).filter(F.length("norm") > 0).select(
+        "doc_id",
+        "norm",
+        F.concat(
+            F.substring("norm", 1, 12),
+            F.lit("|"),
+            F.expr("length(norm) div 32").cast("string"),
+        ).alias("blk"),
+    )
+    bsz = k.groupBy("blk").agg(F.count(F.lit(1)).alias("nb"))
+    kk = k.join(bsz, "blk").filter(F.col("nb") <= 64)
+    a = kk.select(
+        "blk",
+        F.col("doc_id").alias("id_a"),
+        F.substring("norm", 1, 64).alias("pa"),
+    )
+    b = kk.select(
+        "blk",
+        F.col("doc_id").alias("id_b"),
+        F.substring("norm", 1, 64).alias("pb"),
+    )
+    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev64"),
+            (F.lit(1.0) - lev.cast("double") / F.lit(64.0)).alias(
+                "prefix_sim"
+            ),
+        )
+        .filter(F.col("lev64") <= 8)
+    )

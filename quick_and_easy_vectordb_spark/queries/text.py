@@ -1849,3 +1849,137 @@ def text_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tok")
         ).alias("kept_frac"),
     )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Training CTEs from _bpe_oracle, then ENCODE the held-out slice
+    (doc_id % 10 = 7) by word-level lookup into the trained symbol
+    table — per-word BPE is a pure dictionary application once the
+    merge table is fixed, which is why production tokenizers cache
+    word→tokens."""
+    head = _bpe_oracle(rounds)
+    # _bpe_oracle ends with the per-round metric SELECTs; keep just the
+    # WITH chain (everything up to and including the last CTE's ")").
+    train = head[: head.index("\nSELECT 1")]
+    ctes = train[: train.rindex(")") + 1]
+    return ctes + f""",
+held AS (
+  SELECT doc_id, source,
+         unnest(str_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id % 10 = 7
+),
+hw AS (SELECT doc_id, source, word FROM held WHERE word <> ''),
+enc AS (
+  SELECT h.doc_id, h.source,
+         CAST(len(str_split(s.seq, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(h.word) AS BIGINT) AS n_chr
+  FROM hw h JOIN seq{rounds} s ON s.word = h.word
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS fertility,
+       CAST(SUM(n_chr) AS DOUBLE) / SUM(n_tok) AS chars_per_token
+FROM enc GROUP BY source
+"""
+
+
+@query(
+    "text_bpe_encode_apply",
+    oracle=_bpe_encode_oracle(3),
+    tags=("text", "tokenizer", "bpe", "encode", "llm-pipeline"),
+)
+def text_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the merge table learned by
+    text_bpe_train_rounds to a held-out document slice (doc_id % 10 =
+    7) and report per-source token statistics (fertility = BPE tokens
+    per word, chars-per-token = the compression a context window
+    actually feels). Encoding is a WORD-LEVEL DICTIONARY LOOKUP: once
+    the merges are fixed, every occurrence of a word tokenizes
+    identically, so the corpus-sized work is one join from the
+    held-out words to the trained word→symbols table — the cache
+    trick (HuggingFace tokenizers' word cache) expressed as the join
+    it secretly is.
+
+    Training reruns the same three deterministic merge rounds as
+    text_bpe_train_rounds (distinct-word table, two-pass replace);
+    Catalyst sees train + encode as ONE DAG, so the word table is
+    built once.
+
+    Plan shape at 100 TB: the train side never shuffles the corpus
+    (pair counts are map-side-combined over the distinct-word
+    table); the encode side is one explode + one equi-join on word
+    (broadcastable — the vocab is distinct words) + one groupBy
+    per source. Exact integers everywhere; two final divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        "word", "freq", F.concat_ws(" ", F.split("word", "")).alias("seq")
+    )
+    for _ in range(3):
+        syms = F.split("seq", " ")
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        counts = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        wbest = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias(
+                "seq"
+            ),
+        )
+    held = (
+        docs.filter(F.col("doc_id") % 10 == 7)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    enc = held.join(vocab.select("word", "seq"), "word").select(
+        "doc_id",
+        "source",
+        F.size(F.split("seq", " ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    return enc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias(
+            "fertility"
+        ),
+        (F.sum("n_chr").cast("double") / F.sum("n_tok")).alias(
+            "chars_per_token"
+        ),
+    )
