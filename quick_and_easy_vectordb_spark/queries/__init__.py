@@ -156,6 +156,8 @@ _CHECK_PRIORITY = [
     "ann_graph_beam_search",
     "text_bpe_encode_apply",
     "dedup_edit_distance_blocked",
+    "ev_mann_kendall_trend",
+    "ev_theil_sen_slope",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

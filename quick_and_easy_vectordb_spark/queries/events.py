@@ -5423,3 +5423,205 @@ def ev_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("res_sum") / F.col("n").cast("double")).alias("resolution"),
         (base * (F.lit(1.0) - base)).alias("uncertainty"),
     )
+
+
+@query(
+    "ev_mann_kendall_trend",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+  FROM h a JOIN h b ON b.hr > a.hr
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM h GROUP BY y)
+  WHERE t > 1
+),
+t AS (
+  SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n,
+         CAST((SELECT SUM(sg) FROM p) AS BIGINT) AS s,
+         (SELECT tie_term FROM ties) AS tie_term
+)
+SELECT n, s AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_num,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s,
+       CASE
+         WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+           / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+           / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+         ELSE 0.0
+       END AS z
+FROM t
+""",
+    tags=("events", "time-series", "trend", "mann-kendall",
+          "nonparametric"),
+)
+def ev_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on the hourly event-count series — the
+    standard nonparametric "is traffic trending?" monitor (no
+    normality assumption, robust to outliers): S = sum over ordered
+    hour pairs of sign(y_later - y_earlier), with the tie-corrected
+    variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18 and the
+    continuity-corrected z. Everything up to the final two float ops
+    (one division, one sqrt — both IEEE correctly-rounded) is exact
+    integer arithmetic, so the statistic hash-matches bitwise.
+
+    The pairwise self-join is over HOURS, not events: its size is
+    bounded by the square of the time span (~744 hours/month ->
+    ~276k pairs), a constant w.r.t. corpus size — 100 TB of events
+    changes only the first map-side-combined hourly aggregate. This
+    is the right decomposition for any pairwise statistic over a
+    bounded time grid.
+
+    Plan shape at 100 TB: one shuffle to hourly counts, one
+    broadcast-scale self-join on the tiny hour table, three scalar
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist()
+    )
+    a = h.select(F.col("hr").alias("ha"), F.col("y").alias("ya"))
+    b = h.select(F.col("hr").alias("hb"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("hb") > F.col("ha")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    ties = (
+        h.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    t = (
+        h.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(p.agg(F.sum("sg").cast("long").alias("s")))
+        .crossJoin(ties)
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("long")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    return t.select(
+        "n",
+        F.col("s").alias("s_stat"),
+        var_num.alias("var_num"),
+        var_s.alias("var_s"),
+        F.when(
+            F.col("s") > 0,
+            (F.col("s").cast("double") - F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s") < 0,
+            (F.col("s").cast("double") + F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+@query(
+    "ev_theil_sen_slope",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+  FROM h a JOIN h b ON b.hr > a.hr
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_hours,
+         CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
+         (SELECT quantile_cont(slope, 0.5) FROM p) AS slope_per_hour
+)
+SELECT n_hours, n_pairs, slope_per_hour,
+       (SELECT quantile_cont(CAST(y AS DOUBLE)
+                             - m.slope_per_hour * CAST(hr AS DOUBLE), 0.5)
+        FROM h) AS intercept
+FROM m
+""",
+    tags=("events", "time-series", "trend", "theil-sen",
+          "robust-regression"),
+)
+def ev_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope of the hourly event-count series — the
+    median of all pairwise slopes (y_j - y_i)/(t_j - t_i), the
+    estimator that shrugs off up to 29% outliers where OLS
+    (ev_ols_closed_form) folds; intercept = median residual at the
+    fitted slope. Medians use Spark `percentile` == DuckDB
+    `quantile_cont` (same sort + same lo + (hi-lo)*frac
+    interpolation, bitwise-pinned by rel_exact_percentiles), and
+    every slope is a single IEEE division of exact integers, so the
+    whole fit hash-matches.
+
+    Like ev_mann_kendall_trend, the O(n^2) pair set is over the
+    BOUNDED hour grid (~276k pairs for a month), constant in corpus
+    size; the corpus-sized work is one map-side-combined hourly
+    count.
+
+    Plan shape at 100 TB: one shuffle to hourly counts, a tiny
+    self-join, two percentile aggregations over bounded inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist()
+    )
+    a = h.select(F.col("hr").alias("ha"), F.col("y").alias("ya"))
+    b = h.select(F.col("hr").alias("hb"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("hb") > F.col("ha")).select(
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("hb") - F.col("ha")).cast("double")
+        ).alias("slope")
+    )
+    m = (
+        h.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+        .crossJoin(
+            p.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.percentile("slope", 0.5).alias("slope_per_hour"),
+            )
+        )
+    )
+    resid = h.crossJoin(F.broadcast(m)).select(
+        "n_hours",
+        "n_pairs",
+        "slope_per_hour",
+        (
+            F.col("y").cast("double")
+            - F.col("slope_per_hour") * F.col("hr").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("n_hours", "n_pairs", "slope_per_hour").agg(
+        F.percentile("r", 0.5).alias("intercept")
+    )
