@@ -158,6 +158,7 @@ _CHECK_PRIORITY = [
     "dedup_edit_distance_blocked",
     "ev_mann_kendall_trend",
     "ev_theil_sen_slope",
+    "src_copy_on_write_update",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

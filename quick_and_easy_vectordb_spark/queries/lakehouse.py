@@ -894,3 +894,125 @@ def src_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_checksum",
         "live_price_total",
     )
+
+
+@query(
+    "src_copy_on_write_update",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderkey % 8 AS bucket
+  FROM orders
+),
+touched AS (SELECT DISTINCT bucket FROM b WHERE k % 131 = 0),
+u AS (
+  SELECT k,
+         CASE WHEN k % 131 = 0 THEN p * CAST(1.1 AS DOUBLE) ELSE p END AS p
+  FROM b
+)
+SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM u WHERE k % 131 = 0) AS BIGINT)
+         AS n_updated,
+       CAST((SELECT COUNT(*) FROM touched) AS BIGINT)
+         AS n_buckets_rewritten,
+       CAST((SELECT COUNT(*) FROM b JOIN touched USING (bucket)) AS BIGINT)
+         AS rows_rewritten,
+       CAST((SELECT COUNT(*) FROM b JOIN touched USING (bucket)) AS DOUBLE)
+         / (SELECT COUNT(*) FROM u WHERE k % 131 = 0)
+         AS write_amplification,
+       (SELECT CAST(CAST(SUM(CAST(p AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) FROM u) AS updated_price_total
+""",
+    tags=("lakehouse", "copy-on-write", "update", "partition-overwrite",
+          "write-amplification"),
+)
+def src_copy_on_write_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE update — the eager counterpart of
+    src_merge_on_read_deletes: an UPDATE (price * 1.1 where key %
+    131 = 0) is committed by REWRITING every partition that contains
+    a matched row (Spark dynamic partition overwrite), leaving
+    untouched partitions' files byte-identical on disk. The report
+    quantifies exactly the trade the MOR docstring warns about:
+    write_amplification = rows physically rewritten per row logically
+    updated. The final answer is computed from the READ-BACK files,
+    so the oracle checks the on-disk commit, not the in-memory plan.
+
+    Numeric discipline: the physical update is the IEEE double
+    multiply a real table would store; the total then goes through
+    the established double->DECIMAL(30,10) sum route, so the
+    cross-engine hash pins both the update and the re-read.
+
+    Plan shape at 100 TB: matched-partition discovery is one
+    aggregate over the update predicate (partition column only);
+    the rewrite streams exactly those partitions through dynamic
+    overwrite — a 1-row update in a 1000-partition table rewrites
+    one partition, and this query is the regression test that it
+    STAYS one."""
+    d, written = _scratch_dir("cow", sf_dir)
+    tbl = os.path.join(d, "table")
+    if not written:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+            (F.col("o_orderkey") % 8).cast("long").alias("bucket"),
+        )
+        orders.write.mode("overwrite").partitionBy("bucket").parquet(tbl)
+        base = spark.read.parquet(tbl).select(
+            "k", "p", F.col("bucket").cast("long").alias("bucket")
+        )
+        touched = (
+            base.filter(F.col("k") % 131 == 0).select("bucket").distinct()
+        )
+        rewritten = (
+            base.join(F.broadcast(touched), "bucket")
+            .select(
+                "k",
+                F.when(
+                    F.col("k") % 131 == 0,
+                    F.col("p") * F.lit(1.1).cast("double"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+                "bucket",
+            )
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rewritten.write.mode("overwrite").partitionBy("bucket").parquet(
+                tbl
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    final = spark.read.parquet(tbl).select(
+        "k", "p", F.col("bucket").cast("long").alias("bucket")
+    )
+    touched = final.filter(F.col("k") % 131 == 0).select("bucket").distinct()
+    stats = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("k") % 131 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.col("p").cast("decimal(30,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("updated_price_total"),
+    )
+    amp = (
+        final.join(F.broadcast(touched), "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_rewritten"))
+        .crossJoin(
+            touched.agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets_rewritten")
+            )
+        )
+    )
+    return stats.crossJoin(F.broadcast(amp)).select(
+        "n_rows",
+        "n_updated",
+        "n_buckets_rewritten",
+        "rows_rewritten",
+        (
+            F.col("rows_rewritten").cast("double") / F.col("n_updated")
+        ).alias("write_amplification"),
+        "updated_price_total",
+    )
