@@ -1,0 +1,140 @@
+"""Plan-shape pins for the round-7 continuation operators added this
+session: streaming-closed outer join / chained aggs are exercised by
+their oracle checks (stateful plans aren't inspectable the same way),
+so the pins here cover the batch shapes — per-row rank lifting for
+average precision, the bounded-block discipline of the occlusion
+prune and edit-distance dedup, broadcast-beam traversal, the
+hour-grid pair decomposition of the trend statistics, and the
+COW rewrite's partition pruning contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quick_and_easy_vectordb_spark.plans.inspect import (
+    broadcast_join_count,
+    formatted_plan,
+    shuffle_count,
+)
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+
+def test_pr_auc_rank_windows_are_bucket_partitioned(spark, sf_dir):
+    """The per-row rank must come from the si-partitioned window plus
+    the broadcast bucket-offset table; the only single-partition
+    window may be over the tiny nbkt bucket aggregate — never the raw
+    score rows."""
+    df = QUERIES["ev_pr_auc_exact"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(si" in plan
+    assert "windowspecdefinition(nbkt" in plan
+    # the group-offset table reaches the row table as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_brier_collapses_before_fold(spark, sf_dir):
+    """All corpus-sized work is the one groupBy(v); the fold arrays are
+    built from the distinct-score table only."""
+    df = QUERIES["ev_brier_decomposition"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "collect_list" in plan
+    # no join of row-level data after the aggregate
+    assert "SortMergeJoin" not in plan
+
+
+def test_vamana_prune_is_blocked_and_anti_joined(spark, sf_dir):
+    """Candidates come from the label equi-join (never a cross
+    product); the occlusion filter ends in a left-anti join."""
+    df = QUERIES["ann_vamana_occlusion_prune"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan  # top-8 heap before the 8x8 test
+
+
+def test_beam_search_beam_stays_broadcast(spark, sf_dir):
+    """Each hop joins the 4-row beam against the edge table as a
+    broadcast — the corpus-scale side never shuffles for the
+    traversal."""
+    df = QUERIES["ann_graph_beam_search"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 3  # one per unrolled hop
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_wedges_are_equi_joins(spark, sf_dir):
+    df = QUERIES["dedup_graph_link_prediction"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_edit_distance_block_cap_applied(spark, sf_dir):
+    """Pair generation must join through the size-capped block table
+    (nb <= 64 filter visible), bounding per-block work."""
+    df = QUERIES["dedup_edit_distance_blocked"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "(nb" in plan and "64" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trend_stats_pair_join_is_post_aggregate(spark, sf_dir):
+    """Mann-Kendall's O(n^2) pair join runs on the HOURLY aggregate,
+    not the raw events: the join inputs must sit above an
+    aggregation in the plan, and the whole query shuffles only a
+    bounded number of times."""
+    df = QUERIES["ev_mann_kendall_trend"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert shuffle_count(df) <= 8
+
+
+def test_theil_sen_uses_percentile_not_global_sort(spark, sf_dir):
+    df = QUERIES["ev_theil_sen_slope"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" in plan
+    assert "GlobalSort" not in plan and "Sort [slope" not in plan
+
+
+def test_cow_update_prunes_untouched_partitions(spark, sf_dir):
+    """The COW read-back must keep bucket as a partition column so
+    the rewrite's dynamic overwrite only touched matched buckets;
+    the final plan reads the partitioned layout (PartitionFilters
+    machinery available)."""
+    df = QUERIES["src_copy_on_write_update"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "bucket" in plan
+
+
+def test_modularity_stays_on_edge_list(spark, sf_dir):
+    """No corpus-scale shuffle after pair generation: the modularity
+    bookkeeping joins the edge list to the doc->source projection
+    and aggregates scalars."""
+    spark.catalog.clearCache()
+    df = QUERIES["dedup_graph_source_modularity"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_is_one_dictionary_join(spark, sf_dir):
+    """Encoding must be a join from held-out words to the trained
+    vocab — no per-document merge replay."""
+    df = QUERIES["text_bpe_encode_apply"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("replace(") >= 6  # 3 rounds x 2-pass, train side only
+    assert "Join" in plan
+
+
+def test_stream_left_outer_join_rollup_matches_inner_schema(spark, sf_dir):
+    """The outer join's post-sink rollup emits the same 3-column shape
+    as the inner variant plus zero-count rows; checked by running the
+    query end-to-end (the streaming plan itself is exercised by the
+    oracle gate)."""
+    df = QUERIES["ev_stream_left_outer_join"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "purchase_id",
+        "user_id",
+        "n_clicks_30m",
+    ]
+    assert df.filter(F.col("n_clicks_30m") == 0).count() > 0
