@@ -791,6 +791,162 @@ def main() -> None:
 
     probes["cdc_compaction (key-window last-writer)"] = cdc_compaction_probe
 
+    # Round-7 continuation-4 shapes.
+    def pr_auc_rank_probe(n: int) -> None:
+        """ev_pr_auc_exact's shape: per-row global rank via the
+        two-level bucket prefix sum + within-score window, then the
+        fixed-point precision sum. Corpus-sized window work — the
+        scale-critical part of average precision."""
+        from pyspark.sql import Window as _W
+
+        r0 = synth_fact(spark, n).select(
+            F.pmod(F.hash("id"), F.lit(50000)).alias("si"),
+            F.col("id").alias("event_id"),
+            F.when(F.pmod(F.col("id"), F.lit(7)) == 0, 1).otherwise(0).alias("p"),
+        )
+        g = (
+            r0.groupBy("si")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("pos"))
+            .withColumn("nbkt", F.expr("(-si) div 2000"))
+        )
+        wloc = _W.partitionBy("nbkt").orderBy(F.expr("-si")).rowsBetween(
+            _W.unboundedPreceding, -1
+        )
+        woff = _W.orderBy("nbkt").rowsBetween(_W.unboundedPreceding, -1)
+        offsets = (
+            g.groupBy("nbkt")
+            .agg(F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos"))
+            .select(
+                "nbkt",
+                F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("bo_cnt"),
+                F.coalesce(F.sum("bpos").over(woff), F.lit(0)).alias("bo_pos"),
+            )
+        )
+        goff = g.join(F.broadcast(offsets), "nbkt").select(
+            "si",
+            (F.col("bo_cnt") + F.coalesce(F.sum("cnt").over(wloc), F.lit(0))).alias("off_cnt"),
+            (F.col("bo_pos") + F.coalesce(F.sum("pos").over(wloc), F.lit(0))).alias("off_pos"),
+        )
+        wrow = _W.partitionBy("si").orderBy("event_id")
+        wrun = wrow.rowsBetween(_W.unboundedPreceding, 0)
+        ranked = r0.join(F.broadcast(goff), "si").select(
+            "p",
+            (F.col("off_cnt") + F.row_number().over(wrow)).alias("k"),
+            (F.col("off_pos") + F.sum("p").over(wrun)).alias("cp"),
+        )
+        noop(
+            ranked.agg(
+                F.sum(
+                    F.when(F.col("p") == 1, F.expr("(cp * 1000000000000L) div k"))
+                    .otherwise(F.lit(0))
+                ).alias("ap_fp")
+            )
+        )
+
+    probes["pr_auc_row_rank (two-level per-row rank)"] = pr_auc_rank_probe
+
+    def occlusion_prune_probe(n: int) -> None:
+        """ann_vamana_occlusion_prune's shape: blocked top-8 candidate
+        heap, then the per-node 8x8 occlusion self-join + anti join."""
+        from pyspark.sql import Window as _W
+
+        n_vec = n // 50
+        vecs = synth_fact(spark, n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.hash("id", F.lit(3)), F.lit(max(8, n_vec // 128))).alias("label"),
+            F.array(*[
+                (F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000) / 1000.0
+                for i in range(16)
+            ]).alias("emb"),
+        )
+        src = vecs.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("src_id"), "label", F.col("emb").alias("es")
+        )
+        dot = F.expr(
+            "aggregate(zip_with(es, emb, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+        )
+        cand0 = (
+            src.join(vecs.select(F.col("vec_id").alias("nbr_id"), "label", "emb"), "label")
+            .filter(F.col("nbr_id") != F.col("src_id"))
+            .select("src_id", "nbr_id", "emb", (F.lit(1.0) - dot).alias("d"))
+        )
+        w = _W.partitionBy("src_id").orderBy(F.asc("d"), F.asc("nbr_id"))
+        c8 = cand0.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 8)
+        closer = c8.select(
+            "src_id", F.col("rnk").alias("p_rnk"), F.col("emb").alias("p_emb")
+        )
+        dcc = F.expr(
+            "aggregate(zip_with(p_emb, emb, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)"
+        )
+        pruned = (
+            c8.join(closer, "src_id")
+            .filter(F.col("p_rnk") < F.col("rnk"))
+            .filter(F.lit(1.2) * (F.lit(1.0) - dcc) <= F.col("d"))
+            .select("src_id", "nbr_id")
+            .distinct()
+        )
+        noop(
+            c8.join(pruned, ["src_id", "nbr_id"], "left_anti")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("kept"))
+        )
+
+    probes["occlusion_prune (blocked 8x8 self-join)"] = occlusion_prune_probe
+
+    def edit_distance_probe(n: int) -> None:
+        """dedup_edit_distance_blocked's shape: block-key shuffle,
+        <=64-member cap, constant-cost prefix levenshtein."""
+        docs = synth_docs(spark, n // 100).select(
+            "doc_id", F.lower("text").alias("norm")
+        )
+        k = docs.select(
+            "doc_id",
+            "norm",
+            F.concat(
+                F.substring("norm", 1, 12),
+                F.lit("|"),
+                F.expr("length(norm) div 32").cast("string"),
+            ).alias("blk"),
+        )
+        bsz = k.groupBy("blk").agg(F.count(F.lit(1)).alias("nb"))
+        kk = k.join(bsz, "blk").filter(F.col("nb") <= 64)
+        a = kk.select("blk", F.col("doc_id").alias("id_a"), F.substring("norm", 1, 64).alias("pa"))
+        b = kk.select("blk", F.col("doc_id").alias("id_b"), F.substring("norm", 1, 64).alias("pb"))
+        noop(
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.levenshtein("pa", "pb") <= 8)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+
+    probes["edit_distance_blocked (capped prefix lev)"] = edit_distance_probe
+
+    def hour_grid_pairs_probe(n: int) -> None:
+        """Mann-Kendall / Theil-Sen shape: corpus-sized map-side
+        aggregate to the bounded hour grid, then the constant-size
+        pair join — wall clock should track the aggregate only."""
+        h = (
+            synth_fact(spark, n)
+            .select(F.pmod(F.col("id"), F.lit(744)).alias("hr"))
+            .groupBy("hr")
+            .agg(F.count(F.lit(1)).alias("y"))
+        )
+        a = h.select(F.col("hr").alias("ha"), F.col("y").alias("ya"))
+        b = h.select(F.col("hr").alias("hb"), F.col("y").alias("yb"))
+        noop(
+            a.join(b, F.col("hb") > F.col("ha"))
+            .select(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+                .alias("sg")
+            )
+            .agg(F.sum("sg").alias("s"))
+        )
+
+    probes["hour_grid_pairs (trend-stat shape)"] = hour_grid_pairs_probe
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
