@@ -1467,6 +1467,7 @@ FROM c8 c LEFT JOIN pruned p
 WHERE p.src_id IS NULL
 """,
     tags=("ann", "graph-index", "vamana", "diskann", "edge-pruning"),
+    bench=True,
 )
 def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiskANN/Vamana-style OCCLUSION PRUNING of a k-NN candidate

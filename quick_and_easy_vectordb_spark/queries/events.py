@@ -5191,6 +5191,7 @@ FROM o
 """,
     tags=("events", "evaluation", "pr-auc", "average-precision",
           "distributed-rank"),
+    bench=True,
 )
 def ev_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE PRECISION (area under the precision-recall curve, the
