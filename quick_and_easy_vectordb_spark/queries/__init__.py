@@ -159,6 +159,8 @@ _CHECK_PRIORITY = [
     "ev_mann_kendall_trend",
     "ev_theil_sen_slope",
     "src_copy_on_write_update",
+    "ev_hampel_filter",
+    "rel_temporal_integrity_audit",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -5626,3 +5626,78 @@ def ev_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resid.groupBy("n_hours", "n_pairs", "slope_per_hour").agg(
         F.percentile("r", 0.5).alias("intercept")
     )
+
+
+@query(
+    "ev_hampel_filter",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT hr, y,
+         quantile_cont(y, 0.5) OVER (
+           ORDER BY hr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM h
+),
+d AS (
+  SELECT hr, y, med,
+         quantile_cont(abs(CAST(y AS DOUBLE) - med), 0.5) OVER (
+           ORDER BY hr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mad
+  FROM m
+)
+SELECT hr, y, med, mad
+FROM d
+WHERE mad > 0.0
+  AND abs(CAST(y AS DOUBLE) - med)
+      > 3.0 * CAST(1.4826 AS DOUBLE) * mad
+""",
+    tags=("events", "time-series", "hampel", "robust-outliers",
+          "rolling-median"),
+)
+def ev_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER on the hourly event-count series — the robust
+    rolling-window outlier detector (rolling median ± 3 scaled rolling
+    MADs over a centered 7-hour frame) that survives the very spikes
+    it is hunting, where ev_zscore_outliers' rolling mean/stddev get
+    dragged by them. Two cascaded window passes: median, then median
+    absolute deviation around it; a point is flagged when
+    |y - med| > 3 * 1.4826 * MAD (1.4826 = the Gaussian MAD-to-sigma
+    constant, injected as the identical double literal in both
+    engines). Medians ride the pinned percentile == quantile_cont
+    interpolation equivalence; both engines use the same ROWS frame
+    over the same (hr) order, so presence/absence of every flagged
+    row hash-matches.
+
+    The window runs over the BOUNDED hour grid (~744 rows/month) —
+    the corpus-sized work is the one map-side-combined hourly
+    aggregate, identical to ev_mann_kendall_trend's decomposition.
+
+    Plan shape at 100 TB: one shuffle to hourly counts, then two O(1)
+    windows over the tiny grid. The single-partition window is over
+    ≤ |hours| rows by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w7 = Window.orderBy("hr").rowsBetween(-3, 3)
+    m = h.withColumn("med", F.percentile("y", 0.5).over(w7))
+    d = m.withColumn(
+        "mad",
+        F.percentile(
+            F.abs(F.col("y").cast("double") - F.col("med")), 0.5
+        ).over(w7),
+    )
+    return d.filter(
+        (F.col("mad") > 0.0)
+        & (
+            F.abs(F.col("y").cast("double") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826).cast("double") * F.col("mad")
+        )
+    ).select("hr", "y", "med", "mad")

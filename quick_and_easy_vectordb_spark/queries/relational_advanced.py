@@ -1787,3 +1787,128 @@ def rel_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("decile").cast("long").alias("decile"), "n", "min_bal", "max_bal", "sum_bal")
     )
+
+
+@query(
+    "rel_temporal_integrity_audit",
+    oracle="""
+WITH scd AS (
+  SELECT o_custkey AS k, o_orderkey AS ver,
+         CAST(o_orderdate AS DATE) AS vf,
+         COALESCE(lead(CAST(o_orderdate AS DATE))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey),
+                  DATE '2200-01-01') AS vt
+  FROM orders
+),
+corrupt AS (
+  SELECT k, ver, vf,
+         CASE WHEN ver % 37 = 0 THEN vt + 5 ELSE vt END AS vt
+  FROM scd WHERE ver % 41 <> 0
+),
+seq AS (
+  SELECT k, ver, vf, vt,
+         lag(vt) OVER (PARTITION BY k ORDER BY vf, ver) AS prev_vt
+  FROM corrupt
+),
+flags AS (
+  SELECT k,
+         CASE WHEN prev_vt IS NOT NULL AND vf < prev_vt THEN 1 ELSE 0 END
+           AS ov,
+         CASE WHEN prev_vt IS NOT NULL AND vf > prev_vt THEN 1 ELSE 0 END
+           AS gp
+  FROM seq
+),
+pit AS (
+  SELECT k, COUNT(*) AS n_match
+  FROM corrupt
+  WHERE vf <= DATE '1995-06-15' AND DATE '1995-06-15' < vt
+  GROUP BY k
+)
+SELECT CAST((SELECT COUNT(*) FROM corrupt) AS BIGINT) AS n_versions,
+       CAST((SELECT COUNT(DISTINCT k) FROM corrupt) AS BIGINT) AS n_keys,
+       CAST((SELECT SUM(ov) FROM flags) AS BIGINT) AS n_overlaps,
+       CAST((SELECT SUM(gp) FROM flags) AS BIGINT) AS n_gaps,
+       CAST((SELECT COUNT(*) FROM pit WHERE n_match > 1) AS BIGINT)
+         AS n_pit_ambiguous_keys
+""",
+    tags=("relational", "scd2", "temporal-integrity", "data-quality"),
+)
+def rel_temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL INTEGRITY audit of an SCD2 history table — the check
+    every as-of join silently depends on: versions of a key must
+    TILE time (no overlaps, no gaps) or point-in-time lookups return
+    wrong or ambiguous rows. The audited table is the
+    rel_scd2_intervals build deterministically CORRUPTED (versions
+    with key % 37 = 0 get valid_to stretched by 5 days -> overlaps;
+    versions with key % 41 = 0 are deleted -> gaps), so the audit
+    provably detects both defect classes rather than vacuously
+    passing on clean data. Violations are counted with one
+    lag(valid_to) window per key (overlap: next starts before the
+    previous ends; gap: after), plus a point-in-time probe
+    (1995-06-15) counting keys whose lookup would match > 1 version
+    — the downstream symptom an on-call engineer actually sees.
+
+    Plan shape at 100 TB: two key-partitioned windows (interval
+    build + audit) that reuse the same (k, vf, ver) sort order, one
+    filtered aggregate for the PIT probe, five scalars. No
+    self-join: the naive audit joins each version against every
+    other version of its key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("ver"),
+        F.col("o_orderdate").cast("date").alias("vf"),
+        F.coalesce(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.lit("2200-01-01").cast("date"),
+        ).alias("vt"),
+    )
+    corrupt = scd.filter(F.col("ver") % 41 != 0).select(
+        "k",
+        "ver",
+        "vf",
+        F.when(F.col("ver") % 37 == 0, F.date_add("vt", 5))
+        .otherwise(F.col("vt"))
+        .alias("vt"),
+    )
+    w2 = Window.partitionBy("k").orderBy("vf", "ver")
+    seq = corrupt.withColumn("prev_vt", F.lag("vt").over(w2))
+    flags = seq.select(
+        F.when(
+            F.col("prev_vt").isNotNull() & (F.col("vf") < F.col("prev_vt")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ov"),
+        F.when(
+            F.col("prev_vt").isNotNull() & (F.col("vf") > F.col("prev_vt")),
+            1,
+        )
+        .otherwise(0)
+        .alias("gp"),
+    )
+    probe = F.lit("1995-06-15").cast("date")
+    pit = (
+        corrupt.filter((F.col("vf") <= probe) & (probe < F.col("vt")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        corrupt.agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.countDistinct("k").cast("long").alias("n_keys"),
+        )
+        .crossJoin(
+            flags.agg(
+                F.sum("ov").cast("long").alias("n_overlaps"),
+                F.sum("gp").cast("long").alias("n_gaps"),
+            )
+        )
+        .crossJoin(
+            pit.filter(F.col("n_match") > 1).agg(
+                F.count(F.lit(1)).cast("long").alias("n_pit_ambiguous_keys")
+            )
+        )
+    )
