@@ -161,6 +161,7 @@ _CHECK_PRIORITY = [
     "src_copy_on_write_update",
     "ev_hampel_filter",
     "rel_temporal_integrity_audit",
+    "mm_integral_image_rect",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

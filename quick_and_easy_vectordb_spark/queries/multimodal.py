@@ -1872,3 +1872,115 @@ def mm_audio_wht_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").cast("long").alias("n_frames"),
         F.sum("band_energy").cast("long").alias("band_energy"),
     )
+
+
+@query(
+    "mm_integral_image_rect",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         i % w AS x, i // w AS y,
+         (doc_id * 31 + i) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims)
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN x >= 1 AND x <= w - 2
+                      AND y >= 1 AND y <= h - 2 THEN v ELSE 0 END)
+            AS BIGINT) AS interior_sum,
+       CAST(SUM(v) AS BIGINT) AS total_sum
+FROM px GROUP BY doc_id, w, h
+""",
+    tags=("multimodal", "integral-image", "2d-prefix-sum", "decode"),
+)
+def mm_integral_image_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGRAL IMAGE (summed-area table) as a DISTRIBUTED 2D PREFIX
+    SUM: each document's synthetic grayscale P5 PGM (pixel(x,y) =
+    (id*31 + y*w + x) mod 256) is decoded by the REAL numpy parser
+    (operators/multimodal.py:decode_image), exploded to pixel rows,
+    and integrated with TWO cascaded window passes — prefix along x
+    within each (doc, row), then prefix along y within each (doc,
+    column) — the classic separable decomposition that makes
+    summed-area tables shuffle-friendly (each pass partitions on a
+    different axis; no pixel ever needs more than its row/column).
+    The interior-rectangle sum is then read off FOUR corner lookups
+    (I[w-2,h-2] - I[0,h-2] - I[w-2,0] + I[0,0]) — O(1) per query
+    rectangle, the entire reason integral images exist (Viola-Jones
+    features, brightness heatmaps, ad-viewability grids).
+
+    The oracle computes the same interior sum DIRECTLY from the
+    closed-form pixel formula — so the hash certifies that decode +
+    two prefix passes + corner algebra equals ground truth, not that
+    two copies of the same code agree. All integer arithmetic.
+
+    Plan shape at 100 TB: one Arrow mapInPandas decode pass, two
+    window shuffles keyed (doc,y) then (doc,x) — both embarrassingly
+    parallel across images — and one corner-filter aggregate.
+    Per-image window width is bounded by image dimensions."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "x": [], "y": [], "v": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = ((doc_id * 31 + np.arange(w * h)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload)[:, :, 0]  # (h, w, 1) gray
+                assert img.shape == (h, w)
+                ys, xs = np.mgrid[0:h, 0:w]
+                out["doc_id"].extend([doc_id] * (w * h))
+                out["x"].extend(xs.ravel().tolist())
+                out["y"].extend(ys.ravel().tolist())
+                out["v"].extend(img.astype(np.int64).ravel().tolist())
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    px = docs.mapInPandas(run, "doc_id long, x long, y long, v long")
+    wx = Window.partitionBy("doc_id", "y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.partitionBy("doc_id", "x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    integ = px.withColumn("rx", F.sum("v").over(wx)).withColumn(
+        "ii", F.sum("rx").over(wy)
+    )
+    dims = docs.select(
+        "doc_id",
+        (8 + F.col("doc_id") % 8).cast("long").alias("width"),
+        (8 + F.col("doc_id") % 5).cast("long").alias("height"),
+    )
+    corners = integ.join(dims, "doc_id").filter(
+        (
+            (F.col("x") == 0) | (F.col("x") == F.col("width") - 2)
+        )
+        & ((F.col("y") == 0) | (F.col("y") == F.col("height") - 2))
+    )
+    sign = (
+        F.when(
+            (F.col("x") == F.col("width") - 2)
+            & (F.col("y") == F.col("height") - 2),
+            1,
+        )
+        .when((F.col("x") == 0) & (F.col("y") == 0), 1)
+        .otherwise(-1)
+    )
+    interior = corners.groupBy("doc_id", "width", "height").agg(
+        F.sum(sign * F.col("ii")).cast("long").alias("interior_sum")
+    )
+    totals = px.groupBy("doc_id").agg(
+        F.sum("v").cast("long").alias("total_sum")
+    )
+    return interior.join(totals, "doc_id").select(
+        "doc_id", "width", "height", "interior_sum", "total_sum"
+    )
