@@ -162,6 +162,8 @@ _CHECK_PRIORITY = [
     "ev_hampel_filter",
     "rel_temporal_integrity_audit",
     "mm_integral_image_rect",
+    "dedup_cross_source_matrix",
+    "src_zone_map_skipping",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

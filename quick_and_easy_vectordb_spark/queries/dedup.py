@@ -1832,3 +1832,99 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lev64") <= 8)
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+h AS (
+  SELECT DISTINCT d.source, s.shingle AS ch
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON b.ch = a.ch AND a.source < b.source
+  GROUP BY 1, 2
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY source)
+SELECT p.source_a, p.source_b, p.n_shared,
+       sa.n AS n_distinct_a, sb.n AS n_distinct_b,
+       CAST(p.n_shared AS DOUBLE)
+         / (sa.n + sb.n - p.n_shared) AS content_jaccard
+FROM p
+JOIN sz sa ON sa.source = p.source_a
+JOIN sz sb ON sb.source = p.source_b
+""",
+    tags=("dedup", "cross-source", "contamination", "syndication-matrix"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX: for every source pair, how
+    many distinct word-3-gram shingles they SHARE, plus the
+    shingle-level Jaccard between the sources — the
+    contamination/syndication report that decides which sources are
+    mirrors of each other (drop one) vs genuinely complementary.
+    dedup_rate_by_source measures duplication WITHIN a source;
+    dedup_graph_source_modularity summarizes cross-source copying as
+    one scalar; this is the full pairwise picture a curation review
+    actually reads.
+
+    All exact: distinct (source, shingle) pairs, one self equi-join
+    on the shingle, exact distinct counts per source, one final
+    division. (Exact-content hashes would be vacuous here: verbatim
+    duplicates never cross sources in this corpus — phrase-level
+    shingles are where syndication actually shows.)
+
+    Plan shape at 100 TB: the (source, shingle) distinct is one
+    map-side-combined shuffle; the self-join is keyed by the shingle
+    (fan-out per shingle = number of sources containing it, <= 
+    |sources|); output is O(sources^2) rows. Swap the shingle column
+    for MinHash signatures to get the NEAR-dup contamination matrix
+    at a 12x smaller shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(
+        docs.select("doc_id", "text"), "text", "doc_id", 3
+    )
+    h = (
+        sh.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .select("source", F.col("shingle").alias("ch"))
+        .distinct()
+        .persist()
+    )
+    a = h.select(F.col("source").alias("source_a"), "ch")
+    b = h.select(F.col("source").alias("source_b"), "ch")
+    p = (
+        a.join(b, "ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sz = h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        p.join(
+            sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_distinct_a")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_distinct_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_distinct_a",
+            "n_distinct_b",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_distinct_a")
+                    + F.col("n_distinct_b")
+                    - F.col("n_shared")
+                )
+            ).alias("content_jaccard"),
+        )
+    )

@@ -1016,3 +1016,122 @@ def src_copy_on_write_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("write_amplification"),
         "updated_price_total",
     )
+
+
+@query(
+    "src_zone_map_skipping",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+nat AS (
+  SELECT k // 16384 AS rg, MIN(d) AS lo, MAX(d) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY 1
+),
+clu AS (
+  SELECT (year(d) * 12 + month(d)) AS rg, MIN(d) AS lo, MAX(d) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY 1
+),
+sel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM o
+  WHERE d >= DATE '1995-03-01' AND d < DATE '1995-04-01'
+),
+rep AS (
+  SELECT 'natural' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN hi >= DATE '1995-03-01'
+                        AND lo < DATE '1995-04-01' THEN 1 ELSE 0 END)
+              AS BIGINT) AS groups_scanned,
+         CAST(SUM(CASE WHEN hi >= DATE '1995-03-01'
+                        AND lo < DATE '1995-04-01' THEN n ELSE 0 END)
+              AS BIGINT) AS rows_scanned
+  FROM nat
+  UNION ALL
+  SELECT 'clustered',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN hi >= DATE '1995-03-01'
+                        AND lo < DATE '1995-04-01' THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(SUM(CASE WHEN hi >= DATE '1995-03-01'
+                        AND lo < DATE '1995-04-01' THEN n ELSE 0 END)
+              AS BIGINT)
+  FROM clu
+)
+SELECT layout, n_groups, groups_scanned, rows_scanned,
+       1.0 - CAST(groups_scanned AS DOUBLE) / n_groups AS skip_fraction,
+       CAST((SELECT n_match FROM sel) AS DOUBLE) / rows_scanned
+         AS scan_efficiency
+FROM rep
+""",
+    tags=("lakehouse", "zone-maps", "data-skipping", "clustering",
+          "scan-pruning"),
+)
+def src_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP DATA-SKIPPING audit — the quantified version of the
+    advice "sort your data before writing it": contiguous key-range
+    row groups (the layout a parquet writer actually produces) get
+    per-group min/max date zone maps; a one-month predicate then
+    scans only groups whose [min, max] intersects the range. The
+    NATURAL layout (insertion order = orderkey ranges) has every
+    group spanning almost the full date domain -> near-zero
+    skipping; the CLUSTERED layout (date-ordered -> monthly groups)
+    skips all but ~1 group. Reported per layout: groups scanned,
+    rows scanned, skip_fraction, and scan_efficiency (matched rows /
+    scanned rows) — exactly the numbers a table-format OPTIMIZE
+    decision weighs. Complements rel_zorder_clustering (which proves
+    2-D bounding-box locality) with the 1-D predicate-pruning
+    payoff.
+
+    Plan shape at 100 TB: two map-side-combined groupBys build the
+    zone maps (O(groups) rows out), one scalar for true selectivity;
+    the fact table is scanned twice and shuffled never. The audit
+    itself is what a metadata-only query against the parquet footers
+    would return."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    lo_p = F.lit("1995-03-01").cast("date")
+    hi_p = F.lit("1995-04-01").cast("date")
+    nat = o.groupBy(F.expr("k div 16384").alias("rg")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    clu = o.groupBy(
+        (F.year("d") * 12 + F.month("d")).alias("rg")
+    ).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sel = o.filter((F.col("d") >= lo_p) & (F.col("d") < hi_p)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_match")
+    )
+
+    def report(zm, layout: str):
+        scanned = (F.col("hi") >= lo_p) & (F.col("lo") < hi_p)
+        return zm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(scanned, 1).otherwise(0))
+            .cast("long")
+            .alias("groups_scanned"),
+            F.sum(F.when(scanned, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    rep = report(nat, "natural").unionAll(report(clu, "clustered"))
+    return rep.crossJoin(F.broadcast(sel)).select(
+        "layout",
+        "n_groups",
+        "groups_scanned",
+        "rows_scanned",
+        (
+            F.lit(1.0)
+            - F.col("groups_scanned").cast("double") / F.col("n_groups")
+        ).alias("skip_fraction"),
+        (F.col("n_match").cast("double") / F.col("rows_scanned")).alias(
+            "scan_efficiency"
+        ),
+    )
