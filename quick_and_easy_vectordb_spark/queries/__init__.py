@@ -164,6 +164,7 @@ _CHECK_PRIORITY = [
     "mm_integral_image_rect",
     "dedup_cross_source_matrix",
     "src_zone_map_skipping",
+    "text_kneser_ney_bigrams",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

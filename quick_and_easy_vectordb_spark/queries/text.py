@@ -1983,3 +1983,116 @@ def text_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "text_kneser_ney_bigrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS n1_fwd
+  FROM c2 GROUP BY w1
+),
+ctx AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bwd FROM c2 GROUP BY w2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2)
+SELECT c2.w1, c2.w2, c2.c, c1.cw1, c1.n1_fwd, ctx.n1_bwd,
+       (CAST(c2.c AS DOUBLE) - 0.75) / c1.cw1
+         + (0.75 * c1.n1_fwd / c1.cw1)
+           * (CAST(ctx.n1_bwd AS DOUBLE) / (SELECT n_types FROM tot))
+         AS p_kn
+FROM c2
+JOIN c1 ON c1.w1 = c2.w1
+JOIN ctx ON ctx.w2 = c2.w2
+WHERE c2.c >= 5
+ORDER BY p_kn DESC, c2.w1, c2.w2
+LIMIT 20
+""",
+    tags=("text", "language-model", "kneser-ney", "smoothing",
+          "llm-pipeline"),
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram probabilities — the LM estimator
+    behind every pre-neural speech/MT system and still the standard
+    fast quality filter (KenLM) in LLM data pipelines:
+
+      P_KN(w2|w1) = max(c(w1,w2) - d, 0)/c(w1·)
+                  + (d · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+
+    with discount d = 0.75. The continuation probability
+    N1+(·w2)/N1+(··) is the famous part: 'Francisco' is frequent but
+    only ever follows 'San', so its continuation mass is tiny. All
+    five inputs are exact integer counts off ONE bigram-count table
+    (c2): left-context totals and fan-out by groupBy(w1),
+    continuation fan-in by groupBy(w2), type count as one scalar —
+    the estimator is three reuses of the same aggregate. The float
+    expression tree is written identically in both engines (the
+    c >= 5 filter keeps max(c-d, 0) = c-d, avoiding the only branch);
+    top-20 cutoff is the deterministic (p_kn DESC, w1, w2) order.
+
+    Plan shape at 100 TB: one corpus explode -> map-side-combined
+    bigram count; the three derived tables are aggregations OF THAT
+    table (orders of magnitude smaller than the corpus); two
+    broadcast-scale joins back; TakeOrdered(20). KenLM's full
+    modified-KN (three discounts, trigram backoff) adds more
+    aggregate reuse, not more shuffle classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    ctx = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_bwd")
+    )
+    tot = c2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    scored = (
+        c2.filter(F.col("c") >= 5)
+        .join(c1, "w1")
+        .join(ctx, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "cw1",
+            "n1_fwd",
+            "n1_bwd",
+            (
+                (F.col("c").cast("double") - F.lit(0.75)) / F.col("cw1")
+                + (F.lit(0.75) * F.col("n1_fwd") / F.col("cw1"))
+                * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(F.desc("p_kn"), "w1", "w2").limit(20)
