@@ -1662,3 +1662,178 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "sim")
         .orderBy(F.desc("sim"), F.asc("vec_id"))
     )
+
+
+@query(
+    "ann_residual_pq_search",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
+ce AS (
+  SELECT label, pos.pos AS pos,
+         CAST(CAST(SUM(CAST(CAST(embedding[pos.pos + 1] AS DOUBLE)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM embeddings CROSS JOIN pos GROUP BY 1, 2
+),
+coarse AS (
+  SELECT label,
+         CAST(CAST(SUM(CAST((({sql_vec(QUERY_VEC)})[pos + 1] - c)
+                            * (({sql_vec(QUERY_VEC)})[pos + 1] - c)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS d2
+  FROM ce GROUP BY label
+),
+qcell AS (SELECT label FROM coarse ORDER BY d2, label LIMIT 1),
+el AS (
+  SELECT e.vec_id, e.label, pos.pos // {PQ_SUBDIM} AS m,
+         pos.pos % {PQ_SUBDIM} AS j,
+         CAST(e.embedding[pos.pos + 1] AS DOUBLE) - ce.c AS val
+  FROM embeddings e CROSS JOIN pos
+  JOIN ce ON ce.label = e.label AND ce.pos = pos.pos
+),
+seed AS (
+  SELECT vec_id, m,
+         SUM(CASE WHEN j = 0 AND val >= 0 THEN 2 ELSE 0 END)
+           + SUM(CASE WHEN j = {PQ_SUBDIM // 2} AND val >= 0 THEN 1
+                      ELSE 0 END) AS k
+  FROM el WHERE j IN (0, {PQ_SUBDIM // 2}) GROUP BY 1, 2
+),
+cb AS (
+  SELECT el.m, seed.k, el.j,
+         CAST(CAST(SUM(CAST(el.val AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(el.val) AS c
+  FROM el JOIN seed ON seed.vec_id = el.vec_id AND seed.m = el.m
+  GROUP BY 1, 2, 3
+),
+enc0 AS (
+  SELECT el.vec_id AS id, el.m, cb.k,
+         SUM(CAST((el.val - cb.c) * (el.val - cb.c)
+                  AS DECIMAL(30,10))) AS dist2
+  FROM el JOIN qcell q ON q.label = el.label
+  JOIN cb ON cb.m = el.m AND cb.j = el.j
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT id, m, k FROM (
+    SELECT id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist2, k) AS rn
+    FROM enc0) WHERE rn = 1
+),
+qres AS (
+  SELECT ce.pos AS pos,
+         CAST(({sql_vec(QUERY_VEC)})[ce.pos + 1] AS DOUBLE) - ce.c AS val
+  FROM ce JOIN qcell USING (label)
+),
+qd AS (
+  SELECT cb.m, cb.k,
+         SUM(CAST((qres.val - cb.c) * (qres.val - cb.c)
+                  AS DECIMAL(30,10))) AS qdist2
+  FROM cb JOIN qres ON qres.pos = cb.m * {PQ_SUBDIM} + cb.j
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT enc.id, CAST(CAST(SUM(qdist2) AS VARCHAR) AS DOUBLE) AS adc_dist2
+  FROM enc JOIN qd ON qd.m = enc.m AND qd.k = enc.k
+  GROUP BY 1
+),
+cand AS (SELECT id, adc_dist2 FROM adc ORDER BY adc_dist2, id LIMIT {PQ_CAND})
+SELECT e.vec_id, c.adc_dist2, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist
+FROM embeddings e JOIN cand c ON c.id = e.vec_id
+ORDER BY l2_dist, e.vec_id LIMIT 10
+""",
+    tags=("ann", "ivf-pq", "residual-quantization", "faiss", "topk"),
+)
+def ann_residual_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization — what Faiss IVFPQ actually
+    encodes: each vector's PQ codes quantize the RESIDUAL r = v -
+    centroid(cell), not v itself, because residuals concentrate near
+    the origin and the same 8-byte budget buys far lower distortion
+    (Jegou et al. 2011 §IV). The query's ADC table is likewise built
+    against its residual to the PROBED cell's centroid — the table
+    is per-cell, which is why real IVFPQ recomputes it per probe.
+    Composition here: decimal-exact per-label centroids (the IVF
+    coarse stage of ann_ivf_pq_search), nprobe=1 cell selection,
+    residual codebook trained on the FULL corpus residuals
+    (training is probe-independent), ADC over the probed cell's
+    codes only, exact-L2 rerank of the {PQ_CAND}-row shortlist.
+
+    Exactness chain: centroid = decimal-sum/count double (the pinned
+    ann_ivf_search class), residual = one IEEE subtraction, every
+    distance accumulation DECIMAL(30,10) until a final double — so
+    codebook, codes, ADC scores, and the winner set hash-match the
+    oracle bitwise.
+
+    Plan shape at 100 TB: identical shuffle classes to
+    ann_ivf_pq_search plus one broadcast join of the O(labels x dim)
+    centroid table into the element stream; the scan still touches
+    only the probed cell's codes. Residual encoding adds zero new
+    shuffles — the reason every production IVFPQ does it."""
+    from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlit = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label").persist()
+
+    qv = F.element_at(qlit, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (qv - F.col("c")) * (qv - F.col("c")))
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    probed = (
+        dist2.orderBy("d2", "key").limit(1).select(F.col("key").alias("plabel"))
+    )
+
+    res = emb.join(
+        cent, emb["label"] == cent["key"]
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("resid"),
+    ).persist()
+
+    cb = pq_codebook(res, "resid", PQ_SUBS, PQ_SUBDIM).persist()
+    cell = res.join(F.broadcast(probed), res["label"] == F.col("plabel"))
+    codes = pq_encode(cell, cb, "resid", "vec_id", PQ_SUBDIM, PQ_SUBS)
+
+    qres = (
+        cent.join(F.broadcast(probed), cent["key"] == F.col("plabel"))
+        .select(F.posexplode("centroid").alias("pos", "c"))
+        .select("pos", (qv - F.col("c")).alias("val"))
+    )
+    qd = (
+        cb.join(
+            F.broadcast(qres),
+            F.col("pos") == F.col("m") * PQ_SUBDIM + F.col("j"),
+        )
+        .withColumn("qdiff2", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+        .groupBy("m", "k")
+        .agg(F.sum(F.col("qdiff2").cast("decimal(30,10)")).alias("qdist2"))
+    )
+    cand = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .groupBy("id")
+        .agg(F.sum("qdist2").cast("string").cast("double").alias("adc_dist2"))
+        .orderBy("adc_dist2", "id")
+        .limit(PQ_CAND)
+    )
+    return (
+        emb.join(F.broadcast(cand), emb["vec_id"] == F.col("id"))
+        .select(
+            "vec_id",
+            "adc_dist2",
+            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
