@@ -166,6 +166,7 @@ _CHECK_PRIORITY = [
     "src_zone_map_skipping",
     "text_kneser_ney_bigrams",
     "ann_residual_pq_search",
+    "ev_cuped_adjustment",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -5701,3 +5701,133 @@ def ev_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3.0) * F.lit(1.4826).cast("double") * F.col("mad")
         )
     ).select("hr", "y", "med", "mad")
+
+
+@query(
+    "ev_cuped_adjustment",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                FILTER (WHERE ts < TIMESTAMP '2024-01-16'), 0) AS BIGINT)
+           AS x,
+         CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS BIGINT)
+           AS y,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS sxx,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS syy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM u
+),
+a AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_control,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_treat,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) FILTER (WHERE arm = 0)
+              AS VARCHAR) AS DOUBLE) AS sy0,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) FILTER (WHERE arm = 1)
+              AS VARCHAR) AS DOUBLE) AS sy1
+  FROM u
+)
+SELECT n, n_control, n_treat,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+       (syy - sy * sy / n) / n AS var_y,
+       (syy - sy * sy / n) / n
+         - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+           / ((sxx - sx * sx / n) / n) AS var_y_adj,
+       1.0 - ((syy - sy * sy / n) / n
+              - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+                / ((sxx - sx * sx / n) / n))
+             / ((syy - sy * sy / n) / n) AS variance_reduction,
+       sy1 / n_treat - sy0 / n_control AS lift_cents
+FROM m, a
+""",
+    tags=("events", "experimentation", "cuped", "variance-reduction",
+          "ab-testing"),
+)
+def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et
+    al. 2013) — the variance-reduction step every mature A/B platform
+    applies before the t-test: regress each user's post-period metric
+    y on their pre-period metric x (theta = Cov(x,y)/Var(x)) and
+    analyze y_adj = y - theta(x - mean(x)) instead; Var(y_adj) =
+    Var(y) - Cov^2/Var(x) in closed form, so the adjusted variance,
+    the reduction factor, and the arm lift all come from ONE pass of
+    sufficient moments — no per-user adjusted column ever
+    materializes. Extends ev_welch_ab_test with the pre-period
+    covariate; the split is the fixture midpoint (2024-01-16), arms
+    are user_id parity.
+
+    Exactness: per-user x, y are exact integer cents; the five
+    moments are DECIMAL(38,0) sums of integer products (overflow-
+    proof at any scale); every downstream statistic is the identical
+    IEEE expression tree over those six numbers in both engines.
+
+    Plan shape at 100 TB: one user-keyed shuffle with both period
+    sums as conditional aggregates in the SAME pass, then two scalar
+    aggregates over the user table. The moment trick is what makes
+    CUPED free at scale — platforms that materialize y_adj pay a
+    second corpus pass for nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= mid, cents)), F.lit(0)
+        ).cast("long").alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2).persist()
+    dec = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sxy"),
+    )
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sy0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sy1"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    varx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    vary = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    var_adj = vary - cov * cov / varx
+    return m.crossJoin(F.broadcast(a)).select(
+        "n",
+        "n_control",
+        "n_treat",
+        theta.alias("theta"),
+        vary.alias("var_y"),
+        var_adj.alias("var_y_adj"),
+        (F.lit(1.0) - var_adj / vary).alias("variance_reduction"),
+        (
+            F.col("sy1") / F.col("n_treat")
+            - F.col("sy0") / F.col("n_control")
+        ).alias("lift_cents"),
+    )
