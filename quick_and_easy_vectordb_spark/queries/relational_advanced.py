@@ -1912,3 +1912,81 @@ def rel_temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "rel_wilson_ci_by_segment",
+    oracle="""
+WITH conv AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F')) AS BIGINT) AS k
+  FROM customer c GROUP BY 1
+)
+SELECT segment, n, k,
+       CAST(k AS DOUBLE) / n AS p_hat,
+       (CAST(k AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * n)
+        - CAST(1.96 AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / n)
+                      * (1.0 - CAST(k AS DOUBLE) / n) / n
+                      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n)))
+         / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS wilson_lo,
+       (CAST(k AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * n)
+        + CAST(1.96 AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / n)
+                      * (1.0 - CAST(k AS DOUBLE) / n) / n
+                      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n)))
+         / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n) AS wilson_hi
+FROM conv
+""",
+    tags=("relational", "statistics", "wilson-interval", "proportions"),
+)
+def rel_wilson_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE confidence intervals for per-segment conversion
+    rates (customer has >= 1 finalized order) — the interval that,
+    unlike the naive Wald +-1.96*sqrt(p(1-p)/n), stays inside [0,1]
+    and behaves at small n or extreme p, which is why ranking UIs
+    (Reddit's comment sort) and experiment dashboards use it. k and
+    n are exact integers (conversion via one left-semi-join
+    aggregate); the interval is the closed-form Wilson expression —
+    the identical IEEE tree (two divisions, one sqrt, z = 1.96
+    injected as the same literal) in both engines, so even the
+    bounds hash-match bitwise.
+
+    Plan shape at 100 TB: one semi-join of customers against the
+    filtered orders keys (broadcastable after the status filter at
+    higher selectivity; AQE picks), one map-side-combined segment
+    aggregate, O(segments) closed-form rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    converted = (
+        c.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_semi",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    totals = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    z2 = F.lit(1.96) * F.lit(1.96)
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    halfw = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    center = p + z2 / (F.lit(2.0) * n)
+    denom = F.lit(1.0) + z2 / n
+    return totals.join(converted, "segment").select(
+        "segment",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - halfw) / denom).alias("wilson_lo"),
+        ((center + halfw) / denom).alias("wilson_hi"),
+    )
