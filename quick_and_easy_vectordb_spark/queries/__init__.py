@@ -168,6 +168,7 @@ _CHECK_PRIORITY = [
     "ann_residual_pq_search",
     "ev_cuped_adjustment",
     "rel_wilson_ci_by_segment",
+    "vdb_batch_knn_ivf",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

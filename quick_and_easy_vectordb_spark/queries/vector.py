@@ -2354,3 +2354,131 @@ def vdb_mips_augmented_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ranks_match"
         ),
     )
+
+
+@query(
+    "vdb_batch_knn_ivf",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
+ce AS (
+  SELECT label, pos.pos AS pos,
+         CAST(CAST(SUM(CAST(CAST(embedding[pos.pos + 1] AS DOUBLE)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM embeddings CROSS JOIN pos GROUP BY 1, 2
+),
+q AS (
+  SELECT vec_id AS query_id, {_EMB} AS qv FROM embeddings
+  WHERE vec_id % 97 = 0
+),
+rd AS (
+  SELECT q.query_id, ce.label,
+         CAST(CAST(SUM(CAST((q.qv[ce.pos + 1] - ce.c)
+                            * (q.qv[ce.pos + 1] - ce.c)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS d2
+  FROM q CROSS JOIN ce GROUP BY 1, 2
+),
+routes AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2, label) AS rn
+    FROM rd) WHERE rn <= 2
+),
+scored AS (
+  SELECT r.query_id, e.vec_id AS corpus_id,
+         {sql_cosine("q.qv", _EMB)} AS score
+  FROM routes r
+  JOIN q ON q.query_id = r.query_id
+  JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.query_id
+)
+SELECT query_id, corpus_id,
+       CAST(rnk AS BIGINT) AS rank, score
+FROM (
+  SELECT query_id, corpus_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, corpus_id) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+""",
+    tags=("vector", "batch-knn", "ivf-routing", "equi-join", "topk"),
+)
+def vdb_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH kNN via IVF cell routing — the third batch-retrieval
+    plan in the family: vdb_batch_knn broadcasts a tiny query set
+    (small-Q path), vdb_batch_knn_lsh equi-joins on hash buckets
+    (metric-agnostic large-Q path), and this one routes each query
+    to its nprobe=2 nearest CENTROID cells and equi-joins queries to
+    corpus on the cell id — the shape a production vector service
+    runs when it already maintains an IVF index: candidate volume is
+    |Q| * nprobe * |cell| with cells chosen by geometry, not hash
+    luck, so recall per candidate is higher than LSH at equal cost.
+
+    The ~1%-of-corpus query set (vec_id % 97 = 0) is large enough
+    that a broadcast-NL plan would be wrong; the routing table is
+    |Q| x 2 rows, and the corpus partitions once by label on the
+    candidate join. Per-query top-3 is a WindowGroupLimit heap under
+    the (score DESC, corpus_id) total order; centroid distances use
+    the pinned decimal-sum class, so routing is bit-deterministic.
+
+    Plan shape at 100 TB: one O(labels x dim) centroid aggregate
+    (broadcast), one |Q|-row window for routing, ONE shuffle of the
+    corpus keyed by cell for the candidate equi-join, per-cell heaps.
+    No all-pairs product anywhere; skew = hot cells, handled by the
+    same salting path as ev_salted_join if a cell outgrows its
+    executor."""
+    from quick_and_easy_vectordb_spark.operators.ann import centroids_by_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroids_by_key(emb, "embedding", "label")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qv_at = F.element_at(F.col("qv"), F.col("pos") + 1)
+    rd = (
+        q.crossJoin(
+            F.broadcast(
+                cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+            )
+        )
+        .withColumn("diff2", (qv_at - F.col("c")) * (qv_at - F.col("c")))
+        .groupBy("query_id", F.col("key").alias("label"))
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "label")
+    routes = (
+        rd.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "label")
+    )
+    cand = (
+        routes.join(q, "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("corpus_id"),
+                "label",
+                F.col("embedding").cast("array<double>").alias("cv"),
+            ),
+            "label",
+        )
+        .filter(F.col("corpus_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "corpus_id", "rank", "score")
+    )
