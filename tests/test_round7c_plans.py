@@ -138,3 +138,84 @@ def test_stream_left_outer_join_rollup_matches_inner_schema(spark, sf_dir):
         "n_clicks_30m",
     ]
     assert df.filter(F.col("n_clicks_30m") == 0).count() > 0
+
+
+def test_residual_pq_scan_only_probed_cell(spark, sf_dir):
+    """Encoding joins through the broadcast probed-cell filter; no
+    cartesian product; ADC table and codebook broadcast."""
+    spark.catalog.clearCache()
+    df = QUERIES["ann_residual_pq_search"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_batch_knn_ivf_is_equi_join_with_heaps(spark, sf_dir):
+    """The candidate join must be an equi-join on the cell id (never
+    a nested loop over the corpus), and per-query top-3 a
+    WindowGroupLimit heap."""
+    df = QUERIES["vdb_batch_knn_ivf"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    # corpus-side candidate join is hash-based on label, not NL over
+    # the corpus; the only NL is the |Q| x |cells| routing broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_reuses_one_bigram_aggregate(spark, sf_dir):
+    """All three derived tables must come off the persisted c2 — the
+    corpus explode appears once; final cutoff is TakeOrdered."""
+    from quick_and_easy_vectordb_spark.plans.inspect import is_top_k
+
+    spark.catalog.clearCache()
+    df = QUERIES["text_kneser_ney_bigrams"].fn(spark, sf_dir)
+    assert is_top_k(df)
+
+
+def test_zone_map_audit_never_shuffles_facts(spark, sf_dir):
+    """Zone maps are map-side-combined group aggregates; the orders
+    table must not be exchanged by anything other than the two
+    aggregate shuffles."""
+    df = QUERIES["src_zone_map_skipping"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 6
+
+
+def test_cuped_is_one_user_shuffle(spark, sf_dir):
+    """Both period sums ride the SAME user-keyed aggregate; moments
+    and arm stats are scalar aggregates over it."""
+    df = QUERIES["ev_cuped_adjustment"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_cross_source_matrix_joins_on_shingle(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["dedup_cross_source_matrix"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hampel_windows_ride_hour_grid(spark, sf_dir):
+    """Corpus work collapses to the hourly aggregate before any
+    window; both rolling medians are frames over that grid."""
+    df = QUERIES["ev_hampel_filter"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" in plan
+    assert "HashAggregate" in plan
+
+
+def test_temporal_audit_has_no_self_join(spark, sf_dir):
+    """Overlap/gap detection must be lag windows, not the naive
+    version-x-version self join."""
+    df = QUERIES["rel_temporal_integrity_audit"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "lag(" in plan
+
+
+def test_integral_image_uses_two_axis_windows(spark, sf_dir):
+    """The separable decomposition: one window partitioned on
+    (doc, y) ordered by x, one on (doc, x) ordered by y."""
+    df = QUERIES["mm_integral_image_rect"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(doc_id" in plan
+    assert plan.count("Window") >= 2
