@@ -170,6 +170,7 @@ _CHECK_PRIORITY = [
     "rel_wilson_ci_by_segment",
     "vdb_batch_knn_ivf",
     "dedup_minhash_1bit",
+    "ev_diff_in_diff",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

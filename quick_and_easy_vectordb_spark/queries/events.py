@@ -5831,3 +5831,94 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sy0") / F.col("n_control")
         ).alias("lift_cents"),
     )
+
+
+@query(
+    "ev_diff_in_diff",
+    oracle="""
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT arm, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+  FROM u GROUP BY arm, period
+)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(period AS BIGINT) AS period,
+       n, total_cents, mean_cents,
+       (SELECT (t1.mean_cents - t0.mean_cents)
+               - (c1.mean_cents - c0.mean_cents)
+        FROM cell t1, cell t0, cell c1, cell c0
+        WHERE t1.arm = 1 AND t1.period = 1
+          AND t0.arm = 1 AND t0.period = 0
+          AND c1.arm = 0 AND c1.period = 1
+          AND c0.arm = 0 AND c0.period = 0) AS did_cents
+FROM cell
+""",
+    tags=("events", "experimentation", "difference-in-differences",
+          "causal"),
+)
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimator when
+    randomization is imperfect or a launch is staged: effect =
+    (treat_post - treat_pre) - (control_post - control_pre), which
+    cancels both the arms' level difference and the shared time
+    trend. The full 2x2 cell table (arm x period counts, exact
+    integer cent totals, means) is emitted with the DiD scalar on
+    every row, so the reader sees the estimate AND the cells it came
+    from — the table every DiD writeup prints. Same fixture split as
+    ev_cuped_adjustment (midpoint 2024-01-16, arms by user parity);
+    together they cover the two standard bias/variance tools of
+    product experimentation.
+
+    Plan shape at 100 TB: ONE map-side-combined aggregate over
+    (arm, period) — four cells out of any number of events; the DiD
+    combination is driver-free arithmetic on the 4-row table. The
+    only float ops are four exact-integer divisions and three
+    subtractions, identical trees in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    u = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("ts") < mid, 0).otherwise(1).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = u.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias(
+            "mean_cents"
+        ),
+    ).persist()
+
+    def m(arm: int, period: int):
+        return (
+            cell.filter((F.col("arm") == arm) & (F.col("period") == period))
+            .select(F.col("mean_cents").alias(f"m{arm}{period}"))
+        )
+
+    did = (
+        m(1, 1)
+        .crossJoin(m(1, 0))
+        .crossJoin(m(0, 1))
+        .crossJoin(m(0, 0))
+        .select(
+            (
+                (F.col("m11") - F.col("m10"))
+                - (F.col("m01") - F.col("m00"))
+            ).alias("did_cents")
+        )
+    )
+    return cell.crossJoin(F.broadcast(did)).select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("period").cast("long").alias("period"),
+        "n",
+        "total_cents",
+        "mean_cents",
+        "did_cents",
+    )
