@@ -171,6 +171,7 @@ _CHECK_PRIORITY = [
     "vdb_batch_knn_ivf",
     "dedup_minhash_1bit",
     "ev_diff_in_diff",
+    "geo_douglas_peucker",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

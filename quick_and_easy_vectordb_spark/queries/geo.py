@@ -693,3 +693,223 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_dy"),
     )
+
+
+@query(
+    "geo_douglas_peucker",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, event_id,
+         ((user_id * 104729) + event_id * 7919) % 36000 AS x,
+         ((user_id * 7919) + event_id * 104729) % 18000 AS y,
+         ts
+  FROM events
+),
+rked AS (
+  SELECT user_id, event_id, x, y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pos
+),
+pts AS (SELECT * FROM rked WHERE n >= 3),
+a AS (SELECT user_id, event_id AS a_ev, x AS ax, y AS ay
+      FROM pts WHERE rn = 1),
+b AS (SELECT user_id, event_id AS b_ev, x AS bx, y AS by
+      FROM pts WHERE rn = n),
+inter AS (
+  SELECT p.user_id, p.event_id, p.rn, p.x, p.y,
+         a.ax, a.ay, a.a_ev, b.bx, b.by, b.b_ev,
+         abs((b.bx - a.ax) * (p.y - a.ay)
+             - (b.by - a.ay) * (p.x - a.ax)) AS cross1
+  FROM pts p JOIN a ON a.user_id = p.user_id
+  JOIN b ON b.user_id = p.user_id
+  WHERE p.rn > 1 AND p.rn < p.n
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY cross1 DESC, event_id) AS r1
+    FROM inter)
+  WHERE r1 = 1 AND cross1 > 0
+),
+lvl2 AS (
+  SELECT i.user_id, i.event_id,
+         CASE WHEN i.rn < s.rn THEN 'L' ELSE 'R' END AS side,
+         abs(CASE WHEN i.rn < s.rn
+                  THEN (s.x - i.ax) * (i.y - i.ay)
+                       - (s.y - i.ay) * (i.x - i.ax)
+                  ELSE (i.bx - s.x) * (i.y - s.y)
+                       - (i.by - s.y) * (i.x - s.x) END) AS cross2
+  FROM inter i JOIN s1 s ON s.user_id = i.user_id
+  WHERE i.rn <> s.rn
+),
+s2 AS (
+  SELECT user_id, event_id, cross2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, side
+                                 ORDER BY cross2 DESC, event_id) AS r2
+    FROM lvl2)
+  WHERE r2 = 1 AND cross2 > 0
+),
+agg2 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_lvl2,
+         CAST(SUM(event_id) AS BIGINT) AS ev2_sum
+  FROM s2 GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST((SELECT MAX(n) FROM pts p WHERE p.user_id = s.user_id)
+            AS BIGINT) AS n_points,
+       s.event_id AS split1_event_id,
+       CAST(s.cross1 AS BIGINT) AS max_cross1,
+       CAST(3 + COALESCE(g.n_lvl2, 0) AS BIGINT) AS n_kept,
+       CAST(s.a_ev + s.b_ev + s.event_id + COALESCE(g.ev2_sum, 0)
+            AS BIGINT) AS kept_checksum
+FROM s1 s LEFT JOIN agg2 g ON g.user_id = s.user_id
+""",
+    tags=("geo", "douglas-peucker", "polyline-simplification",
+          "trajectory"),
+)
+def geo_douglas_peucker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUGLAS-PEUCKER polyline simplification, two recursion levels
+    unrolled — the trajectory-compression step every map pipeline
+    runs before storing GPS traces: keep the endpoint chord, find
+    the interior point FARTHEST from it, split there, recurse into
+    both halves. Distances are compared as INTEGER CROSS PRODUCTS
+    |(B-A) x (P-A)| — within one chord the denominator |B-A| is
+    shared, so the argmax needs no division and no sqrt, the same
+    division-free discipline as geo_point_in_polygon; every
+    comparison is exact. Ties break by event_id, making the whole
+    recursion deterministic. Output per trajectory: the level-1
+    split, its cross magnitude, how many of the <= 5 skeleton points
+    survived (splits with cross = 0 are collinear and dropped), and
+    a checksum of the kept point ids.
+
+    Full RDP recurses to an epsilon floor; two levels is the plan-
+    shape-complete prefix (each level = one window argmax per
+    segment over that segment's points), and deeper levels repeat
+    the same shape with 2^k chords — more rounds, not new shuffle
+    classes.
+
+    Plan shape at 100 TB: the user-keyed sort is paid ONCE (rank +
+    count windows share it); each level adds one equi-join of the
+    interior points to the O(users) split table and one
+    (user, side)-partitioned window — embarrassingly parallel
+    across trajectories."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (((F.col("user_id") * 104729) + F.col("event_id") * 7919) % 36000)
+        .alias("x"),
+        (((F.col("user_id") * 7919) + F.col("event_id") * 104729) % 18000)
+        .alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    rked = pos.select(
+        "user_id",
+        "event_id",
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    pts = rked.filter(F.col("n") >= 3).persist()
+    a = pts.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_id").alias("a_ev"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    b = pts.filter(F.col("rn") == F.col("n")).select(
+        "user_id",
+        F.col("event_id").alias("b_ev"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    inter = (
+        pts.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n")))
+        .join(a, "user_id")
+        .join(b, "user_id")
+        .withColumn(
+            "cross1",
+            F.abs(
+                (F.col("bx") - F.col("ax")) * (F.col("y") - F.col("ay"))
+                - (F.col("by") - F.col("ay")) * (F.col("x") - F.col("ax"))
+            ),
+        )
+        .persist()
+    )
+    w1 = Window.partitionBy("user_id").orderBy(
+        F.desc("cross1"), F.asc("event_id")
+    )
+    s1 = (
+        inter.withColumn("r1", F.row_number().over(w1))
+        .filter((F.col("r1") == 1) & (F.col("cross1") > 0))
+        .select(
+            "user_id",
+            F.col("event_id").alias("s_ev"),
+            F.col("rn").alias("s_rn"),
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            "cross1",
+            "a_ev",
+            "b_ev",
+            "n",
+        )
+    )
+    lvl2 = (
+        inter.join(
+            s1.select("user_id", "s_ev", "s_rn", "sx", "sy"), "user_id"
+        )
+        .filter(F.col("rn") != F.col("s_rn"))
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.col("rn") < F.col("s_rn"), "L").otherwise("R").alias(
+                "side"
+            ),
+            F.abs(
+                F.when(
+                    F.col("rn") < F.col("s_rn"),
+                    (F.col("sx") - F.col("ax")) * (F.col("y") - F.col("ay"))
+                    - (F.col("sy") - F.col("ay"))
+                    * (F.col("x") - F.col("ax")),
+                ).otherwise(
+                    (F.col("bx") - F.col("sx")) * (F.col("y") - F.col("sy"))
+                    - (F.col("by") - F.col("sy"))
+                    * (F.col("x") - F.col("sx"))
+                )
+            ).alias("cross2"),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "side").orderBy(
+        F.desc("cross2"), F.asc("event_id")
+    )
+    s2 = (
+        lvl2.withColumn("r2", F.row_number().over(w2))
+        .filter((F.col("r2") == 1) & (F.col("cross2") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lvl2"),
+            F.sum("event_id").cast("long").alias("ev2_sum"),
+        )
+    )
+    return s1.join(s2, "user_id", "left").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_points"),
+        F.col("s_ev").alias("split1_event_id"),
+        F.col("cross1").cast("long").alias("max_cross1"),
+        (3 + F.coalesce(F.col("n_lvl2"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        (
+            F.col("a_ev")
+            + F.col("b_ev")
+            + F.col("s_ev")
+            + F.coalesce(F.col("ev2_sum"), F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_checksum"),
+    )
