@@ -172,6 +172,7 @@ _CHECK_PRIORITY = [
     "dedup_minhash_1bit",
     "ev_diff_in_diff",
     "geo_douglas_peucker",
+    "vdb_knn_classifier_eval",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

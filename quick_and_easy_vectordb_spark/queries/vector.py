@@ -2482,3 +2482,178 @@ def vdb_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "corpus_id", "rank", "score")
     )
+
+
+@query(
+    "vdb_knn_classifier_eval",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(0, {DIM})) AS pos),
+ce AS (
+  SELECT label, pos.pos AS pos,
+         CAST(CAST(SUM(CAST(CAST(embedding[pos.pos + 1] AS DOUBLE)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM embeddings CROSS JOIN pos
+  WHERE vec_id % 97 <> 0
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT vec_id AS query_id, label AS true_label, {_EMB} AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+rd AS (
+  SELECT q.query_id, ce.label,
+         CAST(CAST(SUM(CAST((q.qv[ce.pos + 1] - ce.c)
+                            * (q.qv[ce.pos + 1] - ce.c)
+                            AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS d2
+  FROM q CROSS JOIN ce GROUP BY 1, 2
+),
+routes AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2, label) AS rn
+    FROM rd) WHERE rn <= 2
+),
+nbr AS (
+  SELECT r.query_id, e.vec_id AS nbr_id, e.label AS nbr_label,
+         {sql_cosine("q.qv", _EMB)} AS score
+  FROM routes r
+  JOIN q ON q.query_id = r.query_id
+  JOIN embeddings e ON e.label = r.label AND e.vec_id % 97 <> 0
+),
+top5 AS (
+  SELECT query_id, nbr_label FROM (
+    SELECT query_id, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, nbr_id) AS rnk
+    FROM nbr) WHERE rnk <= 5
+),
+vote AS (
+  SELECT query_id, nbr_label AS pred, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM top5 GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, pred FROM (
+    SELECT query_id, pred,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, pred) AS vr
+    FROM vote) WHERE vr = 1
+)
+SELECT q.true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN p.pred = q.true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.pred = q.true_label THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS accuracy
+FROM q JOIN pred p ON p.query_id = q.query_id
+GROUP BY q.true_label
+""",
+    tags=("vector", "knn-classifier", "evaluation", "ivf-routing"),
+)
+def vdb_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFIER evaluation — the oldest use of a vector index,
+    run honestly: every 97th vector is HELD OUT as a test point, the
+    index (centroids AND candidate pool) is built from the remaining
+    train split only, each test point routes to its nprobe=2 nearest
+    train centroids, takes its top-5 cosine neighbors there, and
+    majority-votes their labels (ties -> smaller label); per true
+    label the report gives exact n/correct/accuracy. Routing by
+    TRAIN centroids (not the test point's own label) is what keeps
+    the evaluation honest — label-blocked candidate generation would
+    leak ground truth into retrieval.
+
+    Every cutoff is a deterministic total order and the centroid
+    distances ride the pinned decimal-sum class, so the full
+    train/route/vote/score cascade hash-matches bitwise.
+
+    Plan shape at 100 TB: identical to vdb_batch_knn_ivf (broadcast
+    centroid aggregate, |Q|x2 routing rows, one corpus shuffle by
+    cell, per-query WindowGroupLimit heaps) plus one O(Q) vote
+    groupBy — classification adds bookkeeping, not shuffle
+    classes."""
+    from quick_and_easy_vectordb_spark.operators.ann import centroids_by_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    cent = centroids_by_key(train, "embedding", "label")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    qv_at = F.element_at(F.col("qv"), F.col("pos") + 1)
+    rd = (
+        q.crossJoin(
+            F.broadcast(
+                cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+            )
+        )
+        .withColumn("diff2", (qv_at - F.col("c")) * (qv_at - F.col("c")))
+        .groupBy("query_id", F.col("key").alias("label"))
+        .agg(
+            F.sum(F.col("diff2").cast("decimal(30,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "label")
+    routes = (
+        rd.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "label")
+    )
+    nbr = (
+        routes.join(q, "query_id")
+        .join(
+            train.select(
+                F.col("vec_id").alias("nbr_id"),
+                "label",
+                F.col("embedding").cast("array<double>").alias("cv"),
+            ),
+            "label",
+        )
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("label").alias("nbr_label"),
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("nbr_id")
+    )
+    top5 = (
+        nbr.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+    )
+    vote = top5.groupBy("query_id", F.col("nbr_label").alias("pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("pred"))
+    pred = (
+        vote.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "pred")
+    )
+    return (
+        q.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("pred") == F.col("true_label"), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )
