@@ -219,3 +219,33 @@ def test_integral_image_uses_two_axis_windows(spark, sf_dir):
     plan = formatted_plan(df)
     assert "windowspecdefinition(doc_id" in plan
     assert plan.count("Window") >= 2
+
+
+def test_douglas_peucker_shares_one_user_sort(spark, sf_dir):
+    """rank + count windows ride one user-keyed sort; level-2 is an
+    equi-join to the split table, never a self cross join."""
+    df = QUERIES["geo_douglas_peucker"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_did_is_single_aggregate(spark, sf_dir):
+    """Four cells from one map-side-combined aggregate; the DiD
+    combination never touches row data again."""
+    df = QUERIES["ev_diff_in_diff"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_classifier_routes_via_broadcast_centroids(spark, sf_dir):
+    df = QUERIES["vdb_knn_classifier_eval"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_1bit_reuses_signature_joins(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["dedup_minhash_1bit"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan

@@ -144,6 +144,20 @@ def main() -> None:
         "ev_mann_kendall_trend",
         "ev_theil_sen_slope",
         "src_copy_on_write_update",
+        "ev_hampel_filter",
+        "rel_temporal_integrity_audit",
+        "mm_integral_image_rect",
+        "dedup_cross_source_matrix",
+        "src_zone_map_skipping",
+        "text_kneser_ney_bigrams",
+        "ann_residual_pq_search",
+        "ev_cuped_adjustment",
+        "rel_wilson_ci_by_segment",
+        "vdb_batch_knn_ivf",
+        "dedup_minhash_1bit",
+        "ev_diff_in_diff",
+        "geo_douglas_peucker",
+        "vdb_knn_classifier_eval",
     )
 
     lines = [
