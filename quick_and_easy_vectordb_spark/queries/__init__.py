@@ -173,6 +173,7 @@ _CHECK_PRIORITY = [
     "ev_diff_in_diff",
     "geo_douglas_peucker",
     "vdb_knn_classifier_eval",
+    "src_parquet_footer_stats",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -1135,3 +1135,92 @@ def src_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scan_efficiency"
         ),
     )
+
+
+@query(
+    "src_parquet_footer_stats",
+    oracle="""
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE),
+       CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+""",
+    tags=("lakehouse", "parquet-footer", "metadata-table", "statistics"),
+)
+def src_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER statistics as a METADATA TABLE — the engine-side
+    analog of Iceberg's `files` table: per column, the row count and
+    min/max aggregated from the physical FOOTERS ONLY (pyarrow
+    ParquetFile metadata inside a distributed mapInPandas over the
+    leaf-file list; zero data pages read), hash-checked against the
+    oracle's full-data recomputation. Equality is the trust
+    foundation of every zone-map/data-skipping decision
+    (src_zone_map_skipping models the payoff; this verifies the
+    inputs): a writer whose footers lie makes skipping silently
+    wrong, and this query is the audit that catches it.
+
+    Plan shape at 100 TB: the work is O(files), not O(rows) — each
+    task opens footers (a few KB each) for its slice of the file
+    list; min/max/count fold across row groups then across files in
+    one tiny aggregate. This is exactly how table-format metadata
+    queries stay interactive over petabyte tables."""
+    import os as _os
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    root = _os.path.abspath(f"{sf_dir}/orders.parquet")
+    if _os.path.isdir(root):
+        files = sorted(
+            _os.path.join(root, f)
+            for f in _os.listdir(root)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [root]
+    paths = spark.createDataFrame([(p,) for p in files], "path string")
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {
+                "column_name": [],
+                "n_rows": [],
+                "min_val": [],
+                "max_val": [],
+            }
+            for path in pdf["path"]:
+                meta = pq.ParquetFile(path).metadata
+                names = {
+                    meta.row_group(0).column(i).path_in_schema: i
+                    for i in range(meta.row_group(0).num_columns)
+                }
+                for col in ("o_orderkey", "o_totalprice"):
+                    ci = names[col]
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(ci).statistics
+                        out["column_name"].append(col)
+                        out["n_rows"].append(
+                            int(meta.row_group(g).num_rows)
+                        )
+                        out["min_val"].append(float(st.min))
+                        out["max_val"].append(float(st.max))
+            yield pd.DataFrame(out)
+
+    footer = paths.mapInPandas(
+        read_footers,
+        "column_name string, n_rows long, min_val double, max_val double",
+    )
+    return footer.groupBy("column_name").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
