@@ -53,6 +53,7 @@ def asof_join(
     right_payload: Sequence[str] = (),
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns every ``left`` row plus:
 
@@ -70,6 +71,13 @@ def asof_join(
     ``max`` — still one shuffle, zero row multiplication.
 
     Rows with no match keep nulls — filter them out for inner-as-of.
+
+    ``tolerance_s`` (pandas merge_asof's ``tolerance``): a match
+    farther than this many seconds from the left timestamp is nulled
+    out — the staleness bound every feature-serving as-of needs (a
+    quote from last week must not price today's trade). Applied as a
+    post-window filter on the matched struct, so it adds zero
+    shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -129,6 +137,15 @@ def asof_join(
     if n_parts:
         merged = merged.repartition(n_parts, *keys)
     merged = merged.withColumn("__match", match)
+    if tolerance_s is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col("__t"))
+            - F.unix_timestamp(F.col("__match.__ts"))
+        )
+        merged = merged.withColumn(
+            "__match",
+            F.when(gap <= F.lit(tolerance_s), F.col("__match")),
+        )
 
     out_cols = (
         [F.col(k) for k in keys]

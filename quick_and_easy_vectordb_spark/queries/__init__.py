@@ -174,6 +174,7 @@ _CHECK_PRIORITY = [
     "geo_douglas_peucker",
     "vdb_knn_classifier_eval",
     "src_parquet_footer_stats",
+    "ev_asof_join_tolerance",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -5922,3 +5922,75 @@ def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cents",
         "did_cents",
     )
+
+
+@query(
+    "ev_asof_join_tolerance",
+    oracle="""
+WITH cp AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(click_ts) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_ts
+  FROM cp
+), tol AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN last_click_ts IS NOT NULL
+                AND abs(epoch(ts) - epoch(last_click_ts)) <= 600
+              THEN last_click_ts END AS last_click_ts
+  FROM m WHERE event_type = 'purchase'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(last_click_ts) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) - COUNT(last_click_ts) AS BIGINT) AS n_stale_or_none,
+       CAST(SUM(CASE WHEN last_click_ts IS NOT NULL
+                     THEN date_diff('microsecond', last_click_ts, ts)
+                     ELSE 0 END) AS BIGINT) AS matched_gap_us_total
+FROM tol
+""",
+    tags=("events", "asof-join", "tolerance", "staleness-bound"),
+)
+def ev_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN with a TOLERANCE (staleness) bound — pandas
+    merge_asof's `tolerance`, the guard every feature-serving as-of
+    needs: a purchase is matched to the user's most recent click
+    only if it happened within the last 10 MINUTES; an older click
+    is a stale feature and must become NULL, not silently served.
+    Exercises the new `tolerance_s` parameter of
+    operators/asof.py:asof_join, applied as a post-window filter on
+    the matched struct — the single user-keyed shuffle of the
+    untolerated as-of is unchanged. Output: purchase count,
+    within-tolerance matches, stale-or-none count, and the exact
+    integer total of matched gaps (the freshness mass a monitoring
+    dashboard plots).
+
+    Plan shape at 100 TB: identical to ev_asof_join (one shuffle,
+    zero row multiplication) plus one codegen comparison per row."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", suffix="_click", tolerance_s=600
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("ts_click").cast("long").alias("n_matched"),
+        (F.count(F.lit(1)) - F.count("ts_click"))
+        .cast("long")
+        .alias("n_stale_or_none"),
+        F.sum(
+            F.when(
+                F.col("ts_click").isNotNull(),
+                F.unix_micros("ts") - F.unix_micros("ts_click"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("matched_gap_us_total"),
+    )
