@@ -175,6 +175,7 @@ _CHECK_PRIORITY = [
     "vdb_knn_classifier_eval",
     "src_parquet_footer_stats",
     "ev_asof_join_tolerance",
+    "ev_stream_late_data_accounting",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -5994,3 +5994,126 @@ def ev_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("matched_gap_us_total"),
     )
+
+
+_LATE_ACCT_DIRS: dict[str, str] = {}
+
+
+@query(
+    "ev_stream_late_data_accounting",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT))
+            FILTER (WHERE day(ts) >= 16) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE day(ts) >= 16) AS BIGINT)
+         AS n_admitted,
+       CAST(COUNT(*) FILTER (WHERE day(ts) < 16) AS BIGINT) AS n_dropped
+FROM events
+""",
+    tags=("events", "streaming", "watermark", "late-data",
+          "checkpoint-recovery"),
+)
+def ev_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA DROP ACCOUNTING — measures the completeness cost a
+    watermark actually charges: the month's SECOND half streams
+    first (run 1, checkpointed); then the FIRST half arrives — two
+    weeks out of order, far beyond the 1-minute watermark persisted
+    in the checkpoint — and run 2, restarted from that checkpoint,
+    must DROP every one of those rows from its hourly aggregation.
+    The report (windows present, events admitted, events dropped) is
+    hash-checked against the oracle's split: only second-half events
+    may appear.
+
+    The empirically load-bearing detail (found by prototype, pinned
+    here): WITHIN one availableNow run Spark does not apply the
+    late-row filter across that run's own micro-batches — the
+    filtering watermark is the one PERSISTED AT RUN START, so an
+    in-run out-of-order file is admitted. Only a watermark committed
+    to the checkpoint by a previous run drops data. That is exactly
+    the production semantics (a restarted job enforces the watermark
+    its checkpoint carries) and why this fixture needs the two-run
+    staging; ev_watermark_lag_audit sizes the delay, this query
+    verifies the enforcement.
+
+    Plan shape at 100 TB: the aggregation is the standard windowed
+    streaming shape; the drop is a per-row predicate against the
+    broadcast watermark — accounting costs nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    out = _LATE_ACCT_DIRS.get(key)
+    if out is None or not os.path.isdir(out):
+        ev = load_table(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="ev_late_acct_")
+        a_dir, b_dir = d + "/late_half", d + "/early_half"
+        ev.filter(F.dayofmonth("ts") >= 16).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(a_dir)
+        ev.filter(F.dayofmonth("ts") < 16).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(b_dir)
+        feed = d + "/feed"
+        os.makedirs(feed)
+        ckpt = d + "/ckpt"
+        out = d + "/out"
+
+        def leaf(p: str) -> str:
+            return next(
+                f for f in sorted(os.listdir(p))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+
+        shutil.copy(
+            os.path.join(a_dir, leaf(a_dir)),
+            os.path.join(feed, "01_second_half.parquet"),
+        )
+        probed = spark.read.parquet(feed).schema
+
+        def write_batch(bdf, bid: int) -> None:
+            bdf.write.mode("append").parquet(out)
+
+        def run() -> None:
+            stream = spark.readStream.schema(probed).parquet(feed)
+            agg = (
+                stream.withWatermark("ts", "1 minute")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            q = (
+                agg.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()  # run 1: second half only; watermark -> checkpoint
+        shutil.copy(
+            os.path.join(b_dir, leaf(b_dir)),
+            os.path.join(feed, "02_first_half.parquet"),
+        )
+        run()  # run 2: first half arrives 2 weeks late -> dropped
+        _LATE_ACCT_DIRS[key] = out
+
+    sunk = spark.read.parquet(out).groupBy("w").agg(
+        F.max("n").alias("n")
+    )
+    totals = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        sunk.agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n").cast("long").alias("n_admitted"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_windows",
+            "n_admitted",
+            (F.col("n_total") - F.col("n_admitted"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
