@@ -2096,3 +2096,176 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("p_kn"), "w1", "w2").limit(20)
+
+
+_TWE_DIM = 8
+_TWE_QUERY_WORDS = ("data", "column", "scan", "query")
+
+
+def _twe_oracle() -> str:
+    qvals = ", ".join(f"('{w}')" for w in _TWE_QUERY_WORDS)
+    return f"""
+WITH d AS (SELECT unnest(range({_TWE_DIM})) AS dim),
+toks AS (
+  SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word
+  FROM documents
+),
+tw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE word <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tw GROUP BY word),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tw),
+wv AS (
+  SELECT f.word, d.dim,
+         ('0x' || substr(md5(f.word || ':' || CAST(d.dim AS VARCHAR)),
+                         1, 8))::BIGINT % 2001 - 1000 AS v,
+         (nd.n * 1000000) // f.df AS widf
+  FROM dfreq f CROSS JOIN d CROSS JOIN nd
+),
+de AS (
+  SELECT t.doc_id, w.dim,
+         CAST(SUM(t.tf * w.widf * w.v) AS BIGINT) AS e
+  FROM tw t JOIN wv w ON w.word = t.word
+  GROUP BY 1, 2
+),
+qw AS (SELECT * FROM (VALUES {qvals}) AS q(word)),
+qe AS (
+  SELECT w.dim, CAST(SUM(w.widf * w.v) AS BIGINT) AS e
+  FROM qw JOIN wv w ON w.word = qw.word GROUP BY 1
+),
+score AS (
+  SELECT de.doc_id,
+         CAST(CAST(SUM(CAST(de.e AS DECIMAL(38,0)) * qe.e) AS VARCHAR)
+              AS DOUBLE) /
+         (sqrt(CAST(CAST((SELECT SUM(CAST(e AS DECIMAL(38,0)) * e)
+                          FROM de d2 WHERE d2.doc_id = de.doc_id)
+                    AS VARCHAR) AS DOUBLE))
+          * sqrt(CAST(CAST((SELECT SUM(CAST(e AS DECIMAL(38,0)) * e)
+                            FROM qe) AS VARCHAR) AS DOUBLE)))
+           AS cos_sim
+  FROM de JOIN qe ON qe.dim = de.dim
+  GROUP BY de.doc_id
+)
+SELECT doc_id, cos_sim FROM score
+ORDER BY cos_sim DESC, doc_id LIMIT 10
+"""
+
+
+@query(
+    "text_tfidf_weighted_doc_embedding",
+    oracle=_twe_oracle(),
+    tags=("text", "doc-embedding", "tfidf-pooling", "retrieval"),
+)
+def text_tfidf_weighted_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-WEIGHTED DOCUMENT EMBEDDINGS composed from WORD vectors
+    — the classic pre-transformer dense-retrieval recipe (and still
+    the standard cheap baseline): every word gets a deterministic
+    hash vector (8 dims, integer components), a document's embedding
+    is the sum of its words' vectors weighted by tf * idf, and
+    retrieval is cosine against a query embedded the same way. The
+    idf weight is INTEGER-IZED as (N * 10^6) div df — exact integer
+    arithmetic end to end, so doc embeddings are exact BIGINT
+    vectors and only the final cosine touches floats (identical
+    expression tree both engines). Top-10 under (cos DESC, doc_id).
+
+    Contrast with mm_embed_hash_knn (whole-document hash — no
+    compositionality) and text_tfidf_keywords (per-doc term scores —
+    no vector space): this one demonstrates the embedding
+    CONSTRUCTION pipeline a feature store runs nightly.
+
+    Plan shape at 100 TB: one corpus explode -> (doc, word, tf)
+    shuffle; df and word vectors derive from the distinct-word table
+    (broadcastable); doc embeddings are one (doc, dim) aggregate;
+    query embedding is O(query words x dims). The final score scan
+    is |docs| x 8 values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tw = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).persist()
+    dfreq = tw.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = tw.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    dims = spark.range(_TWE_DIM).select(F.col("id").cast("int").alias("dim"))
+    wv = (
+        dfreq.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "dim",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("word"),
+                                F.lit(":"),
+                                F.col("dim").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).alias("v"),
+            F.expr("(n * 1000000L) div df").alias("widf"),
+        )
+        .persist()
+    )
+    de = (
+        tw.join(wv, "word")
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.sum(F.col("tf") * F.col("widf") * F.col("v"))
+            .cast("long")
+            .alias("e")
+        )
+    )
+    qw = spark.createDataFrame(
+        [(w,) for w in _TWE_QUERY_WORDS], "word string"
+    )
+    qe = (
+        qw.join(wv, "word")
+        .groupBy("dim")
+        .agg(F.sum(F.col("widf") * F.col("v")).cast("long").alias("e"))
+    )
+    dec = "decimal(38,0)"
+    qnorm = qe.agg(
+        F.sqrt(
+            F.sum(F.col("e").cast(dec) * F.col("e"))
+            .cast("string")
+            .cast("double")
+        ).alias("qn")
+    )
+    dnorm = de.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("e").cast(dec) * F.col("e"))
+            .cast("string")
+            .cast("double")
+        ).alias("dn")
+    )
+    dots = (
+        de.join(F.broadcast(qe.select("dim", F.col("e").alias("qe"))), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e").cast(dec) * F.col("qe"))
+            .cast("string")
+            .cast("double")
+            .alias("dp")
+        )
+    )
+    score = (
+        dots.join(dnorm, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            (F.col("dp") / (F.col("dn") * F.col("qn"))).alias("cos_sim"),
+        )
+    )
+    return score.orderBy(F.desc("cos_sim"), "doc_id").limit(10)
