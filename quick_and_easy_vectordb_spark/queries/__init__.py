@@ -178,6 +178,7 @@ _CHECK_PRIORITY = [
     "ev_stream_late_data_accounting",
     "text_tfidf_weighted_doc_embedding",
     "ev_cep_strict_sequence",
+    "ev_shapley_attribution",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

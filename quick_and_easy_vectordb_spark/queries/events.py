@@ -6195,3 +6195,124 @@ def ev_cep_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_span_s"),
     )
+
+
+_SHAPLEY_CHANNELS = (("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+
+
+def _shapley_oracle() -> str:
+    chan_case = " + ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN {b} ELSE 0 END)"
+        for c, b in _SHAPLEY_CHANNELS
+    )
+    chan_rows = ", ".join(f"('{c}', {b})" for c, b in _SHAPLEY_CHANNELS)
+    return f"""
+WITH u AS (
+  SELECT user_id, {chan_case} AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+cnt AS (
+  SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv FROM u GROUP BY mask
+),
+subsets AS (SELECT unnest(range(16)) AS s),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+  FROM subsets s LEFT JOIN cnt c ON (c.mask & s.s) = c.mask
+  GROUP BY s.s
+),
+ch AS (SELECT * FROM (VALUES {chan_rows}) AS t(channel, bit)),
+terms AS (
+  SELECT ch.channel,
+         CASE bit_count(CAST(s.s AS BIGINT))
+           WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6
+         END * (va.v - vs.v) AS term
+  FROM ch JOIN subsets s ON (s.s & ch.bit) = 0
+  JOIN v vs ON vs.s = s.s
+  JOIN v va ON va.s = s.s + ch.bit
+)
+SELECT channel,
+       CAST(SUM(term) AS BIGINT) AS phi_x24,
+       CAST(SUM(term) AS DOUBLE) / 24.0 AS phi
+FROM terms GROUP BY channel
+"""
+
+
+@query(
+    "ev_shapley_attribution",
+    oracle=_shapley_oracle(),
+    tags=("events", "attribution", "shapley", "marketing", "causal"),
+)
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution — the game-theoretic credit
+    split (the only one satisfying efficiency/symmetry/dummy axioms)
+    that replaced last-touch in serious marketing stacks: channels
+    {click, view, signup, error} are players, the characteristic
+    function v(S) counts users who CONVERTED while touching only
+    channels within S (v(S) = sum of exact-mask counts over subsets
+    of S — the zeta transform), and each channel's credit is
+    phi_c = sum over S not containing c of
+    |S|!(k-1-|S|)!/k! * [v(S+c) - v(S)]. With k = 4 the factorial
+    weights are {6,2,2,6}/24, so phi*24 is an EXACT INTEGER — the
+    whole attribution is integer arithmetic with one final division,
+    and efficiency (sum phi = v(full set)) is checkable in integers.
+
+    Plan shape at 100 TB: ONE user-keyed aggregate folds any event
+    volume to a 16-row mask table (bitmask built by MAX-per-type in
+    the same pass as the conversion flag); the zeta transform and
+    the 32 Shapley terms are literal-table joins over those 16 rows.
+    Exponential-in-k work never touches the corpus — the reason
+    set-based Shapley attribution is tractable at all."""
+    ev = load_table(spark, sf_dir, "events")
+    mask = sum(
+        F.max(F.when(F.col("event_type") == c, b).otherwise(0))
+        for c, b in _SHAPLEY_CHANNELS
+    )
+    u = ev.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cnt = u.groupBy("mask").agg(F.sum("conv").cast("long").alias("n_conv"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cnt),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        list(_SHAPLEY_CHANNELS), "channel string, bit int"
+    )
+    weight = (
+        F.when(F.bit_count(F.col("s").cast("long")) == 0, 6)
+        .when(F.bit_count(F.col("s").cast("long")) == 1, 2)
+        .when(F.bit_count(F.col("s").cast("long")) == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(subsets),
+            F.col("s").bitwiseAND(F.col("bit")) == 0,
+        )
+        .join(
+            F.broadcast(v.select(F.col("s").alias("s0"), F.col("v").alias("vs"))),
+            F.col("s0") == F.col("s"),
+        )
+        .join(
+            F.broadcast(v.select(F.col("s").alias("s1"), F.col("v").alias("va"))),
+            F.col("s1") == F.col("s") + F.col("bit"),
+        )
+        .select(
+            "channel",
+            (weight * (F.col("va") - F.col("vs"))).alias("term"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("term").cast("long").alias("phi_x24"),
+        (F.sum("term").cast("double") / F.lit(24.0)).alias("phi"),
+    )
