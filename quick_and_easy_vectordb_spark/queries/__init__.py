@@ -179,6 +179,8 @@ _CHECK_PRIORITY = [
     "text_tfidf_weighted_doc_embedding",
     "ev_cep_strict_sequence",
     "ev_shapley_attribution",
+    "ev_snaive_backtest_mase",
+    "text_rake_keyphrases",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -6316,3 +6316,109 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("long").alias("phi_x24"),
         (F.sum("term").cast("double") / F.lit(24.0)).alias("phi"),
     )
+
+
+@query(
+    "ev_snaive_backtest_mase",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(hr) AS hmax FROM h),
+f AS (
+  SELECT cur.hr, cur.y, prev.y AS yhat
+  FROM h cur JOIN h prev ON prev.hr = cur.hr - 168
+  JOIN mx ON cur.hr > mx.hmax - 168
+),
+nv AS (
+  SELECT cur.hr, abs(cur.y - prev.y) AS ad
+  FROM h cur JOIN h prev ON prev.hr = cur.hr - 1
+  JOIN mx ON cur.hr <= mx.hmax - 168
+),
+t AS (
+  SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_eval,
+         CAST((SELECT SUM(abs(y - yhat)) FROM f) AS BIGINT) AS sae,
+         CAST((SELECT COUNT(*) FROM nv) AS BIGINT) AS n_train,
+         CAST((SELECT SUM(ad) FROM nv) AS BIGINT) AS naive_sad
+)
+SELECT n_eval, sae, n_train, naive_sad,
+       CAST(sae AS DOUBLE) / n_eval AS mae,
+       (CAST(sae AS DOUBLE) / n_eval)
+         / (CAST(naive_sad AS DOUBLE) / n_train) AS mase
+FROM t
+""",
+    tags=("events", "forecasting", "seasonal-naive", "mase",
+          "backtest"),
+)
+def ev_snaive_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST scored by MASE — the
+    forecasting-evaluation pair every capacity-planning pipeline
+    starts from: predict each of the final week's hourly counts with
+    the value exactly one week (168 h) earlier, and scale the mean
+    absolute error by the training period's mean absolute one-step
+    naive difference (Hyndman & Koehler's MASE — the scale-free
+    metric that, unlike MAPE, survives zero-count hours). MASE < 1
+    beats the random-walk baseline; any candidate model must beat
+    snaive's MASE first.
+
+    Every numerator and denominator is an exact integer sum of
+    absolute count differences; the only float ops are the three
+    final divisions — identical trees in both engines.
+
+    Plan shape at 100 TB: one map-side-combined hourly aggregate,
+    then two self equi-joins (lag 168, lag 1) on the bounded hour
+    grid and four scalars. The corpus is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist()
+    )
+    mx = h.agg(F.max("hr").alias("hmax"))
+    cur = h.select(F.col("hr"), F.col("y"))
+    wk = h.select(
+        (F.col("hr") + 168).alias("hr"), F.col("y").alias("yhat")
+    )
+    f = (
+        cur.join(wk, "hr")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("hr") > F.col("hmax") - 168)
+    )
+    one = h.select((F.col("hr") + 1).alias("hr"), F.col("y").alias("yprev"))
+    nv = (
+        cur.join(one, "hr")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("hr") <= F.col("hmax") - 168)
+        .select(F.abs(F.col("y") - F.col("yprev")).alias("ad"))
+    )
+    t = (
+        f.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.abs(F.col("y") - F.col("yhat")))
+            .cast("long")
+            .alias("sae"),
+        )
+        .crossJoin(
+            nv.agg(
+                F.count(F.lit(1)).cast("long").alias("n_train"),
+                F.sum("ad").cast("long").alias("naive_sad"),
+            )
+        )
+    )
+    mae = F.col("sae").cast("double") / F.col("n_eval")
+    return t.select(
+        "n_eval",
+        "sae",
+        "n_train",
+        "naive_sad",
+        mae.alias("mae"),
+        (
+            mae
+            / (F.col("naive_sad").cast("double") / F.col("n_train"))
+        ).alias("mase"),
+    )

@@ -2269,3 +2269,152 @@ def text_tfidf_weighted_doc_embedding(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return score.orderBy(F.desc("cos_sim"), "doc_id").limit(10)
+
+
+_RAKE_DELIMS = ("join", "hash", "row", "batch", "scan")
+
+
+def _rake_oracle() -> str:
+    dl = ", ".join(f"'{w}'" for w in _RAKE_DELIMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split(lower(text), ' ')) AS word,
+         generate_subscripts(str_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN ({dl}) OR word = '' THEN 1 ELSE 0 END AS dlm
+  FROM toks
+),
+pid AS (
+  SELECT doc_id, pos, word, dlm,
+         SUM(dlm) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM t2
+),
+ph AS (
+  SELECT doc_id, phrase_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM pid WHERE dlm = 0
+  GROUP BY doc_id, phrase_id
+),
+pw AS (
+  SELECT doc_id, phrase_id, plen,
+         unnest(str_split(phrase, ' ')) AS word
+  FROM ph
+),
+ws AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg,
+         (SUM(plen) * 1000000) // COUNT(*) AS score_fp
+  FROM pw GROUP BY word
+),
+psc AS (
+  SELECT p.phrase, CAST(SUM(w.score_fp) AS BIGINT) AS phrase_score_fp
+  FROM pw JOIN ws w ON w.word = pw.word
+  JOIN ph p ON p.doc_id = pw.doc_id AND p.phrase_id = pw.phrase_id
+  GROUP BY p.doc_id, p.phrase_id, p.phrase
+),
+agg AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MAX(phrase_score_fp) AS BIGINT) AS score_fp
+  FROM psc GROUP BY phrase
+)
+SELECT phrase, n_occurrences, score_fp,
+       CAST(score_fp AS DOUBLE) / 1000000.0 AS rake_score
+FROM agg
+ORDER BY score_fp DESC, phrase
+LIMIT 15
+"""
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=_rake_oracle(),
+    tags=("text", "keyphrase-extraction", "rake", "llm-pipeline"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010) —
+    the unsupervised keyphrase extractor production search stacks
+    still reach for first: split text into candidate phrases at
+    DELIMITER words (here the corpus's five most frequent words —
+    this synthetic vocabulary has no natural stopwords, and RAKE's
+    delimiter set is a free parameter), score each word by
+    degree/frequency over the phrase graph, and score a phrase as
+    the sum of its words' scores. Word scores are FIXED-POINT
+    integers ((deg * 10^6) div freq), so phrase scores are exact
+    integer sums — no float summation order anywhere; identical
+    phrases aggregate across the corpus and the top-15 cutoff is
+    the total order (score DESC, phrase).
+
+    Plan shape at 100 TB: one positional explode, a per-doc
+    prefix-sum window to number phrases (delimiters as +1 markers —
+    the sessionize pattern applied to token streams), one word-stat
+    aggregate over the phrase-membership table, one join back, one
+    TakeOrdered(15). All corpus-sized steps are single shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    )
+    t2 = toks.withColumn(
+        "dlm",
+        F.when(
+            F.col("word").isin(*_RAKE_DELIMS) | (F.col("word") == ""), 1
+        ).otherwise(0),
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pid = t2.withColumn("phrase_id", F.sum("dlm").over(wp))
+    ph = (
+        pid.filter(F.col("dlm") == 0)
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, word))),"
+                    " s -> s.word)"
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .persist()
+    )
+    pw = ph.select(
+        "doc_id",
+        "phrase_id",
+        "plen",
+        F.explode(F.split("phrase", " ")).alias("word"),
+    ).persist()
+    ws = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+        F.expr("(sum(plen) * 1000000L) div count(1)").alias("score_fp"),
+    )
+    psc = (
+        pw.join(ws.select("word", "score_fp"), "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("score_fp").cast("long").alias("phrase_score_fp"))
+        .join(ph.select("doc_id", "phrase_id", "phrase"), ["doc_id", "phrase_id"])
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("phrase_score_fp").cast("long").alias("score_fp"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_occurrences",
+            "score_fp",
+            (F.col("score_fp").cast("double") / F.lit(1000000.0)).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("score_fp"), "phrase")
+        .limit(15)
+    )
