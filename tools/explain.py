@@ -158,6 +158,13 @@ def main() -> None:
         "ev_diff_in_diff",
         "geo_douglas_peucker",
         "vdb_knn_classifier_eval",
+        "src_parquet_footer_stats",
+        "ev_asof_join_tolerance",
+        "text_tfidf_weighted_doc_embedding",
+        "ev_cep_strict_sequence",
+        "ev_shapley_attribution",
+        "ev_snaive_backtest_mase",
+        "text_rake_keyphrases",
     )
 
     lines = [
