@@ -181,6 +181,8 @@ _CHECK_PRIORITY = [
     "ev_shapley_attribution",
     "ev_snaive_backtest_mase",
     "text_rake_keyphrases",
+    "ev_ltv_triangle",
+    "rel_join_skew_report",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -6422,3 +6422,95 @@ def ev_snaive_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("naive_sad").cast("double") / F.col("n_train"))
         ).alias("mase"),
     )
+
+
+@query(
+    "ev_ltv_triangle",
+    oracle="""
+WITH u AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT u.cohort,
+         CAST((epoch(CAST(date_trunc('week', e.ts) AS DATE))
+               - epoch(u.cohort)) // 604800 AS BIGINT) AS age_w,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+cell AS (
+  SELECT cohort, age_w,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM r GROUP BY cohort, age_w
+),
+sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM u GROUP BY cohort)
+SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.age_w, c.n_purchases,
+       c.rev_cents,
+       CAST(SUM(c.rev_cents) OVER (PARTITION BY c.cohort ORDER BY c.age_w
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents,
+       s.cohort_users,
+       CAST(SUM(c.rev_cents) OVER (PARTITION BY c.cohort ORDER BY c.age_w
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / s.cohort_users AS cum_ltv_cents
+FROM cell c JOIN sz s ON s.cohort = c.cohort
+""",
+    tags=("events", "ltv", "cohort-triangle", "revenue"),
+)
+def ev_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV COHORT TRIANGLE — the revenue matrix every growth team
+    reads weekly: users cohorted by first-seen week, purchase
+    revenue bucketed by cohort-age (weeks since cohort start), with
+    the running cumulative and per-user cumulative LTV along each
+    cohort row. The 'triangle' shape (younger cohorts have fewer
+    observable ages) is the raw input to any LTV projection; this
+    emits the exact observed half. Complements ev_retention_cohorts
+    (the count triangle) with the money triangle — revenue in exact
+    integer CENTS, the only float being the final per-user division.
+
+    Plan shape at 100 TB: one user-keyed aggregate for cohort
+    assignment, one broadcast-or-shuffle join back (cohort table is
+    O(users)), one (cohort, age) aggregate, a window over the tiny
+    triangle. The cumulative is per-cohort over <= |weeks| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    u = ev.groupBy("user_id").agg(F.min(week).alias("cohort"))
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST((unix_date(CAST(date_trunc('week', ts) AS DATE))"
+                " - unix_date(cohort)) div 7 AS BIGINT)"
+            ).alias("age_w"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cell = r.groupBy("cohort", "age_w").agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+    sz = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cell.join(sz, "cohort")
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "age_w",
+            "n_purchases",
+            "rev_cents",
+            F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+            "cohort_users",
+            (
+                F.sum("rev_cents").over(wc).cast("double")
+                / F.col("cohort_users")
+            ).alias("cum_ltv_cents"),
+        )
+    )

@@ -1990,3 +1990,78 @@ def rel_wilson_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - halfw) / denom).alias("wilson_lo"),
         ((center + halfw) / denom).alias("wilson_hi"),
     )
+
+
+@query(
+    "rel_join_skew_report",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         quantile_cont(cnt, 0.5) AS p50_cnt,
+         quantile_cont(cnt, 0.99) AS p99_cnt
+  FROM k
+),
+topk AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows
+  FROM (SELECT cnt FROM k ORDER BY cnt DESC, key LIMIT 10)
+)
+SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+       CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)
+         AS skew_factor,
+       CAST((SELECT top10_rows FROM topk) AS DOUBLE) / n_rows
+         AS top10_share
+FROM t
+""",
+    tags=("relational", "skew", "join-planning", "diagnostics"),
+)
+def rel_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW report — the diagnostic that decides BEFORE a
+    big join whether to salt (ev_salted_join), broadcast, or let AQE
+    split: per join key (o_custkey) the distinct-key count, max and
+    p50/p99 per-key multiplicities, the SKEW FACTOR (max over mean —
+    AQE's skewedPartitionFactor reasons on exactly this ratio), and
+    the row share of the 10 hottest keys (the salting candidates).
+    Counts exact; percentiles via the pinned percentile ==
+    quantile_cont equivalence; top-10 cutoff a deterministic total
+    order.
+
+    Plan shape at 100 TB: one map-side-combined key count (the table
+    this report reads is a byproduct of any shuffle planning), one
+    scalar aggregate over it, one TakeOrdered(10). Never touches row
+    payloads."""
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()
+    t = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.percentile("cnt", 0.5).alias("p50_cnt"),
+        F.percentile("cnt", 0.99).alias("p99_cnt"),
+    )
+    topk = (
+        k.orderBy(F.desc("cnt"), "key")
+        .limit(10)
+        .agg(F.sum("cnt").cast("long").alias("top10_rows"))
+    )
+    return t.crossJoin(F.broadcast(topk)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        (
+            F.col("max_cnt").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys"))
+        ).alias("skew_factor"),
+        (F.col("top10_rows").cast("double") / F.col("n_rows")).alias(
+            "top10_share"
+        ),
+    )
