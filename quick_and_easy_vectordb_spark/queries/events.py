@@ -6514,3 +6514,85 @@ def ev_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_cents"),
         )
     )
+
+
+@query(
+    "ev_stream_join_then_agg",
+    oracle="""
+SELECT CAST(floor(epoch(p.ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+""",
+    tags=("events", "streaming", "multiple-stateful-operators",
+          "join-then-aggregate"),
+)
+def ev_stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN feeding a WINDOWED AGGREGATION in the SAME
+    streaming query — the second multiple-stateful-operator shape
+    (ev_stream_chained_agg chains agg->agg; this chains join->agg):
+    purchase-click interval pairs roll up to hourly pair counts
+    without ever materializing the joined stream to a topic. The
+    aggregation windows on the PURCHASE-side event time, which the
+    join propagates through its watermark; the far-future sentinel
+    (one per side) closes both the join state and the final hourly
+    windows, and can itself never match or finalize.
+
+    Oracle: the equivalent batch interval join + GROUP BY hour.
+
+    Plan shape at 100 TB: the join's co-partitioned two-sided state
+    (keyed by user) flows directly into the windowed aggregation's
+    exchange (keyed by hour) — two stateful operators, two shuffles,
+    zero intermediate storage; pre-3.4 this was two jobs and a Kafka
+    topic between them."""
+    sink = "ev_stream_join_then_agg_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir_sentinel(
+        spark, sf_dir, ("purchase", "click"), "ev_stream_ja_"
+    )
+    purchases = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        _stream_events_source(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    j = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id "
+            "AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+            "AND c_ts < p_ts"
+        ),
+    )
+    agg = j.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_start"),
+        "n_pairs",
+    )
