@@ -184,6 +184,7 @@ _CHECK_PRIORITY = [
     "ev_ltv_triangle",
     "rel_join_skew_report",
     "ev_stream_join_then_agg",
+    "text_watermark_greenlist_detect",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

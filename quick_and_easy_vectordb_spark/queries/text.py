@@ -2418,3 +2418,87 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "phrase")
         .limit(15)
     )
+
+
+@query(
+    "text_watermark_greenlist_detect",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ':' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+),
+g AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(pair), 1, 8))::BIGINT % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+  FROM bg GROUP BY doc_id
+)
+SELECT doc_id, n_pairs, n_green,
+       (2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)) AS z
+FROM g
+ORDER BY (2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)) DESC,
+         doc_id
+LIMIT 20
+""",
+    tags=("text", "llm-watermark", "greenlist", "detection",
+          "llm-pipeline"),
+)
+def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM WATERMARK DETECTION (Kirchenbauer et al. 2023 greenlist
+    scheme) — the screen a training-data pipeline runs to keep
+    synthetic, watermarked model output from contaminating a human
+    corpus: a watermarking decoder biases each token toward the
+    'green' half of the vocabulary selected by hashing the PREVIOUS
+    token, so watermarked text shows a green fraction far above 1/2
+    and the detector is the one-proportion z-score
+    z = (2*G - n)/sqrt(n) over adjacent-token pairs. Greenlist
+    membership is the md5 parity of 'prev:cur' — bit-identical in
+    both engines; counts are exact integers and z's expression tree
+    is written identically (sqrt on an exact integer cast). This
+    clean corpus scores |z| ~ N(0,1) — the query certifies the
+    DETECTOR's math, and any doc exceeding ~4 would be a real flag.
+
+    Plan shape at 100 TB: one explode to adjacent pairs (no shuffle
+    — doc-local), one map-side-combined per-doc aggregate,
+    TakeOrdered(20). The detector is embarrassingly parallel, which
+    is why it can run inline in ingestion."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "t"
+        ),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i - 1], ':', t[i]))"
+            )
+        ).alias("pair"),
+    )
+    green = (
+        F.conv(F.substring(F.md5("pair"), 1, 8), 16, 10).cast("long") % 2
+        == 0
+    )
+    g = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(green, 1).otherwise(0)).cast("long").alias("n_green"),
+    )
+    z = (
+        F.lit(2.0) * F.col("n_green") - F.col("n_pairs")
+    ) / F.sqrt(F.col("n_pairs").cast("double"))
+    return (
+        g.select("doc_id", "n_pairs", "n_green", z.alias("z"))
+        .orderBy(F.desc("z"), "doc_id")
+        .limit(20)
+    )
