@@ -185,6 +185,7 @@ _CHECK_PRIORITY = [
     "rel_join_skew_report",
     "ev_stream_join_then_agg",
     "text_watermark_greenlist_detect",
+    "mm_median_cut_palette",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

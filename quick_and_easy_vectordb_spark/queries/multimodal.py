@@ -1984,3 +1984,199 @@ def mm_integral_image_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interior.join(totals, "doc_id").select(
         "doc_id", "width", "height", "interior_sum", "total_sum"
     )
+
+
+@query(
+    "mm_median_cut_palette",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, i // 3 AS pix, i % 3 AS ch,
+         (doc_id * 31 + i) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims)
+),
+rng AS (
+  SELECT doc_id, ch, MAX(v) - MIN(v) AS rg FROM px GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, ch AS split_ch FROM (
+    SELECT doc_id, ch,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY rg DESC, ch) AS rn
+    FROM rng) WHERE rn = 1
+),
+med AS (
+  SELECT p.doc_id, quantile_cont(p.v, 0.5) AS thr
+  FROM px p JOIN sc ON sc.doc_id = p.doc_id AND sc.split_ch = p.ch
+  GROUP BY p.doc_id
+),
+lab AS (
+  SELECT p.doc_id, p.pix,
+         CASE WHEN ps.v <= m.thr THEN 0 ELSE 1 END AS bucket
+  FROM (SELECT DISTINCT doc_id, pix FROM px) p
+  JOIN sc ON sc.doc_id = p.doc_id
+  JOIN px ps ON ps.doc_id = p.doc_id AND ps.pix = p.pix
+            AND ps.ch = sc.split_ch
+  JOIN med m ON m.doc_id = p.doc_id
+),
+st AS (
+  SELECT l.doc_id, l.bucket,
+         CAST(COUNT(*) FILTER (WHERE p.ch = 0) AS BIGINT) AS n_px,
+         CAST(SUM(p.v) FILTER (WHERE p.ch = 0) AS BIGINT) AS s0,
+         CAST(SUM(p.v) FILTER (WHERE p.ch = 1) AS BIGINT) AS s1,
+         CAST(SUM(p.v) FILTER (WHERE p.ch = 2) AS BIGINT) AS s2,
+         CAST(SUM(p.v * p.v) FILTER (WHERE p.ch = 0) AS BIGINT) AS q0,
+         CAST(SUM(p.v * p.v) FILTER (WHERE p.ch = 1) AS BIGINT) AS q1,
+         CAST(SUM(p.v * p.v) FILTER (WHERE p.ch = 2) AS BIGINT) AS q2
+  FROM lab l JOIN px p ON p.doc_id = l.doc_id AND p.pix = l.pix
+  GROUP BY 1, 2
+)
+SELECT st.doc_id, CAST(st.bucket AS BIGINT) AS bucket,
+       CAST(sc.split_ch AS BIGINT) AS split_ch, med.thr, st.n_px,
+       CAST(st.s0 AS DOUBLE) / st.n_px AS mean_c0,
+       CAST(st.s1 AS DOUBLE) / st.n_px AS mean_c1,
+       CAST(st.s2 AS DOUBLE) / st.n_px AS mean_c2,
+       (CAST(st.q0 AS DOUBLE)
+          - CAST(st.s0 AS DOUBLE) * st.s0 / st.n_px)
+         + (CAST(st.q1 AS DOUBLE)
+            - CAST(st.s1 AS DOUBLE) * st.s1 / st.n_px)
+         + (CAST(st.q2 AS DOUBLE)
+            - CAST(st.s2 AS DOUBLE) * st.s2 / st.n_px) AS sse
+FROM st
+JOIN sc ON sc.doc_id = st.doc_id
+JOIN med ON med.doc_id = st.doc_id
+WHERE st.doc_id % 5 = 0
+""",
+    tags=("multimodal", "median-cut", "palette-quantization", "decode"),
+)
+def mm_median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-CUT palette quantization (Heckbert 1982), one split
+    level — the adaptive color-reduction step behind GIF/PNG8
+    encoders and perceptual image hashing: pick the channel with the
+    WIDEST range, split the image's pixels at that channel's median,
+    and emit each bucket's size, mean color, and within-bucket SSE
+    (the distortion a second split would attack). Pixels come from
+    the REAL P6 decoder (operators/multimodal.py) on the synthetic
+    deterministic raster; the oracle recomputes from the closed-form
+    pixel formula, so the hash certifies decode + argmax + median +
+    bucket statistics end to end (docs sampled at doc_id % 5 = 0 to
+    keep the result compact).
+
+    Exactness: channel ranges and all bucket sums are exact
+    integers; the median rides the pinned percentile == quantile_cont
+    equivalence; means and the 3-channel SSE are written as the
+    identical explicit a+b+c expression tree (never a float SUM over
+    rows) in both engines.
+
+    Plan shape at 100 TB: one Arrow decode pass to pixel rows, two
+    per-doc aggregates (ranges, medians) + one labeled-bucket
+    aggregate — all partitioned by doc, embarrassingly parallel.
+    Each further median-cut level repeats the same shape on
+    (doc, bucket) keys."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "pix": [], "ch": [], "v": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 5 != 0:
+                    continue
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                n = w * h * 3
+                raster = ((doc_id * 31 + np.arange(n)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload).astype(np.int64)  # (h, w, 3)
+                flat = img.reshape(-1, 3)
+                np_pix = flat.shape[0]
+                out["doc_id"].extend([doc_id] * (np_pix * 3))
+                out["pix"].extend(np.repeat(np.arange(np_pix), 3).tolist())
+                out["ch"].extend([0, 1, 2] * np_pix)
+                out["v"].extend(flat.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    px = docs.mapInPandas(
+        run, "doc_id long, pix long, ch long, v long"
+    ).persist()
+    rng = px.groupBy("doc_id", "ch").agg(
+        (F.max("v") - F.min("v")).alias("rg")
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("rg"), F.asc("ch"))
+    sc = (
+        rng.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("ch").alias("split_ch"))
+    )
+    med = (
+        px.join(sc, "doc_id")
+        .filter(F.col("ch") == F.col("split_ch"))
+        .groupBy("doc_id")
+        .agg(F.percentile("v", 0.5).alias("thr"))
+    )
+    lab = (
+        px.join(sc, "doc_id")
+        .filter(F.col("ch") == F.col("split_ch"))
+        .join(med, "doc_id")
+        .select(
+            "doc_id",
+            "pix",
+            F.when(F.col("v") <= F.col("thr"), 0).otherwise(1).alias(
+                "bucket"
+            ),
+        )
+    )
+    st = (
+        lab.join(px, ["doc_id", "pix"])
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum(F.when(F.col("ch") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_px"),
+            *[
+                F.sum(F.when(F.col("ch") == c, F.col("v")).otherwise(0))
+                .cast("long")
+                .alias(f"s{c}")
+                for c in (0, 1, 2)
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col("ch") == c, F.col("v") * F.col("v")
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"q{c}")
+                for c in (0, 1, 2)
+            ],
+        )
+    )
+
+    def sse_term(c: int):
+        return F.col(f"q{c}").cast("double") - F.col(
+            f"s{c}"
+        ).cast("double") * F.col(f"s{c}") / F.col("n_px")
+
+    return (
+        st.join(sc, "doc_id")
+        .join(med, "doc_id")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("split_ch").cast("long").alias("split_ch"),
+            "thr",
+            "n_px",
+            (F.col("s0").cast("double") / F.col("n_px")).alias("mean_c0"),
+            (F.col("s1").cast("double") / F.col("n_px")).alias("mean_c1"),
+            (F.col("s2").cast("double") / F.col("n_px")).alias("mean_c2"),
+            (sse_term(0) + sse_term(1) + sse_term(2)).alias("sse"),
+        )
+    )
