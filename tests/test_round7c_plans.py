@@ -301,3 +301,36 @@ def test_mase_joins_ride_hour_grid(spark, sf_dir):
     df = QUERIES["ev_snaive_backtest_mase"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "HashAggregate" in plan
+
+
+def test_ltv_triangle_cumulative_is_per_cohort(spark, sf_dir):
+    df = QUERIES["ev_ltv_triangle"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(cohort" in plan
+
+
+def test_skew_report_never_reads_payloads(spark, sf_dir):
+    """Only the key column reaches the scan (column pruning)."""
+    from quick_and_easy_vectordb_spark.plans.inspect import pruned_columns
+
+    spark.catalog.clearCache()
+    df = QUERIES["rel_join_skew_report"].fn(spark, sf_dir)
+    cols = pruned_columns(df)
+    assert cols <= {"o_custkey"} or "o_custkey" in cols
+
+
+def test_watermark_detect_is_doc_local(spark, sf_dir):
+    """No join anywhere: explode + aggregate + TakeOrdered."""
+    from quick_and_easy_vectordb_spark.plans.inspect import is_top_k
+
+    df = QUERIES["text_watermark_greenlist_detect"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert is_top_k(df)
+
+
+def test_median_cut_aggregates_are_doc_partitioned(spark, sf_dir):
+    df = QUERIES["mm_median_cut_palette"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" in plan
+    assert "CartesianProduct" not in plan

@@ -165,6 +165,10 @@ def main() -> None:
         "ev_shapley_attribution",
         "ev_snaive_backtest_mase",
         "text_rake_keyphrases",
+        "ev_ltv_triangle",
+        "rel_join_skew_report",
+        "text_watermark_greenlist_detect",
+        "mm_median_cut_palette",
     )
 
     lines = [
