@@ -45,9 +45,11 @@ from quick_and_easy_vectordb_spark.queries import quality  # noqa: F401,E402
 #
 # Round-7 prefix = the 23 round-6-continuation queries that have never
 # appeared in ANY CORRECTNESS_r*.json (rounds 1-6 cumulatively sampled 242
-# of the 265), then queries NEW in round 7 (no driver row possible yet),
-# then the oldest-external-evidence backlog in FIFO refresh order.
-# Everything checked green in round 6 moves to the back of the line.
+# of the 265), then queries NEW in round 7 (no driver row possible yet —
+# including the continuation-4 session's 40 additions, each landed with
+# three-scale + 7-partition local oracle evidence), then the
+# oldest-external-evidence backlog in FIFO refresh order. Everything
+# checked green in round 6 moves to the back of the line.
 # ---------------------------------------------------------------------------
 _CHECK_PRIORITY = [
     # -- round-7 prefix: the 23 round-6-continuation queries that have never
