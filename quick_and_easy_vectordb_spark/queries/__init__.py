@@ -188,6 +188,8 @@ _CHECK_PRIORITY = [
     "ev_stream_join_then_agg",
     "text_watermark_greenlist_detect",
     "mm_median_cut_palette",
+    "ev_pinball_loss_eval",
+    "dedup_minhash_prf_eval",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

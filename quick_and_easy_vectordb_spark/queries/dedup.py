@@ -2020,3 +2020,111 @@ def dedup_minhash_1bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.orderBy(F.desc("abs_err_1bit"), "id_a", "id_b").limit(20)
+
+
+@query(
+    "dedup_minhash_prf_eval",
+    oracle=f"""
+WITH {SQL_VERIFIED_PAIRS},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64
+),
+shr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shr a JOIN shr b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+inter2 AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand2 c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+),
+gt AS (
+  SELECT i.id_a, i.id_b
+  FROM inter2 i
+  JOIN cnt ca ON ca.doc_id = i.id_a
+  JOIN cnt cb ON cb.doc_id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {JACCARD_T}
+),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs p JOIN gt ON gt.id_a = p.id_a AND gt.id_b = p.id_b
+),
+t AS (
+  SELECT (SELECT n FROM tp) AS tp,
+         CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pred,
+         CAST((SELECT COUNT(*) FROM gt) AS BIGINT) AS n_gt
+)
+SELECT tp, n_pred, n_gt,
+       CAST(n_pred - tp AS BIGINT) AS fp,
+       CAST(n_gt - tp AS BIGINT) AS fn,
+       CAST(tp AS DOUBLE) / n_pred AS precision_p,
+       CAST(tp AS DOUBLE) / n_gt AS recall
+FROM t
+""",
+    tags=("dedup", "evaluation", "precision-recall", "lsh-banding"),
+)
+def dedup_minhash_prf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION / RECALL of the MinHash-LSH detector against the
+    EXHAUSTIVE same-threshold ground truth — the banding-miss
+    measurement a dedup rollout report leads with: ground truth is
+    every pair with exact shingle-Jaccard >= {JACCARD_T}, generated
+    by the rare-shingle inverted-index join (all pairs sharing at
+    least one shingle with document frequency <= 64 — the same
+    hot-key cap discipline as the LSH bucket cap, documented rather
+    than silent); predictions are the banded-and-verified LSH pairs.
+    Recall < 1 exposes pairs whose 12-hash/4-band signatures never
+    collided (the s-curve's miss probability at J ~= {JACCARD_T} is
+    real); precision < 1 would expose verification bugs (it cannot
+    be, since predictions are exact-verified — the row proves it).
+
+    All pair counts exact; two float ratios at the end.
+
+    Plan shape at 100 TB: the ground-truth join's work is
+    sum over rare shingles of df^2 (bounded by the cap); at real
+    scale you run this on a SAMPLED stratum to estimate recall — the
+    plan shape is identical, only the input shrinks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pred = jaccard_pairs(
+        sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir)
+    ).select("id_a", "id_b").persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    cand2 = (
+        shr.select(F.col("id").alias("id_a"), "shingle")
+        .join(shr.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gt = jaccard_pairs(
+        sh, cand2, JACCARD_T, prefilter=_corpus_is_big(sf_dir)
+    ).select("id_a", "id_b").persist()
+    tp = pred.join(gt, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    t = (
+        tp.crossJoin(
+            pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+        ).crossJoin(gt.agg(F.count(F.lit(1)).cast("long").alias("n_gt")))
+    )
+    return t.select(
+        "tp",
+        "n_pred",
+        "n_gt",
+        (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_gt") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("tp").cast("double") / F.col("n_pred")).alias("precision_p"),
+        (F.col("tp").cast("double") / F.col("n_gt")).alias("recall"),
+    )

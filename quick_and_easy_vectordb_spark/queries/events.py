@@ -6596,3 +6596,113 @@ def ev_stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_start"),
         "n_pairs",
     )
+
+
+@query(
+    "ev_pinball_loss_eval",
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+mx AS (SELECT MAX(hr) AS hmax FROM h),
+f AS (
+  SELECT q.q10 AS fq, q.tag, h.y
+  FROM h JOIN mx ON h.hr > mx.hmax - 168
+  CROSS JOIN (
+    SELECT CAST(quantile_cont(y, 0.5) * 10 AS BIGINT) AS q10, 'p50' AS tag
+    FROM h JOIN mx ON h.hr <= mx.hmax - 168
+    UNION ALL
+    SELECT CAST(quantile_cont(y, 0.9) * 10 AS BIGINT), 'p90'
+    FROM h JOIN mx ON h.hr <= mx.hmax - 168
+  ) q
+),
+loss AS (
+  SELECT tag, fq,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN tag = 'p50'
+                       THEN GREATEST(5 * (10 * y - fq),
+                                     -5 * (10 * y - fq))
+                       ELSE GREATEST(9 * (10 * y - fq),
+                                     -1 * (10 * y - fq)) END)
+              AS BIGINT) AS pinball_x100
+  FROM f GROUP BY tag, fq
+)
+SELECT tag, CAST(fq AS DOUBLE) / 10.0 AS forecast,
+       n_eval, pinball_x100,
+       CAST(pinball_x100 AS DOUBLE) / (100.0 * n_eval)
+         AS mean_pinball
+FROM loss
+""",
+    tags=("events", "forecasting", "pinball-loss", "quantile-eval"),
+)
+def ev_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS evaluation — the proper scoring rule
+    for quantile forecasts (the metric behind every probabilistic
+    load-forecasting leaderboard): the training period's p50 and p90
+    hourly counts serve as constant quantile forecasts for the final
+    week, and each is scored with its own asymmetric loss
+    L_q(y, f) = max(q(y-f), (q-1)(y-f)) — under which the q-quantile
+    is the unique optimal constant, so p90 must beat p50 at q = 0.9
+    or something is wrong with the pipeline. Forecasts are decimal
+    (quantile interpolation), so everything scales to TENTHS
+    (y*10, f*10) and the q-weights {5,-5} / {9,-1} make the summed
+    loss an EXACT INTEGER (x100); the only floats are the final
+    display divisions. Quantiles ride the pinned percentile ==
+    quantile_cont equivalence.
+
+    Plan shape at 100 TB: one hourly aggregate, two percentile
+    scalars over the training grid, one conditional-sum pass over
+    the 168-row eval window. Completes the forecasting-eval pair
+    with ev_snaive_backtest_mase (point forecasts there, quantile
+    forecasts here)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist()
+    )
+    mx = h.agg(F.max("hr").alias("hmax"))
+    train = h.crossJoin(F.broadcast(mx)).filter(
+        F.col("hr") <= F.col("hmax") - 168
+    )
+    ev_w = h.crossJoin(F.broadcast(mx)).filter(
+        F.col("hr") > F.col("hmax") - 168
+    )
+    q = train.agg(
+        (F.percentile("y", 0.5) * 10).cast("long").alias("f50"),
+        (F.percentile("y", 0.9) * 10).cast("long").alias("f90"),
+    )
+    j = ev_w.crossJoin(F.broadcast(q))
+    d50 = 10 * F.col("y") - F.col("f50")
+    d90 = 10 * F.col("y") - F.col("f90")
+    loss = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.greatest(5 * d50, -5 * d50)).cast("long").alias("pb50"),
+        F.sum(F.greatest(9 * d90, -1 * d90)).cast("long").alias("pb90"),
+        F.max("f50").alias("f50"),
+        F.max("f90").alias("f90"),
+    )
+    out50 = loss.select(
+        F.lit("p50").alias("tag"),
+        (F.col("f50").cast("double") / 10.0).alias("forecast"),
+        "n_eval",
+        F.col("pb50").alias("pinball_x100"),
+        (F.col("pb50").cast("double") / (100.0 * F.col("n_eval"))).alias(
+            "mean_pinball"
+        ),
+    )
+    out90 = loss.select(
+        F.lit("p90").alias("tag"),
+        (F.col("f90").cast("double") / 10.0).alias("forecast"),
+        "n_eval",
+        F.col("pb90").alias("pinball_x100"),
+        (F.col("pb90").cast("double") / (100.0 * F.col("n_eval"))).alias(
+            "mean_pinball"
+        ),
+    )
+    return out50.unionAll(out90)
