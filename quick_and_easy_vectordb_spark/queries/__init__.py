@@ -190,6 +190,7 @@ _CHECK_PRIORITY = [
     "mm_median_cut_palette",
     "ev_pinball_loss_eval",
     "dedup_minhash_prf_eval",
+    "rel_mv_rollup_rewrite",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -2065,3 +2065,55 @@ def rel_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share"
         ),
     )
+
+
+@query(
+    "rel_mv_rollup_rewrite",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("relational", "materialized-view", "rollup-rewrite",
+          "optimizer"),
+)
+def rel_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW ROLLUP REWRITE, proven: a quarterly-revenue
+    question is answered FROM the monthly-revenue MV (month -> quarter
+    re-aggregation of the MV's partial sums), and the oracle computes
+    the same quarters from BASE DATA — the hash equality is exactly
+    the soundness condition an optimizer's MV-rewrite rule must
+    discharge (aggregate associativity + grouping-set containment:
+    quarter is a coarsening of month). Works bitwise because the MV
+    stores DECIMAL partial sums (associative by construction), not
+    doubles — the same reason rel_partial_agg_merge and
+    ev_heavy_hitters_salted re-aggregate exactly; an MV storing float
+    sums could NOT be rewritten against without drift, which is the
+    production argument for decimal money columns.
+
+    Plan shape at 100 TB: the question's cost drops from a fact-table
+    scan to an O(months) scan of the MV — the entire economics of
+    aggregate MVs; maintenance is rel_ivm_delta_agg's signed-delta
+    pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    mv = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev_dec"),
+    )
+    return (
+        mv.groupBy(
+            F.col("yr").cast("long").alias("yr"),
+            F.expr("CAST((mo - 1) div 3 + 1 AS BIGINT)").alias("qtr"),
+        )
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").cast("string").cast("double").alias("revenue"),
+        )
+    )
