@@ -334,3 +334,23 @@ def test_median_cut_aggregates_are_doc_partitioned(spark, sf_dir):
     plan = formatted_plan(df)
     assert "percentile" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pinball_losses_ride_hour_grid(spark, sf_dir):
+    df = QUERIES["ev_pinball_loss_eval"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" in plan
+
+
+def test_prf_ground_truth_join_is_capped(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = QUERIES["dedup_minhash_prf_eval"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "64" in plan  # the rare-shingle df cap
+
+
+def test_mv_rewrite_reaggregates_decimal_partials(spark, sf_dir):
+    df = QUERIES["rel_mv_rollup_rewrite"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "decimal" in plan.lower()

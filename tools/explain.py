@@ -169,6 +169,10 @@ def main() -> None:
         "rel_join_skew_report",
         "text_watermark_greenlist_detect",
         "mm_median_cut_palette",
+        "ev_pinball_loss_eval",
+        "dedup_minhash_prf_eval",
+        "rel_mv_rollup_rewrite",
+        "ev_stream_join_then_agg",
     )
 
     lines = [
