@@ -191,6 +191,8 @@ _CHECK_PRIORITY = [
     "ev_pinball_loss_eval",
     "dedup_minhash_prf_eval",
     "rel_mv_rollup_rewrite",
+    "ev_loo_target_encoding",
+    "text_span_corruption_mask",
     # -- round-6 window (all 50 green in CORRECTNESS_r06.json) rotates to
     #    the FIFO backlog below --
     "text_curation_pipeline",

@@ -6706,3 +6706,78 @@ def ev_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out50.unionAll(out90)
+
+
+@query(
+    "ev_loo_target_encoding",
+    oracle="""
+WITH e AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS k
+  FROM e GROUP BY dow
+)
+SELECT dow, n, k,
+       CAST(k AS DOUBLE) / n AS naive_rate,
+       CAST(k - 1 AS DOUBLE) / (n - 1) AS loo_for_positives,
+       CAST(k AS DOUBLE) / (n - 1) AS loo_for_negatives,
+       (CAST(k AS DOUBLE) + 20.0 * (SELECT CAST(SUM(k) AS DOUBLE) / SUM(n)
+                                    FROM g))
+         / (n + 20.0) AS smoothed_rate
+FROM g
+""",
+    tags=("events", "feature-engineering", "target-encoding",
+          "leakage-safe"),
+)
+def ev_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe categorical
+    encoder every tabular-ML pipeline ships (CatBoost's core idea):
+    a category's encoding for row i excludes row i's own label,
+    loo_i = (k - y_i)/(n - 1). The subtle exactness win: with a
+    BINARY target the per-row encoding takes only TWO distinct
+    values per category — (k-1)/(n-1) for positive rows and k/(n-1)
+    for negative rows — so the full encoding is emitted in CLOSED
+    FORM from the group sums, no per-row column, no float-sum-order
+    hazard. Also reports the m=20 smoothed (empirical-Bayes) rate
+    toward the global prior — the companion encoder for rare
+    categories.
+
+    Category: day-of-week; target: purchase indicator. All counts
+    exact; four float expressions with identical trees.
+
+    Plan shape at 100 TB: one map-side-combined aggregate to
+    |categories| rows; the encode JOIN back to rows (when a model
+    needs the column) is a broadcast. The closed form is what makes
+    LOO free — naive implementations window over every row."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("k"),
+    )
+    prior = g.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("prior")
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "dow",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("naive_rate"),
+        ((F.col("k") - 1).cast("double") / (F.col("n") - 1)).alias(
+            "loo_for_positives"
+        ),
+        (F.col("k").cast("double") / (F.col("n") - 1)).alias(
+            "loo_for_negatives"
+        ),
+        (
+            (F.col("k").cast("double") + F.lit(20.0) * F.col("prior"))
+            / (F.col("n") + F.lit(20.0))
+        ).alias("smoothed_rate"),
+    )

@@ -2502,3 +2502,122 @@ def text_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("z"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_span_corruption_mask",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, d.source,
+         generate_subscripts(list_filter(str_split(lower(d.text), ' '),
+                                         x -> x <> ''), 1) - 1 AS pos
+  FROM documents d
+),
+starts AS (
+  SELECT doc_id, pos FROM toks
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+        % 20 = 0
+),
+masked AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN starts s
+    ON s.doc_id = t.doc_id AND t.pos BETWEEN s.pos AND s.pos + 2
+)
+SELECT tk.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(m.pos) AS BIGINT) AS n_masked,
+       CAST((SELECT COUNT(*) FROM starts s2
+             JOIN toks t2 ON t2.doc_id = s2.doc_id AND t2.pos = s2.pos
+             JOIN documents dd ON dd.doc_id = s2.doc_id
+             WHERE dd.source = tk.source) AS BIGINT) AS n_spans,
+       CAST(COUNT(m.pos) AS DOUBLE) / COUNT(*) AS mask_rate
+FROM toks tk
+LEFT JOIN masked m ON m.doc_id = tk.doc_id AND m.pos = tk.pos
+GROUP BY tk.source
+""",
+    tags=("text", "span-corruption", "t5-masking", "pretraining-prep",
+          "llm-pipeline"),
+)
+def text_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION MASKING statistics (the T5/UL2 pretraining
+    objective's data-prep step): deterministic hash-selected span
+    starts (md5(doc:pos) % 20 = 0 -> 5% of positions) each mask a
+    3-token span; overlapping spans merge naturally because masked
+    positions are the DISTINCT union of covered positions — exactly
+    the r-of-n expected ~15% corruption rate T5 uses, realized here
+    reproducibly so a re-run masks the identical tokens (the
+    property that makes pretraining data versionable). Reported per
+    source: tokens, masked tokens, raw span starts, and the realized
+    mask rate (< 3x start rate where spans merged or hit document
+    ends — the report quantifies exactly that shrinkage).
+
+    All counts exact integers; one final division.
+
+    Plan shape at 100 TB: one positional explode; span coverage is a
+    doc-local range join (pos BETWEEN start AND start+2) — never
+    leaves the document, so the whole job is map-side except the
+    final per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("pos", "word"),
+    ).drop("word").persist()
+    starts = toks.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    ).select("doc_id", F.col("pos").alias("spos"))
+    masked = (
+        toks.select("doc_id", "pos")
+        .join(starts, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("spos"))
+            & (F.col("pos") <= F.col("spos") + 2)
+        )
+        .select("doc_id", "pos")
+        .distinct()
+        .withColumn("is_masked", F.lit(1))
+    )
+    span_counts = (
+        starts.join(
+            toks.select("doc_id", "source").distinct(), "doc_id"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    )
+    per_tok = toks.join(masked, ["doc_id", "pos"], "left")
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("is_masked").cast("long").alias("n_masked"),
+        )
+        .join(span_counts, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            (
+                F.col("n_masked").cast("double") / F.col("n_tokens")
+            ).alias("mask_rate"),
+        )
+    )
