@@ -138,13 +138,18 @@ def asof_join(
         merged = merged.repartition(n_parts, *keys)
     merged = merged.withColumn("__match", match)
     if tolerance_s is not None:
+        # Microsecond-exact gap: unix_timestamp would truncate each
+        # side to whole seconds BEFORE subtracting, letting a match up
+        # to ~1 s past the stated tolerance survive on sub-second
+        # timestamps. unix_micros keeps the full timestamp precision;
+        # the bound compares integer micros to integer micros.
         gap = F.abs(
-            F.unix_timestamp(F.col("__t"))
-            - F.unix_timestamp(F.col("__match.__ts"))
+            F.unix_micros(F.col("__t"))
+            - F.unix_micros(F.col("__match.__ts"))
         )
         merged = merged.withColumn(
             "__match",
-            F.when(gap <= F.lit(tolerance_s), F.col("__match")),
+            F.when(gap <= F.lit(int(tolerance_s) * 1_000_000), F.col("__match")),
         )
 
     out_cols = (

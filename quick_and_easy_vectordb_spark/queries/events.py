@@ -5941,7 +5941,8 @@ WITH cp AS (
 ), tol AS (
   SELECT event_id, user_id, ts,
          CASE WHEN last_click_ts IS NOT NULL
-                AND abs(epoch(ts) - epoch(last_click_ts)) <= 600
+                AND abs(date_diff('microsecond', last_click_ts, ts))
+                      <= 600 * 1000000
               THEN last_click_ts END AS last_click_ts
   FROM m WHERE event_type = 'purchase'
 )

@@ -1982,7 +1982,13 @@ def rel_wilson_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     center = p + z2 / (F.lit(2.0) * n)
     denom = F.lit(1.0) + z2 / n
-    return totals.join(converted, "segment").select(
+    # LEFT join + coalesce(k, 0): a segment where no customer converts
+    # must still appear with k = 0 (the oracle's COUNT(*) FILTER keeps
+    # it); an inner join would silently drop it on skewed corpora.
+    joined = totals.join(converted, "segment", "left").withColumn(
+        "k", F.coalesce(F.col("k"), F.lit(0).cast("long"))
+    )
+    return joined.select(
         "segment",
         "n",
         "k",

@@ -290,24 +290,32 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 2048
+# doc_ids per packing shard: each shard's running sum is an independent
+# window partition, so the pack parallelizes across the cluster. 1000
+# ids/shard gives ~6 shards at sf0.01 and ~60 at sf0.1 — small enough to
+# exercise multi-shard semantics at every shipped scale, large enough
+# that a shard holds hundreds of bins.
+PACK_SHARD = 1000
 
 
 @query(
     "text_pack_sequences",
     oracle=f"""
 WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
-tok AS (SELECT doc_id, CAST({SQL_NTOK} AS BIGINT) AS n_tok FROM d),
+tok AS (SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok FROM d),
 runs AS (
-  SELECT doc_id, n_tok,
-         SUM(n_tok) OVER (ORDER BY doc_id
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
   FROM tok
 )
-SELECT CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS bin,
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
-FROM runs GROUP BY 1
+FROM runs GROUP BY 1, 2
 """,
     tags=("text", "packing", "window"),
 )
@@ -318,19 +326,31 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window). A bin can overrun by one document's tail; exact
     bin-capacity packing is a sequential constraint no engine
     parallelizes — the cumsum formulation is the scalable standard.
-    NOTE the single global window: at 100 TB, pack per shard
-    (partitionBy on a corpus shard key) so each shard's window
-    parallelizes; the global form here keeps the oracle simple."""
+    The pack is SHARDED: the window partitions on a doc_id-derived
+    shard key ({PACK_SHARD} ids/shard), so each shard's cumsum runs
+    independently — no single-partition global sort at 100 TB. Packing
+    resets at shard boundaries (each shard's first bin may undershoot
+    the budget), which is exactly how a cluster pack operates: shards
+    are the unit of parallel work, bins never span shards."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", token_count("text").cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    tok = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     runs = tok.withColumn("cum", F.sum("n_tok").over(w))
     return (
         runs.select(
+            F.col("shard").cast("long").alias("shard"),
             F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("bin"),
             "n_tok",
         )
-        .groupBy("bin")
+        .groupBy("shard", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("long").alias("bin_tokens"),

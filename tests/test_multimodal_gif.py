@@ -5,6 +5,8 @@ spec defines: width growth 5->12 bits, dictionary overflow CLEAR at
 4096 entries, the code==next ("KwKwK") case, extension skipping, and
 the documented interlace boundary."""
 
+import base64
+
 import numpy as np
 import pytest
 
@@ -77,3 +79,36 @@ def test_interlace_raises():
 def test_truncated_stream_raises():
     with pytest.raises(ValueError):
         _gif_lzw_decode(b"\x00", 4, 100)
+
+
+# ---------------------------------------------------------------------------
+# Golden fixtures NOT produced by this repo's encoder. Every other test
+# round-trips through gif_encode, so a mutual encoder/decoder deviation
+# from the GIF89a spec would pass undetected; these two byte streams are
+# the canonical publicly-published 1x1 tracking-pixel GIFs (emitted by
+# real third-party encoders, bytes reproduced verbatim in countless spec
+# discussions), decoded here against hand-checked expected pixels.
+# ---------------------------------------------------------------------------
+
+# GIF89a, 1x1, 2-entry GCT (white, black), GCE, LZW min code size 2,
+# data block 44 01 -> single pixel index 0 -> white.
+GOLDEN_WHITE_1X1 = base64.b64decode(
+    "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+)
+# Same structure, GCT (black, white), transparency flag on index 0;
+# the decoder composites without alpha -> pixel is GCT[0] = black.
+GOLDEN_TRANSPARENT_1X1 = base64.b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+)
+
+
+def test_golden_external_white_pixel():
+    img = decode_image(GOLDEN_WHITE_1X1)
+    assert img.shape == (1, 1, 3)
+    assert img.tolist() == [[[255, 255, 255]]]
+
+
+def test_golden_external_transparent_pixel():
+    img = decode_image(GOLDEN_TRANSPARENT_1X1)
+    assert img.shape == (1, 1, 3)
+    assert img.tolist() == [[[0, 0, 0]]]
