@@ -947,6 +947,171 @@ def main() -> None:
 
     probes["hour_grid_pairs (trend-stat shape)"] = hour_grid_pairs_probe
 
+    # Round-8 additions: probes for the sixth-wave / continuation
+    # queries that had no SCALING.md row (verdict item 4): pinball
+    # loss, MV rollup rewrite, LOO target encoding, median-cut
+    # palette, watermark greenlist.
+
+    def pinball_loss_probe(n: int) -> None:
+        """ev_pinball_loss_eval shape: corpus-sized hourly aggregate
+        to a bounded grid, two percentile scalars over the grid, one
+        conditional-sum evaluation pass — wall clock must track the
+        single aggregate."""
+        hourly = (
+            synth_fact(spark, n)
+            .select(F.pmod(F.col("id"), F.lit(744)).alias("hr"),
+                    F.col("price"))
+            .groupBy("hr")
+            .agg(F.sum("price").alias("y"))
+        )
+        qs = hourly.agg(
+            F.expr("percentile(y, 0.5)").alias("p50"),
+            F.expr("percentile(y, 0.9)").alias("p90"),
+        )
+        noop(
+            hourly.crossJoin(F.broadcast(qs)).agg(
+                F.sum(
+                    F.when(F.col("y") >= F.col("p50"),
+                           (F.col("y") - F.col("p50")) * 0.5)
+                    .otherwise((F.col("p50") - F.col("y")) * 0.5)
+                ).alias("l50"),
+                F.sum(
+                    F.when(F.col("y") >= F.col("p90"),
+                           (F.col("y") - F.col("p90")) * 0.9)
+                    .otherwise((F.col("p90") - F.col("y")) * 0.1)
+                ).alias("l90"),
+            )
+        )
+
+    probes["pinball_loss (hourly agg + 2 quantile scalars)"] = pinball_loss_probe
+
+    def mv_rollup_probe(n: int) -> None:
+        """rel_mv_rollup_rewrite shape: the MV maintenance side is one
+        month-keyed decimal aggregate over the fact; the rewritten
+        quarterly question then touches only O(months) MV rows."""
+        mv = (
+            synth_fact(spark, n)
+            .select(F.pmod(F.col("id"), F.lit(24)).alias("month"),
+                    F.col("price"))
+            .groupBy("month")
+            .agg(dsum(F.col("price")).alias("rev"))
+        )
+        noop(
+            mv.groupBy((F.col("month") / 3).cast("int").alias("quarter"))
+            .agg(F.sum("rev").alias("rev"))
+        )
+
+    probes["mv_rollup (month MV agg -> quarter reagg)"] = mv_rollup_probe
+
+    def loo_encoding_probe(n: int) -> None:
+        """ev_loo_target_encoding shape: one category aggregate, then
+        the closed-form two-value emission — O(categories) output, no
+        per-row join-back."""
+        g = (
+            synth_fact(spark, n)
+            .select(F.pmod(F.col("key"), F.lit(1000)).alias("cat"),
+                    (F.pmod(F.hash("id", F.lit(3)), F.lit(2))).alias("y"))
+            .groupBy("cat")
+            .agg(F.sum("y").alias("k"), F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+        )
+        noop(
+            g.select(
+                "cat",
+                ((F.col("k") - 1) / (F.col("cnt") - 1)).alias("loo_pos"),
+                (F.col("k") / (F.col("cnt") - 1)).alias("loo_neg"),
+            )
+        )
+
+    probes["loo_target_encoding (closed form from group sums)"] = loo_encoding_probe
+
+    def median_cut_probe(n: int) -> None:
+        """mm_median_cut_palette shape on synthetic pixel rows (the
+        decode pass is probed separately by gif_lzw_decode): per-doc
+        widest-channel argmax, pinned-percentile median, then per
+        (doc, side) bucket statistics — three doc-keyed aggregates,
+        all linear."""
+        px = synth_fact(spark, n).select(
+            (F.col("id") / 4096).cast("long").alias("doc"),
+            F.pmod(F.hash("id", F.lit(1)), F.lit(256)).alias("r"),
+            F.pmod(F.hash("id", F.lit(2)), F.lit(256)).alias("g"),
+            F.pmod(F.hash("id", F.lit(3)), F.lit(256)).alias("b"),
+        )
+        rng = px.groupBy("doc").agg(
+            (F.max("r") - F.min("r")).alias("rr"),
+            (F.max("g") - F.min("g")).alias("rg"),
+            (F.max("b") - F.min("b")).alias("rb"),
+            F.expr("percentile(r, 0.5)").alias("mr"),
+            F.expr("percentile(g, 0.5)").alias("mg"),
+            F.expr("percentile(b, 0.5)").alias("mb"),
+        ).select(
+            "doc",
+            F.when((F.col("rr") >= F.col("rg")) & (F.col("rr") >= F.col("rb")),
+                   F.struct(F.lit("r").alias("ch"), F.col("mr").alias("med")))
+            .when(F.col("rg") >= F.col("rb"),
+                  F.struct(F.lit("g").alias("ch"), F.col("mg").alias("med")))
+            .otherwise(F.struct(F.lit("b").alias("ch"), F.col("mb").alias("med")))
+            .alias("cut"),
+        )
+        split = px.join(rng, "doc").select(
+            "doc",
+            F.when(
+                F.when(F.col("cut.ch") == "r", F.col("r"))
+                .when(F.col("cut.ch") == "g", F.col("g"))
+                .otherwise(F.col("b")) <= F.col("cut.med"), 0
+            ).otherwise(1).alias("side"),
+            "r", "g", "b",
+        )
+        noop(
+            split.groupBy("doc", "side").agg(
+                F.count(F.lit(1)).alias("n_px"),
+                F.avg("r").alias("mr"), F.avg("g").alias("mg"),
+                F.avg("b").alias("mb"),
+                (F.sum(F.col("r") * F.col("r"))
+                 + F.sum(F.col("g") * F.col("g"))
+                 + F.sum(F.col("b") * F.col("b"))).alias("ss"),
+            )
+        )
+
+    probes["median_cut (per-doc argmax + median + bucket stats)"] = median_cut_probe
+
+    def watermark_greenlist_probe(n: int) -> None:
+        """text_watermark_greenlist_detect shape: doc-local pair
+        explode (prev:cur md5 parity) + map-side per-doc counts +
+        one tiny per-source aggregate — embarrassingly parallel."""
+        docs = synth_docs(spark, max(n // 100, 1000))
+        pairs = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("source"),
+            F.expr(
+                "filter(transform(split(text, ' '), "
+                "(w, i) -> IF(i = 0, NULL, "
+                "concat(element_at(split(text, ' '), i), ':', w))), "
+                "x -> x IS NOT NULL)"
+            ).alias("pp"),
+        ).select(
+            "doc_id", "source",
+            F.size("pp").alias("n_pairs"),
+            F.expr(
+                "size(filter(pp, x -> "
+                "conv(substr(md5(x), 32, 1), 16, 10) % 2 = 0))"
+            ).alias("greens"),
+        )
+        noop(
+            pairs.filter(F.col("n_pairs") > 0)
+            .select(
+                "source",
+                ((2 * F.col("greens") - F.col("n_pairs"))
+                 / F.sqrt(F.col("n_pairs").cast("double"))).alias("z"),
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("z").alias("mean_z"),
+                 F.max(F.abs(F.col("z"))).alias("max_abs_z"))
+        )
+
+    probes["watermark_greenlist (pair explode + map-side z)"] = watermark_greenlist_probe
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
