@@ -540,6 +540,7 @@ IVFPQ_NPROBE, IVFPQ_CAND = 2, 50
 
 @query(
     "ann_ivf_pq_search",
+    bench=True,
     oracle=f"""
 {SQL_PQ_ADC},
 posc AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),

@@ -1183,6 +1183,7 @@ GROUP BY 1, 2"""
 @query(
     "dedup_band_tuning",
     oracle=_band_tuning_oracle(),
+    bench=True,
     tags=("dedup", "minhash", "lsh", "tuning", "s-curve"),
 )
 def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,20 +175,36 @@ def main() -> None:
         "ev_stream_join_then_agg",
     )
 
+    # Round 8: PLANS.md covers the ENTIRE registry, not just
+    # bench+EXTRA — every registered query's physical plan is a
+    # reviewable artifact. `--audit-only` restores the old subset;
+    # positional names restrict to those queries (printed, not
+    # written, to avoid a partial PLANS.md).
+    audit_only = "--audit-only" in sys.argv
+    only = [a for a in sys.argv[1:]
+            if not a.startswith("-") and a != sf_dir]
+
     lines = [
-        "# PLANS — physical plans of the bench headline queries",
+        "# PLANS — physical plans of every registered query",
         "",
         f"Generated by `python tools/explain.py` at `{sf_dir}`. For each",
         "query: shuffle (Exchange) count, broadcast-join count, whether",
         "top-k planned as TakeOrderedAndProject, then the formatted plan.",
-        "Bench headline queries first, then the round-4 operator audit",
-        "set (plan-shape contract, not timed in bench).",
+        "Registry order (bench headliners carry `bench: True` in the",
+        "registry; the plan-shape contract applies to all).",
         "",
     ]
+    failed: list[str] = []
     for name, qd in QUERIES.items():
-        if not (qd.bench or name in EXTRA):
+        if only and name not in only:
             continue
-        df = qd.fn(spark, sf_dir)
+        if audit_only and not (qd.bench or name in EXTRA):
+            continue
+        try:
+            df = qd.fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — record, keep dumping
+            failed.append(f"{name}: {type(e).__name__}: {e}")
+            continue
         plan = formatted_plan(df)
         pushed = "PushedFilters: [" in plan and not all(
             seg.strip().startswith("]")
@@ -206,11 +222,18 @@ def main() -> None:
             "```",
             "",
         ]
+    if failed:
+        lines += ["## plan-dump failures", ""]
+        lines += [f"- {msg}" for msg in failed] + [""]
+    n = len([ln for ln in lines if ln.startswith("## ")]) - (1 if failed else 0)
+    if only:
+        print("\n".join(lines))
+        print(f"({n} plans printed, PLANS.md untouched)")
+        return
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
-    n = sum(1 for nm, q in QUERIES.items() if q.bench or nm in EXTRA)
-    print(f"PLANS.md written ({n} plans)")
+    print(f"PLANS.md written ({n} plans, {len(failed)} failures)")
 
 
 if __name__ == "__main__":
