@@ -2129,3 +2129,130 @@ def dedup_minhash_prf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.col("n_pred")).alias("precision_p"),
         (F.col("tp").cast("double") / F.col("n_gt")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: SemDeDup — semantic deduplication in embedding space
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication").
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.30
+_SEMDEDUP_DIM = 64
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {_SEMDEDUP_DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+cs AS (
+  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+         {sql_cosine('e.embedding::DOUBLE[]', 'cl.cv')} AS cent_cos
+  FROM embeddings e JOIN cl ON cl.label = e.label
+),
+removed AS (
+  SELECT a.vec_id, a.label
+  FROM cs a
+  WHERE EXISTS (
+    SELECT 1 FROM cs b
+    WHERE b.label = a.label AND b.vec_id <> a.vec_id
+      AND {sql_cosine('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+      AND (b.cent_cos < a.cent_cos
+           OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+  )
+)
+SELECT cs.label AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(r.vec_id) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS n_kept
+FROM cs LEFT JOIN removed r ON r.vec_id = cs.vec_id
+GROUP BY cs.label
+""",
+    tags=("dedup", "semdedup", "embedding", "cluster"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    in embedding space — cluster the corpus, and WITHIN each cluster
+    drop all but one member of every high-cosine duplicate set,
+    preferring to keep the member FARTHEST from the cluster centroid
+    (the paper's choice: extreme points carry more learning signal
+    than the prototypical center). The pipeline stage k-means would
+    provide is stood in for by the `label` column (the same cell
+    structure the IVF queries quantize into; ann_kmeans_iterated is
+    the real clustering path); centroids are the decimal-exact
+    per-label means (operators/ann.py:centroids_by_key).
+
+    Removal uses the DOMINANCE rule: v is removed iff some same-
+    cluster u has cosine(u, v) ≥ {_SEMDEDUP_TAU} and strictly lower
+    centroid-cosine (ties → lower vec_id). One parallel pass, order-
+    free — a documented deviation from the paper's sequential greedy
+    scan, which removes a (possibly smaller) subset but is inherently
+    order-dependent and serial per cluster.
+
+    100 TB shape: all pair work is the label-blocked self-equi-join
+    (O(Σ cell²), the cell-size cap discipline of the LSH bucket join
+    applies); the centroid table is O(clusters) and BROADCAST back;
+    the dominance test needs no iteration, unlike connected
+    components — this is precisely why SemDeDup scales to web
+    corpora. Reference basis: app.py:105-118 appends raw rows with no
+    dedup at all; this is the missing admission gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from quick_and_easy_vectordb_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from quick_and_easy_vectordb_spark.operators.ann import centroids_by_key
+
+    cent = centroids_by_key(emb, "embedding", "label").select(
+        F.col("key").alias("label"), F.col("centroid")
+    )
+    cs = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        "embedding",
+        cosine_similarity(F.col("embedding"), F.col("centroid"))
+        .alias("cent_cos"),
+    )
+    a = cs.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("cent_cos").alias("ca"),
+    )
+    b = cs.select(
+        "label",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cent_cos").alias("cb"),
+    )
+    dominated = (
+        a.join(b, "label")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select("label", F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cs.select("label", "vec_id")
+        .join(dominated.withColumn("rm", F.lit(1)), ["label", "vec_id"], "left")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("rm").cast("long").alias("n_removed"),
+            (F.count(F.lit(1)) - F.count("rm")).cast("long").alias("n_kept"),
+        )
+    )

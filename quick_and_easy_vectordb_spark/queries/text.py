@@ -2641,3 +2641,408 @@ def text_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: repetition filtering (Gopher rules), importance resampling
+# (DSIR), PII scrubbing — three more curation stages of the LLM data
+# pipeline the reference implies (app.py ingests raw text with no
+# quality gate; these are the gates a 100 TB corpus needs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+docs AS (SELECT doc_id, source, t, string_split(t, ' ') AS w,
+                CAST(length(t) AS BIGINT) AS n_chars
+         FROM norm WHERE t <> ''),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM docs
+),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, cnt * CAST(length(gram) AS BIGINT) AS top2_chars
+  FROM (SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram ASC) AS rn
+        FROM bgc)
+  WHERE rn = 1
+),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM docs
+),
+tgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tg GROUP BY 1, 2),
+dup3 AS (
+  SELECT doc_id,
+         CAST(SUM(cnt * length(gram)) AS BIGINT) AS dup3_chars
+  FROM tgc WHERE cnt >= 2 GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         COALESCE(t.top2_chars, 0) AS top2_chars,
+         COALESCE(p.dup3_chars, 0) AS dup3_chars
+  FROM docs d
+  LEFT JOIN top2 t ON t.doc_id = d.doc_id
+  LEFT JOIN dup3 p ON p.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN top2_chars * 1000 > 200 * n_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged_top2,
+       CAST(SUM(CASE WHEN dup3_chars * 1000 > 300 * n_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged_dup3,
+       CAST(SUM(top2_chars) AS BIGINT) AS top2_chars_total,
+       CAST(SUM(dup3_chars) AS BIGINT) AS dup3_chars_total,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(top2_chars) AS DOUBLE) / SUM(n_chars) AS top2_frac,
+       CAST(SUM(dup3_chars) AS DOUBLE) / SUM(n_chars) AS dup3_frac
+FROM per_doc GROUP BY source
+""",
+    tags=("text", "curation", "repetition", "gopher-rules"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION FILTERING (the Gopher/MassiveText rule family, Rae
+    et al. 2021 Table A1): flag documents whose text is dominated by
+    repeated n-grams — the signature of boilerplate, keyword stuffing,
+    and templated spam. Two rule shapes are computed exactly:
+
+      * top-2-gram fraction — characters occupied by the single most
+        frequent word bigram (count × gram length) over total chars;
+        Gopher's threshold 0.20.
+      * duplicate-3-gram fraction — characters in trigrams occurring
+        ≥ 2× in the document; threshold 0.30 (calibrated to this
+        corpus's ~30-word vocabulary; Gopher's table uses n = 5…10
+        with 0.15…0.10 — same rule shape, longer grams).
+
+    All per-doc quantities are INTEGERS (char counts), flags are
+    integer-scaled comparisons (×1000 vs threshold×chars — no float
+    thresholds), and per-source fractions divide two summed BIGINTs
+    once, so every column hash-matches bitwise.
+
+    100 TB shape: n-gram expansion is doc-local (explode), counts are
+    map-side-combinable, the only doc-keyed shuffles are the two
+    (doc, gram) aggregates + the top-1 window — all linear, no
+    cross-document work at all."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", normalized_text("text").alias("t"))
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.length("t").cast("long").alias("n_chars"),
+            F.split("t", " ").alias("w"),
+        )
+    )
+
+    def grams(n: int) -> DataFrame:
+        k = F.size("w")
+        g = F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice("w", i + 1, n), " "),
+        )
+        return docs.select(
+            "doc_id",
+            F.explode(F.when(k >= n, g).otherwise(
+                F.array().cast("array<string>"))).alias("gram"),
+        )
+
+    bgc = grams(2).groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        bgc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("cnt") * F.length("gram").cast("long")).alias("top2_chars"),
+        )
+    )
+    dup3 = (
+        grams(3).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram").cast("long"))
+             .cast("long").alias("dup3_chars"))
+    )
+    per_doc = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce("top2_chars", F.lit(0).cast("long")).alias("top2_chars"),
+            F.coalesce("dup3_chars", F.lit(0).cast("long")).alias("dup3_chars"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("top2_chars") * 1000 > 200 * F.col("n_chars"), 1)
+              .otherwise(0)).cast("long").alias("flagged_top2"),
+        F.sum(F.when(F.col("dup3_chars") * 1000 > 300 * F.col("n_chars"), 1)
+              .otherwise(0)).cast("long").alias("flagged_dup3"),
+        F.sum("top2_chars").cast("long").alias("top2_chars_total"),
+        F.sum("dup3_chars").cast("long").alias("dup3_chars_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        (F.sum("top2_chars").cast("double") / F.sum("n_chars"))
+        .alias("top2_frac"),
+        (F.sum("dup3_chars").cast("double") / F.sum("n_chars"))
+        .alias("dup3_frac"),
+    )
+
+
+_DSIR_BUCKETS = 256
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "text_importance_resampling",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, source, lang, {SQL_NORM} AS t FROM documents),
+docs AS (SELECT doc_id, source, lang, string_split(t, ' ') AS w
+         FROM norm WHERE t <> ''),
+tok AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+           AS bucket
+  FROM docs
+),
+raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY 1),
+tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+        WHERE lang = 'en' GROUP BY 1),
+feat AS (
+  SELECT r.bucket, COALESCE(t.ct, 0) * {_DSIR_SCALE} // r.cr AS s
+  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+),
+scored AS (
+  SELECT tok.doc_id, tok.source,
+         CAST(SUM(f.s) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS rate
+  FROM tok JOIN feat f ON f.bucket = tok.bucket
+  GROUP BY tok.doc_id, tok.source
+),
+ranked AS (
+  SELECT doc_id, source, rate,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY rate DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn * 4 <= n_src + 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(rate) AS BIGINT) AS rate_sum_all,
+       CAST(SUM(CASE WHEN rn * 4 <= n_src + 3 THEN rate ELSE 0 END)
+            AS BIGINT) AS rate_sum_kept
+FROM ranked GROUP BY source
+""",
+    tags=("text", "curation", "dsir", "importance-resampling"),
+)
+def text_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR, Xie et al.
+    2023): score every raw document by how target-like its hashed
+    n-gram feature distribution is, then keep the top slice per
+    source. Target = the ``lang = 'en'`` slice; features = md5-hashed
+    unigram buckets (B = {_DSIR_BUCKETS}); a bucket's importance
+    score is the fixed-point integer ratio
+    ``target_count * 10^6 div raw_count`` (the rational-idf
+    discipline — DSIR's log-likelihood-ratio sum is replaced by a
+    per-bucket-monotone linear ratio so every doc score is an exact
+    BIGINT sum; documented deviation, same ranking intuition), a doc's
+    rate is its score integer-divided by its token count (length
+    normalization), and each source keeps its top ⌈n/4⌉ docs by
+    (rate, doc_id) — deterministic in place of DSIR's weighted
+    sampling.
+
+    100 TB shape: the feature table is {_DSIR_BUCKETS} rows —
+    BROADCAST to the token stream, so scoring is map-side; the only
+    corpus shuffles are the (bucket) count and the (doc) score
+    aggregate; selection windows run over doc-level rows per source,
+    never token rows. This is exactly why DSIR scales where
+    perplexity-filtering needs a model server."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang",
+                normalized_text("text").alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", "source", "lang", F.split("t", " ").alias("w"))
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode("w").alias("word"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+         % _DSIR_BUCKETS).alias("bucket"),
+    )
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    feat = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.expr(f"coalesce(ct, 0L) * {_DSIR_SCALE} div cr").alias("s"),
+    )
+    scored = (
+        tok.join(F.broadcast(feat), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(s) div count(1)").alias("rate"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("rate"), F.asc("doc_id"))
+    w_src = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "rate",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_src).alias("n_src"),
+    )
+    kept = F.col("rn") * 4 <= F.col("n_src") + 3
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("rate").cast("long").alias("rate_sum_all"),
+        F.sum(F.when(kept, F.col("rate")).otherwise(0))
+        .cast("long").alias("rate_sum_kept"),
+    )
+
+
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+\\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         {SQL_NORM}
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                      || ' today' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+           AS t
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, source, t,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}')) AS n_ip,
+         regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS clean
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_ip,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+       CAST(SUM(CAST(length(t) AS BIGINT)
+                - CAST(length(clean) AS BIGINT)) AS BIGINT)
+         AS chars_delta
+FROM scrub GROUP BY source
+""",
+    tags=("text", "curation", "pii", "redaction"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUBBING — the redaction pass every public-web training
+    corpus runs before release (emails, phone numbers, IP addresses →
+    typed placeholder tokens). The fixture text is synthetic word
+    salad with no PII, so deterministic PII is INJECTED first (doc_id
+    % 7 → an email, % 11 → a phone, % 13 → an IP — same concat
+    expression in both engines); the scrub itself is the real
+    operator: three anchored character-class regexes (chosen from the
+    Java∩RE2 common subset — no lookarounds, no backrefs, so Spark's
+    Java regex and DuckDB's RE2 agree match-for-match), counted with
+    regexp_count and removed with regexp_replace. The email pass runs
+    before the IP pass and the IP count is taken AFTER email
+    redaction, so an address inside an email can't double-count —
+    redaction order is part of the operator's contract.
+
+    Output per source: docs touched per PII type, total redactions
+    per type, and the exact character delta — all integer columns.
+
+    100 TB shape: pure map-side string work, zero joins, one
+    per-source aggregate; regexes stay in the JVM (native
+    regexp_replace/regexp_count, no Python boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            normalized_text("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"),
+                         F.lit("@example.com now")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call 555-0"),
+                         F.lpad((F.col("doc_id") % 100).cast("string"),
+                                3, "0"),
+                         F.lit(" today")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256,
+                         F.lit(".1")),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    no_email = F.regexp_replace("t", _PII_EMAIL, "<EMAIL>")
+    scrub = aug.select(
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(no_email, F.lit(_PII_IP)).alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace(no_email, _PII_PHONE, "<PHONE>"),
+            _PII_IP, "<IP>",
+        ).alias("clean"),
+    )
+    return scrub.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("int")).cast("long")
+        .alias("docs_with_email"),
+        F.sum((F.col("n_phone") > 0).cast("int")).cast("long")
+        .alias("docs_with_phone"),
+        F.sum((F.col("n_ip") > 0).cast("int")).cast("long")
+        .alias("docs_with_ip"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_phone").cast("long").alias("phones_redacted"),
+        F.sum("n_ip").cast("long").alias("ips_redacted"),
+        F.sum(F.length("t").cast("long") - F.length("clean").cast("long"))
+        .cast("long").alias("chars_delta"),
+    )
