@@ -6782,3 +6782,253 @@ def ev_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.lit(20.0))
         ).alias("smoothed_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Markov transition matrix, stratified IPW, Poisson bootstrap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS from_total
+        FROM tr GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n_trans, o.from_total,
+       CAST(t.n_trans AS DOUBLE) / o.from_total AS p_hat
+FROM tr t JOIN tot o ON o.from_type = t.from_type
+""",
+    tags=("events", "markov", "transitions", "sessions"),
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over per-user event
+    streams — the empirical P(next event type | current event type)
+    behind session modeling, anomaly scoring (improbable transitions)
+    and funnel-shape drift monitors. One user-keyed window produces
+    (from, to) pairs; counts are exact integers and each probability
+    is a single division of two BIGINTs, so the matrix hash-matches
+    bitwise.
+
+    100 TB shape: ONE shuffle (user-keyed sort window — same
+    distribution the sessionize family reuses), then a map-side-
+    combinable (from, to) aggregate over |types|² ≤ tiny keys; the
+    row-normalizing totals join touches only the matrix, never the
+    event stream."""
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    tot = tr.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("from_total")
+    )
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "from_total",
+        (F.col("n_trans").cast("double") / F.col("from_total"))
+        .alias("p_hat"),
+    )
+
+
+@query(
+    "ev_ipw_ate_strata",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type AS stratum,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         value
+  FROM events
+),
+s AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(CAST(SUM(CASE WHEN treated = 1
+                            THEN CAST(value AS DECIMAL(30,10)) END)
+              AS VARCHAR) AS DOUBLE) AS sum_y_t,
+         CAST(CAST(SUM(CASE WHEN treated = 0
+                            THEN CAST(value AS DECIMAL(30,10)) END)
+              AS VARCHAR) AS DOUBLE) AS sum_y_c
+  FROM base GROUP BY stratum
+)
+SELECT stratum, n, n_t, (n - n_t) AS n_c,
+       CAST(n_t AS DOUBLE) / n AS propensity,
+       sum_y_t / n_t AS mean_t,
+       sum_y_c / (n - n_t) AS mean_c,
+       sum_y_t / n_t - sum_y_c / (n - n_t) AS ate_stratum
+FROM s
+""",
+    tags=("events", "experimentation", "ipw", "causal"),
+)
+def ev_ipw_ate_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED INVERSE-PROPENSITY-WEIGHTED treatment effect — the
+    observational-data causal estimator (Horvitz-Thompson / Rosenbaum-
+    Rubin): within each stratum, weight treated outcomes by 1/p̂ and
+    controls by 1/(1−p̂) where p̂ is the stratum's empirical treatment
+    rate. With p̂ estimated from the SAME stratum, the HT estimator
+    collapses algebraically to the stratum difference-in-means —
+    Σy_t·(n/n_t)/n − Σy_c·(n/n_c)/n = ȳ_t − ȳ_c — so the query emits
+    the exact closed form: decimal-exact arm sums, ONE IEEE division
+    per mean, identical expression trees both engines. Treatment =
+    even user_id (a deterministic stand-in assignment), stratum =
+    event_type.
+
+    Per-stratum rows are the contract (no cross-stratum float
+    reduction — pooling ~6 stratum doubles would be the one
+    non-associative sum in the query; consumers pool with their own
+    variance weighting anyway, cf. ev_welch_ab_test / ev_cuped_*).
+
+    100 TB shape: one map-side-combined stratum aggregate over the
+    stream; output is O(strata)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        "value",
+    )
+    s = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("treated").cast("long").alias("n_t"),
+        dsum(F.when(F.col("treated") == 1, F.col("value"))).alias("sum_y_t"),
+        dsum(F.when(F.col("treated") == 0, F.col("value"))).alias("sum_y_c"),
+    )
+    return s.select(
+        "stratum",
+        "n",
+        "n_t",
+        (F.col("n") - F.col("n_t")).alias("n_c"),
+        (F.col("n_t").cast("double") / F.col("n")).alias("propensity"),
+        (F.col("sum_y_t") / F.col("n_t")).alias("mean_t"),
+        (F.col("sum_y_c") / (F.col("n") - F.col("n_t"))).alias("mean_c"),
+        (F.col("sum_y_t") / F.col("n_t")
+         - F.col("sum_y_c") / (F.col("n") - F.col("n_t")))
+        .alias("ate_stratum"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled by 2^32, floor'd to exact
+# integers so the weight draw is an INTEGER comparison in both engines
+# (u32 from md5 hex vs literal): P(X<=k) for k = 0..4; u >= the last
+# threshold draws weight 5.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+_BOOT_R = 32
+
+
+def _sql_pois_w(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_T[0]} THEN 0 "
+        f"WHEN {u} < {_POIS_T[1]} THEN 1 "
+        f"WHEN {u} < {_POIS_T[2]} THEN 2 "
+        f"WHEN {u} < {_POIS_T[3]} THEN 3 "
+        f"WHEN {u} < {_POIS_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "ev_poisson_bootstrap_ci",
+    oracle=f"""
+WITH p AS (SELECT event_id, value FROM events
+           WHERE event_type = 'purchase'),
+reps AS (SELECT unnest(range(0, {_BOOT_R})) AS r),
+w AS (
+  SELECT r.r,
+         {_sql_pois_w("('0x' || substr(md5(p.event_id || ':' || r.r), 1, 8))::BIGINT")}
+           AS wt,
+         p.value
+  FROM p CROSS JOIN reps r
+),
+boot AS (
+  SELECT r,
+         CAST(CAST(SUM(CAST(wt * value AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS mean_r
+  FROM w GROUP BY r
+),
+pt AS (
+  SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS est,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p
+)
+SELECT pt.est, pt.n,
+       CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+       (SELECT quantile_cont(mean_r, 0.025) FROM boot) AS boot_lo,
+       (SELECT quantile_cont(mean_r, 0.975) FROM boot) AS boot_hi
+FROM pt
+""",
+    tags=("events", "bootstrap", "poisson", "confidence-interval"),
+)
+def ev_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean purchase
+    value — THE bootstrap for cluster-scale data (Chamandy et al.,
+    Google 2012): classical resampling needs n draws from n rows
+    (a shuffle per replicate); the Poisson bootstrap gives each row
+    an IID Poisson(1) weight per replicate, so all {_BOOT_R}
+    replicates are computed in ONE streaming pass with map-side
+    weights — no resampling shuffle exists at all. Weights are drawn
+    deterministically: u32 = md5(event_id:replicate) prefix, compared
+    against floor(2^32·CDF) INTEGER thresholds (exact integer
+    comparisons — the float CDF never crosses an engine boundary).
+    Replicate means divide a decimal-exact weighted sum by an integer
+    weight total; the 2.5/97.5 percentile bracket runs over
+    {_BOOT_R} replicate doubles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, same interpolation).
+
+    100 TB shape: the replicate fan-out is a flatMap (×{_BOOT_R}
+    rows map-side, never materialized through a shuffle); the only
+    shuffle is the {_BOOT_R}-key partial aggregate; the CI reduce
+    touches {_BOOT_R} rows."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("r"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wt = (
+        F.when(u < _POIS_T[0], 0)
+        .when(u < _POIS_T[1], 1)
+        .when(u < _POIS_T[2], 2)
+        .when(u < _POIS_T[3], 3)
+        .when(u < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    boot = (
+        p.select("event_id", "value", reps)
+        .withColumn("wt", wt)
+        .groupBy("r")
+        .agg(
+            (dsum(F.col("wt") * F.col("value"))
+             / F.sum("wt").cast("double")).alias("mean_r")
+        )
+    )
+    pt = p.agg(
+        (dsum("value") / F.count(F.lit(1))).alias("est"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ci = boot.agg(
+        F.percentile("mean_r", 0.025).alias("boot_lo"),
+        F.percentile("mean_r", 0.975).alias("boot_hi"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "est",
+        "n",
+        F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+        "boot_lo",
+        "boot_hi",
+    )

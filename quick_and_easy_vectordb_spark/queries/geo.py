@@ -913,3 +913,115 @@ def geo_douglas_peucker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: geohash encoding.
+# ---------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = 5  # 25 bits: 13 longitude + 12 latitude
+
+
+def _gh_expr(shiftleft) -> str:
+    """Build the 25-bit interleaved geohash integer expression from
+    quantized `lonq` (13 bits) and `latq` (12 bits). `shiftleft`
+    formats a left shift for the target dialect (Spark SQL's
+    shiftleft() vs DuckDB's <<); right shifts are integer division by
+    a power of two — identical in both."""
+    terms = []
+    # even bit positions (from the top) take longitude bits, odd take
+    # latitude — the geohash standard's alternation, MSB first.
+    for i in range(13):  # lon bit i (0 = MSB of the 13)
+        bit = f"((lonq // {1 << (12 - i)}) % 2)"
+        terms.append(shiftleft(bit, 24 - 2 * i))
+    for i in range(12):  # lat bit i (0 = MSB of the 12)
+        bit = f"((latq // {1 << (11 - i)}) % 2)"
+        terms.append(shiftleft(bit, 23 - 2 * i))
+    return " + ".join(terms)
+
+
+def _gh_chars_expr(g: str) -> str:
+    """Base32 characters from the 25-bit integer ``g`` (dialect-
+    neutral: substr + integer division)."""
+    parts = [
+        f"substr('{_GH_ALPHABET}', CAST(({g}) // {1 << (20 - 5 * c)} % 32"
+        f" AS INT) + 1, 1)"
+        for c in range(_GH_CHARS)
+    ]
+    return " || ".join(parts)
+
+
+@query(
+    "geo_geohash_encode",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         CAST(floor((lat + 90.0) / 180.0 * 4096) AS BIGINT) AS latq,
+         CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS lonq
+  FROM p
+),
+g AS (SELECT c_custkey, {_gh_expr(lambda b, n: f"({b} * {1 << n})")} AS gh
+      FROM q),
+h AS (SELECT c_custkey, {_gh_chars_expr('gh')} AS geohash FROM g)
+SELECT substr(geohash, 1, 3) AS cell3,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT geohash) AS BIGINT) AS n_cells5,
+       MIN(geohash) AS first_hash,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM h GROUP BY 1
+""",
+    tags=("geo", "geohash", "encoding", "spatial-index"),
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH ENCODING (Niemeyer's base-32 Z-order curve) — the
+    textbook spatial partition key: quantize lon to 13 bits and lat
+    to 12, interleave MSB-first starting with longitude, emit 5
+    base-32 characters. The PREFIX property is what matters at scale:
+    a shared k-char prefix bounds spatial distance, so geohash
+    prefixes serve as partition keys, sort keys (spatial locality in
+    parquet row groups → zone-map pruning, cf. rel_zorder_clustering
+    — a geohash IS a Z-order key), and join-block keys (the grid of
+    geo_grid_knn_join, but hierarchical).
+
+    Everything is INTEGER bit arithmetic after one quantization per
+    coordinate (floor of the same literal expression both engines);
+    the interleave is a sum of shifted bits — no floats cross the
+    engine boundary past the deterministic two-decimal synthetic
+    coordinates. Output rolls up to the 3-char prefix (the
+    hierarchical aggregation every tile service runs), counting
+    points and distinct full-resolution cells per coarse cell.
+
+    100 TB shape: encoding is pure map-side codegen; the rollup is
+    one map-side-combinable aggregate on the prefix."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    q = c.select(
+        "c_custkey",
+        F.floor((_lat("c_custkey") + 90.0) / 180.0 * 4096)
+        .cast("long").alias("latq"),
+        F.floor((_lon("c_custkey") + 180.0) / 360.0 * 8192)
+        .cast("long").alias("lonq"),
+    )
+    g = q.selectExpr(
+        "c_custkey",
+        # `//` isn't Spark SQL — the fragment builder emits it, swap
+        # to DIV (identical BIGINT semantics for non-negative operands).
+        f"({_gh_expr(lambda b, n: f'shiftleft({b}, {n})')}) AS gh"
+        .replace("//", "DIV"),
+    )
+    h = g.selectExpr(
+        "c_custkey",
+        f"({_gh_chars_expr('gh')}) AS geohash".replace("//", "DIV"),
+    )
+    return h.groupBy(F.substring("geohash", 1, 3).alias("cell3")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("geohash").cast("long").alias("n_cells5"),
+        F.min("geohash").alias("first_hash"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+    )

@@ -1224,3 +1224,106 @@ def src_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     )
+
+
+@query(
+    "src_partition_evolution",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-12' AND '2024-01-18'
+GROUP BY 1
+""",
+    tags=("source", "partition-evolution", "lakehouse", "pruning"),
+)
+def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (the Iceberg flagship: change the
+    partitioning of a table WITHOUT rewriting old data — old files
+    keep the old spec, new files use the new one, and the planner
+    applies each spec's own pruning + residual): events before
+    2024-01-15 live in a WEEK-partitioned layout (the original
+    spec), later events in a DATE-partitioned layout (the evolved
+    spec). A query for 2024-01-12..18 straddles the spec boundary:
+
+      * old layout — partition pruning keeps only the 2 week dirs
+        overlapping the range, and the exact date bound is evaluated
+        as a RESIDUAL predicate on the event_date data column inside
+        those dirs (this spec can't prune to days — the residual is
+        what Iceberg calls the non-partition remainder of the
+        predicate);
+      * new layout — pruning hits the day dirs directly, no residual.
+
+    The union of both reads must equal the oracle's direct scan of
+    the original table over the same range — proving no row is lost,
+    duplicated, or double-pruned across the spec change. Layouts are
+    written once per process via the standard corpus writer.
+
+    100 TB shape: this is why partition evolution matters — changing
+    month→day partitioning on a 100 TB table by rewrite costs a full
+    pass; by spec evolution it costs zero bytes, at the price of the
+    residual evaluation on old files that this query exercises."""
+    import os
+
+    cutoff = "2024-01-15"
+    d, ready = _scratch_dir("part_evolution", sf_dir)
+    old_path = os.path.join(d, "events_by_week")
+    new_path = os.path.join(d, "events_by_date")
+    if not ready or not os.path.isdir(old_path):
+        from quick_and_easy_vectordb_spark.sources.writers import write_corpus
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+            .alias("event_week"),
+        )
+        write_corpus(
+            ev.filter(F.col("event_date") < cutoff).drop("event_date")
+            .withColumn("event_date",
+                        F.date_format(F.timestamp_micros("us"),
+                                      "yyyy-MM-dd")),
+            old_path,
+            partition_by="event_week",
+        )
+        write_corpus(
+            ev.filter(F.col("event_date") >= cutoff).drop("event_week"),
+            new_path,
+            partition_by="event_date",
+        )
+    lo, hi = "2024-01-12", "2024-01-18"
+    old = (
+        spark.read.parquet(old_path)
+        # week-dir pruning: only weeks whose 7-day span can overlap
+        # [lo, hi] survive (partition filter) …
+        .filter(
+            (F.col("event_week").cast("string") >= "2024-01-08")
+            & (F.col("event_week").cast("string") <= hi)
+        )
+        # … then the exact bound runs as the residual on the data col.
+        .filter(F.col("event_date").between(lo, hi))
+        .filter(F.col("event_date") < cutoff)
+        .select("event_id", "user_id", "value", "event_date")
+    )
+    new = (
+        spark.read.parquet(new_path)
+        .filter(F.col("event_date").cast("string").between(lo, hi))
+        .select("event_id", "user_id", "value",
+                F.col("event_date").cast("string").alias("event_date"))
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double").alias("total_value"),
+        )
+    )

@@ -2180,3 +2180,108 @@ def mm_median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sse_term(0) + sse_term(1) + sse_term(2)).alias("sse"),
         )
     )
+
+
+@query(
+    "mm_box_downsample",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         (i // 3) % w AS x, i // (3 * w) AS y, i % 3 AS ch,
+         (doc_id * 31 + i) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims)
+),
+ds AS (
+  SELECT doc_id, x // 2 AS ox, y // 2 AS oy, ch,
+         CAST(SUM(v) // 4 AS BIGINT) AS dv
+  FROM px
+  WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d.doc_id,
+       CAST(d.w // 2 AS BIGINT) AS out_w,
+       CAST(d.h // 2 AS BIGINT) AS out_h,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(ds.dv) AS BIGINT) AS checksum,
+       CAST(MIN(ds.dv) AS BIGINT) AS min_v,
+       CAST(MAX(ds.dv) AS BIGINT) AS max_v
+FROM ds JOIN dims d ON d.doc_id = ds.doc_id
+GROUP BY d.doc_id, d.w, d.h
+""",
+    tags=("multimodal", "resize", "box-filter", "decode", "mapInPandas"),
+)
+def mm_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 BOX-FILTER DOWNSAMPLE (the thumbnail / pyramid-level
+    operator; one level of a mipmap chain): each document's synthetic
+    P6 RGB raster (pixel value (doc_id·31 + i) mod 256 over the flat
+    RGB stream) is decoded by the REAL pure-python parser
+    (operators/multimodal.py:decode_image), then reduced 2×2 → 1 with
+    EXACT integer arithmetic — each output value is the floor of the
+    four-pixel mean ((a+b+c+d) // 4), odd trailing row/column dropped
+    (floor semantics, the convention cv2.resize INTER_AREA shares for
+    even factors). The filter itself runs VECTORIZED inside the Arrow
+    batch (numpy reshape-and-sum over the decoded array — no per-pixel
+    Python), and the oracle recomputes every output value from the
+    closed-form pixel formula, so the hash certifies decode + reshape
+    + integer reduction end to end.
+
+    Per-doc outputs: output dims, value count, checksum (exact sum of
+    all downsampled values), min/max.
+
+    100 TB shape: one Arrow mapInPandas pass (decode + filter fused,
+    zero shuffle — resolution reduction happens BEFORE any exchange,
+    which is the point: ship 1/4 of the pixels), then one doc-keyed
+    aggregate over downsampled rows."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dv": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload).astype(np.int64)  # (h, w, 3)
+                ow, oh = w // 2, h // 2
+                crop = img[: 2 * oh, : 2 * ow, :]
+                ds = (
+                    crop.reshape(oh, 2, ow, 2, 3).sum(axis=(1, 3)) // 4
+                )
+                out["doc_id"].extend([doc_id] * ds.size)
+                out["dv"].extend(ds.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    ds = docs.mapInPandas(run, "doc_id long, dv long")
+    dims = docs.select(
+        "doc_id",
+        ((8 + F.col("doc_id") % 8) / 2).cast("long").alias("out_w"),
+        ((8 + F.col("doc_id") % 5) / 2).cast("long").alias("out_h"),
+    )
+    return (
+        ds.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("dv").cast("long").alias("checksum"),
+            F.min("dv").cast("long").alias("min_v"),
+            F.max("dv").cast("long").alias("max_v"),
+        )
+        .join(dims, "doc_id")
+        .select("doc_id", "out_w", "out_h", "n_values",
+                "checksum", "min_v", "max_v")
+    )

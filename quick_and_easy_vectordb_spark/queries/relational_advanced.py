@@ -2123,3 +2123,116 @@ def rel_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_dec").cast("string").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "rel_ivm_join_delta",
+    oracle=f"""
+WITH o_final AS (
+  SELECT * FROM orders WHERE o_orderkey % 17 <> 0 OR o_orderkey % 13 = 0
+),
+c_final AS (SELECT c_custkey, c_mktsegment FROM customer)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_dsum('o.o_totalprice')} AS revenue
+FROM o_final o JOIN c_final c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("relational", "ivm", "incremental", "join"),
+)
+def rel_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE OF A JOIN VIEW — the bilinear delta
+    rule Δ(A ⋈ B) = ΔA ⋈ B + A ⋈ ΔB + ΔA ⋈ ΔB, applied to a
+    per-segment revenue rollup of orders ⋈ customer, with
+    SIMULTANEOUS deltas on both sides:
+
+      * fact side: base orders exclude keys ≡ 0 (mod 13); the delta
+        INSERTS those and DELETES keys ≡ 0 (mod 17) from the base.
+      * dimension side: in the base state every customer with
+        c_custkey ≡ 0 (mod 19) was filed under segment 'MACHINERY';
+        the delta re-files them under their true segment (an UPDATE =
+        signed delete + insert — the SCD-style segment move).
+
+    The Spark side NEVER recomputes the view from the final state:
+    it aggregates the three sign-weighted delta joins (sign = s_A·s_B
+    for the ΔA ⋈ ΔB term) plus the base view, merges, and drops
+    zero-count groups. The oracle IS the full recomputation over the
+    final state — the hash match is the soundness proof of the
+    bilinear rule, exactly like rel_mv_rollup_rewrite proves the
+    rollup rewrite. Revenue stays DECIMAL(30,10) through every term
+    so the merge is associative (bit-stable under any partitioning).
+
+    100 TB shape: the nightly pattern — base view is a stored
+    O(segments) table; only the changesets (orders of magnitude
+    smaller than the fact) are scanned; ΔO joins the dimension
+    broadcast, O_base ⋈ ΔC is the one fact-sided scan but against a
+    BROADCAST changed-key list and prunable to affected partitions;
+    ΔO ⋈ ΔC is tiny×tiny."""
+    _DEC = "decimal(30,10)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+
+    o_base = o.filter(F.col("o_orderkey") % 13 != 0)
+    do_ins = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "s_o", F.lit(1).cast("long"))
+    do_del = o_base.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "s_o", F.lit(-1).cast("long"))
+    delta_o = do_ins.unionByName(do_del)
+
+    moved = F.col("c_custkey") % 19 == 0
+    c_base = c.select(
+        "c_custkey",
+        F.when(moved, F.lit("MACHINERY")).otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    c_moved = c.filter(moved & (F.col("c_mktsegment") != "MACHINERY"))
+    delta_c = (
+        c_moved.select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            F.lit(-1).cast("long").alias("s_c"),
+        )
+    ).unionByName(
+        c_moved.select(
+            "c_custkey", "c_mktsegment", F.lit(1).cast("long").alias("s_c")
+        )
+    )
+
+    def agg(df: DataFrame, sign: F.Column) -> DataFrame:
+        return df.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign.cast(_DEC) * F.col("o_totalprice").cast(_DEC))
+            .cast(_DEC).alias("dr"),
+        )
+
+    base_view = agg(
+        o_base.join(c_base, o_base.o_custkey == c_base.c_custkey),
+        F.lit(1).cast("long"),
+    )
+    t1 = agg(  # ΔA ⋈ B
+        delta_o.join(c_base, delta_o.o_custkey == c_base.c_custkey),
+        F.col("s_o"),
+    )
+    t2 = agg(  # A ⋈ ΔB
+        o_base.join(
+            F.broadcast(delta_c), o_base.o_custkey == delta_c.c_custkey),
+        F.col("s_c"),
+    )
+    t3 = agg(  # ΔA ⋈ ΔB
+        delta_o.join(
+            F.broadcast(delta_c), delta_o.o_custkey == delta_c.c_custkey),
+        F.col("s_o") * F.col("s_c"),
+    )
+    merged = (
+        base_view.unionByName(t1).unionByName(t2).unionByName(t3)
+        .groupBy("segment")
+        .agg(F.sum("dn").alias("n"), F.sum("dr").cast(_DEC).alias("rev"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("rev").cast("double").alias("revenue"),
+    )
