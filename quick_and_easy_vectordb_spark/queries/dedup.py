@@ -2216,13 +2216,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = centroids_by_key(emb, "embedding", "label").select(
         F.col("key").alias("label"), F.col("centroid")
     )
+    # cs feeds three consumers (both self-join sides + the final
+    # count); persist so the centroid aggregation runs once, not 3x.
     cs = emb.join(F.broadcast(cent), "label").select(
         "label",
         "vec_id",
         "embedding",
         cosine_similarity(F.col("embedding"), F.col("centroid"))
         .alias("cent_cos"),
-    )
+    ).persist()
     a = cs.select(
         "label",
         F.col("vec_id").alias("id_a"),

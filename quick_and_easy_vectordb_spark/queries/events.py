@@ -6831,16 +6831,18 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_trans")
     )
-    tot = tr.groupBy("from_type").agg(
-        F.sum("n_trans").cast("long").alias("from_total")
-    )
-    return tr.join(F.broadcast(tot), "from_type").select(
+    # Row totals as a window over the |types|²-row matrix — NOT a
+    # self-join back through the aggregate, which would recompute the
+    # event-stream lineage twice (the plan doubled to 7 shuffles that
+    # way; this shape is one stream shuffle + one matrix-local window).
+    w_tot = Window.partitionBy("from_type")
+    return tr.select(
         "from_type",
         "to_type",
         "n_trans",
-        "from_total",
-        (F.col("n_trans").cast("double") / F.col("from_total"))
-        .alias("p_hat"),
+        F.sum("n_trans").over(w_tot).cast("long").alias("from_total"),
+        (F.col("n_trans").cast("double")
+         / F.sum("n_trans").over(w_tot)).alias("p_hat"),
     )
 
 

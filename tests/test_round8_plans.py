@@ -41,3 +41,65 @@ def test_pack_sequences_scan_prunes_to_two_columns(spark, sf_dir):
     df = QUERIES["text_pack_sequences"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dsir_feature_table_is_broadcast(spark, sf_dir):
+    """The 256-row importance-score table must reach the token stream
+    as a broadcast — a shuffled join here would re-shuffle the whole
+    corpus on the feature bucket."""
+    df = QUERIES["text_importance_resampling"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # selection windows run per source over doc rows, never token rows
+    assert "windowspecdefinition(source" in plan
+
+
+def test_poisson_bootstrap_has_no_resampling_shuffle(spark, sf_dir):
+    """The replicate fan-out is a map-side explode; the only shuffles
+    are the 32-key replicate aggregate, the 1-row point estimate, and
+    the CI reduce — never a per-replicate resample of the corpus."""
+    df = QUERIES["ev_poisson_bootstrap_ci"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "explode" in plan
+    assert shuffle_count(df) <= 4
+    assert "SortMergeJoin" not in plan  # CI attaches via broadcast
+
+
+def test_markov_single_stream_window(spark, sf_dir):
+    """One user-keyed sort window over the stream; the row-normalizing
+    totals are a window over the |types|^2 matrix, NOT a join that
+    recomputes the stream lineage (the shape this pin guards against
+    doubled the plan to 7 shuffles)."""
+    df = QUERIES["ev_markov_transitions"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("windowspecdefinition(user_id") == 1
+    assert "windowspecdefinition(from_type" in plan
+    assert "Join" not in plan
+
+
+def test_semdedup_blocked_join_no_cartesian(spark, sf_dir):
+    """Pair generation must be the label equi-join; centroids reach
+    the rows as a broadcast."""
+    df = QUERIES["dedup_semdedup"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivm_join_delta_dimension_deltas_broadcast(spark, sf_dir):
+    """The changed-customer list joins the base fact as a broadcast —
+    the one fact-sided term must not shuffle the fact on the join key."""
+    df = QUERIES["rel_ivm_join_delta"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geohash_is_pure_map_side_plus_one_aggregate(spark, sf_dir):
+    """Encode is codegen projection; the only exchange pair is the
+    prefix rollup (partial + final around one shuffle)."""
+    df = QUERIES["geo_geohash_encode"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2  # rollup + countDistinct expand
