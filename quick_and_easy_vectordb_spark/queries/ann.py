@@ -1838,3 +1838,97 @@ def ann_residual_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: deterministic k-means++-style seeding (farthest-point).
+# ---------------------------------------------------------------------------
+
+_KPP_K = 4
+
+
+def _kpp_sel(prev_ctes: list[str], chosen: list[str]) -> str:
+    """SQL for selecting the next farthest point given chosen CTEs."""
+    dists = [f"{sql_l2(_EMB, f'{c}.v')}" for c in chosen]
+    mind = dists[0] if len(dists) == 1 else f"LEAST({', '.join(dists)})"
+    froms = ", ".join(chosen)
+    return (
+        f"SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {mind} AS m "
+        f"FROM embeddings e, {froms} "
+        f"ORDER BY {mind} DESC, e.vec_id LIMIT 1"
+    )
+
+
+def _kpp_oracle() -> str:
+    ctes = [
+        f"c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        f" sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        f" AS m FROM embeddings ORDER BY m DESC, vec_id LIMIT 1)"
+    ]
+    for i in range(1, _KPP_K):
+        chosen = [f"c{j}" for j in range(i)]
+        ctes.append(f"c{i} AS ({_kpp_sel(ctes, chosen)})")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, m AS sel_metric FROM c{i}"
+        for i in range(_KPP_K)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(step AS BIGINT) AS step,"
+          f" CAST(vec_id AS BIGINT) AS vec_id, sel_metric FROM ({sel})"
+    )
+
+
+@query(
+    "ann_kmeans_pp_init",
+    oracle=_kpp_oracle(),
+    tags=("ann", "kmeans", "seeding", "farthest-point"),
+)
+def ann_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS++-STYLE SEEDING, deterministic farthest-point variant
+    (Gonzalez 1985 k-center greedy — the derandomized form of
+    k-means++'s D² sampling, which picks proportional to the same
+    distance the greedy maximizes): seed 0 is the max-norm vector,
+    each next seed the vector MAXIMIZING its distance to the nearest
+    chosen seed (vec_id tiebreak). Spreads seeds to the corpus
+    extremes — the property that makes ++ init beat random init —
+    with zero randomness, so both engines derive the identical seed
+    sequence and the row hash pins it.
+
+    Driver loop: k − 1 = 3 rounds, each collecting exactly ONE row
+    (the argmax — TakeOrderedAndProject over a scan with the
+    current seeds folded in as literals, the same O(k·dim)
+    collect-bounded pattern as ann_kmeans_iterated's MLlib-style
+    update). No corpus data beyond one vector per round reaches the
+    driver; each round is a full scan — k scans total, which is the
+    textbook cost of greedy k-center.
+
+    Reference basis: app.py has no index at all (O(N·d) flat scan per
+    query, app.py:40-48); this is the train step its scale-up needs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    first = (
+        emb.select("vec_id", "embedding", norm.alias("m"))
+        .orderBy(F.desc("m"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(0, first.vec_id, first.m, list(first.embedding))]
+    for step in range(1, _KPP_K):
+        dists = [
+            l2_distance(F.col("embedding"), vector_literal(v))
+            for (_, _, _, v) in chosen
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        nxt = (
+            emb.select("vec_id", "embedding", mind.alias("m"))
+            .orderBy(F.desc("m"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((step, nxt.vec_id, nxt.m, list(nxt.embedding)))
+    return spark.createDataFrame(
+        [(s, int(vid), float(m)) for (s, vid, m, _) in chosen],
+        "step long, vec_id long, sel_metric double",
+    )

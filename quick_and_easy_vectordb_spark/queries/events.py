@@ -7034,3 +7034,183 @@ def ev_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_lo",
         "boot_hi",
     )
+
+
+@query(
+    "ev_qini_uplift",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS score,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT treated, conv,
+         NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM u
+),
+d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+         CAST(SUM(treated * conv) AS BIGINT) AS conv_t,
+         CAST(SUM((1 - treated) * conv) AS BIGINT) AS conv_c
+  FROM r GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n, n_t, n_c, conv_t, conv_c,
+       CAST(SUM(conv_t) OVER w AS BIGINT) AS conv_t_cum,
+       CAST(SUM(conv_c) OVER w AS BIGINT) AS conv_c_cum,
+       CAST(SUM(conv_t) OVER w AS DOUBLE)
+         - CAST(SUM(conv_c) OVER w * SUM(n_t) OVER w AS DOUBLE)
+           / (SUM(n_c) OVER w) AS qini
+FROM d
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""",
+    tags=("events", "experimentation", "uplift", "qini"),
+)
+def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI CURVE for uplift evaluation (Radcliffe 2007) — the
+    incremental-conversions-vs-targeting-depth curve every uplift
+    model is judged by: rank users by a score (here their exact
+    total event value), cut into NTILE deciles, and report cumulative
+    qini(k) = T_conv(k) − C_conv(k)·N_t(k)/N_c(k) — the conversions
+    gained over a control scaled to the treated volume.
+
+    Exactness: user scores divide a decimal-exact sum once; deciles
+    use the DISTRIBUTED NTILE construction (rel_ntile_deciles' two-
+    level rank: range-bucket shuffle + local row_number + broadcast
+    offsets — never a single-partition window over users); all
+    decile tallies are integers; qini is one multiply + one division
+    + one subtract in the same tree both engines.
+
+    100 TB shape: one user aggregate over the stream, one bucket
+    shuffle over user-level rows, cumulative window over 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        dsum("value").alias("score"),
+        F.max((F.col("user_id") % 2 == 0).cast("int")).alias("treated"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    b = u.select(
+        "user_id",
+        "treated",
+        "conv",
+        "score",
+        F.floor(-F.col("score") / F.lit(25.0)).alias("bkt"),
+    )
+    wloc = Window.partitionBy("bkt").orderBy(F.desc("score"), F.asc("user_id"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+            F.sum("cnt").over(wall).alias("n_total"),
+        )
+    )
+    ranked = b.join(F.broadcast(offsets), "bkt").select(
+        "treated",
+        "conv",
+        (F.col("off") + F.row_number().over(wloc)).alias("r"),
+        "n_total",
+    )
+    k = F.lit(10)
+    size = (F.col("n_total") / k).cast("long")
+    rem = F.col("n_total") % k
+    r0 = F.col("r") - 1
+    decile = F.when(
+        r0 < rem * (size + 1), (r0 / (size + 1)).cast("long") + 1
+    ).otherwise(rem + ((r0 - rem * (size + 1)) / size).cast("long") + 1)
+    d = (
+        ranked.select(decile.alias("decile"), "treated", "conv")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("treated").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("treated")).cast("long").alias("n_c"),
+            F.sum(F.col("treated") * F.col("conv")).cast("long")
+            .alias("conv_t"),
+            F.sum((1 - F.col("treated")) * F.col("conv")).cast("long")
+            .alias("conv_c"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n", "n_t", "n_c", "conv_t", "conv_c",
+        F.sum("conv_t").over(wcum).cast("long").alias("conv_t_cum"),
+        F.sum("conv_c").over(wcum).cast("long").alias("conv_c_cum"),
+        (
+            F.sum("conv_t").over(wcum).cast("double")
+            - (F.sum("conv_c").over(wcum) * F.sum("n_t").over(wcum))
+            .cast("double") / F.sum("n_c").over(wcum)
+        ).alias("qini"),
+    )
+
+
+@query(
+    "ev_srm_guardrail",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+  FROM events
+),
+d AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c
+  FROM du GROUP BY day
+)
+SELECT day, n_t, n_c,
+       CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c) AS chi2,
+       CASE WHEN (n_t - n_c) * (n_t - n_c) * 100 > 384 * (n_t + n_c)
+            THEN 1 ELSE 0 END AS srm_flag
+FROM d
+""",
+    tags=("events", "experimentation", "srm", "guardrail"),
+)
+def ev_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail — the first check every A/B
+    platform runs before reading any metric: with a 50/50 split, the
+    per-day distinct-user counts per arm must not diverge beyond
+    chance, or the assignment/logging pipeline is broken and every
+    downstream readout is invalid. For two equal-expectation cells
+    the chi-square statistic collapses to (n_t − n_c)²/(n_t + n_c)
+    — an integer numerator and ONE division; the 95% breach flag is
+    the INTEGER-SCALED comparison d²·100 > 384·n (3.84 = χ²₁ at
+    0.05), so no float threshold crosses the engine boundary.
+
+    100 TB shape: one (day, user) distinct (map-side partial), one
+    day aggregate; output O(days)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    d = du.groupBy("day").agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("int")).cast("long")
+        .alias("n_t"),
+        F.sum((F.col("user_id") % 2 == 1).cast("int")).cast("long")
+        .alias("n_c"),
+    )
+    diff = F.col("n_t") - F.col("n_c")
+    tot = F.col("n_t") + F.col("n_c")
+    return d.select(
+        "day",
+        "n_t",
+        "n_c",
+        ((diff * diff).cast("double") / tot).alias("chi2"),
+        F.when(diff * diff * 100 > 384 * tot, 1).otherwise(0)
+        .alias("srm_flag"),
+    )

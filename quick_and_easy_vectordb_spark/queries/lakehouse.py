@@ -1327,3 +1327,138 @@ def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("total_value"),
         )
     )
+
+
+_BLOOM_FILES = 16
+# 63, not 64: DuckDB raises on 1::BIGINT << 63 (shift into the sign
+# bit), so the bitmap uses bits 0..62 of the BIGINT in both engines.
+_BLOOM_BITS = 63
+_BLOOM_PROBES = (7, 100, 555, 31, 12)
+
+
+def _sql_bit(expr: str, salt: int) -> str:
+    return (f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':{salt}'),"
+            f" 1, 8))::BIGINT % {_BLOOM_BITS})")
+
+
+@query(
+    "src_bloom_filter_skipping",
+    oracle=f"""
+WITH f AS (
+  SELECT event_id % {_BLOOM_FILES} AS file_id, user_id FROM events
+),
+blooms AS (
+  SELECT file_id,
+         bit_or((1::BIGINT << {_sql_bit('user_id', 1)})
+                | (1::BIGINT << {_sql_bit('user_id', 2)})) AS bloom
+  FROM f GROUP BY file_id
+),
+probes AS (SELECT unnest([{", ".join(str(p) for p in _BLOOM_PROBES)}])
+             AS probe_user),
+masks AS (
+  SELECT probe_user,
+         (1::BIGINT << {_sql_bit('probe_user', 1)})
+           | (1::BIGINT << {_sql_bit('probe_user', 2)}) AS mask
+  FROM probes
+),
+cand AS (
+  SELECT m.probe_user, b.file_id
+  FROM masks m JOIN blooms b ON (b.bloom & m.mask) = m.mask
+),
+truth AS (
+  SELECT DISTINCT user_id AS probe_user, file_id FROM f
+  WHERE user_id IN ({", ".join(str(p) for p in _BLOOM_PROBES)})
+)
+SELECT m.probe_user,
+       CAST((SELECT COUNT(*) FROM cand c
+             WHERE c.probe_user = m.probe_user) AS BIGINT)
+         AS n_candidate_files,
+       CAST((SELECT COUNT(*) FROM truth t
+             WHERE t.probe_user = m.probe_user) AS BIGINT)
+         AS n_true_files,
+       CAST((SELECT COUNT(*) FROM cand c
+             WHERE c.probe_user = m.probe_user) AS BIGINT)
+         - CAST((SELECT COUNT(*) FROM truth t
+                 WHERE t.probe_user = m.probe_user) AS BIGINT)
+         AS n_false_positive_files
+FROM masks m
+""",
+    tags=("source", "bloom-filter", "file-skipping", "lakehouse"),
+)
+def src_bloom_filter_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM-FILTER SKIPPING — the point-lookup complement to
+    zone maps (src_zone_map_skipping): min/max stats can't prune files
+    for a high-cardinality equality probe (every file's [min,max]
+    spans most user_ids), but a {_BLOOM_BITS}-bit Bloom bitmap per
+    file (k = 2 md5-derived hash functions — the double-hashing
+    construction; 63 usable BIGINT bits) answers "might this file contain user X?" with NO
+    false negatives, so a reader opens only candidate files. This is
+    Parquet's bloom_filter column index / Iceberg puffin blob,
+    hand-rolled on integer bit arithmetic: the bitmap is a BIGINT
+    bit_or aggregate; the membership test one AND+compare per
+    (probe, file).
+
+    The output certifies both directions: n_true_files counts files
+    that REALLY contain each probe (every one also a candidate — the
+    no-false-negative contract, visible as n_false_positive_files ≥
+    0), and the false-positive overhang is exactly reproducible
+    because the hash bits are md5-derived in both engines.
+
+    100 TB shape: bitmap build is one map-side-combined {_BLOOM_FILES}-key
+    aggregate (8 bytes/file of state); probing touches the
+    O(files)-row bloom table, never the data — the entire point."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        (F.col("event_id") % _BLOOM_FILES).alias("file_id"), "user_id"
+    )
+
+    # F.shiftleft takes a Python-int bit count; a per-row bit column
+    # needs the SQL form, so the mask is one F.expr mirroring the
+    # oracle's fragment exactly.
+    def mask_sql(name: str) -> str:
+        def bit(salt: int) -> str:
+            return (
+                f"(cast(conv(substr(md5(concat(cast({name} as string),"
+                f" ':{salt}')), 1, 8), 16, 10) as bigint) % {_BLOOM_BITS})"
+            )
+        return (
+            f"(shiftleft(cast(1 as bigint), cast({bit(1)} as int))"
+            f" | shiftleft(cast(1 as bigint), cast({bit(2)} as int)))"
+        )
+
+    blooms = f.groupBy("file_id").agg(
+        F.bit_or(F.expr(mask_sql("user_id"))).alias("bloom")
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in _BLOOM_PROBES], "probe_user long"
+    ).withColumn("mask", F.expr(mask_sql("probe_user")))
+    cand = (
+        probes.join(
+            F.broadcast(blooms),
+            (F.col("bloom").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy("probe_user")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_files"))
+    )
+    truth = (
+        f.filter(F.col("user_id").isin(*[int(p) for p in _BLOOM_PROBES]))
+        .select(F.col("user_id").alias("probe_user"), "file_id")
+        .distinct()
+        .groupBy("probe_user")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_files"))
+    )
+    return (
+        probes.select("probe_user")
+        .join(cand, "probe_user", "left")
+        .join(truth, "probe_user", "left")
+        .select(
+            "probe_user",
+            F.coalesce("n_candidate_files", F.lit(0).cast("long"))
+            .alias("n_candidate_files"),
+            F.coalesce("n_true_files", F.lit(0).cast("long"))
+            .alias("n_true_files"),
+            (F.coalesce("n_candidate_files", F.lit(0).cast("long"))
+             - F.coalesce("n_true_files", F.lit(0).cast("long")))
+            .alias("n_false_positive_files"),
+        )
+    )
