@@ -14,6 +14,7 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
     jaccard_pairs,
+    lsh_band_table,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_table,
@@ -2257,4 +2258,192 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("rm").cast("long").alias("n_removed"),
             (F.count(F.lit(1)) - F.count("rm")).cast("long").alias("n_kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: bloom-prefiltered incremental admission.
+# ---------------------------------------------------------------------------
+
+_BPF_WORDS = 256           # bloom words per band
+_BPF_BITS = 63             # usable bits per BIGINT word (see lakehouse)
+_BPF_M = _BPF_WORDS * _BPF_BITS
+
+
+def _bpf_h(key: str, pos: int) -> str:
+    return f"(('0x' || substr(md5({key}), {pos}, 8))::BIGINT % {_BPF_M})"
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bandt AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // 3
+),
+oldb AS (SELECT DISTINCT band, key FROM bandt
+         WHERE doc_id < {_INCR_NEW_START}),
+newb AS (SELECT doc_id, band, key FROM bandt
+         WHERE doc_id >= {_INCR_NEW_START}),
+bloom AS (
+  SELECT band, h // {_BPF_BITS} AS word,
+         bit_or(1::BIGINT << CAST(h % {_BPF_BITS} AS INT)) AS bits
+  FROM (
+    SELECT band, {_bpf_h('key', 1)} AS h FROM oldb
+    UNION ALL
+    SELECT band, {_bpf_h('key', 9)} AS h FROM oldb
+  ) GROUP BY 1, 2
+),
+probe AS (
+  SELECT n.doc_id, n.band, n.key,
+         {_bpf_h('n.key', 1)} AS ha, {_bpf_h('n.key', 9)} AS hb
+  FROM newb n
+),
+hit AS (
+  SELECT p.doc_id, p.band, p.key,
+         CASE WHEN b1.bits IS NOT NULL
+                AND (b1.bits & (1::BIGINT << CAST(p.ha % {_BPF_BITS} AS INT)))
+                      <> 0
+                AND b2.bits IS NOT NULL
+                AND (b2.bits & (1::BIGINT << CAST(p.hb % {_BPF_BITS} AS INT)))
+                      <> 0
+              THEN 1 ELSE 0 END AS bloom_hit
+  FROM probe p
+  LEFT JOIN bloom b1 ON b1.band = p.band AND b1.word = p.ha // {_BPF_BITS}
+  LEFT JOIN bloom b2 ON b2.band = p.band AND b2.word = p.hb // {_BPF_BITS}
+),
+truth AS (
+  SELECT n.doc_id, n.band, 1 AS true_match
+  FROM newb n JOIN oldb o ON o.band = n.band AND o.key = n.key
+),
+per_doc AS (
+  SELECT h.doc_id,
+         CAST(SUM(h.bloom_hit) AS BIGINT) AS n_band_hits,
+         CAST(COUNT(t.true_match) AS BIGINT) AS n_true_band_matches
+  FROM hit h
+  LEFT JOIN truth t ON t.doc_id = h.doc_id AND t.band = h.band
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_band_hits, n_true_band_matches,
+       CASE WHEN n_band_hits = 0 THEN 1 ELSE 0 END AS fast_admitted,
+       CASE WHEN n_band_hits > 0 THEN 1 ELSE 0 END AS needs_verify
+FROM per_doc
+""",
+    tags=("dedup", "bloom", "incremental", "admission"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED INCREMENTAL ADMISSION — the O(1)-state fast
+    path in front of dedup_incremental_minhash: the day-1 index's
+    band keys are folded into per-band Bloom bitmaps
+    ({_BPF_WORDS} × {_BPF_BITS}-bit words per band, k = 2 hash
+    windows of one md5), and a day-2 document whose EVERY band misses
+    the bloom is admitted immediately — by the no-false-negative
+    guarantee it cannot collide with any indexed band, so it needs NO
+    join against the index at all. Only bloom-hit bands proceed to
+    the exact (band, key) probe. The output pins the guarantee row by
+    row: n_true_band_matches ≤ n_band_hits always, and every truly
+    colliding doc has needs_verify = 1.
+
+    100 TB shape: the bloom table is O(bands · words) = {4 * _BPF_WORDS}
+    BIGINTs REGARDLESS of index size — it broadcasts where the
+    band-key index cannot; the expensive index equi-join runs only on
+    the bloom-hit fraction (tunable via m/n). This is the admission
+    architecture of production dedup services (index in a KV store,
+    bloom in RAM at the ingest edge)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    bands = lsh_band_table(minhash_signatures(sh, NUM_HASHES), NUM_HASHES, 4)
+    oldb = (
+        bands.filter(F.col("id") < _INCR_NEW_START)
+        .select("band", "key").distinct()
+    )
+    newb = bands.filter(F.col("id") >= _INCR_NEW_START)
+
+    def h(key: str, pos: int) -> str:
+        return (
+            f"(cast(conv(substr(md5({key}), {pos}, 8), 16, 10) as bigint)"
+            f" % {_BPF_M})"
+        )
+
+    bloom = (
+        oldb.selectExpr(f"band", f"{h('key', 1)} AS hh")
+        .unionByName(oldb.selectExpr("band", f"{h('key', 9)} AS hh"))
+        .selectExpr(
+            "band",
+            f"hh div {_BPF_BITS} AS word",
+            f"shiftleft(cast(1 as bigint),"
+            f" cast(hh % {_BPF_BITS} as int)) AS m",
+        )
+        .groupBy("band", "word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probe = newb.selectExpr(
+        "id AS doc_id", "band", "key",
+        f"{h('key', 1)} AS ha", f"{h('key', 9)} AS hb",
+    )
+    b1 = bloom.select(
+        F.col("band").alias("band1"), F.col("word").alias("word1"),
+        F.col("bits").alias("bits1"))
+    b2 = bloom.select(
+        F.col("band").alias("band2"), F.col("word").alias("word2"),
+        F.col("bits").alias("bits2"))
+    hit = (
+        probe.join(
+            F.broadcast(b1),
+            (F.col("band1") == F.col("band"))
+            & (F.col("word1") == F.expr(f"ha div {_BPF_BITS}")),
+            "left",
+        )
+        .join(
+            F.broadcast(b2),
+            (F.col("band2") == F.col("band"))
+            & (F.col("word2") == F.expr(f"hb div {_BPF_BITS}")),
+            "left",
+        )
+        .selectExpr(
+            "doc_id", "band", "key",
+            f"CASE WHEN bits1 IS NOT NULL"
+            f" AND (bits1 & shiftleft(cast(1 as bigint),"
+            f"      cast(ha % {_BPF_BITS} as int))) <> 0"
+            f" AND bits2 IS NOT NULL"
+            f" AND (bits2 & shiftleft(cast(1 as bigint),"
+            f"      cast(hb % {_BPF_BITS} as int))) <> 0"
+            f" THEN 1 ELSE 0 END AS bloom_hit",
+        )
+    )
+    truth = (
+        newb.select(F.col("id").alias("doc_id"), "band", "key")
+        .join(oldb, ["band", "key"], "left_semi")
+        .select("doc_id", "band")
+        .withColumn("true_match", F.lit(1))
+    )
+    per_doc = (
+        hit.join(truth, ["doc_id", "band"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").cast("long").alias("n_band_hits"),
+            F.count("true_match").cast("long").alias("n_true_band_matches"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_band_hits",
+        "n_true_band_matches",
+        F.when(F.col("n_band_hits") == 0, 1).otherwise(0)
+        .alias("fast_admitted"),
+        F.when(F.col("n_band_hits") > 0, 1).otherwise(0)
+        .alias("needs_verify"),
     )

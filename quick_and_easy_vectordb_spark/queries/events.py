@@ -7214,3 +7214,103 @@ def ev_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(diff * diff * 100 > 384 * tot, 1).otherwise(0)
         .alias("srm_flag"),
     )
+
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+_ATTR_SCALE = 1_000_000
+
+
+@query(
+    "ev_multitouch_attribution",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'purchase'
+),
+tp AS (
+  SELECT p.conv_id, e.event_type AS channel, epoch_us(e.ts) AS tus,
+         e.event_id
+  FROM p JOIN events e ON e.user_id = p.user_id
+  WHERE e.event_type <> 'purchase'
+    AND epoch_us(e.ts) < p.cus
+    AND epoch_us(e.ts) >= p.cus - {_ATTR_WINDOW_US}
+),
+r AS (
+  SELECT conv_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY tus ASC, event_id ASC) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY tus DESC, event_id DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+  FROM tp
+)
+SELECT channel,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_convs,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch_convs,
+       CAST(SUM({_ATTR_SCALE} // n_touches) AS BIGINT)
+         AS linear_credit_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_touches_total
+FROM r GROUP BY channel
+""",
+    tags=("events", "attribution", "multitouch", "marketing"),
+)
+def ev_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION under three industry rule sets in one
+    pass — last-touch, first-touch, and linear — over each purchase's
+    24-hour lookback of same-user non-purchase touchpoints. The three
+    models are columns of ONE per-conversion ranking (two row_numbers
+    + a count over the same window partition), so comparing rule sets
+    costs nothing extra — the comparison IS the deliverable (how much
+    credit moves when the model changes). Linear credit is the
+    fixed-point integer 10^6 div n_touches summed as BIGINTs — no
+    float fraction accumulation (total credit under-counts by the
+    division remainder per conversion; exact and documented, the
+    standard fixed-point trade; cf. ev_shapley_attribution for the
+    axiomatic model). Conversions with an empty lookback simply have
+    no touch rows — they appear in no channel (orphan conversions are
+    a separate count query by construction). Time bounds compare
+    integer epoch-micros — no timestamp arithmetic crosses engines.
+
+    100 TB shape: the lookback is a user-keyed equi-join with a time
+    residual (the as-of/range-join discipline: the shuffle key is
+    user_id, the 24 h predicate filters within the user's partition);
+    per-conversion windows partition on conv_id (bounded by a user's
+    touch rate); final channel rollup is map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.unix_micros("ts").alias("cus"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    tp = p.join(e, "user_id").filter(
+        (F.col("tus") < F.col("cus"))
+        & (F.col("tus") >= F.col("cus") - _ATTR_WINDOW_US)
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.asc("tus"), F.asc("event_id"))
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("tus"), F.desc("event_id"))
+    w_n = Window.partitionBy("conv_id")
+    r = tp.select(
+        "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+    )
+    return r.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).cast("long")
+        .alias("last_touch_convs"),
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).cast("long")
+        .alias("first_touch_convs"),
+        F.sum(F.expr(f"{_ATTR_SCALE} div n_touches")).cast("long")
+        .alias("linear_credit_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_touches_total"),
+    )
