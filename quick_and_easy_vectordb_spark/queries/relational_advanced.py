@@ -2236,3 +2236,75 @@ def rel_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         F.col("rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "rel_pseudonymize_fk",
+    oracle=f"""
+WITH t AS (
+  SELECT c_mktsegment AS segment, c_custkey,
+         substr(md5('cust:' || c_custkey), 1, 16) AS token
+  FROM customer
+),
+seg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens
+  FROM t GROUP BY segment
+),
+j AS (
+  SELECT t.segment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {_dsum('o.o_totalprice')} AS revenue
+  FROM t JOIN orders o ON o.o_custkey = t.c_custkey
+  GROUP BY t.segment
+)
+SELECT seg.segment, seg.n_customers, seg.n_tokens, j.n_orders, j.revenue
+FROM seg JOIN j ON j.segment = seg.segment
+""",
+    tags=("relational", "privacy", "pseudonymization", "referential-integrity"),
+)
+def rel_pseudonymize_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PSEUDONYMIZATION WITH REFERENTIAL INTEGRITY — the
+    GDPR-grade key replacement every shared analytics extract needs
+    (beside rel_k_anonymity's generalization and rel_dp_histogram's
+    noise): customer keys become salted-hash tokens, the SAME
+    transform is applied to the orders foreign key, and the raw key
+    is DROPPED from both sides before anything joins. The Spark side
+    then answers a per-segment revenue question joining ONLY on
+    tokens; the oracle answers it from the raw keys — a hash match
+    proves the tokenization is (a) consistent across tables
+    (referential integrity survives), (b) collision-free on this
+    keyspace (n_tokens = n_customers per segment; a collision would
+    merge customers and shift n_orders/revenue), while the extract
+    itself contains no direct identifier.
+
+    100 TB shape: tokenization is a map-side md5 projection on both
+    tables (no extra shuffle — the join shuffles on the token exactly
+    as it would on the key, same cardinality); the collision audit is
+    a by-product of the aggregate already being computed."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+        .substr(1, 16).alias("token"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.md5(F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")))
+        .substr(1, 16).alias("token"),
+        "o_totalprice",
+    )
+    seg = c.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+    )
+    j = (
+        c.join(o, "token")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    return seg.join(j, "segment").select(
+        "segment", "n_customers", "n_tokens", "n_orders", "revenue"
+    )

@@ -1540,3 +1540,113 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("total_price"),
     ).select(F.col("yr").cast("long").alias("yr"), "n", "total_price")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sequential per-entity state (token bucket) via applyInPandas.
+# ---------------------------------------------------------------------------
+
+_TB_CAP_MICRO = 5 * 1_000_000   # bucket capacity: 5 tokens (micro-tokens)
+_TB_REFILL_DIV = 60             # 1 token / 60 s == dt_us // 60 micro-tokens
+
+
+@query(
+    "udf_token_bucket_ratelimit",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, us, tokens_after, n_allowed, n_rejected) AS (
+  SELECT user_id, rn, us,
+         {_TB_CAP_MICRO} - 1000000, 1::BIGINT, 0::BIGINT
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.us,
+         CASE WHEN least({_TB_CAP_MICRO},
+                         w.tokens_after + (e.us - w.us) // {_TB_REFILL_DIV})
+                   >= 1000000
+              THEN least({_TB_CAP_MICRO},
+                         w.tokens_after + (e.us - w.us) // {_TB_REFILL_DIV})
+                   - 1000000
+              ELSE least({_TB_CAP_MICRO},
+                         w.tokens_after + (e.us - w.us) // {_TB_REFILL_DIV})
+         END,
+         w.n_allowed + CASE WHEN least({_TB_CAP_MICRO},
+                w.tokens_after + (e.us - w.us) // {_TB_REFILL_DIV})
+                >= 1000000 THEN 1 ELSE 0 END,
+         w.n_rejected + CASE WHEN least({_TB_CAP_MICRO},
+                w.tokens_after + (e.us - w.us) // {_TB_REFILL_DIV})
+                >= 1000000 THEN 0 ELSE 1 END
+  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(n_allowed AS BIGINT) AS n_allowed,
+       CAST(n_rejected AS BIGINT) AS n_rejected,
+       CAST(tokens_after AS BIGINT) AS final_tokens_micro
+FROM walk w
+WHERE rn = (SELECT MAX(rn) FROM e e2 WHERE e2.user_id = w.user_id)
+""",
+    tags=("udf", "applyInPandas", "stateful", "token-bucket"),
+)
+def udf_token_bucket_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET RATE LIMITING replayed over each user's event
+    history — the canonical NONLINEAR per-entity recurrence
+    (tokens = min(cap, tokens + refill·Δt) − consume) that no window
+    function expresses: the min-with-cap breaks the associativity
+    prefix sums rely on, so the sanctioned Spark shape is grouped
+    applyInPandas — one Arrow batch per user, a tight integer loop
+    inside, per-user summaries out. Bucket: capacity 5 tokens, refill
+    1 token/60 s, start full; all state in integer MICRO-tokens
+    (refill = Δt_us // 60), so the replay is bit-exact and the DuckDB
+    oracle walks the identical recurrence as a recursive CTE.
+
+    This is the admission-control twin of the streaming state ops:
+    the same code runs under applyInPandasWithState on a live stream
+    (streaming/ holds that surface); here the batch replay audits a
+    proposed limit against history — 'how many of last month's
+    requests would this limiter have rejected, per user?'.
+
+    100 TB shape: one user-keyed shuffle; state is O(1) per user;
+    the Python loop touches each row once inside Arrow batches —
+    and the sequential dependency is intrinsic to the semantics, not
+    an implementation shortcut."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        tokens = _TB_CAP_MICRO
+        prev_us = None
+        allowed = rejected = 0
+        for us in pdf["us"].to_numpy():
+            us = int(us)
+            if prev_us is not None:
+                tokens = min(
+                    _TB_CAP_MICRO, tokens + (us - prev_us) // _TB_REFILL_DIV
+                )
+            if tokens >= 1_000_000:
+                tokens -= 1_000_000
+                allowed += 1
+            else:
+                rejected += 1
+            prev_us = us
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_allowed": [allowed],
+                "n_rejected": [rejected],
+                "final_tokens_micro": [tokens],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        run,
+        "user_id long, n_allowed long, n_rejected long,"
+        " final_tokens_micro long",
+    )
