@@ -1932,3 +1932,125 @@ def ann_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, int(vid), float(m)) for (s, vid, m, _) in chosen],
         "step long, vec_id long, sel_metric double",
     )
+
+
+@query(
+    "ann_recall_under_deletes",
+    oracle=f"""
+WITH live AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 7 <> 0
+),
+exact AS (
+  SELECT vec_id FROM live
+  ORDER BY {sql_cosine(_EMB, sql_vec(QUERY_VEC))} DESC, vec_id
+  LIMIT 5
+),
+pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+q AS (
+  SELECT pos.pos AS pos, CAST(v[pos.pos] AS DOUBLE) AS qv
+  FROM (SELECT {sql_vec(QUERY_VEC)} AS v) CROSS JOIN pos
+),
+d AS (
+  SELECT cent.label,
+         CAST(CAST(SUM(CAST((cent.c - q.qv) * (cent.c - q.qv)
+              AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS dist2
+  FROM cent JOIN q ON q.pos = cent.pos
+  GROUP BY cent.label
+),
+best AS (SELECT label FROM d ORDER BY dist2, label LIMIT 1),
+ivf AS (
+  SELECT l.vec_id FROM live l JOIN best b ON b.label = l.label
+  ORDER BY {sql_cosine('l.embedding::DOUBLE[]', sql_vec(QUERY_VEC))} DESC,
+           l.vec_id
+  LIMIT 5
+)
+SELECT (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM exact)
+         AS exact_ids,
+       (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM ivf)
+         AS ivf_ids,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        WHERE e.vec_id IN (SELECT vec_id FROM ivf)) AS n_overlap,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf
+        WHERE vec_id % 7 = 0) AS n_tombstoned_served,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM live l
+        JOIN best b ON b.label = l.label) AS n_cell_live
+""",
+    tags=("ann", "ivf", "deletes", "tombstones", "recall"),
+)
+def ann_recall_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH UNDER DELETIONS — the index-maintenance scenario every
+    vector store hits (the reference can only rebuild, app.py:105-118
+    appends forever): every 7th vector is tombstoned, the IVF index
+    is NOT retrained (centroids remain the pre-delete means — the
+    stale-index reality between maintenance windows,
+    cf. ann_centroid_drift), and the query must (a) never serve a
+    tombstoned vector — the delete filter applies INSIDE the probed
+    cell scan, where the label partition prune has already bounded
+    I/O — and (b) be judged for recall against the exact top-5 over
+    live vectors. n_tombstoned_served is pinned to 0; n_overlap is
+    the recall@5 numerator under a stale coarse quantizer.
+
+    100 TB shape: tombstones are a predicate pushed into the pruned
+    cell scan (with MOR-style positional deletes this is the
+    anti-join of src_merge_on_read_deletes — here the id-mod filter
+    keeps the oracle closed-form); exact arm is the brute-force
+    baseline, the one full-scan in the query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.filter(F.col("vec_id") % 7 != 0)
+    qv = vector_literal(QUERY_VEC)
+    exact = (
+        live.select(
+            "vec_id", cosine_similarity(F.col("embedding"), qv).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(5)
+    )
+    cent = centroids_by_key(emb, "embedding", "label")
+    qe = F.element_at(qv, F.col("pos") + 1)
+    dist2 = (
+        cent.select("key", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("diff2", (F.col("c") - qe) * (F.col("c") - qe))
+        .groupBy("key")
+        .agg(F.sum(F.col("diff2").cast("decimal(30,10)")).cast("double")
+             .alias("dist2"))
+    )
+    best = dist2.orderBy("dist2", "key").limit(1).select(
+        F.col("key").alias("blabel"))
+    cell = live.join(F.broadcast(best), live.label == F.col("blabel"))
+    ivf = (
+        cell.select(
+            "vec_id", cosine_similarity(F.col("embedding"), qv).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(5)
+    )
+    e_ids = exact.agg(
+        F.array_join(F.array_sort(F.collect_list("vec_id")), ",")
+        .alias("exact_ids"))
+    i_ids = ivf.agg(
+        F.array_join(F.array_sort(F.collect_list("vec_id")), ",")
+        .alias("ivf_ids"),
+        F.sum((F.col("vec_id") % 7 == 0).cast("int")).cast("long")
+        .alias("n_tombstoned_served"),
+    )
+    overlap = (
+        exact.select("vec_id").join(ivf.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    n_cell = cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell_live"))
+    return (
+        e_ids.crossJoin(F.broadcast(i_ids))
+        .crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(n_cell))
+        .select("exact_ids", "ivf_ids", "n_overlap",
+                "n_tombstoned_served", "n_cell_live")
+    )

@@ -2285,3 +2285,123 @@ def mm_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "out_w", "out_h", "n_values",
                 "checksum", "min_v", "max_v")
     )
+
+
+@query(
+    "mm_histogram_equalize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT doc_id, (doc_id * 31 + i) % 256 AS v
+  FROM (SELECT doc_id, unnest(range(w * h)) AS i FROM dims)
+),
+hist AS (SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM px GROUP BY 1, 2),
+cdf AS (
+  SELECT doc_id, v, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         MIN(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS _unused,
+         FIRST_VALUE(cnt) OVER (PARTITION BY doc_id ORDER BY v) AS cdf_min,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n_px
+  FROM hist
+),
+eq AS (
+  SELECT doc_id, v, cnt, n_px,
+         CASE WHEN n_px = cdf_min THEN 0
+              ELSE (c - cdf_min) * 255 // (n_px - cdf_min) END AS out_v
+  FROM cdf
+)
+SELECT doc_id,
+       CAST(MAX(n_px) AS BIGINT) AS n_px,
+       CAST(COUNT(*) AS BIGINT) AS n_levels_in,
+       CAST(COUNT(DISTINCT out_v) AS BIGINT) AS n_levels_out,
+       CAST(MIN(out_v) AS BIGINT) AS min_out,
+       CAST(MAX(out_v) AS BIGINT) AS max_out,
+       CAST(SUM(cnt * out_v) AS BIGINT) AS sum_out
+FROM eq GROUP BY doc_id
+""",
+    tags=("multimodal", "histogram-equalization", "decode", "window"),
+)
+def mm_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM EQUALIZATION (the classic contrast-normalization
+    preprocessing step) with EXACT integer arithmetic: each
+    document's synthetic grayscale P5 raster is decoded by the real
+    parser, histogrammed, and remapped through the standard CDF
+    formula out(v) = (cdf(v) − cdf_min)·255 div (n − cdf_min) —
+    integer floor division in place of the textbook round, so every
+    remapped level is bit-exact in both engines (documented
+    deviation; the transfer curve is identical up to one gray level).
+    cdf_min is the first present level's count (FIRST_VALUE over the
+    value-ordered histogram — the lowest-bin CDF, per the standard
+    OpenCV formulation).
+
+    Everything past decode runs on the HISTOGRAM, not pixels: output
+    statistics (levels, range, exact sum) are Σ cnt·f(v) over ≤ 256
+    rows per doc — the reason equalization is cheap at any image
+    size.
+
+    100 TB shape: one Arrow decode pass → per-(doc, value) map-side
+    histogram (≤ 256 rows/doc regardless of resolution) → doc-local
+    windows over those rows → one doc aggregate."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "v": [], "cnt": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = ((doc_id * 31 + np.arange(w * h)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload)[:, :, 0]
+                vals, cnts = np.unique(img, return_counts=True)
+                out["doc_id"].extend([doc_id] * len(vals))
+                out["v"].extend(vals.astype(np.int64).tolist())
+                out["cnt"].extend(cnts.astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    hist = docs.mapInPandas(run, "doc_id long, v long, cnt long")
+    w_cdf = Window.partitionBy("doc_id").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_first = Window.partitionBy("doc_id").orderBy("v")
+    cdf = hist.select(
+        "doc_id",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cdf).alias("c"),
+        F.first("cnt").over(w_first).alias("cdf_min"),
+        F.sum("cnt").over(w_doc).alias("n_px"),
+    )
+    eq = cdf.withColumn(
+        "out_v",
+        F.when(F.col("n_px") == F.col("cdf_min"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(c - cdf_min) * 255 div (n_px - cdf_min)")
+        ),
+    )
+    return eq.groupBy("doc_id").agg(
+        F.max("n_px").cast("long").alias("n_px"),
+        F.count(F.lit(1)).cast("long").alias("n_levels_in"),
+        F.countDistinct("out_v").cast("long").alias("n_levels_out"),
+        F.min("out_v").cast("long").alias("min_out"),
+        F.max("out_v").cast("long").alias("max_out"),
+        F.sum(F.col("cnt") * F.col("out_v")).cast("long").alias("sum_out"),
+    )
