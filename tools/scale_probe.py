@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum  # noqa: E402
@@ -1111,6 +1111,125 @@ def main() -> None:
         )
 
     probes["watermark_greenlist (pair explode + map-side z)"] = watermark_greenlist_probe
+
+    # Round-8 new-operator shapes.
+
+    def poisson_bootstrap_probe(n: int) -> None:
+        """ev_poisson_bootstrap_ci shape: x32 map-side replicate
+        fan-out into a 32-key weighted aggregate — one pass, no
+        resampling shuffle; wall should track the fan-out linearly."""
+        p = synth_fact(spark, n).select("id", "price")
+        w = (
+            p.select(
+                "id", "price",
+                F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+            )
+            .withColumn(
+                "wt",
+                F.pmod(F.hash("id", "r"), F.lit(4)).cast("long"),
+            )
+            .groupBy("r")
+            .agg((F.sum(F.col("wt") * F.col("price"))
+                  / F.sum("wt")).alias("m"))
+        )
+        noop(w.agg(F.expr("percentile(m, 0.025)").alias("lo"),
+                   F.expr("percentile(m, 0.975)").alias("hi")))
+
+    probes["poisson_bootstrap (x32 fanout, 32-key agg)"] = poisson_bootstrap_probe
+
+    def multitouch_probe(n: int) -> None:
+        """ev_multitouch_attribution shape: purchases x touchpoints
+        user-keyed join with a time residual, conv-keyed ranking
+        windows, channel rollup."""
+        ev = synth_fact(spark, n).select(
+            "id",
+            F.pmod(F.col("key"), F.lit(max(n // 40, 1000))).alias("user"),
+            F.unix_micros("ts").alias("ts"),
+            F.pmod(F.hash("id", F.lit(5)), F.lit(5)).alias("chan"),
+        )
+        p = ev.filter(F.col("chan") == 0).select(
+            F.col("id").alias("conv"), "user", F.col("ts").alias("cts"))
+        t = ev.filter(F.col("chan") != 0).select(
+            "user", "chan", "ts", "id")
+        tp = p.join(t, "user").filter(
+            (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - 86400 * 1_000_000)
+        )
+        wf = Window.partitionBy("conv").orderBy("ts", "id")
+        wn = Window.partitionBy("conv")
+        noop(
+            tp.select(
+                "chan",
+                F.row_number().over(wf).alias("rf"),
+                F.count(F.lit(1)).over(wn).alias("nt"),
+            )
+            .groupBy("chan")
+            .agg(F.sum(F.when(F.col("rf") == 1, 1).otherwise(0)).alias("f"),
+                 F.sum(F.expr("1000000 div nt")).alias("lin"))
+        )
+
+    probes["multitouch_attribution (user join + conv windows)"] = multitouch_probe
+
+    def bloom_prefilter_probe(n: int) -> None:
+        """dedup_bloom_prefilter shape: constant-size bloom build from
+        the index side, broadcast probe of the new side — probe cost
+        must track the NEW batch only."""
+        idx = synth_fact(spark, n).select(
+            F.md5(F.col("id").cast("string")).alias("key"))
+        newb = synth_fact(spark, max(n // 10, 1000)).select(
+            F.col("id").alias("doc"),
+            F.md5((F.col("id") * 7).cast("string")).alias("key"))
+        bloom = (
+            idx.selectExpr(
+                "cast(conv(substr(key, 1, 8), 16, 10) as bigint)"
+                " % 16128 AS h")
+            .selectExpr(
+                "h div 63 AS word",
+                "shiftleft(cast(1 as bigint), cast(h % 63 as int)) AS m")
+            .groupBy("word").agg(F.bit_or("m").alias("bits"))
+        )
+        probe = newb.selectExpr(
+            "doc",
+            "cast(conv(substr(key, 1, 8), 16, 10) as bigint) % 16128 AS h")
+        noop(
+            probe.join(
+                F.broadcast(bloom),
+                F.col("word") == F.expr("h div 63"), "left")
+            .selectExpr(
+                "doc",
+                "CASE WHEN bits IS NOT NULL AND"
+                " (bits & shiftleft(cast(1 as bigint),"
+                "  cast(h % 63 as int))) <> 0 THEN 1 ELSE 0 END AS hit")
+            .groupBy("hit").count()
+        )
+
+    probes["bloom_prefilter (const bloom build + bcast probe)"] = bloom_prefilter_probe
+
+    def repetition_filter_probe(n: int) -> None:
+        """text_repetition_filter shape: doc-local n-gram explode, two
+        (doc, gram) aggregates + top-1 window — all linear in corpus
+        size, zero cross-doc work."""
+        docs = synth_docs(spark, max(n // 100, 1000)).select(
+            "doc_id", F.split("text", " ").alias("w"))
+        k = F.size("w")
+        g2 = F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.array_join(F.slice("w", i + 1, 2), " "))
+        bg = docs.select(
+            "doc_id",
+            F.explode(F.when(k >= 2, g2).otherwise(
+                F.array().cast("array<string>"))).alias("gram"))
+        bgc = bg.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        wt = Window.partitionBy("doc_id").orderBy(
+            F.desc("cnt"), F.asc("gram"))
+        noop(
+            bgc.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .groupBy().agg(F.sum(F.col("cnt") * F.length("gram")).alias("s"))
+        )
+
+    probes["repetition_filter (doc-local ngram aggs)"] = repetition_filter_probe
 
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
