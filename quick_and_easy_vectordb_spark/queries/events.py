@@ -7314,3 +7314,70 @@ def ev_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("linear_credit_micros"),
         F.count(F.lit(1)).cast("long").alias("n_touches_total"),
     )
+
+
+@query(
+    "ev_power_mde",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       sx / n AS mean,
+       (sxx - sx * sx / n) / (n - 1) AS variance,
+       (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
+         * sqrt(CAST(2 AS DOUBLE) * ((sxx - sx * sx / n) / (n - 1))
+                / (n / CAST(2 AS DOUBLE))) AS mde_abs,
+       (CAST(1.96 AS DOUBLE) + CAST(0.84 AS DOUBLE))
+         * sqrt(CAST(2 AS DOUBLE) * ((sxx - sx * sx / n) / (n - 1))
+                / (n / CAST(2 AS DOUBLE))) / (sx / n) AS mde_rel
+FROM s
+""",
+    tags=("events", "experimentation", "power-analysis", "mde"),
+)
+def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT for a 50/50 two-sample test on each
+    metric stream — the pre-experiment power analysis every platform
+    runs before committing traffic: MDE = (z_{{α/2}} + z_{{β}}) ·
+    sqrt(2σ²/(n/2)) at 95% confidence / 80% power (1.96 and 0.84
+    injected as identical LITERALS — the standard-normal quantiles
+    are constants, not computed, so no erf/ppf crosses an engine).
+    Sample variance is EXACT up to the two final divisions: Σx and
+    Σx² are DECIMAL(30,10) sums (order-independent under any
+    partitioning), and mean/variance/MDE are one fixed IEEE
+    expression tree both engines share, so even the derived floats
+    hash-match bitwise.
+
+    Pairs with ev_welch_ab_test (the post-experiment readout) and
+    ev_srm_guardrail (the validity check): together the three are
+    the experiment lifecycle — size it, guard it, read it.
+
+    100 TB shape: one map-side-combined aggregate per metric; output
+    O(event types)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mde = (F.lit(1.96) + F.lit(0.84)) * F.sqrt(
+        F.lit(2.0) * var / (F.col("n") / F.lit(2.0))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+        mde.alias("mde_abs"),
+        (mde / mean).alias("mde_rel"),
+    )

@@ -3046,3 +3046,97 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("t").cast("long") - F.length("clean").cast("long"))
         .cast("long").alias("chars_delta"),
     )
+
+
+@query(
+    "text_unigram_surprise_filter",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+docs AS (SELECT doc_id, source, string_split(t, ' ') AS w
+         FROM norm WHERE t <> ''),
+tok AS (SELECT doc_id, source, unnest(w) AS word FROM docs),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM wc),
+feat AS (
+  SELECT wc.word,
+         CAST(length(bin(tot.n // wc.cnt)) - 1 AS BIGINT) AS bits
+  FROM wc, tot
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(f.bits) AS BIGINT) AS total_bits
+  FROM tok t JOIN feat f ON f.word = t.word
+  GROUP BY t.doc_id, t.source
+),
+rate AS (
+  SELECT source, n_tok, total_bits,
+         total_bits * 1000 // n_tok AS mbits
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mbits < 4000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_low_surprise,
+       CAST(SUM(CASE WHEN mbits > 7000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_high_surprise,
+       CAST(SUM(total_bits) AS BIGINT) AS bits_total,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+       CAST(SUM(total_bits) AS DOUBLE) / SUM(n_tok) AS mean_bits
+FROM rate GROUP BY source
+""",
+    tags=("text", "curation", "perplexity-proxy", "surprise"),
+)
+def text_unigram_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-SURPRISE quality filter — the exact-arithmetic stand-in
+    for the perplexity filtering (CCNet/Wenzek et al.) that normally
+    needs a language-model server: a token's surprise is
+    floor(log2(N div cnt)) BITS, computed with NO transcendental —
+    ``length(bin(x)) − 1`` is floor(log2) exactly for positive
+    integers in both engines (the engine-wide no-libm-across-oracles
+    discipline; integer-div-then-floor-log2 is the documented
+    deviation from log2(N/cnt), off by at most one bit). A document's
+    mean surprise in milli-bits is an integer (total_bits·1000 div
+    n_tok); docs flag LOW (boilerplate — only frequent tokens) or
+    HIGH (noise — rare-token salad), the two tails CCNet's perplexity
+    buckets cut.
+
+    100 TB shape: the per-word surprise table is O(vocab) and
+    BROADCASTS to the token stream (the DSIR plan shape); corpus
+    shuffles are the word count and the per-doc aggregate — both
+    map-side-combinable. A real LM filter needs GPU inference per
+    doc; this runs in two aggregates."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", normalized_text("text").alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", "source", F.split("t", " ").alias("w"))
+    )
+    tok = docs.select("doc_id", "source", F.explode("w").alias("word"))
+    wc = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("long").alias("n"))
+    feat = wc.crossJoin(F.broadcast(tot)).selectExpr(
+        "word", "cast(length(bin(n div cnt)) - 1 as bigint) AS bits"
+    )
+    per_doc = (
+        tok.join(F.broadcast(feat), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+    )
+    rate = per_doc.withColumn(
+        "mbits", F.expr("total_bits * 1000 div n_tok"))
+    return rate.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mbits") < 4000, 1).otherwise(0)).cast("long")
+        .alias("flagged_low_surprise"),
+        F.sum(F.when(F.col("mbits") > 7000, 1).otherwise(0)).cast("long")
+        .alias("flagged_high_surprise"),
+        F.sum("total_bits").cast("long").alias("bits_total"),
+        F.sum("n_tok").cast("long").alias("tok_total"),
+        (F.sum("total_bits").cast("double") / F.sum("n_tok"))
+        .alias("mean_bits"),
+    )
