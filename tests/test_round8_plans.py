@@ -103,3 +103,50 @@ def test_geohash_is_pure_map_side_plus_one_aggregate(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) <= 2  # rollup + countDistinct expand
+
+
+def test_unigram_surprise_vocab_broadcast(spark, sf_dir):
+    """The O(vocab) surprise table must reach the token stream as a
+    broadcast; corpus shuffles are the word count and doc aggregate."""
+    df = QUERIES["text_unigram_surprise_filter"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multitouch_no_cartesian(spark, sf_dir):
+    """Lookback pairs come from the user equi-join with the 24 h
+    bound as a residual — never a cross product."""
+    df = QUERIES["ev_multitouch_attribution"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(conv_id" in plan
+
+
+def test_bloom_prefilter_blooms_broadcast(spark, sf_dir):
+    """Both bloom word-lookups join the probe side as broadcasts —
+    the bloom table is O(bands*words) regardless of index size."""
+    df = QUERIES["dedup_bloom_prefilter"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_qini_rank_is_bucket_partitioned(spark, sf_dir):
+    """User ranking runs in bkt-partitioned windows lifted by the
+    broadcast offset table; no single-partition window ever touches
+    user-level rows (only the tiny bucket/decile tables)."""
+    df = QUERIES["ev_qini_uplift"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(bkt" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pseudonymize_no_extra_shuffle(spark, sf_dir):
+    """Tokenization is a map-side projection: the plan joins on the
+    token with the same shuffle structure a raw-key join would have
+    (no added exchange for the md5)."""
+    df = QUERIES["rel_pseudonymize_fk"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan

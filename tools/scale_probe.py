@@ -1141,9 +1141,15 @@ def main() -> None:
         """ev_multitouch_attribution shape: purchases x touchpoints
         user-keyed join with a time residual, conv-keyed ranking
         windows, channel rollup."""
+        # user cardinality must scale WITH n (constant ~40 events/user)
+        # or the per-user pair fan-out grows quadratically and measures
+        # the data, not the operator: the first cut derived user from
+        # `key` (only 100k distinct) and read 16x/51x at 10x/30x purely
+        # from events-per-user growth.
         ev = synth_fact(spark, n).select(
             "id",
-            F.pmod(F.col("key"), F.lit(max(n // 40, 1000))).alias("user"),
+            F.pmod(F.hash("id", F.lit(7)), F.lit(max(n // 40, 1000)))
+            .alias("user"),
             F.unix_micros("ts").alias("ts"),
             F.pmod(F.hash("id", F.lit(5)), F.lit(5)).alias("chan"),
         )
