@@ -2405,3 +2405,137 @@ def mm_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("out_v").cast("long").alias("max_out"),
         F.sum(F.col("cnt") * F.col("out_v")).cast("long").alias("sum_out"),
     )
+
+
+@query(
+    "mm_blob_labeling",
+    oracle="""
+WITH RECURSIVE dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+         doc_id * 100000 + i AS node
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims)
+  WHERE (doc_id * 31 + i) % 256 >= 128
+),
+e AS (
+  SELECT a.node AS u, b.node AS v
+  FROM px a JOIN px b ON b.doc_id = a.doc_id
+        AND ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1))
+  UNION ALL SELECT node, node FROM px
+),
+edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON e2.u = r.v
+),
+comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u),
+blobs AS (
+  SELECT p.doc_id, c.component, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM px p JOIN comp c ON c.node = p.node
+  GROUP BY p.doc_id, c.component
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(MAX(sz) AS BIGINT) AS largest_blob,
+       CAST(SUM(sz) AS BIGINT) AS n_mask_px
+FROM blobs GROUP BY doc_id
+""",
+    tags=("multimodal", "connected-components", "blob-labeling", "graph"),
+)
+def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED-COMPONENT LABELING of thresholded images (blob
+    detection — the segmentation primitive behind OCR region finding,
+    foreground extraction, and document-layout analysis), run as a
+    GRAPH problem on the engine's distributed CC operator
+    (operators/graph.py pointer-jumping, the same machinery that
+    resolves dup clusters): pixels with value ≥ 128 from the real
+    P5 decoder become nodes (globally unique ids = doc·10⁵ + flat
+    index, so per-image blobs can never merge across images),
+    4-connectivity edges link masked neighbors, and min-label CC
+    labels each blob. Isolated masked pixels (no masked neighbor)
+    are their own blobs — restored by the self-edge union, matching
+    the oracle's recursive-CTE reachability.
+
+    Per image: blob count, largest blob area, total mask area — all
+    integers.
+
+    100 TB shape: edge generation is doc-local (a self-join on the
+    (doc, y) row key adjacency — never cross-image); CC converges in
+    O(log diameter) rounds with diameter bounded by image perimeter,
+    and every round's join partitions on the node id. Labeling a
+    billion images is the dup-cluster plan with a different edge
+    generator."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.graph import (
+        connected_components,
+    )
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "x": [], "y": [], "node": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = ((doc_id * 31 + np.arange(w * h)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload)[:, :, 0]
+                ys, xs = np.nonzero(img >= 128)
+                flat = ys.astype(np.int64) * w + xs.astype(np.int64)
+                out["doc_id"].extend([doc_id] * len(flat))
+                out["x"].extend(xs.astype(np.int64).tolist())
+                out["y"].extend(ys.astype(np.int64).tolist())
+                out["node"].extend((doc_id * 100000 + flat).tolist())
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    px = docs.mapInPandas(
+        run, "doc_id long, x long, y long, node long"
+    ).persist()
+    b = px.select(
+        F.col("doc_id").alias("b_doc"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), F.col("node").alias("b_node"),
+    )
+    edges = (
+        px.join(
+            b,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (
+                ((F.col("bx") == F.col("x") + 1) & (F.col("by") == F.col("y")))
+                | ((F.col("bx") == F.col("x")) & (F.col("by") == F.col("y") + 1))
+            ),
+        )
+        .select(F.col("node").alias("id_a"), F.col("b_node").alias("id_b"))
+        # self-edges keep isolated masked pixels in the vertex set
+        .unionByName(
+            px.select(F.col("node").alias("id_a"), F.col("node").alias("id_b"))
+        )
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    blobs = (
+        px.join(comp, px.node == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+        .groupBy("doc_id", "component")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    return blobs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.max("sz").cast("long").alias("largest_blob"),
+        F.sum("sz").cast("long").alias("n_mask_px"),
+    )

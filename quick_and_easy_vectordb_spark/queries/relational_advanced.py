@@ -2308,3 +2308,78 @@ def rel_pseudonymize_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.join(j, "segment").select(
         "segment", "n_customers", "n_tokens", "n_orders", "revenue"
     )
+
+
+@query(
+    "rel_share_of_parent_rollup",
+    oracle=f"""
+WITH leaf AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS rev_dec,
+         {_dsum('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, n_orders, revenue,
+       revenue / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY region)
+                           AS VARCHAR) AS DOUBLE) AS share_of_region,
+       revenue / CAST(CAST(SUM(rev_dec) OVER () AS VARCHAR) AS DOUBLE)
+         AS share_of_total,
+       CAST(SUM(n_orders) OVER (PARTITION BY region) AS BIGINT)
+         AS region_orders
+FROM leaf
+""",
+    tags=("relational", "olap", "share-of-parent", "rollup"),
+)
+def rel_share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-PARENT along the region → nation dimension tree — the
+    OLAP ratio every drill-down dashboard shows next to the raw
+    measure ('France is 31% of EUROPE, 6% of world'). The exactness
+    subtlety: window aggregation order over doubles is NOT pinned in
+    either engine (the first cut hash-diverged exactly there), so the
+    parent totals window over the DECIMAL leaf sums — decimal
+    addition is associative, the total is bit-stable under any
+    evaluation order — and convert to double once, after the window,
+    with the engines' matched decimal→double path. Each share is then
+    one IEEE division of two already-pinned doubles.
+
+    100 TB shape: one fact aggregate (dims broadcast — the rel_q5
+    join tree), then windows over the O(nations) leaf table only.
+    The windows never see fact rows; share-of-parent costs nothing
+    beyond the rollup that was being computed anyway."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    leaf = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .alias("rev_dec"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        "n_orders",
+        "revenue",
+        (F.col("revenue")
+         / F.sum("rev_dec").over(w_reg).cast("double"))
+        .alias("share_of_region"),
+        (F.col("revenue")
+         / F.sum("rev_dec").over(w_all).cast("double"))
+        .alias("share_of_total"),
+        F.sum("n_orders").over(w_reg).cast("long").alias("region_orders"),
+    )
