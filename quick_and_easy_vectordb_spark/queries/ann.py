@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quick_and_easy_vectordb_spark.functions.numeric import dsum
 from quick_and_easy_vectordb_spark.functions.vector import (
     cosine_similarity,
     dot_product,
@@ -2053,4 +2054,174 @@ def ann_recall_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_cell))
         .select("exact_ids", "ivf_ids", "n_overlap",
                 "n_tombstoned_served", "n_cell_live")
+    )
+
+
+@query(
+    "ann_ivf_cell_split",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, vec_id, pos.pos AS pos,
+         CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM embeddings GROUP BY label),
+hot AS (SELECT label FROM sizes ORDER BY sz DESC, label LIMIT 1),
+hotv AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN hot ON hot.label = e.label
+),
+c0 AS (SELECT c FROM cent JOIN hot ON hot.label = cent.label
+       WHERE pos = 1),
+assign AS (
+  SELECT h.vec_id, h.v,
+         CASE WHEN h.v[1] >= c0.c THEN 1 ELSE 0 END AS sub
+  FROM hotv h, c0
+),
+subcent AS (
+  SELECT sub, pos.pos AS pos,
+         CAST(CAST(SUM(CAST(v[pos.pos] AS DECIMAL(30,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM assign CROSS JOIN pos GROUP BY sub, pos.pos
+),
+sse_before AS (
+  SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sse
+  FROM (
+    SELECT h.vec_id,
+           SUM((h.v[cent.pos] - cent.c) * (h.v[cent.pos] - cent.c)) AS d2
+    FROM hotv h JOIN cent ON cent.label = (SELECT label FROM hot)
+    GROUP BY h.vec_id
+  )
+),
+sse_after AS (
+  SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS sse
+  FROM (
+    SELECT a.vec_id,
+           SUM((a.v[s.pos] - s.c) * (a.v[s.pos] - s.c)) AS d2
+    FROM assign a JOIN subcent s ON s.sub = a.sub
+    GROUP BY a.vec_id
+  )
+)
+SELECT (SELECT label FROM hot) AS hot_label,
+       (SELECT sz FROM sizes WHERE label = (SELECT label FROM hot))
+         AS hot_size,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM assign WHERE sub = 0)
+         AS sub0_size,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM assign WHERE sub = 1)
+         AS sub1_size,
+       (SELECT sse FROM sse_before) AS sse_before,
+       (SELECT sse FROM sse_after) AS sse_after
+""",
+    tags=("ann", "ivf", "index-maintenance", "cell-split"),
+)
+def ann_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF CELL SPLIT — the index-maintenance operation that keeps a
+    coarse quantizer balanced as data grows (the write-path twin of
+    ann_centroid_drift's read-path staleness metric): the HOTTEST
+    cell (max population, label tiebreak) splits in two with one
+    deterministic k-means step — seed assignment by the first
+    coordinate's side of the old centroid (the derandomized init
+    discipline of pq_codebook), sub-centroids as decimal-exact means
+    — and the query certifies the split helps: within-cell SSE after
+    (each vector to ITS sub-centroid) must come in under SSE before
+    (all to the old centroid; a guaranteed property of the mean, made
+    visible as data). Per-row distance squares are the same double
+    fold both engines share; the SSE totals are decimal sums of those
+    doubles, so even the distortion numbers hash bitwise.
+
+    100 TB shape: sizes come from the cell-count table (O(cells));
+    only the ONE hot cell's vectors are touched — split cost is
+    O(hot cell), not O(index) — and the two new centroids are a
+    broadcast-sized artifact, exactly how IVF maintenance amortizes
+    on a live index (FAISS's add-with-split policy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    hot = sizes.orderBy(F.desc("sz"), F.asc("label")).limit(1)
+    cent = centroids_by_key(emb, "embedding", "label")
+    hotc = cent.join(
+        hot.select(F.col("label").alias("key"), "sz"), "key"
+    ).select("key", "centroid", "sz")
+    hotv = emb.join(
+        F.broadcast(hotc.select(F.col("key").alias("label"),
+                                "centroid", "sz")),
+        "label",
+    )
+    assign = hotv.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "centroid",
+        "sz",
+        F.when(
+            F.element_at("embedding", 1).cast("double")
+            >= F.element_at("centroid", 1),
+            1,
+        ).otherwise(0).alias("sub"),
+    ).persist()
+    sub_sizes = assign.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("long").alias("ssz"))
+    subcent = (
+        assign.select("sub", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+        .groupBy("sub", "pos")
+        .agg((F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+              / F.count("val")).alias("c"))
+        .groupBy("sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("subcentroid")
+        )
+    )
+    d2_before = assign.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    sse_before = d2_before.agg(dsum("d2").alias("sse_before"))
+    d2_after = assign.join(F.broadcast(subcent), "sub").select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("subcentroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    sse_after = d2_after.agg(dsum("d2").alias("sse_after"))
+    head = hot.select(
+        F.col("label").cast("long").alias("hot_label"),
+        F.col("sz").alias("hot_size"),
+    )
+    s0 = sub_sizes.filter(F.col("sub") == 0).select(
+        F.col("ssz").alias("sub0_size"))
+    s1 = sub_sizes.filter(F.col("sub") == 1).select(
+        F.col("ssz").alias("sub1_size"))
+    return (
+        head.crossJoin(F.broadcast(s0))
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(sse_before))
+        .crossJoin(F.broadcast(sse_after))
     )
