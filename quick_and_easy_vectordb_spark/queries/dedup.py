@@ -1208,24 +1208,59 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES).persist()
-    per_config = []
+    # ALL configs' band keys in ONE projection + ONE (config, band,
+    # key) shuffle — every factoring reads the same signature row, so
+    # emitting the 15 band structs per doc map-side replaces the four
+    # separate band shuffles (and four bucket-collect jobs) the first
+    # cut ran per config. Same shuffled volume, one stage.
+    band_structs = []
     for b, r in _TUNE_CONFIGS:
-        cand = (
-            lsh_candidate_pairs(sigs, NUM_HASHES, b, None)
-            .select("id_a", "id_b")
-            .distinct()  # a pair can collide in several bands
-            .select(
-                F.lit(b).cast("long").alias("n_bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                "id_a",
-                "id_b",
+        for band in range(b):
+            members = [
+                F.col(f"mh{s}").cast("string")
+                for s in range(band * r, (band + 1) * r)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("cfg"),
+                    F.lit(band).alias("band"),
+                    F.md5(F.concat_ws("|", *members)).alias("key"),
+                )
             )
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.cfg", "bk.band", "bk.key")
+    buckets = (
+        banded.groupBy("cfg", "band", "key")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        "cfg",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    allc = (
+        pairs.select("cfg", "p.id_a", "p.id_b")
+        .distinct()  # a pair can collide in several bands of a config
+        .select(
+            F.col("cfg").cast("long").alias("n_bands"),
+            (F.lit(NUM_HASHES) / F.col("cfg")).cast("long")
+            .alias("rows_per_band"),
+            "id_a",
+            "id_b",
         )
-        per_config.append(cand)
-    allc = per_config[0]
-    for c in per_config[1:]:
-        allc = allc.unionByName(c)
-    allc = allc.persist()
+        .persist()
+    )
     dp = allc.select("id_a", "id_b").distinct()
     jac = jaccard_pairs(sh, dp, threshold=0.0)  # unthresholded: tuner judges
     joined = allc.join(jac, ["id_a", "id_b"], "left")
