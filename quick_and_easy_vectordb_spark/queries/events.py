@@ -7404,3 +7404,163 @@ def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs"),
         (mde / mean).alias("mde_rel"),
     )
+
+
+_FH_DIMS = 32
+
+
+@query(
+    "ev_feature_hashing",
+    oracle=f"""
+WITH f AS (
+  SELECT user_id,
+         ('0x' || substr(md5(event_type || '=' ||
+            COALESCE(json_extract_string(props, '$.k'), '')), 1, 8))::BIGINT
+           % {_FH_DIMS} AS dim,
+         CASE WHEN ('0x' || substr(md5(event_type || '=' ||
+            COALESCE(json_extract_string(props, '$.k'), '')), 9, 1))::BIGINT
+              % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM events
+),
+m AS (
+  SELECT user_id, dim, CAST(SUM(sign) AS BIGINT) AS val
+  FROM f GROUP BY user_id, dim
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(val * val) AS BIGINT) AS sq_norm,
+       CAST(SUM(val) AS BIGINT) AS comp_sum,
+       CAST(MIN(dim) AS BIGINT) AS first_dim
+FROM m WHERE val <> 0 GROUP BY user_id
+""",
+    tags=("events", "feature-hashing", "ml-prep", "hashing-trick"),
+)
+def ev_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE HASHING TRICK (Weinberger et al. 2009) — fixed-width
+    feature vectors from unbounded categorical vocabularies with NO
+    dictionary, the ML-prep step that removes the vocabulary-build
+    pass (and its shuffle) entirely: each (event_type, props.k) pair
+    hashes to one of {_FH_DIMS} dimensions with an md5-derived ±1
+    sign (the signed variant that makes collisions cancel in
+    expectation — the property that keeps inner products unbiased).
+    Per-user vectors are INTEGER component sums; the output row per
+    user carries the sparse summary (nnz, exact squared norm,
+    component sum, first live dimension) — all BIGINTs, hash-exact.
+
+    100 TB shape: feature extraction is map-side string hashing (no
+    vocabulary table exists — that is the trick); the only shuffles
+    are the (user, dim) partial aggregate and the per-user rollup.
+    Contrast ev_lag_feature_matrix (dense engineered features) and
+    ev_loo_target_encoding (supervised encoding): this is the
+    unsupervised unbounded-cardinality path."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = F.concat(
+        F.col("event_type"),
+        F.lit("="),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("")),
+    )
+    f = ev.select(
+        "user_id",
+        (F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+         % _FH_DIMS).alias("dim"),
+        F.when(
+            F.conv(F.substring(F.md5(feat), 9, 1), 16, 10).cast("long")
+            % 2 == 0, 1
+        ).otherwise(-1).alias("sign"),
+    )
+    m = (
+        f.groupBy("user_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("sq_norm"),
+        F.sum("val").cast("long").alias("comp_sum"),
+        F.min("dim").cast("long").alias("first_dim"),
+    )
+
+
+_SPC_WINDOW = 24  # trailing hours in the control window
+
+
+@query(
+    "ev_shewhart_control",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT epoch_us(hr) AS hr_us, y,
+         CAST(SUM(y) OVER tw AS BIGINT) AS sx,
+         CAST(SUM(y * y) OVER tw AS BIGINT) AS sxx,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS n
+  FROM h
+  WINDOW tw AS (ORDER BY hr ROWS BETWEEN {_SPC_WINDOW} PRECEDING
+                AND 1 PRECEDING)
+),
+c AS (
+  SELECT hr_us, y, n,
+         CAST(sx AS DOUBLE) / n AS mu,
+         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+              / (n - 1)) AS sigma
+  FROM w WHERE n >= 12
+)
+SELECT hr_us, y, n, mu, sigma,
+       CASE WHEN CAST(y AS DOUBLE) > mu + 3 * sigma THEN 1
+            WHEN CAST(y AS DOUBLE) < mu - 3 * sigma THEN -1
+            ELSE 0 END AS breach
+FROM c
+""",
+    tags=("events", "spc", "control-chart", "anomaly"),
+)
+def ev_shewhart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHEWHART CONTROL CHART (the 1931 original SPC monitor, still
+    the default ops alerting rule): each hour's event count is judged
+    against μ ± 3σ computed from the TRAILING {_SPC_WINDOW}-hour
+    window EXCLUDING the current hour (self-exclusion keeps an
+    anomalous point from masking itself — the rolling twin of
+    leave-one-out encoding). The rolling moments are INTEGER window
+    sums (Σy, Σy² over counts — exact under any evaluation order,
+    the same reason the share-of-parent rollup windows over
+    decimals); μ, σ, and the breach comparison are one fixed IEEE
+    tree. Warm-up hours (fewer than 12 prior points) are excluded
+    rather than judged against a noisy baseline. Complements
+    ev_cusum_changepoint (cumulative drift) and ev_hampel_filter
+    (robust point outliers): Shewhart is the threshold-breach
+    monitor between them.
+
+    100 TB shape: corpus work is ONE hourly aggregate; the rolling
+    window runs over the bounded hour grid (744 rows/month), not
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    tw = Window.orderBy("hr").rowsBetween(-_SPC_WINDOW, -1)
+    w = h.select(
+        F.unix_micros("hr").alias("hr_us"),
+        "y",
+        F.sum("y").over(tw).cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).over(tw).cast("long").alias("sxx"),
+        F.count(F.lit(1)).over(tw).cast("long").alias("n"),
+    ).filter(F.col("n") >= 12)
+    mu = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return w.select(
+        "hr_us",
+        "y",
+        "n",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.when(F.col("y").cast("double") > mu + 3 * sigma, 1)
+        .when(F.col("y").cast("double") < mu - 3 * sigma, -1)
+        .otherwise(0)
+        .alias("breach"),
+    )
