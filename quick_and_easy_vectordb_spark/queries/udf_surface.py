@@ -1650,3 +1650,95 @@ def udf_token_bucket_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_allowed long, n_rejected long,"
         " final_tokens_micro long",
     )
+
+
+_TF_BUCKETS = 8
+
+
+@query(
+    "udf_sql_table_function",
+    oracle=f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+  FROM customer GROUP BY c_mktsegment
+),
+b AS (
+  SELECT segment, CAST(i AS INT) AS bucket,
+         lo + i * (hi - lo) / {_TF_BUCKETS} AS b_lo,
+         lo + (i + 1) * (hi - lo) / {_TF_BUCKETS} AS b_hi
+  FROM seg, (SELECT unnest(range({_TF_BUCKETS})) AS i)
+),
+assigned AS (
+  SELECT c.c_mktsegment AS segment,
+         LEAST({_TF_BUCKETS} - 1,
+               CAST(floor((c.c_acctbal - s.lo) * {_TF_BUCKETS}
+                          / (s.hi - s.lo)) AS INT)) AS bucket
+  FROM customer c JOIN seg s ON s.segment = c.c_mktsegment
+),
+cnt AS (
+  SELECT segment, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY segment, bucket
+)
+SELECT b.segment, CAST(b.bucket AS BIGINT) AS bucket, b.b_lo, b.b_hi,
+       COALESCE(cnt.n, 0) AS n
+FROM b LEFT JOIN cnt ON cnt.segment = b.segment AND cnt.bucket = b.bucket
+""",
+    tags=("udf", "sql-table-function", "lateral", "histogram"),
+)
+def udf_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE FUNCTION (CREATE FUNCTION … RETURNS TABLE … RETURN
+    SELECT — the SQL-macro surface added in Spark 3.5, the set-valued
+    sibling of udf_sql_scalar_function): ``seg_buckets(lo, hi, k)``
+    expands k equal-width histogram buckets and is invoked with a
+    correlated LATERAL join — each segment's min/max flows INTO the
+    function as arguments, the planner inlines the body (it is a
+    macro, not a black box: Catalyst sees the sequence/explode and
+    keeps folding/pruning through it), and the per-segment histogram
+    is assembled from an ARITHMETIC bucket assignment (floor of the
+    identical (bal−lo)·k/(hi−lo) tree, clamped so the max lands in
+    the top bucket) — map-side against the broadcast seg stats, no
+    range join over data rows — LEFT-joined back to the macro's grid
+    so empty buckets survive with n = 0.
+
+    100 TB shape: the bucket table is O(segments · k) — broadcast to
+    the customer scan; the macro expansion costs nothing at runtime
+    precisely because table functions inline (the reason to prefer
+    them over a Python UDTF for relational-expressible expansions,
+    cf. udf_udtf_chunk for the opaque-Python case)."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("tf_customer")
+    spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION seg_buckets(lo DOUBLE, hi DOUBLE, k INT)
+RETURNS TABLE(bucket INT, b_lo DOUBLE, b_hi DOUBLE)
+RETURN SELECT CAST(i AS INT) AS bucket,
+       lo + i * (hi - lo) / k AS b_lo,
+       lo + (i + 1) * (hi - lo) / k AS b_hi
+FROM (SELECT explode(sequence(0, k - 1)) AS i)
+""")
+    return spark.sql(f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+  FROM tf_customer GROUP BY c_mktsegment
+),
+b AS (
+  SELECT seg.segment, t.bucket, t.b_lo, t.b_hi
+  FROM seg, LATERAL seg_buckets(seg.lo, seg.hi, {_TF_BUCKETS}) t
+),
+assigned AS (
+  SELECT /*+ BROADCAST(s) */
+         c.c_mktsegment AS segment,
+         LEAST({_TF_BUCKETS} - 1,
+               CAST(floor((c.c_acctbal - s.lo) * {_TF_BUCKETS}
+                          / (s.hi - s.lo)) AS INT)) AS bucket
+  FROM tf_customer c JOIN seg s ON s.segment = c.c_mktsegment
+),
+cnt AS (
+  SELECT segment, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY segment, bucket
+)
+SELECT b.segment, CAST(b.bucket AS BIGINT) AS bucket, b.b_lo, b.b_hi,
+       COALESCE(cnt.n, CAST(0 AS BIGINT)) AS n
+FROM b LEFT JOIN cnt ON cnt.segment = b.segment AND cnt.bucket = b.bucket
+""")
