@@ -7564,3 +7564,72 @@ def ev_shewhart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breach"),
     )
+
+
+@query(
+    "ev_time_weighted_average",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+seg AS (
+  SELECT user_id, value, next_us - us AS dur_us
+  FROM seq WHERE next_us IS NOT NULL
+),
+u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(dur_us) AS BIGINT) AS span_us,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10)) * dur_us)
+              AS VARCHAR) AS DOUBLE) AS vt
+  FROM seg GROUP BY user_id
+)
+SELECT user_id, n_segments, span_us,
+       vt / span_us AS twap
+FROM u WHERE span_us > 0
+""",
+    tags=("events", "twap", "time-weighted", "window"),
+)
+def ev_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP — the estimator that makes
+    irregular samples comparable: a value held for an hour must weigh
+    3600× a value held a second; the plain mean ev_user_feature_
+    profile reports is biased toward bursty periods): each
+    observation holds until the user's next event (step/last-value
+    interpolation, the convention of every metrics store), weights
+    are integer MICROSECOND durations from one lead window, and the
+    weighted sum Σ value·Δt is a DECIMAL(30,10)·BIGINT product summed
+    exactly — order-free under any partitioning — with ONE final
+    division per user. The trailing observation (no successor) has
+    undefined holding time and is excluded, per the standard
+    right-open convention.
+
+    100 TB shape: one user-keyed sort window (the sessionize family's
+    shared shuffle), one map-side-combined user aggregate; output
+    O(users)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = seq.select(
+        "user_id", "value", (F.col("next_us") - F.col("us")).alias("dur_us")
+    )
+    u = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("dur_us").cast("long").alias("span_us"),
+        F.sum(F.col("value").cast("decimal(30,10)") * F.col("dur_us"))
+        .cast("double").alias("vt"),
+    )
+    return u.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_segments",
+        "span_us",
+        (F.col("vt") / F.col("span_us")).alias("twap"),
+    )
