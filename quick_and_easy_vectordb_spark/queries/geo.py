@@ -1025,3 +1025,143 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("geohash").alias("first_hash"),
         F.min("c_custkey").cast("long").alias("min_key"),
     )
+
+
+# 3-char geohash = 15 bits: 8 longitude + 7 latitude (lon leads).
+_GH3_LON_BITS = 8
+_GH3_LAT_BITS = 7
+
+
+def _gh3_expr(shiftleft) -> str:
+    """15-bit interleaved geohash3 integer from lonq3 (8 bits) and
+    latq3 (7 bits)."""
+    terms = []
+    for i in range(_GH3_LON_BITS):
+        bit = f"((lonq3 // {1 << (_GH3_LON_BITS - 1 - i)}) % 2)"
+        terms.append(shiftleft(bit, 14 - 2 * i))
+    for i in range(_GH3_LAT_BITS):
+        bit = f"((latq3 // {1 << (_GH3_LAT_BITS - 1 - i)}) % 2)"
+        terms.append(shiftleft(bit, 13 - 2 * i))
+    return " + ".join(terms)
+
+
+def _gh3_chars(g: str) -> str:
+    parts = [
+        f"substr('{_GH_ALPHABET}', CAST(({g}) // {1 << (10 - 5 * c)} % 32"
+        f" AS INT) + 1, 1)"
+        for c in range(3)
+    ]
+    return " || ".join(parts)
+
+
+@query(
+    "geo_geohash_neighbors",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         CAST(floor((lat + 90.0) / 180.0 * {1 << _GH3_LAT_BITS}) AS BIGINT)
+           AS latq3,
+         CAST(floor((lon + 180.0) / 360.0 * {1 << _GH3_LON_BITS}) AS BIGINT)
+           AS lonq3
+  FROM p
+),
+cells AS (
+  SELECT latq3, lonq3, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM q GROUP BY 1, 2
+),
+nb AS (
+  SELECT c.latq3, c.lonq3, c.n_points,
+         ((c.lonq3 + dx.d + {1 << _GH3_LON_BITS}) % {1 << _GH3_LON_BITS})
+           AS nlon,
+         c.latq3 + dy.d AS nlat
+  FROM cells c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+  WHERE c.latq3 + dy.d >= 0 AND c.latq3 + dy.d < {1 << _GH3_LAT_BITS}
+),
+sm AS (
+  SELECT nb.latq3, nb.lonq3, nb.n_points,
+         CAST(SUM(COALESCE(c2.n_points, 0)) AS BIGINT) AS nbhd_points,
+         CAST(COUNT(c2.latq3) AS BIGINT) AS live_neighbors
+  FROM nb LEFT JOIN cells c2
+    ON c2.latq3 = nb.nlat AND c2.lonq3 = nb.nlon
+  GROUP BY nb.latq3, nb.lonq3, nb.n_points
+)
+SELECT {_gh3_chars(f"(SELECT {_gh3_expr(lambda b, n: f'({b} * {1 << n})')})")}
+         AS cell3,
+       n_points, nbhd_points, live_neighbors
+FROM sm
+""",
+    tags=("geo", "geohash", "neighbors", "smoothing"),
+)
+def geo_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH NEIGHBOR EXPANSION + spatial smoothing — the
+    de-interleave → ±1 → re-interleave algebra every geohash radius
+    query needs (a Z-order cell's 8 neighbors are NOT prefix-adjacent
+    — the curve's discontinuity — so neighbor lookup must go through
+    coordinate space): per-cell point counts are smoothed over the
+    3×3 neighborhood (longitude wraps, latitude clamps at the poles),
+    the standard densification pass before hotspot detection. The
+    geohash string is emitted by re-interleaving the cell's
+    quantized coordinates — pinning that encode(decode(cell)±1)
+    round-trips bit-exactly in both engines, all integer arithmetic.
+
+    100 TB shape: smoothing runs on the CELL table (O(occupied
+    cells), already aggregated), never points; the 9× neighbor
+    fan-out is a constant; the neighbor lookup is an equi-join on
+    quantized coordinates."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    q = c.select(
+        F.floor((_lat("c_custkey") + 90.0) / 180.0 * (1 << _GH3_LAT_BITS))
+        .cast("long").alias("latq3"),
+        F.floor((_lon("c_custkey") + 180.0) / 360.0 * (1 << _GH3_LON_BITS))
+        .cast("long").alias("lonq3"),
+    )
+    cells = q.groupBy("latq3", "lonq3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    nb = (
+        cells.select("latq3", "lonq3", "n_points", d.alias("dx"))
+        .select("latq3", "lonq3", "n_points", "dx",
+                F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+                .alias("dy"))
+        .filter(
+            (F.col("latq3") + F.col("dy") >= 0)
+            & (F.col("latq3") + F.col("dy") < (1 << _GH3_LAT_BITS))
+        )
+        .select(
+            "latq3",
+            "lonq3",
+            "n_points",
+            ((F.col("lonq3") + F.col("dx") + (1 << _GH3_LON_BITS))
+             % (1 << _GH3_LON_BITS)).alias("nlon"),
+            (F.col("latq3") + F.col("dy")).alias("nlat"),
+        )
+    )
+    c2 = cells.select(
+        F.col("latq3").alias("nlat"), F.col("lonq3").alias("nlon"),
+        F.col("n_points").alias("n2"),
+    )
+    sm = (
+        nb.join(c2, ["nlat", "nlon"], "left")
+        .groupBy("latq3", "lonq3", "n_points")
+        .agg(
+            F.sum(F.coalesce("n2", F.lit(0))).cast("long")
+            .alias("nbhd_points"),
+            F.count("n2").cast("long").alias("live_neighbors"),
+        )
+    )
+    gh_int = _gh3_expr(lambda b, n: f"shiftleft({b}, {n})")
+    return sm.selectExpr(
+        f"({_gh3_chars(f'({gh_int})')}) AS cell3".replace("//", "DIV"),
+        "n_points",
+        "nbhd_points",
+        "live_neighbors",
+    )
