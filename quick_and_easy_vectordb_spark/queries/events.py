@@ -7633,3 +7633,118 @@ def ev_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_us",
         (F.col("vt") / F.col("span_us")).alias("twap"),
     )
+
+
+# Campaign windows as epoch-micros literals (UTC interpretation of the
+# NTZ fixture timestamps — the same convention unix_micros/epoch_us
+# already share across every event-time oracle).
+_CAMPAIGNS = (
+    ("c1", 1704412800000000, 1704585600000000),   # Jan 05 .. Jan 07
+    ("c2", 1705276800000000, 1705363200000000),   # Jan 15 .. Jan 16
+    ("c3", 1705752000000000, 1705838400000000),   # Jan 20 12:00 .. Jan 21 12:00
+)
+
+
+def _campaign_sql() -> str:
+    rows = ", ".join(f"('{n}', {s}, {e})" for n, s, e in _CAMPAIGNS)
+    return (f"(SELECT * FROM (VALUES {rows})"
+            f" AS t(campaign, c_start, c_end))")
+
+
+@query(
+    "ev_interval_overlap_duration",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev
+      FROM e),
+f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+sess AS (
+  SELECT user_id, CAST(MIN(us) AS BIGINT) AS s_start,
+         CAST(MAX(us) AS BIGINT) AS s_end
+  FROM s GROUP BY user_id, sid
+),
+c AS {_campaign_sql()},
+ov AS (
+  SELECT c.campaign,
+         GREATEST(0, LEAST(sess.s_end, c.c_end)
+                     - GREATEST(sess.s_start, c.c_start)) AS ov_us,
+         sess.user_id
+  FROM sess JOIN c
+    ON sess.s_start < c.c_end AND sess.s_end > c.c_start
+)
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(ov_us) AS BIGINT) AS overlap_us_total,
+       CAST(MAX(ov_us) AS BIGINT) AS max_overlap_us
+FROM ov GROUP BY campaign
+""",
+    tags=("events", "intervals", "overlap", "exposure"),
+)
+def ev_interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP DURATION — ad-exposure accounting: how much
+    session time fell inside each campaign flight window. Sessions
+    are the standard 30-minute-gap islands (the batch sessionize
+    construction, shared shuffle); per (session, campaign) overlap
+    is the classic GREATEST(0, LEAST(ends) − GREATEST(starts)) in
+    integer MICROSECONDS — exact, no timestamp arithmetic crosses
+    engines — and the join predicate is the open-interval overlap
+    test, so zero-length touches are excluded. Complements
+    ev_max_concurrent_sessions (sweep-line counting) and
+    ev_range_join (bucketed interval join): this is the measure-the-
+    intersection variant.
+
+    100 TB shape: sessionization is the one user-keyed shuffle; the
+    campaign table is O(flights) and BROADCAST (a few rows against
+    millions of sessions); overlap math is codegen per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    f = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = f.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("us").cast("long").alias("s_start"),
+        F.max("us").cast("long").alias("s_end"),
+    )
+    camp = spark.createDataFrame(
+        [(n, s_, e_) for n, s_, e_ in _CAMPAIGNS],
+        "campaign string, c_start long, c_end long",
+    )
+    ov = sess.join(
+        F.broadcast(camp),
+        (F.col("s_start") < F.col("c_end"))
+        & (F.col("s_end") > F.col("c_start")),
+    ).select(
+        "campaign",
+        "user_id",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least("s_end", "c_end") - F.greatest("s_start", "c_start"),
+        ).alias("ov_us"),
+    )
+    return ov.groupBy("campaign").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("ov_us").cast("long").alias("overlap_us_total"),
+        F.max("ov_us").cast("long").alias("max_overlap_us"),
+    )

@@ -2539,3 +2539,92 @@ def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("long").alias("largest_blob"),
         F.sum("sz").cast("long").alias("n_mask_px"),
     )
+
+
+@query(
+    "mm_rle_compression_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT doc_id, i // w AS y, i % w AS x,
+         (doc_id * 31 + i) // 16 % 16 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims)
+),
+runs AS (
+  SELECT doc_id, y,
+         CAST(SUM(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs,
+         CAST(COUNT(*) AS BIGINT) AS n_px
+  FROM (
+    SELECT doc_id, y, v,
+           LAG(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS prev
+    FROM px
+  ) GROUP BY doc_id, y
+)
+SELECT doc_id,
+       CAST(SUM(n_px) AS BIGINT) AS n_px,
+       CAST(SUM(n_runs) AS BIGINT) AS n_runs,
+       CAST(SUM(n_runs) * 2000 // SUM(n_px) AS BIGINT)
+         AS rle_bytes_per_kpx_x2,
+       CAST(MAX(n_runs) AS BIGINT) AS worst_row_runs
+FROM runs GROUP BY doc_id
+""",
+    tags=("multimodal", "rle", "compression", "decode"),
+)
+def mm_rle_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-LENGTH ENCODING statistics per image row — the
+    compressibility probe (RLE is the inner loop of fax/G4, TGA, BMP
+    compression, and the intuition behind parquet's RLE encoding):
+    pixel values are coarsened to 16 levels ((raw) // 16, where runs
+    actually occur on the synthetic gradient raster), each row's run
+    count comes from one LAG-change flag within the (doc, row)
+    window, and the per-image summary reports exact run counts plus
+    a fixed-point RLE-cost proxy (2 bytes per run → runs·2000 div
+    pixels, integer). Decode is the real P5 parser; the oracle
+    recomputes from the closed-form raster.
+
+    100 TB shape: windows partition on (doc, row) — bounded by image
+    width, embarrassingly parallel; one doc aggregate after. Rows
+    never cross images."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "y": [], "n_runs": [], "n_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                raster = ((doc_id * 31 + np.arange(w * h)) % 256).astype(
+                    np.uint8
+                )
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload)[:, :, 0].astype(np.int64) // 16
+                changes = (img[:, 1:] != img[:, :-1]).sum(axis=1) + 1
+                out["doc_id"].extend([doc_id] * h)
+                out["y"].extend(range(h))
+                out["n_runs"].extend(changes.tolist())
+                out["n_px"].extend([w] * h)
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    runs = docs.mapInPandas(
+        run, "doc_id long, y long, n_runs long, n_px long"
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("n_px").cast("long").alias("n_px"),
+        F.sum("n_runs").cast("long").alias("n_runs"),
+        F.expr("sum(n_runs) * 2000 div sum(n_px)").cast("long")
+        .alias("rle_bytes_per_kpx_x2"),
+        F.max("n_runs").cast("long").alias("worst_row_runs"),
+    )

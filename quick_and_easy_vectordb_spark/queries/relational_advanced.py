@@ -2383,3 +2383,114 @@ def rel_share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_of_total"),
         F.sum("n_orders").over(w_reg).cast("long").alias("region_orders"),
     )
+
+
+@query(
+    "rel_bitmap_index_intersection",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey // 63 AS word, CAST(o_orderkey % 63 AS INT) AS bit,
+         o_orderstatus, o_orderpriority
+  FROM orders
+),
+bs AS (
+  SELECT word, bit_or(1::BIGINT << bit) AS bits
+  FROM base WHERE o_orderstatus = 'F' GROUP BY word
+),
+bp AS (
+  SELECT word, bit_or(1::BIGINT << bit) AS bits
+  FROM base WHERE o_orderpriority = '1-URGENT' GROUP BY word
+),
+inter AS (
+  SELECT CAST(SUM(bit_count(bs.bits & bp.bits)) AS BIGINT) AS n
+  FROM bs JOIN bp ON bp.word = bs.word
+),
+direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+),
+card AS (
+  SELECT CAST((SELECT SUM(bit_count(bits)) FROM bs) AS BIGINT) AS n_s,
+         CAST((SELECT SUM(bit_count(bits)) FROM bp) AS BIGINT) AS n_p,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total
+)
+SELECT card.n_s AS n_status_f,
+       card.n_p AS n_urgent,
+       inter.n AS n_bitmap_and,
+       direct.n AS n_direct,
+       CASE WHEN inter.n = direct.n THEN 1 ELSE 0 END AS algebra_sound,
+       CAST(card.n_s * card.n_p AS DOUBLE)
+         / (CAST(card.n_total AS DOUBLE) * card.n_total)
+         * card.n_total AS independence_estimate
+FROM inter, direct, card
+""",
+    tags=("relational", "bitmap-index", "selectivity", "intersection"),
+)
+def rel_bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP INDEX INTERSECTION — the classic warehouse technique for
+    multi-predicate selection on low-cardinality columns (Oracle
+    bitmap indexes, Roaring-backed secondary indexes): one bitmap per
+    predicate over the row-id space (orderkey packed into 63-bit
+    BIGINT words — the bit-per-row twin of ev_bitmap_daily_actives'
+    bit-per-day), conjunction = per-word AND + popcount, NO data
+    scan. The query certifies the algebra against ground truth —
+    n_bitmap_and must equal the direct conjunctive COUNT
+    (algebra_sound pinned to 1) — and emits the independence-
+    assumption estimate (n_s·n_p/N) beside the true intersection,
+    the comparison the optimizer's selectivity model lives and dies
+    by (cf. rel_join_cardinality_estimate for the join version).
+
+    100 TB shape: bitmap build is one map-side bit_or per predicate
+    keyed on the word index (|rows|/63 words of state); intersection
+    joins two O(words) bitmap tables — the data is never rescanned
+    for new predicate combinations, which is the point of the
+    index."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr("o_orderkey div 63").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint),"
+               " cast(o_orderkey % 63 as int))").alias("m"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    bs = (
+        base.filter(F.col("o_orderstatus") == "F")
+        .groupBy("word").agg(F.bit_or("m").alias("bits_s"))
+    )
+    bp = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("word").agg(F.bit_or("m").alias("bits_p"))
+    )
+    inter = (
+        bs.join(bp, "word")
+        .agg(F.sum(F.bit_count(F.col("bits_s").bitwiseAND(F.col("bits_p"))))
+             .cast("long").alias("n_bitmap_and"))
+    )
+    n_s = bs.agg(F.sum(F.bit_count("bits_s")).cast("long")
+                 .alias("n_status_f"))
+    n_p = bp.agg(F.sum(F.bit_count("bits_p")).cast("long")
+                 .alias("n_urgent"))
+    direct = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+    n_tot = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        n_s.crossJoin(F.broadcast(n_p))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_status_f",
+            "n_urgent",
+            "n_bitmap_and",
+            "n_direct",
+            F.when(F.col("n_bitmap_and") == F.col("n_direct"), 1)
+            .otherwise(0).alias("algebra_sound"),
+            (
+                (F.col("n_status_f") * F.col("n_urgent")).cast("double")
+                / (F.col("n_total").cast("double") * F.col("n_total"))
+                * F.col("n_total")
+            ).alias("independence_estimate"),
+        )
+    )
