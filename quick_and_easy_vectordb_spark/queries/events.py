@@ -7748,3 +7748,69 @@ def ev_interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ov_us").cast("long").alias("overlap_us_total"),
         F.max("ov_us").cast("long").alias("max_overlap_us"),
     )
+
+
+@query(
+    "ev_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         epoch_us(ts) AS us,
+         LEAD(epoch_us(ts), 2) OVER w AS us2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT event_type || '>' || t1 || '>' || t2 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq
+  WHERE t2 IS NOT NULL AND us2 - us <= 3600000000
+  GROUP BY 1
+),
+r AS (SELECT *, RANK() OVER (ORDER BY n DESC, path) AS rk FROM tri)
+SELECT path, n, n_users FROM r WHERE rk <= 15
+""",
+    tags=("events", "paths", "sequence-mining", "trigrams"),
+)
+def ev_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP USER-PATH TRIGRAMS — the sequence-mining staple behind
+    'common journeys' product analytics (and the n-gram flattening
+    that makes path mining tractable where full-sequence mining
+    explodes): three CONSECUTIVE same-user events within one hour
+    collapse to a 'a>b>c' path string via two LEAD columns on the
+    shared user-keyed sort (the ev_cep_strict_sequence window — path
+    mining IS CEP with counting instead of matching), counted
+    globally with distinct-user support, top-15 by (count, path).
+    RANK with the path tiebreak keeps the cut deterministic; the
+    1-hour bound compares integer epoch-micros.
+
+    100 TB shape: ONE user-keyed window shuffle; the path aggregate
+    is map-side-combinable over ≤ |types|³ keys; top-15 is a
+    TakeOrdered over that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts"), 2).over(w).alias("us2"),
+    ).filter(
+        F.col("t2").isNotNull()
+        & (F.col("us2") - F.col("us") <= 3_600_000_000)
+    )
+    tri = seq.select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("path"),
+        "user_id",
+    ).groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    r = tri.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("n"), F.asc("path")))
+    )
+    return r.filter(F.col("rk") <= 15).select("path", "n", "n_users")

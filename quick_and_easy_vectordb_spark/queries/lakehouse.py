@@ -1462,3 +1462,129 @@ def src_bloom_filter_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_positive_files"),
         )
     )
+
+
+_MERKLE_LEVELS = 6  # ceil(log2(31 days)) + headroom; singletons promote
+
+
+def _merkle_sql_level(a: str) -> str:
+    """DuckDB: one Merkle reduction level over list ``a`` (1-indexed);
+    odd leftover promotes unchanged."""
+    return (
+        f"list_transform(range(0, CAST(ceil(len({a}) / 2.0) AS BIGINT)),"
+        f" i -> CASE WHEN 2*i + 2 <= len({a})"
+        f" THEN md5({a}[2*i + 1] || {a}[2*i + 2])"
+        f" ELSE {a}[2*i + 1] END)"
+    )
+
+
+def _merkle_spark_level(a: str) -> str:
+    """Spark SQL: the same reduction (element_at is 1-indexed)."""
+    return (
+        f"transform(sequence(0, cast(ceil(size({a}) / 2.0) as int) - 1),"
+        f" i -> CASE WHEN 2*i + 2 <= size({a})"
+        f" THEN md5(concat(element_at({a}, 2*i + 1),"
+        f" element_at({a}, 2*i + 2)))"
+        f" ELSE element_at({a}, 2*i + 1) END)"
+    )
+
+
+def _merkle_oracle() -> str:
+    lvl = "l0"
+    ctes = [
+        """eh AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             || '|' || event_type || '|'
+             || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             || '|' || CAST(epoch_us(ts) AS VARCHAR)) AS h
+  FROM events
+),
+leaves AS (
+  SELECT day, md5(string_agg(h, '' ORDER BY h)) AS leaf,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM eh GROUP BY day
+),
+l0 AS (SELECT list(leaf ORDER BY day) AS a,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(n_events) AS BIGINT) AS n_events
+       FROM leaves)"""
+    ]
+    for i in range(1, _MERKLE_LEVELS + 1):
+        ctes.append(
+            f"l{i} AS (SELECT {_merkle_sql_level('a')} AS a,"
+            f" n_days, n_events FROM l{i - 1})"
+        )
+        lvl = f"l{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n_days, n_events,
+       a[1] AS merkle_root,
+       CAST(len(a) AS BIGINT) AS root_level_size
+FROM {lvl}"""
+    )
+
+
+@query(
+    "src_merkle_tree_integrity",
+    oracle=_merkle_oracle(),
+    tags=("source", "merkle", "integrity", "content-addressing"),
+)
+def src_merkle_tree_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE-TREE CONTENT INTEGRITY over the event log — the
+    content-addressed manifest design of every verifiable lakehouse
+    (Iceberg manifests, Delta checksums, git trees, certificate
+    transparency): each DAY's rows reduce to one leaf (md5 of the
+    day's ORDER-CANONICALIZED row hashes — sorted concatenation, so
+    any partitioning produces the identical leaf), and a fixed
+    {_MERKLE_LEVELS}-level pairwise reduction yields one root hash.
+    Any flipped bit anywhere in ~60k rows changes the root; two
+    replicas compare ONE string to prove byte-equality, and a
+    mismatch localizes in O(log n) leaf comparisons — the property
+    this query pins bit-exactly across engines (values carried as
+    integer cents, timestamps as epoch micros, so no float or
+    timezone rendering enters the hash).
+
+    100 TB shape: row hashing is map-side; the ONLY shuffle is the
+    per-day leaf aggregate (the string_agg's sort is day-local); the
+    tree reduction runs on the O(days) leaf array — driver-scale by
+    construction, like a manifest file."""
+    ev = load_table(spark, sf_dir, "events")
+    eh = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long").cast("string"),
+                F.unix_micros("ts").cast("string"),
+            )
+        ).alias("h"),
+    )
+    leaves = eh.groupBy("day").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("h")), ""))
+        .alias("leaf"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    l0 = leaves.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "leaf"))),
+            lambda x: x["leaf"],
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    cur = l0
+    for _ in range(_MERKLE_LEVELS):
+        cur = cur.selectExpr(
+            f"{_merkle_spark_level('a')} AS a", "n_days", "n_events"
+        )
+    return cur.selectExpr(
+        "n_days",
+        "n_events",
+        "element_at(a, 1) AS merkle_root",
+        "cast(size(a) as bigint) AS root_level_size",
+    )
