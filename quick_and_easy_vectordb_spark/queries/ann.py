@@ -2225,3 +2225,88 @@ def ann_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sse_before))
         .crossJoin(F.broadcast(sse_after))
     )
+
+
+_CURVE_KS = (1, 5, 10, 20)
+
+
+@query(
+    "ann_recall_curve",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {_sql_signature(PROBE_PLANES)} AS bucket,
+         {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS similarity
+  FROM embeddings
+),
+ar AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY similarity DESC, vec_id)
+           AS r
+  FROM scored WHERE bucket IN ({_probe_list_sql()})
+),
+er AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY similarity DESC, vec_id)
+           AS r
+  FROM scored
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _CURVE_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / ks.k AS recall
+FROM ks
+JOIN er ON er.r <= ks.k
+JOIN ar ON ar.vec_id = er.vec_id AND ar.r <= ks.k
+GROUP BY ks.k
+""",
+    tags=("ann", "lsh", "recall-curve", "metric"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@k CURVE — recall at k = 1, 5, 10, 20 from ONE pair of
+    rankings (ann_recall_at_k gives the single point;
+    ann_nprobe_recall_curve sweeps the probe budget; this sweeps the
+    CUTOFF — the third axis an index evaluation reports, and the one
+    that exposes rank-order damage near the top that recall@20
+    hides). Both rankings are ranked once with row_number and every
+    cutoff is a filter on the SAME ranked tables — the curve costs
+    one ranking, not |ks| searches. The top-k windows here rank a
+    single query's scores (the post-scan ranking of a top-k search,
+    bounded rows), and the cutoff join fans out over the 4-row k
+    table.
+
+    100 TB shape: two rankings over the scored scan (the approx side
+    already bucket-pruned), broadcast 4-row cutoff table, tiny
+    join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    sig = python_lsh_signature(QUERY_VEC, PROBE_PLANES)
+    probes = hamming_neighbors(sig, 1)
+    scored = emb.select(
+        "vec_id",
+        lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
+        dot_product(F.col("embedding"), q).alias("similarity"),
+    ).persist()
+    w = Window.orderBy(F.desc("similarity"), F.asc("vec_id"))
+    er = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max(_CURVE_KS))
+        .select("vec_id", F.col("r").alias("er"))
+    )
+    ar = (
+        scored.filter(F.col("bucket").isin(probes))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max(_CURVE_KS))
+        .select("vec_id", F.col("r").alias("ar"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _CURVE_KS], "k long")
+    hits = (
+        er.join(ar, "vec_id")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("er") <= F.col("k")) & (F.col("ar") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return ks.join(hits, "k", "left").select(
+        "k",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+         / F.col("k")).alias("recall"),
+    )

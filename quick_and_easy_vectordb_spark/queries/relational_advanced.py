@@ -2494,3 +2494,91 @@ def rel_bitmap_index_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("independence_estimate"),
         )
     )
+
+
+@query(
+    "rel_data_vault_keys",
+    oracle="""
+WITH hub_c AS (
+  SELECT DISTINCT md5('cust|' || CAST(c_custkey AS VARCHAR)) AS hk_cust
+  FROM customer
+),
+hub_o AS (
+  SELECT DISTINCT md5('ord|' || CAST(o_orderkey AS VARCHAR)) AS hk_order
+  FROM orders
+),
+lnk AS (
+  SELECT md5(md5('cust|' || CAST(o_custkey AS VARCHAR)) || '||' ||
+             md5('ord|' || CAST(o_orderkey AS VARCHAR))) AS lk,
+         md5('cust|' || CAST(o_custkey AS VARCHAR)) AS hk_cust,
+         md5('ord|' || CAST(o_orderkey AS VARCHAR)) AS hk_order
+  FROM orders
+)
+SELECT CAST((SELECT COUNT(*) FROM hub_c) AS BIGINT) AS n_hub_cust,
+       CAST((SELECT COUNT(*) FROM hub_o) AS BIGINT) AS n_hub_order,
+       CAST((SELECT COUNT(*) FROM lnk) AS BIGINT) AS n_links,
+       CAST((SELECT COUNT(DISTINCT lk) FROM lnk) AS BIGINT)
+         AS n_distinct_links,
+       CAST((SELECT COUNT(*) FROM lnk l
+             WHERE NOT EXISTS (SELECT 1 FROM hub_c h
+                               WHERE h.hk_cust = l.hk_cust)) AS BIGINT)
+         AS orphan_cust_links,
+       CAST((SELECT COUNT(*) FROM lnk l
+             WHERE NOT EXISTS (SELECT 1 FROM hub_o h
+                               WHERE h.hk_order = l.hk_order)) AS BIGINT)
+         AS orphan_order_links
+""",
+    tags=("relational", "data-vault", "hash-keys", "modeling"),
+)
+def rel_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA VAULT 2.0 HASH-KEY GENERATION + closure audit — the
+    warehouse-modeling discipline built for parallel loading at
+    scale: hubs carry md5 business-key hashes, links carry the hash
+    of their member hub keys, and because every key is a PURE
+    FUNCTION of the business key, hubs, links, and satellites load
+    in ANY order on ANY cluster with no sequence generator or lookup
+    join (the reason DV2 replaced surrogate sequences at scale —
+    exactly the determinism discipline this engine's oracles run
+    on). The audit pins the two invariants that make the model
+    sound: link cardinality equals the distinct business
+    relationship count (no hash collisions merged two
+    relationships), and ZERO orphan links (every link's hub keys
+    exist — referential closure without constraints).
+
+    100 TB shape: key generation is map-side md5 (no sequence
+    bottleneck, no lookup shuffle — the DV2 pitch verbatim); the
+    audits are two anti-join counts on hash keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hk_cust = lambda col: F.md5(  # noqa: E731
+        F.concat(F.lit("cust|"), F.col(col).cast("string")))
+    hk_ord = lambda col: F.md5(  # noqa: E731
+        F.concat(F.lit("ord|"), F.col(col).cast("string")))
+    hub_c = c.select(hk_cust("c_custkey").alias("hk_cust")).distinct()
+    hub_o = o.select(hk_ord("o_orderkey").alias("hk_order")).distinct()
+    lnk = o.select(
+        F.md5(F.concat(hk_cust("o_custkey"), F.lit("||"),
+                       hk_ord("o_orderkey"))).alias("lk"),
+        hk_cust("o_custkey").alias("hk_cust"),
+        hk_ord("o_orderkey").alias("hk_order"),
+    )
+    n_hub_c = hub_c.agg(F.count(F.lit(1)).cast("long").alias("n_hub_cust"))
+    n_hub_o = hub_o.agg(F.count(F.lit(1)).cast("long").alias("n_hub_order"))
+    n_l = lnk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("lk").cast("long").alias("n_distinct_links"),
+    )
+    orph_c = (
+        lnk.join(hub_c, "hk_cust", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_cust_links"))
+    )
+    orph_o = (
+        lnk.join(hub_o, "hk_order", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_order_links"))
+    )
+    return (
+        n_hub_c.crossJoin(F.broadcast(n_hub_o))
+        .crossJoin(F.broadcast(n_l))
+        .crossJoin(F.broadcast(orph_c))
+        .crossJoin(F.broadcast(orph_o))
+    )
