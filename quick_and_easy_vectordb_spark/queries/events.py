@@ -7814,3 +7814,92 @@ def ev_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.rank().over(Window.orderBy(F.desc("n"), F.asc("path")))
     )
     return r.filter(F.col("rk") <= 15).select("path", "n", "n_users")
+
+
+_FUNNEL_WINDOWS_H = (1, 6, 24)
+
+
+@query(
+    "ev_funnel_window_sensitivity",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, first_purchase - first_click AS delay_us
+  FROM u
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_click
+),
+ks AS (SELECT unnest([{", ".join(str(h) for h in _FUNNEL_WINDOWS_H)}])
+         AS window_h),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers FROM u
+         WHERE first_click IS NOT NULL)
+SELECT CAST(ks.window_h AS BIGINT) AS window_h,
+       base.n_clickers,
+       CAST((SELECT COUNT(*) FROM conv
+             WHERE delay_us <= ks.window_h * 3600000000) AS BIGINT)
+         AS n_converted,
+       CAST((SELECT COUNT(*) FROM conv
+             WHERE delay_us <= ks.window_h * 3600000000) AS DOUBLE)
+         / base.n_clickers AS conversion_rate
+FROM ks, base
+""",
+    tags=("events", "funnel", "attribution-window", "sensitivity"),
+)
+def ev_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTION-WINDOW SENSITIVITY for the click→purchase funnel —
+    the table that answers the perennial 'does our conversion rate
+    depend on the 24 h cutoff we picked?': conversion under 1 h /
+    6 h / 24 h windows from ONE user-level pass (first click, first
+    purchase, integer-microsecond delay), each window a filter over
+    the same per-user delays, never a re-scan per window (the
+    ann_recall_curve discipline applied to funnels; ev_funnel and
+    ev_funnel_time_to_convert report the fixed-window point and its
+    latency distribution). A steep rate change between windows means
+    the funnel definition — not the product — is driving the metric.
+
+    100 TB shape: one user-keyed conditional-MIN aggregate over the
+    stream; the sweep fans out over a 3-row bound table against
+    O(converting users) delays."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click",
+                     F.unix_micros("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.unix_micros("ts"))).alias("first_purchase"),
+    ).persist()
+    conv = u.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (F.col("first_purchase") - F.col("first_click")).alias("delay_us")
+    )
+    base = u.filter(F.col("first_click").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clickers"))
+    ks = spark.createDataFrame(
+        [(h,) for h in _FUNNEL_WINDOWS_H], "window_h long")
+    counts = (
+        conv.crossJoin(F.broadcast(ks))
+        .filter(F.col("delay_us") <= F.col("window_h") * 3_600_000_000)
+        .groupBy("window_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    )
+    return (
+        ks.join(counts, "window_h", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "window_h",
+            "n_clickers",
+            F.coalesce("n_converted", F.lit(0).cast("long"))
+            .alias("n_converted"),
+            (F.coalesce("n_converted", F.lit(0).cast("long")).cast("double")
+             / F.col("n_clickers")).alias("conversion_rate"),
+        )
+    )

@@ -3140,3 +3140,81 @@ def text_unigram_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("total_bits").cast("double") / F.sum("n_tok"))
         .alias("mean_bits"),
     )
+
+
+_TEMP_ALPHA_SQRT = True  # alpha = 0.5 realized as sqrt (no pow/libm)
+
+
+@query(
+    "text_temperature_sampling",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+w AS (SELECT source, n_docs, n_chars,
+             sqrt(CAST(n_docs AS DOUBLE)) AS wgt
+      FROM s),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         list_reduce(list(wgt ORDER BY source), (a, b) -> a + b)
+           AS denom
+  FROM w
+)
+SELECT w.source, w.n_docs, w.n_chars,
+       CAST(w.n_docs AS DOUBLE) / tot.total_docs AS raw_share,
+       w.wgt / tot.denom AS sampled_share,
+       (w.wgt / tot.denom)
+         / (CAST(w.n_docs AS DOUBLE) / tot.total_docs) AS boost
+FROM w, tot
+""",
+    tags=("text", "sampling", "temperature", "mixture"),
+)
+def text_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED SOURCE SAMPLING (the α-sampling of
+    XLM-R/mT5: p_i ∝ n_i^α with α = 0.5) — the mixture policy that
+    keeps low-resource sources from vanishing under proportional
+    sampling while keeping high-resource ones from drowning the
+    batch; `boost` is the up/down-sampling factor each source gets
+    (> 1 for small sources, < 1 for large — the whole point made
+    visible). α = 0.5 is realized as sqrt — a single IEEE op, no
+    pow/libm crossing engines — and the normalizing denominator is a
+    LEFT FOLD over the source-name-sorted weight list (the survival-
+    curve discipline: identical addition order in both engines, so
+    even the float shares hash bitwise; a bare SUM over doubles
+    would not pin the order).
+
+    Complements text_mix_rebalance_weights (target-driven reweights)
+    with the standard parametric policy.
+
+    100 TB shape: one map-side-combined source aggregate; everything
+    after runs on O(sources) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("n_chars"),
+    )
+    w = s.withColumn("wgt", F.sqrt(F.col("n_docs").cast("double")))
+    tot = w.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "wgt"))),
+                lambda x: x["wgt"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("total_docs"))
+        .alias("raw_share"),
+        (F.col("wgt") / F.col("denom")).alias("sampled_share"),
+        ((F.col("wgt") / F.col("denom"))
+         / (F.col("n_docs").cast("double") / F.col("total_docs")))
+        .alias("boost"),
+    )
