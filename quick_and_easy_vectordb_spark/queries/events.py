@@ -7903,3 +7903,114 @@ def ev_funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_clickers")).alias("conversion_rate"),
         )
     )
+
+
+@query(
+    "ev_growth_accounting",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+seq AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM du
+),
+cls AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN day <> first_day
+                        AND prev_day = strftime(CAST(day AS DATE)
+                                                - INTERVAL 1 DAY, '%Y-%m-%d')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+         CAST(SUM(CASE WHEN day <> first_day
+                        AND prev_day <> strftime(CAST(day AS DATE)
+                                                 - INTERVAL 1 DAY, '%Y-%m-%d')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM seq GROUP BY day
+),
+churn AS (
+  SELECT strftime(CAST(a.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS churned
+  FROM du a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM du b WHERE b.user_id = a.user_id
+      AND b.day = strftime(CAST(a.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+  )
+  GROUP BY 1
+)
+SELECT cls.day, cls.new_users, cls.retained, cls.resurrected,
+       COALESCE(churn.churned, 0) AS churned_from_prev,
+       cls.new_users + cls.retained + cls.resurrected AS dau
+FROM cls LEFT JOIN churn ON churn.day = cls.day
+""",
+    tags=("events", "growth-accounting", "retention", "dau"),
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the Social Capital DAU decomposition every
+    growth team reports): each day's actives split EXACTLY into
+    new (first day ever), retained (also active yesterday), and
+    resurrected (returning after a gap), plus yesterday's actives
+    who did not return (churned-into-today) — the four flows whose
+    identity dau(t) = new + retained + resurrected and
+    dau(t) − dau(t−1) = new + resurrected − churned make growth
+    arithmetic auditable. Classification needs only each user's
+    PREVIOUS active day (one lag window over the deduplicated
+    (user, day) table) and first day (min window on the same sort);
+    churn is a day-shifted anti-join on the same table. All counts
+    integer-exact; day arithmetic via date ± INTERVAL rendered to
+    strings identically.
+
+    100 TB shape: the (user, day) distinct is the only stream-sized
+    shuffle (map-side partial); windows partition per user over
+    their active-day list (≤ 31 rows); churn's anti-join runs on
+    the same deduplicated table."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct().persist()
+    w = Window.partitionBy("user_id").orderBy("day")
+    wall = Window.partitionBy("user_id")
+    seq = du.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.min("day").over(wall).alias("first_day"),
+    )
+    yesterday = F.date_format(
+        F.date_sub(F.col("day").cast("date"), 1), "yyyy-MM-dd")
+    cls = seq.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("int"))
+        .cast("long").alias("new_users"),
+        F.sum(((F.col("day") != F.col("first_day"))
+               & (F.col("prev_day") == yesterday)).cast("int"))
+        .cast("long").alias("retained"),
+        F.sum(((F.col("day") != F.col("first_day"))
+               & (F.col("prev_day") != yesterday)).cast("int"))
+        .cast("long").alias("resurrected"),
+    )
+    nxt = du.select(
+        "user_id",
+        F.date_format(F.date_add(F.col("day").cast("date"), 1),
+                      "yyyy-MM-dd").alias("day"),
+    )
+    churn = (
+        nxt.join(du, ["user_id", "day"], "left_anti")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned_from_prev"))
+    )
+    return (
+        cls.join(churn, "day", "left")
+        .select(
+            "day",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned_from_prev", F.lit(0).cast("long"))
+            .alias("churned_from_prev"),
+            (F.col("new_users") + F.col("retained") + F.col("resurrected"))
+            .alias("dau"),
+        )
+    )
