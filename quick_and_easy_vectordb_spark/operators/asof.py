@@ -53,7 +53,7 @@ def asof_join(
     right_payload: Sequence[str] = (),
     suffix: str = "_right",
     direction: str = "backward",
-    tolerance_s: int | None = None,
+    tolerance_s: float | int | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns every ``left`` row plus:
 
@@ -73,7 +73,8 @@ def asof_join(
     Rows with no match keep nulls — filter them out for inner-as-of.
 
     ``tolerance_s`` (pandas merge_asof's ``tolerance``): a match
-    farther than this many seconds from the left timestamp is nulled
+    farther than this many seconds (fractional values honored to
+    microsecond precision) from the left timestamp is nulled
     out — the staleness bound every feature-serving as-of needs (a
     quote from last week must not price today's trade). Applied as a
     post-window filter on the matched struct, so it adds zero
@@ -149,7 +150,7 @@ def asof_join(
         )
         merged = merged.withColumn(
             "__match",
-            F.when(gap <= F.lit(int(tolerance_s) * 1_000_000), F.col("__match")),
+            F.when(gap <= F.lit(int(tolerance_s * 1_000_000)), F.col("__match")),
         )
 
     out_cols = (

@@ -2092,24 +2092,39 @@ subcent AS (
               AS DOUBLE) / COUNT(*) AS c
   FROM assign CROSS JOIN pos GROUP BY sub, pos.pos
 ),
+centlist AS (
+  SELECT list(c ORDER BY pos) AS cl FROM cent
+  WHERE label = (SELECT label FROM hot)
+),
+subcl AS (
+  SELECT sub, list(c ORDER BY pos) AS cl FROM subcent GROUP BY sub
+),
+-- per-row d2 is a list_reduce over pos order with a 0.0 seed: the
+-- EXACT left fold Spark's aggregate(zip_with) runs, so the double
+-- bits match regardless of either engine's SUM addition order
 sse_before AS (
   SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sse
   FROM (
-    SELECT h.vec_id,
-           SUM((h.v[cent.pos] - cent.c) * (h.v[cent.pos] - cent.c)) AS d2
-    FROM hotv h JOIN cent ON cent.label = (SELECT label FROM hot)
-    GROUP BY h.vec_id
+    SELECT list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {DIM} + 1),
+                 p -> (h.v[p] - centlist.cl[p])
+                      * (h.v[p] - centlist.cl[p]))),
+             (acc, x) -> acc + x) AS d2
+    FROM hotv h, centlist
   )
 ),
 sse_after AS (
   SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
            AS sse
   FROM (
-    SELECT a.vec_id,
-           SUM((a.v[s.pos] - s.c) * (a.v[s.pos] - s.c)) AS d2
-    FROM assign a JOIN subcent s ON s.sub = a.sub
-    GROUP BY a.vec_id
+    SELECT list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {DIM} + 1),
+                 p -> (a.v[p] - s.cl[p]) * (a.v[p] - s.cl[p]))),
+             (acc, x) -> acc + x) AS d2
+    FROM assign a JOIN subcl s ON s.sub = a.sub
   )
 )
 SELECT (SELECT label FROM hot) AS hot_label,
@@ -2136,7 +2151,10 @@ def ann_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each vector to ITS sub-centroid) must come in under SSE before
     (all to the old centroid; a guaranteed property of the mean, made
     visible as data). Per-row distance squares are the same double
-    fold both engines share; the SSE totals are decimal sums of those
+    fold in both engines — Spark's aggregate(zip_with) left fold is
+    mirrored in the oracle by list_reduce over a pos-ordered centroid
+    list with a 0.0 seed (NOT a GROUP BY SUM, whose addition order
+    DuckDB does not pin); the SSE totals are decimal sums of those
     doubles, so even the distortion numbers hash bitwise.
 
     100 TB shape: sizes come from the cell-count table (O(cells));
@@ -2265,16 +2283,17 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_nprobe_recall_curve sweeps the probe budget; this sweeps the
     CUTOFF — the third axis an index evaluation reports, and the one
     that exposes rank-order damage near the top that recall@20
-    hides). Both rankings are ranked once with row_number and every
-    cutoff is a filter on the SAME ranked tables — the curve costs
-    one ranking, not |ks| searches. The top-k windows here rank a
-    single query's scores (the post-scan ranking of a top-k search,
-    bounded rows), and the cutoff join fans out over the 4-row k
-    table.
+    hides). Each ranking is pre-pruned to the top max(ks) rows with
+    orderBy+limit — physically TakeOrderedAndProject, a per-partition
+    heap merged at the driver, never a full sort — and row_number then
+    ranks only those <= max(ks) survivors, so no single-partition pass
+    ever touches the corpus. Every cutoff is a filter on the SAME two
+    ranked 20-row tables — the curve costs one ranking, not |ks|
+    searches.
 
-    100 TB shape: two rankings over the scored scan (the approx side
-    already bucket-pruned), broadcast 4-row cutoff table, tiny
-    join."""
+    100 TB shape: two TakeOrderedAndProject passes over the scored
+    scan (the approx side already bucket-pruned), 20-row windows,
+    broadcast 4-row cutoff table, tiny join."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = vector_literal(QUERY_VEC)
     sig = python_lsh_signature(QUERY_VEC, PROBE_PLANES)
@@ -2284,18 +2303,21 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
         dot_product(F.col("embedding"), q).alias("similarity"),
     ).persist()
-    w = Window.orderBy(F.desc("similarity"), F.asc("vec_id"))
-    er = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= max(_CURVE_KS))
-        .select("vec_id", F.col("r").alias("er"))
-    )
-    ar = (
-        scored.filter(F.col("bucket").isin(probes))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= max(_CURVE_KS))
-        .select("vec_id", F.col("r").alias("ar"))
-    )
+    max_k = max(_CURVE_KS)
+    order = [F.desc("similarity"), F.asc("vec_id")]
+    w = Window.orderBy(*order)
+
+    def ranked(df: DataFrame, alias: str) -> DataFrame:
+        # orderBy+limit plans as TakeOrderedAndProject (distributed
+        # per-partition top-k heaps), so the unpartitioned row_number
+        # window below only ever sorts the max_k surviving rows.
+        top = df.orderBy(*order).limit(max_k)
+        return top.withColumn("r", F.row_number().over(w)).select(
+            "vec_id", F.col("r").alias(alias)
+        )
+
+    er = ranked(scored, "er")
+    ar = ranked(scored.filter(F.col("bucket").isin(probes)), "ar")
     ks = spark.createDataFrame([(k,) for k in _CURVE_KS], "k long")
     hits = (
         er.join(ar, "vec_id")

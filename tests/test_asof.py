@@ -58,6 +58,30 @@ def test_asof_equal_ts_tie_is_deterministic(spark):
     assert len(rows) == 1 and rows[0].v_right == "b"
 
 
+def test_asof_fractional_tolerance(spark):
+    # tolerance_s=0.5 must keep a 400ms-stale match and null a 700ms
+    # one — sub-second tolerances are honored to microsecond precision
+    # (int(tolerance_s * 1e6), not int(tolerance_s) * 1e6 which would
+    # floor 0.5 s to 0 and null every non-exact match).
+    base = dt.datetime(2024, 1, 1)
+    ms = lambda n: base + dt.timedelta(milliseconds=n)
+    left = spark.createDataFrame(
+        [(1, ms(1000), "near"), (2, ms(1000), "far")],
+        "k long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ms(600), "c_near"), (2, ms(300), "c_far")],
+        "k long, ts timestamp, cid string",
+    )
+    out = {
+        r.pid: r.cid_right
+        for r in asof_join(
+            left, right, on="k", right_payload=["cid"], tolerance_s=0.5
+        ).collect()
+    }
+    assert out == {"near": "c_near", "far": None}
+
+
 def test_asof_row_count_preserved(spark):
     # left as-of join never drops or multiplies left rows
     left = spark.createDataFrame(

@@ -1,0 +1,35 @@
+"""Round-9 plan pins.
+
+Headline fix this round (ADVICE r08, medium): ann_recall_curve ranked
+the FULL scored embeddings table with an unpartitioned
+Window.orderBy(row_number) — a single-partition sort of the whole
+corpus at 100 TB, the exact hazard round 8 fixed in
+text_pack_sequences. Both rankings are now pre-pruned with
+orderBy+limit(max_k), which physically plans as TakeOrderedAndProject
+(per-partition heaps, no global sort); row_number then ranks only the
+<= 20 survivors. The pins assert that plan is the one that executes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from quick_and_easy_vectordb_spark.plans.inspect import formatted_plan
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+
+def test_recall_curve_windows_rank_only_topk_rows(spark, sf_dir):
+    df = QUERIES["ann_recall_curve"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # both the exact and the approx ranking pre-prune via the top-k
+    # physical operator (one per ranking; the formatted plan repeats
+    # each node in the tree and the detail section)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # every Window node's DIRECT child is a TakeOrderedAndProject —
+    # i.e. no window ever consumes the raw scan
+    tree = [ln for ln in plan.splitlines() if re.search(r"\+- \w|:- \w", ln)]
+    for i, ln in enumerate(tree):
+        if "Window" in ln:
+            assert "TakeOrderedAndProject" in tree[i + 1], tree[i : i + 2]
+    # and no plain global Sort feeds a Window (the old shape)
+    assert not re.search(r"Window \(\d+\)\n\s*\+- Sort", plan)
