@@ -1237,6 +1237,118 @@ def main() -> None:
 
     probes["repetition_filter (doc-local ngram aggs)"] = repetition_filter_probe
 
+    def path_trigram_probe(n: int) -> None:
+        """ev_path_trigrams shape: ONE user-keyed sort window with two
+        LEADs, then a map-side-combinable aggregate over <= |types|^3
+        path keys and a rank over that tiny table."""
+        ev = synth_fact(spark, n).select(
+            F.pmod("key", F.lit(50_000)).alias("user_id"),
+            F.concat(F.lit("t"), F.col("flag").cast("string"))
+            .alias("event_type"),
+            "ts", F.col("id").alias("event_id"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            "user_id", "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+            F.unix_micros("ts").alias("us"),
+            F.lead(F.unix_micros("ts"), 2).over(w).alias("us2"),
+        ).filter(F.col("t2").isNotNull()
+                 & (F.col("us2") - F.col("us") <= 3_600_000_000))
+        tri = seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path"),
+            "user_id",
+        ).groupBy("path").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("nu"))
+        noop(tri.withColumn(
+            "rk", F.rank().over(Window.orderBy(F.desc("cnt"), F.asc("path")))
+        ).filter(F.col("rk") <= 15))
+
+    probes["path_trigrams (user window + tiny path agg)"] = path_trigram_probe
+
+    def growth_accounting_probe(n: int) -> None:
+        """ev_growth_accounting shape: (user, day) distinct is the one
+        stream-sized shuffle; lag/min windows run over each user's
+        active-day list; churn is a day-shifted anti-join on the same
+        deduplicated table."""
+        ev = synth_fact(spark, n).select(
+            F.pmod("key", F.lit(50_000)).alias("user_id"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        du = ev.distinct()
+        w = Window.partitionBy("user_id").orderBy("day")
+        wall = Window.partitionBy("user_id")
+        seq = du.select(
+            "user_id", "day",
+            F.lag("day").over(w).alias("prev_day"),
+            F.min("day").over(wall).alias("first_day"))
+        yday = F.date_format(
+            F.date_sub(F.col("day").cast("date"), 1), "yyyy-MM-dd")
+        cls = seq.groupBy("day").agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .alias("new_users"),
+            F.sum((F.col("prev_day") == yday).cast("int")).alias("retained"))
+        nxt = du.select(
+            "user_id",
+            F.date_format(F.date_add(F.col("day").cast("date"), 1),
+                          "yyyy-MM-dd").alias("day"))
+        churn = nxt.join(du, ["user_id", "day"], "left_anti").groupBy(
+            "day").agg(F.count(F.lit(1)).alias("churned"))
+        noop(cls.join(churn, "day", "left"))
+
+    probes["growth_accounting (distinct + user windows + shifted anti-join)"] = (
+        growth_accounting_probe)
+
+    def merkle_probe(n: int) -> None:
+        """src_merkle_tree_integrity shape: map-side row md5, TWO-level
+        leaf build — (day, hash-prefix) sub-leaves bound every
+        collect_list at ~day/256 (the single-level day-sized collect
+        measured 64.6x wall at 30x data), then a 256-row/day rollup
+        and a driver-scale pairwise fold over the O(days) leaf
+        array."""
+        ev = synth_fact(spark, n).select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.md5(F.concat_ws("|", F.col("id").cast("string"),
+                              F.col("key").cast("string"))).alias("h"))
+        sub = ev.withColumn("sub", F.substring("h", 1, 2)).groupBy(
+            "day", "sub").agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("h")), ""))
+            .alias("sl"))
+        leaves = sub.groupBy("day").agg(
+            F.md5(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "sl"))),
+                lambda x: x["sl"]), "")).alias("leaf"))
+        l0 = leaves.agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "leaf"))),
+            lambda x: x["leaf"]).alias("a"))
+        cur = l0
+        for _ in range(6):
+            cur = cur.selectExpr(
+                "transform(sequence(1, cast(ceil(size(a)/2.0) as int)),"
+                " i -> md5(concat(element_at(a, 2*i-1),"
+                " coalesce(try_element_at(a, 2*i), element_at(a, 2*i-1)))))"
+                " AS a")
+        noop(cur.selectExpr("element_at(a, 1) AS root"))
+
+    probes["merkle_tree (per-day leaf agg + driver-scale fold)"] = merkle_probe
+
+    def ordered_positions_probe(n: int) -> None:
+        """src_merge_on_read_deletes write path (round-9 fix): global
+        write-position assignment via the bucketed prefix-sum instead
+        of a single-partition sort window."""
+        from quick_and_easy_vectordb_spark.queries.lakehouse import (
+            ordered_positions,
+        )
+
+        base = synth_fact(spark, n).select(
+            (F.col("id") * 2 + 7).alias("k"), "price")
+        noop(ordered_positions(base, "k"))
+
+    probes["ordered_positions (bucketed prefix-sum ranking)"] = (
+        ordered_positions_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
