@@ -409,11 +409,13 @@ def _decode_jpeg(b: bytes):
     parse → per-MCU Huffman entropy decode → dequantize → de-zigzag →
     separable float IDCT → level shift/clamp → (for 3 components)
     BT.601 YCbCr→RGB. Supports 8-bit precision, 1 or 3 components
-    with no chroma subsampling (all sampling factors 1x1 — the 4:4:4
-    layout the synth path emits), restart markers, and multi-scan
-    files raise. Progressive (SOF2), arithmetic coding, 12-bit, and
-    subsampled layouts raise NotImplementedError with the reason —
-    the documented codec boundary, one dispatch branch to extend.
+    with ARBITRARY sampling factors (4:4:4, 4:2:2, 4:2:0, ... —
+    interleaved MCU layout per JPEG A.2.3, nearest-neighbor chroma
+    upsample; the round-9 JDK-encoded golden fixtures are 4:2:0, the
+    layout real-world JPEGs actually use) and restart markers;
+    multi-scan files raise. Progressive (SOF2), arithmetic coding,
+    and 12-bit raise NotImplementedError with the reason — the
+    documented codec boundary, one dispatch branch to extend.
 
     Reference behavior parity: the reference app (app.py) performs no
     image handling at all; this is part of the mandated multimodal
@@ -452,11 +454,10 @@ def _decode_jpeg(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -488,48 +489,99 @@ def _decode_jpeg(b: bytes):
         raise ValueError("JPEG missing SOF0/SOS")
 
     h, w, comps = sof
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     idct = _jpeg_idct_matrix()
     reader = _JpegBitReader(b, pos)
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
-    pred = [0] * len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # MCU grid: interleaved scans step in (8*hmax, 8*vmax) tiles with
+    # hi x vi blocks per component per MCU (JPEG A.2.3); a
+    # single-component scan is non-interleaved — the MCU is ONE block
+    # and the grid is that component's own block raster (A.2.2).
+    interleaved = len(scan_comps) > 1
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (per-component scans) not supported"
+        )
     comp_tables = []
-    for (cid, tq), (scid, dct, act) in zip(comps, scan_comps):
+    for (cid, hi, vi, tq), (scid, dct, act) in zip(comps, scan_comps):
         if cid != scid:
             raise NotImplementedError("scan order differs from SOF order")
-        comp_tables.append((qt[tq], huff[(0, dct)], huff[(1, act)]))
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        if interleaved:
+            nbx, nby = None, None  # driven by the MCU grid below
+        else:
+            nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        comp_tables.append(
+            (qt[tq], huff[(0, dct)], huff[(1, act)], hi, vi, nbx, nby)
+        )
+    if interleaved:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [
+            np.empty((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.uint8)
+            for (_, hi, vi, _) in comps
+        ]
+    else:
+        _, _, _, _, _, nbx, nby = comp_tables[0]
+        mcux, mcuy = nbx, nby
+        planes = [np.empty((nby * 8, nbx * 8), dtype=np.uint8)]
+    pred = [0] * len(comp_tables)
+
+    def decode_block(q, dc_tab, ac_tab, ci, plane, row, col):
+        zz = np.zeros(64, dtype=np.int32)
+        s = _jpeg_decode_symbol(reader, dc_tab)
+        pred[ci] += _jpeg_extend(reader.receive(s), s)
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _jpeg_decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += r
+            zz[k] = _jpeg_extend(reader.receive(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_JPEG_ZIGZAG] = (zz * q).astype(np.float64)
+        spatial = idct.T @ block.reshape(8, 8) @ idct
+        pix = np.clip(np.rint(spatial + 128.0), 0, 255)
+        plane[row : row + 8, col : col + 8] = pix.astype(np.uint8)
+
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart()
-                pred = [0] * len(comps)
+                pred = [0] * len(comp_tables)
             mcu += 1
-            for ci, (q, dc_tab, ac_tab) in enumerate(comp_tables):
-                zz = np.zeros(64, dtype=np.int32)
-                s = _jpeg_decode_symbol(reader, dc_tab)
-                pred[ci] += _jpeg_extend(reader.receive(s), s)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_decode_symbol(reader, ac_tab)
-                    r, s = rs >> 4, rs & 15
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += r
-                    zz[k] = _jpeg_extend(reader.receive(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_JPEG_ZIGZAG] = (zz * q).astype(np.float64)
-                spatial = idct.T @ block.reshape(8, 8) @ idct
-                pix = np.clip(np.rint(spatial + 128.0), 0, 255)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    pix.astype(np.uint8)
-                )
-    planes = [p[:h, :w] for p in planes]
+            for ci, (q, dc_tab, ac_tab, hi, vi, _, _) in enumerate(
+                comp_tables
+            ):
+                if interleaved:
+                    for bv in range(vi):
+                        for bhx in range(hi):
+                            decode_block(
+                                q, dc_tab, ac_tab, ci, planes[ci],
+                                (my * vi + bv) * 8, (mx * hi + bhx) * 8,
+                            )
+                else:
+                    decode_block(
+                        q, dc_tab, ac_tab, ci, planes[ci],
+                        my * 8, mx * 8,
+                    )
+    # Per-component nearest-neighbor upsample to full resolution
+    # (spec-conformant; libjpeg's optional triangle filter is a
+    # decoder nicety, not part of the format) + crop in one gather.
+    full = []
+    for plane, (_, hi, vi, _) in zip(planes, comps):
+        ys = (np.arange(h) * vi) // vmax
+        xs = (np.arange(w) * hi) // hmax
+        full.append(plane[ys][:, xs])
+    planes = full
     if len(planes) == 1:
         return planes[0].reshape(h, w, 1)
     y, cb, cr = (p.astype(np.float64) for p in planes)

@@ -1,0 +1,78 @@
+"""External golden fixtures for the PNG / JPEG / WAV decoders.
+
+Every other codec test round-trips bytes this repo's own encoders
+produced, so a mutual encoder/decoder deviation from the spec would
+pass undetected (the round-8 GIF goldens closed this for GIF with
+canonical public tracking-pixel bytes). These fixtures were emitted by
+a real third-party codec suite — the JDK (javax.imageio,
+javax.sound.sampled), driven once by tools/gen_codec_goldens.py — and
+committed to tests/fixtures/codec_goldens.json together with, for the
+lossy JPEGs, the JDK's own decode of the same bytes.
+
+Notable: the JDK writes 4:2:0 chroma-subsampled JPEG (the layout
+real-world JPEGs actually use), which is exactly what forced the
+round-9 decoder generalization from 4:4:4-only to arbitrary sampling
+factors.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+from quick_and_easy_vectordb_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+)
+
+_FIX = os.path.join(os.path.dirname(__file__), "fixtures",
+                    "codec_goldens.json")
+
+
+def _golden(key: str) -> dict:
+    with open(_FIX) as f:
+        return json.load(f)[key]
+
+
+def test_png_golden_external_bit_exact():
+    g = _golden("png")
+    img = decode_image(base64.b64decode(g["b64"]))
+    assert img.shape == (g["h"], g["w"], 3)
+    assert img.tolist() == g["pixels"]
+
+
+def test_jpeg_golden_external_flat_matches_jdk_decode_exactly():
+    """Flat color → constant chroma → the JDK's triangle-filter
+    upsample and this repo's nearest-neighbor upsample agree, so the
+    comparison pins Huffman/dequant/IDCT/YCbCr bit-for-bit against a
+    third-party decoder (measured diff at generation time: 0)."""
+    g = _golden("jpeg_flat")
+    img = decode_image(base64.b64decode(g["b64"]))
+    jdk = np.array(g["jdk_pixels"])
+    assert img.shape == jdk.shape
+    assert int(np.abs(img.astype(int) - jdk).max()) == 0
+
+
+def test_jpeg_golden_external_gradient_within_upsample_tolerance():
+    """Smooth gradient: the two decoders see identical coefficients;
+    the only divergence is chroma upsample filtering (triangle vs
+    nearest), bounded by the local chroma slope. Measured max diff at
+    generation time: 7 — pinned at <= 8 so any entropy-decode or IDCT
+    regression (which shifts whole blocks, not edge pixels) fails."""
+    g = _golden("jpeg_gradient")
+    img = decode_image(base64.b64decode(g["b64"]))
+    jdk = np.array(g["jdk_pixels"])
+    d = np.abs(img.astype(int) - jdk)
+    assert int(d.max()) <= 8
+    assert float(d.mean()) < 3.0
+
+
+def test_wav_golden_external_pcm_exact():
+    g = _golden("wav")
+    samples, rate = decode_audio(base64.b64decode(g["b64"]))
+    assert rate == g["rate"]
+    assert samples.shape[1] == g["channels"]
+    assert samples.reshape(-1).tolist() == g["samples"]

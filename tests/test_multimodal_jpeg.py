@@ -163,13 +163,19 @@ def test_progressive_raises():
         decode_image(bytes(b))
 
 
-def test_subsampled_raises():
+def test_single_component_sampling_factors_ignored():
+    """Round-9: sampling factors are now supported. For a
+    single-component (non-interleaved) scan the factors don't change
+    the block raster (JPEG A.2.2), so a grayscale stream claiming 2x2
+    sampling must decode identically to the 1x1 original. Subsampled
+    COLOR decode is pinned by the external JDK 4:2:0 goldens in
+    test_codec_goldens.py."""
+    ref = decode_image(jpeg_encode_gray_dc([[100]], 8, 8))
     b = bytearray(jpeg_encode_gray_dc([[100]], 8, 8))
     i = b.index(b"\xff\xc0")
     # component sampling byte sits at SOF payload offset 7
     b[i + 4 + 7] = 0x22  # claim 2x2 sampling
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        decode_image(bytes(b))
+    assert decode_image(bytes(b)).tolist() == ref.tolist()
 
 
 def test_byte_stuffing_survives():
