@@ -2482,3 +2482,102 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_band_hits") > 0, 1).otherwise(0)
         .alias("needs_verify"),
     )
+
+
+_PARA_WORDS = 20  # fixed paragraph width (words); the fixture corpus
+# carries no newline paragraph breaks, so the CCNet unit is a
+# sequential word window — same discipline, synthetic boundary
+
+
+@query(
+    "dedup_paragraph_ccnet",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, source, string_split(t, ' ') AS w
+         FROM norm WHERE t <> ''),
+paras AS (
+  SELECT doc_id, source,
+         unnest(range(0, CAST(ceil(len(w) / {_PARA_WORDS}.0) AS BIGINT)))
+           AS pidx,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {_PARA_WORDS}.0) AS BIGINT)),
+           i -> array_to_string(
+                  w[(i * {_PARA_WORDS} + 1):(i * {_PARA_WORDS}
+                     + {_PARA_WORDS})], ' '))) AS para
+  FROM toks),
+ranked AS (
+  SELECT doc_id, source, pidx,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pidx) AS rn
+  FROM paras)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)
+         AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN 1 END), 0) AS DOUBLE)
+         / COUNT(*) AS drop_rate,
+       CAST(COUNT(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT)
+         AS n_docs_touched
+FROM ranked GROUP BY source
+""",
+    tags=("dedup", "paragraph", "ccnet", "sub-document"),
+)
+def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level dedup accounting (CCNet, Wenzek et al. 2020):
+    documents split into fixed {_PARA_WORDS}-word paragraphs, each
+    paragraph's md5 keeps only its FIRST occurrence corpus-wide
+    ((doc_id, pidx) order — the deterministic tiebreak CCNet's
+    shard-order "first seen" becomes under a defined global order),
+    and the per-SOURCE removal rates are the deliverable: sub-document
+    boilerplate (headers, navigation, licenses) concentrates in
+    specific sources, and this table is where that shows before any
+    document-level MinHash would fire. Complements text_span_dedup
+    (repeated 8-gram CATALOG — detection) with the removal-side
+    accounting (what fraction of each source's text survives
+    paragraph dedup).
+
+    Plan shape at 100 TB: paragraph split is a map-side
+    transform+posexplode; the ONLY data-sized shuffle is the
+    partitionBy(hash) window (each hash group = instances of one
+    paragraph text, bounded by the corpus duplication rate), and the
+    source rollup is map-side-combinable over O(sources) keys.
+    Reference: app.py has no dedup at all (SURVEY §2b M4)."""
+    from quick_and_easy_vectordb_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = ensure_parallelism(docs).select(
+        "doc_id", "source", tokens("text").alias("w")
+    ).filter(F.size("w") > 0)
+    n_paras = F.ceil(F.size("w") / F.lit(float(_PARA_WORDS))).cast("long")
+    paras = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.array_join(
+                    F.slice("w", (i * _PARA_WORDS + 1).cast("int"),
+                            _PARA_WORDS),
+                    " ",
+                ),
+            )
+        ).alias("pidx", "para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pidx")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.coalesce(F.sum((F.col("rn") > 1).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        (
+            F.coalesce(F.sum((F.col("rn") > 1).cast("int")), F.lit(0))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("drop_rate"),
+        F.count_distinct(
+            F.when(F.col("rn") > 1, F.col("doc_id"))
+        ).cast("long").alias("n_docs_touched"),
+    )

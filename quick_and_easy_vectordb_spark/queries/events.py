@@ -7264,6 +7264,8 @@ SELECT channel,
 FROM r GROUP BY channel
 """,
     tags=("events", "attribution", "multitouch", "marketing"),
+    bench=True,  # round-9: the experimentation-stats family's bench
+    # representative (round-8 verdict item 5)
 )
 def ev_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TOUCH ATTRIBUTION under three industry rule sets in one

@@ -1165,3 +1165,247 @@ def geo_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nbhd_points",
         "live_neighbors",
     )
+
+
+_MORAN_CELL = 10.0  # finer lattice than the join grid: 36 x 18 cells
+
+
+@query(
+    "geo_moran_autocorrelation",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer
+),
+cells AS (
+  SELECT CAST(floor((lon + 180.0) / {_MORAN_CELL}) AS BIGINT) AS cx,
+         CAST(floor((lat + 90.0) / {_MORAN_CELL}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM p GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM cells),
+dev AS (
+  SELECT cx, cy, (tot.n * cells.x - tot.s) AS d
+  FROM cells, tot
+),
+pairs AS (
+  SELECT a.d AS da, b.d AS db
+  FROM dev a JOIN dev b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)
+),
+num AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+               CAST(SUM(da * db) AS BIGINT) AS cross_sum FROM pairs),
+den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS dev_sq FROM dev)
+SELECT tot.n AS n_cells, num.w_pairs, num.cross_sum, den.dev_sq,
+       CAST(tot.n * num.cross_sum AS DOUBLE)
+         / (num.w_pairs * den.dev_sq) AS moran_i
+FROM tot, num, den
+""",
+    tags=("geo", "autocorrelation", "moran", "statistics"),
+)
+def geo_moran_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I spatial autocorrelation of customer density over the
+    occupied 10-degree lattice cells (queen adjacency, binary
+    weights) — the first statistic a spatial analyst computes
+    (clustered I>0 / dispersed I<0 / random ~ -1/(n-1)). RATIONAL by
+    construction: with integer cell counts x_i, the scaled deviation
+    d_i = n*x_i - S is an INTEGER, and
+    I = (n/W) * sum_w (x_i-mean)(x_j-mean) / sum (x_i-mean)^2
+      = n * sum_w d_i d_j / (W * sum d_i^2)
+    — every term BIGINT until ONE final double division, so the
+    statistic hash-verifies bitwise (the same rationalization
+    discipline as text_zipf_fit; a naive mean-centered float sum is
+    order-dependent and never would). Defined over OCCUPIED cells
+    (the lattice majority is empty ocean in this synthetic geography;
+    documented choice, both engines identical).
+
+    Plan shape at 100 TB: point->cell is a map-side projection; cells
+    is O(lattice) after one combinable groupBy; the adjacency
+    self-join runs on the O(lattice) cell table (648 cells max here —
+    broadcastable at any corpus size, because the LATTICE, not the
+    data, bounds it); three scalar aggregates broadcast-crossed into
+    one row."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cells = (
+        cust.select(
+            _cell_lon10(_lon("c_custkey")).alias("cx"),
+            _cell_lat10(_lat("c_custkey")).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", (F.col("n") * F.col("x") - F.col("s")).alias("d")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & ~((F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))),
+    ).select((F.col("a.d") * F.col("b.d")).alias("dd"))
+    num = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum("dd").cast("long").alias("cross_sum"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("dev_sq"))
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_cells"),
+            "w_pairs",
+            "cross_sum",
+            "dev_sq",
+            (
+                (F.col("n") * F.col("cross_sum")).cast("double")
+                / (F.col("w_pairs") * F.col("dev_sq"))
+            ).alias("moran_i"),
+        )
+    )
+
+
+def _cell_lon10(lon: F.Column) -> F.Column:
+    return F.floor((lon + F.lit(180.0)) / F.lit(_MORAN_CELL)).cast("long")
+
+
+def _cell_lat10(lat: F.Column) -> F.Column:
+    return F.floor((lat + F.lit(90.0)) / F.lit(_MORAN_CELL)).cast("long")
+
+
+_TICK_US = 86_400_000_000  # daily resample grid (epoch-micro ticks)
+
+
+@query(
+    "geo_trajectory_resample",
+    oracle=f"""
+WITH pos AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         (user_id * 104729 + event_id * 7919) % 36000 AS x,
+         (user_id * 7919 + event_id * 104729) % 18000 AS y
+  FROM events
+),
+rng AS (SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
+        FROM pos GROUP BY user_id),
+ticks AS (
+  SELECT user_id,
+         unnest(range((mn + {_TICK_US} - 1) // {_TICK_US},
+                      mx // {_TICK_US} + 1)) * {_TICK_US} AS t
+  FROM rng
+),
+u AS (
+  SELECT user_id, us AS k, 0 AS is_tick, us, x, y,
+         NULL::BIGINT AS t FROM pos
+  UNION ALL
+  SELECT user_id, t AS k, 1, NULL, NULL, NULL, t FROM ticks
+),
+m AS (
+  SELECT user_id, k, is_tick, t,
+         MAX(CASE WHEN is_tick = 0
+                  THEN struct_pack(us := us, x := x, y := y) END)
+           OVER (PARTITION BY user_id ORDER BY k
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev,
+         MIN(CASE WHEN is_tick = 0
+                  THEN struct_pack(us := us, x := x, y := y) END)
+           OVER (PARTITION BY user_id ORDER BY k
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nxt
+  FROM u
+)
+SELECT user_id, t,
+       CASE WHEN nxt.us = prev.us THEN CAST(prev.x AS DOUBLE)
+            ELSE prev.x + (nxt.x - prev.x)
+                 * (CAST(t - prev.us AS DOUBLE) / (nxt.us - prev.us))
+       END AS xi,
+       CASE WHEN nxt.us = prev.us THEN CAST(prev.y AS DOUBLE)
+            ELSE prev.y + (nxt.y - prev.y)
+                 * (CAST(t - prev.us AS DOUBLE) / (nxt.us - prev.us))
+       END AS yi
+FROM m WHERE is_tick = 1
+""",
+    tags=("geo", "trajectory", "resample", "asof", "interpolation"),
+)
+def geo_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY RESAMPLING to a fixed daily grid — the
+    regularization step every telemetry pipeline runs before
+    cross-entity comparison (irregular pings -> one position per day
+    per user), and the canonical COMPOSITE use of the as-of operator:
+    each in-range tick linearly interpolates between the latest ping
+    at-or-before it (asof_join backward) and the earliest at-or-after
+    (asof_join forward). Interpolation is
+    x1 + (x2-x1) * ((t-t1)/(t2-t1)) with integer positions and
+    epoch-micro ticks — the identical IEEE expression in both
+    engines, with the exact-hit (t2 == t1) guard taking the ping's
+    own position. Ticks are generated per user strictly inside
+    [min_ts, max_ts], so both neighbors always exist — no
+    extrapolation policy to disagree on.
+
+    Plan shape at 100 TB: tick generation is a per-user sequence
+    explode off the O(users) min/max aggregate; each asof_join is the
+    union-and-window single-shuffle shape (operators/asof.py) keyed
+    on user_id — the second join reuses the same key, so AQE sees an
+    already-clustered exchange. No row multiplication anywhere (a
+    naive tick x ping range join is O(days * pings) per user)."""
+    from quick_and_easy_vectordb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        (((F.col("user_id") * 104729) + F.col("event_id") * 7919) % 36000)
+        .alias("x"),
+        (((F.col("user_id") * 7919) + F.col("event_id") * 104729) % 18000)
+        .alias("y"),
+    )
+    rng = pos.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    k0 = F.expr(f"(mn + {_TICK_US} - 1) div {_TICK_US}")
+    k1 = F.expr(f"mx div {_TICK_US}")
+    ticks = (
+        rng.select("user_id", k0.alias("k0"), k1.alias("k1"))
+        .filter(F.col("k1") >= F.col("k0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("k0", "k1")).alias("kk"),
+        )
+        .select(
+            "user_id",
+            (F.col("kk") * _TICK_US).alias("t"),
+            F.timestamp_micros(F.col("kk") * _TICK_US).alias("ts"),
+        )
+    )
+    prev = asof_join(
+        ticks, pos, on="user_id", right_payload=["x", "y"],
+        suffix="_prev", direction="backward",
+    )
+    both = asof_join(
+        prev, pos, on="user_id", right_payload=["x", "y"],
+        suffix="_next", direction="forward",
+    )
+    t1 = F.unix_micros("ts_prev")
+    t2 = F.unix_micros("ts_next")
+    ratio = (F.col("t") - t1).cast("double") / (t2 - t1)
+
+    def interp(c1: str, c2: str) -> F.Column:
+        return F.when(
+            t2 == t1, F.col(c1).cast("double")
+        ).otherwise(F.col(c1) + (F.col(c2) - F.col(c1)) * ratio)
+
+    return both.select(
+        "user_id",
+        "t",
+        interp("x_prev", "x_next").alias("xi"),
+        interp("y_prev", "y_next").alias("yi"),
+    )

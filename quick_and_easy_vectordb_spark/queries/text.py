@@ -3218,3 +3218,161 @@ def text_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("n_docs").cast("double") / F.col("total_docs")))
         .alias("boost"),
     )
+
+
+_TTR_WIN = 50  # sliding-window width (tokens) for type-token ratio
+
+
+@query(
+    "text_ttr_sliding",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(t, ' ')) AS tok,
+         unnest(range(1, len(string_split(t, ' ')) + 1)) AS p
+  FROM d WHERE t <> ''
+),
+agg AS (
+  SELECT doc_id, source, (p - 1) // {_TTR_WIN} AS w,
+         COUNT(*) AS n, COUNT(DISTINCT tok) AS u
+  FROM tok GROUP BY 1, 2, 3
+),
+fullw AS (
+  SELECT source, CAST(u AS DOUBLE) / {_TTR_WIN} AS ttr
+  FROM agg WHERE n = {_TTR_WIN}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(CAST(SUM(CAST(ttr AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_ttr,
+       MIN(ttr) AS min_ttr,
+       MAX(ttr) AS max_ttr
+FROM fullw GROUP BY source
+""",
+    tags=("text", "lexical-diversity", "ttr", "quality"),
+)
+def text_ttr_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED TYPE-TOKEN RATIO per source — the standard
+    length-robust lexical-diversity measure (raw corpus-level TTR
+    collapses as corpora grow, which is why MATTR/MSTTR window it):
+    each document splits into consecutive {_TTR_WIN}-token windows,
+    only FULL windows score (partial tails bias TTR upward), and
+    ttr = distinct/{_TTR_WIN} rolls up per source as a decimal-exact
+    mean plus min/max. Low-TTR sources = repetitive/templated text —
+    the aggregate view of what text_repetition_filter flags per
+    document.
+
+    Plan shape at 100 TB: tokenization+window id are map-side; the
+    (doc, window) distinct-count aggregate is the one data-sized
+    shuffle (keys ~ tokens/{_TTR_WIN}); the source rollup is
+    map-side-combinable over O(sources) keys."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens("text")).alias("p0", "tok"),
+    )
+    agg = (
+        toks.select(
+            "doc_id", "source", "tok",
+            (F.col("p0") / _TTR_WIN).cast("long").alias("w"),
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("tok").alias("u"),
+        )
+        .filter(F.col("n") == _TTR_WIN)
+        .select(
+            "source", (F.col("u").cast("double") / _TTR_WIN).alias("ttr")
+        )
+    )
+    return agg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        (dsum("ttr") / F.count(F.lit(1))).alias("avg_ttr"),
+        F.min("ttr").alias("min_ttr"),
+        F.max("ttr").alias("max_ttr"),
+    )
+
+
+_BURST_MIN_F = 50  # only words with corpus frequency >= this qualify
+
+
+@query(
+    "text_word_burstiness",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+        FROM d WHERE t <> ''),
+per_doc AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY tok, doc_id
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents WHERE {SQL_NORM} <> ''),
+stats AS (
+  SELECT tok,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM per_doc GROUP BY tok
+),
+scored AS (
+  SELECT tok, total, df,
+         CAST(nd.n * sum_sq - total * total AS DOUBLE)
+           / (nd.n * total) AS burstiness
+  FROM stats, nd WHERE total >= {_BURST_MIN_F}
+)
+SELECT tok, total, df, burstiness
+FROM scored
+ORDER BY burstiness DESC, tok LIMIT 20
+""",
+    tags=("text", "burstiness", "distribution", "quality"),
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (Church & Gale: content words arrive in bursts
+    — high variance-to-mean ratio of per-document counts — while
+    function words spread evenly): for each word with corpus
+    frequency >= {_BURST_MIN_F}, burstiness = VMR scaled by n =
+    (n*sum(c^2) - total^2) / (n*total), where c counts the word per
+    document INCLUDING zero-docs (the n in the variance denominator
+    is all documents, handled algebraically — zero rows contribute
+    nothing to sum_sq/total, so no zero-fill join is ever
+    materialized). RATIONAL discipline: numerator and denominator are
+    BIGINTs, one final double division, bitwise-hashable (the same
+    rationalization as geo_moran_autocorrelation). Top-20 burstiest
+    with the word tiebreak. High burstiness = topical content terms;
+    a corpus whose STOPWORDS go bursty is template spam.
+
+    Plan shape at 100 TB: (word, doc) counts are one
+    map-side-combined shuffle; word stats a second over the distinct
+    vocabulary; the 1-row doc count broadcasts; TakeOrdered top-20."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nd = docs.filter(normalized_text("text") != "").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    ).filter(F.col("total") >= _BURST_MIN_F)
+    scored = stats.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "total",
+        "df",
+        (
+            (F.col("n") * F.col("sum_sq") - F.col("total") * F.col("total"))
+            .cast("double")
+            / (F.col("n") * F.col("total"))
+        ).alias("burstiness"),
+    )
+    return scored.orderBy(F.desc("burstiness"), F.asc("tok")).limit(20)

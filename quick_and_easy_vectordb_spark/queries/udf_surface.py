@@ -1742,3 +1742,81 @@ SELECT b.segment, CAST(b.bucket AS BIGINT) AS bucket, b.b_lo, b.b_hi,
        COALESCE(cnt.n, CAST(0 AS BIGINT)) AS n
 FROM b LEFT JOIN cnt ON cnt.segment = b.segment AND cnt.bucket = b.bucket
 """)
+
+
+@query(
+    "src_dynamic_partition_pruning",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE strftime(ts, '%w') IN ('0', '6')
+  AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-01' AND '2024-02-29'
+GROUP BY 1
+""",
+    tags=("source", "dynamic-partition-pruning", "parquet", "join"),
+)
+def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven twin of
+    src_partitioned_parquet_prune's static range prune, and the
+    Catalyst feature star-schema dashboards live on at 100 TB: the
+    filter that selects fact partitions lives on a DIMENSION
+    ('weekend days'), not on the partition column itself, so no
+    static PartitionFilter exists at plan time. Spark's DPP instead
+    plants a dynamicpruningexpression subquery in the fact scan that
+    REUSES the dimension's broadcast exchange to enumerate surviving
+    partition values at RUNTIME — the fact side reads ~9/30 date
+    directories without the query ever naming them. The date
+    dimension is built from spark.range (60 days spanning the
+    fixture's Jan 2024 window), flagged by dayofweek, and filtered to
+    weekends; the oracle applies the equivalent weekday predicate
+    directly. Plan pinned in tests/test_round9_plans.py
+    (dynamicpruningexpression present in the scan's PartitionFilters;
+    no full-table static scan).
+
+    Plan shape at 100 TB: one broadcast of the O(days) dim, fact I/O
+    proportional to MATCHING partitions only, then the usual
+    partial+final aggregate. Without DPP this plan reads the whole
+    fact table and throws 71%% of it away post-join."""
+    import os
+
+    d, ready = _scratch_dir("dpp", sf_dir)
+    path = os.path.join(d, "events_by_date")
+    if not ready or not os.path.isdir(path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        from quick_and_easy_vectordb_spark.sources.writers import write_corpus
+
+        write_corpus(ev, path, partition_by="event_date")
+    fact = spark.read.parquet(path)
+    dim = spark.range(60).select(
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("d"),
+        F.dayofweek(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        ).alias("dow"),
+    )
+    weekend = dim.filter(F.col("dow").isin(1, 7))
+    joined = fact.join(
+        F.broadcast(weekend),
+        fact["event_date"].cast("string") == weekend["d"],
+    )
+    return joined.groupBy(
+        F.col("event_date").cast("string").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )

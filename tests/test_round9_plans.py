@@ -35,6 +35,18 @@ def test_recall_curve_windows_rank_only_topk_rows(spark, sf_dir):
     assert not re.search(r"Window \(\d+\)\n\s*\+- Sort", plan)
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """src_dynamic_partition_pruning: the fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters (runtime
+    enumeration of surviving date directories from the broadcast dim)
+    — without it the plan silently degrades to a full fact read."""
+    df = QUERIES["src_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ordered_positions_is_distributed_and_correct(spark, sf_dir):
     """src_merge_on_read_deletes' write-time position assignment
     (round-8 verdict's one perf-weak item): the bucketed prefix-sum
