@@ -2332,3 +2332,114 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
          / F.col("k")).alias("recall"),
     )
+
+
+@query(
+    "ann_anisotropic_loss_eval",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, vec_id, pos.pos AS pos,
+         CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+cl AS (SELECT label, list(c ORDER BY pos) AS cl FROM cent GROUP BY label),
+v AS (
+  SELECT e.label, e.vec_id, e.embedding::DOUBLE[] AS x, cl.cl AS cl
+  FROM embeddings e JOIN cl ON cl.label = e.label
+),
+f AS (
+  SELECT label, vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {DIM} + 1),
+             p -> (x[p] - cl[p]) * x[p])), (a, b) -> a + b) AS dxr,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {DIM} + 1),
+             p -> (x[p] - cl[p]) * (x[p] - cl[p]))), (a, b) -> a + b) AS rr,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, {DIM} + 1),
+             p -> x[p] * x[p])), (a, b) -> a + b) AS xx
+  FROM v
+),
+g AS (
+  SELECT label, rr,
+         (dxr * dxr) / xx AS par,
+         rr - (dxr * dxr) / xx AS orth
+  FROM f WHERE xx > 0
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(par AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS par_sum,
+       CAST(CAST(SUM(CAST(orth AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS orth_sum,
+       CAST(CAST(SUM(CAST(par AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(orth AS DECIMAL(30,10))) AS VARCHAR)
+                AS DOUBLE) AS aniso_ratio
+FROM g GROUP BY label
+""",
+    tags=("ann", "quantization", "anisotropic", "scann", "metric"),
+)
+def ann_anisotropic_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANISOTROPIC QUANTIZATION LOSS decomposition (ScaNN, Guo et al.
+    2020): for MIPS-style retrieval not all quantization error is
+    equal — the residual component PARALLEL to the datapoint
+    direction perturbs inner-product scores directly, while the
+    orthogonal component mostly cancels. Per IVF cell (the label
+    assignment), each vector's residual r = x - c splits into
+    r_par^2 = <r, x>^2 / ||x||^2 and r_orth^2 = ||r||^2 - r_par^2;
+    the per-cell decimal-exact sums and their ratio are the
+    diagnostic that decides whether score-aware (eta-weighted)
+    codebook training would pay: cells with high parallel share lose
+    recall@k under plain k-means codebooks. Per-row folds are the
+    shared ordered aggregate(zip_with) double fold, mirrored in the
+    oracle by pos-ordered list_reduce with a 0.0 seed (the
+    ann_ivf_cell_split discipline); cell sums are DECIMAL(30,10),
+    so every number hashes bitwise.
+
+    Plan shape at 100 TB: centroids are the one O(cells x dim)
+    decimal aggregate, broadcast back; the three folds are a single
+    map-side projection per row; cell rollup is map-side-combinable
+    over O(cells) keys. Nothing but the centroid table ever
+    shuffles twice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroids_by_key(emb, "embedding", "label")
+    v = emb.join(
+        F.broadcast(cent.select(F.col("key").alias("label"), "centroid")),
+        "label",
+    ).select(
+        "label",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.col("centroid").alias("cl"),
+    )
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, t: acc + t)
+
+    f = v.select(
+        "label",
+        fold(F.zip_with("x", "cl", lambda x, c: (x - c) * x)).alias("dxr"),
+        fold(F.zip_with("x", "cl", lambda x, c: (x - c) * (x - c)))
+        .alias("rr"),
+        fold(F.zip_with("x", "x", lambda a, b: a * b)).alias("xx"),
+    ).filter(F.col("xx") > 0)
+    g = f.select(
+        "label",
+        ((F.col("dxr") * F.col("dxr")) / F.col("xx")).alias("par"),
+        (F.col("rr") - (F.col("dxr") * F.col("dxr")) / F.col("xx"))
+        .alias("orth"),
+    )
+    return g.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("par").alias("par_sum"),
+        dsum("orth").alias("orth_sum"),
+        (dsum("par") / dsum("orth")).alias("aniso_ratio"),
+    ).select(F.col("label").cast("long").alias("label"), "n", "par_sum",
+             "orth_sum", "aniso_ratio")

@@ -8016,3 +8016,108 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dau"),
         )
     )
+
+
+_ES_EVENT_DAY = "2024-01-16"  # the ev_diff_in_diff / ev_cuped launch midpoint
+_ES_SPAN = 10  # relative-day window: [-10, +10]
+
+
+@query(
+    "ev_event_study_did",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         date_diff('day', DATE '{_ES_EVENT_DAY}', CAST(ts AS DATE))
+           AS rel_day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cell AS (
+  SELECT rel_day, arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS tot
+  FROM u WHERE rel_day BETWEEN -{_ES_SPAN} AND {_ES_SPAN}
+  GROUP BY rel_day, arm
+),
+pre AS (
+  SELECT arm, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(tot) AS BIGINT) AS tot
+  FROM cell WHERE rel_day < 0 GROUP BY arm
+),
+gap0 AS (
+  SELECT (t.tot * 1.0 / t.n) - (c.tot * 1.0 / c.n) AS pre_gap
+  FROM pre t, pre c WHERE t.arm = 1 AND c.arm = 0
+)
+SELECT CAST(t.rel_day AS BIGINT) AS rel_day,
+       t.n AS n_treat, c.n AS n_ctrl,
+       (t.tot * 1.0 / t.n) - (c.tot * 1.0 / c.n) AS day_gap_cents,
+       (t.tot * 1.0 / t.n) - (c.tot * 1.0 / c.n) - gap0.pre_gap
+         AS event_study_coef
+FROM cell t JOIN cell c ON c.rel_day = t.rel_day, gap0
+WHERE t.arm = 1 AND c.arm = 0
+""",
+    tags=("events", "experimentation", "event-study", "causal"),
+)
+def ev_event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-STUDY difference-in-differences — the per-period
+    decomposition every staged-launch writeup plots before trusting
+    the pooled DiD scalar (ev_diff_in_diff): for each relative day d
+    in [-{_ES_SPAN}, +{_ES_SPAN}] around the launch midpoint, the
+    treat-control gap in mean cents, re-centered by the POOLED
+    pre-period gap — pre-period coefficients hovering at ~0 validate
+    the parallel-trends assumption; post-period coefficients trace
+    effect onset and decay. RATIONAL discipline throughout: integer
+    cent totals and counts per (day, arm) cell, each mean one
+    int/int division, the pre-gap from pooled pre-period TOTALS (not
+    an order-dependent average of daily gaps) — bitwise-hashable.
+
+    Plan shape at 100 TB: one map-side-combinable groupBy to the
+    O(days x 2) cell table; everything after (arm self-join, pre-gap
+    scalar) runs on that tiny table via broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_ES_EVENT_DAY).cast("date")
+        ).alias("rel_day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("rel_day").between(-_ES_SPAN, _ES_SPAN))
+    cell = u.groupBy("rel_day", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    pre = (
+        cell.filter(F.col("rel_day") < 0)
+        .groupBy("arm")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("tot").cast("long").alias("tot"),
+        )
+    )
+    pt = pre.filter(F.col("arm") == 1).select(
+        (F.col("tot") * 1.0 / F.col("n")).alias("mt"))
+    pc = pre.filter(F.col("arm") == 0).select(
+        (F.col("tot") * 1.0 / F.col("n")).alias("mc"))
+    gap0 = pt.crossJoin(F.broadcast(pc)).select(
+        (F.col("mt") - F.col("mc")).alias("pre_gap"))
+    t = cell.filter(F.col("arm") == 1).select(
+        "rel_day",
+        F.col("n").alias("n_treat"),
+        (F.col("tot") * 1.0 / F.col("n")).alias("m_t"),
+    )
+    c = cell.filter(F.col("arm") == 0).select(
+        "rel_day",
+        F.col("n").alias("n_ctrl"),
+        (F.col("tot") * 1.0 / F.col("n")).alias("m_c"),
+    )
+    return (
+        t.join(c, "rel_day")
+        .crossJoin(F.broadcast(gap0))
+        .select(
+            "rel_day",
+            "n_treat",
+            "n_ctrl",
+            (F.col("m_t") - F.col("m_c")).alias("day_gap_cents"),
+            (F.col("m_t") - F.col("m_c") - F.col("pre_gap"))
+            .alias("event_study_coef"),
+        )
+    )

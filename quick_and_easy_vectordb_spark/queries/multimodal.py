@@ -2628,3 +2628,97 @@ def mm_rle_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rle_bytes_per_kpx_x2"),
         F.max("n_runs").cast("long").alias("worst_row_runs"),
     )
+
+
+@query(
+    "mm_audio_zero_crossings",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, i, ((doc_id * 7 + i * 13) % 4096) - 2048 AS s FROM smp
+),
+p AS (
+  SELECT doc_id, i, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+  FROM v
+)
+SELECT doc_id, CAST(i // 16 AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+       CAST(COALESCE(SUM(CASE WHEN ps IS NOT NULL
+                               AND ((s >= 0) <> (ps >= 0))
+                              THEN 1 END), 0) AS BIGINT) AS n_crossings
+FROM p GROUP BY 1, 2
+""",
+    tags=("multimodal", "decode", "audio", "zcr", "mapInPandas"),
+)
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-CROSSING RATE per 16-sample frame — the classic cheap
+    voiced/unvoiced + noisiness discriminator (high ZCR = fricatives
+    / noise, low = voiced speech / tones), computed from the SAME
+    synthesized PCM-WAV payloads as mm_audio_frame_energy through the
+    REAL RIFF parser (operators/multimodal.py:decode_audio); together
+    energy+ZCR are the two features every classical VAD thresholds
+    on. A crossing counts when consecutive samples' (s >= 0) signs
+    differ; the stream's FIRST sample has no predecessor, and frame
+    boundaries look BACK across the boundary (sample i vs i-1, both
+    engines windowed per doc), so frames partition the crossing
+    stream exactly.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass over binary
+    payloads, zero shuffle — the frame fan-out happens inside the
+    batch, and the sign-diff is a vectorized numpy comparison."""
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_audio
+
+    FRAME = 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_in_frame": [],
+                "n_crossings": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                s = (((doc_id * 7 + np.arange(n) * 13) % 4096) - 2048).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                audio, rate = decode_audio(payload)  # the real parser
+                assert rate == 8000 and audio.shape == (n, 1)
+                a = audio[:, 0].astype(np.int64)
+                nonneg = a >= 0
+                # crossing flag per sample i (vs i-1); sample 0 has none
+                crossed = np.zeros(n, dtype=np.int64)
+                crossed[1:] = (nonneg[1:] != nonneg[:-1]).astype(np.int64)
+                for f in range((n + FRAME - 1) // FRAME):
+                    seg = crossed[f * FRAME : (f + 1) * FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_in_frame"].append(int(len(seg)))
+                    out["n_crossings"].append(int(seg.sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, "doc_id long, frame_idx long, n_in_frame long, n_crossings long"
+    )

@@ -2657,3 +2657,123 @@ def vdb_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+_RC_K = 200  # head size over which the two metrics' rankings compare
+
+
+@query(
+    "vdb_rank_correlation",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id,
+         {sql_dot(_EMB, _Q)} AS dot,
+         {sql_cosine(_EMB, _Q)} AS cos
+  FROM embeddings
+),
+head AS (
+  SELECT vec_id, dot, cos
+  FROM scored ORDER BY dot DESC, vec_id LIMIT {_RC_K}
+),
+ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY dot DESC, vec_id) AS rd,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS rc
+  FROM head
+),
+sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((rd - rc) * (rd - rc)) AS BIGINT) AS d2
+  FROM ranked
+),
+kt AS (
+  SELECT CAST(SUM(CASE WHEN (b.rd - a.rd) * (b.rc - a.rc) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (b.rd - a.rd) * (b.rc - a.rc) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+  FROM ranked a JOIN ranked b ON a.vec_id < b.vec_id
+)
+SELECT sp.n, sp.d2, kt.concordant, kt.discordant,
+       1.0 - CAST(6 * sp.d2 AS DOUBLE) / (sp.n * (sp.n * sp.n - 1))
+         AS spearman_rho,
+       CAST(kt.concordant - kt.discordant AS DOUBLE)
+         / (sp.n * (sp.n - 1) / 2) AS kendall_tau
+FROM sp, kt
+""",
+    tags=("vdb", "metric", "rank-correlation", "evaluation"),
+)
+def vdb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK CORRELATION between the dot-product and cosine rankings of
+    the dot-top-{_RC_K} head — the quantitative answer to 'does
+    normalization change what we retrieve?' (the reference scores by
+    RAW dot product, app.py:45, which is magnitude-sensitive; cosine
+    is the normalized alternative this engine also exposes). Both
+    Spearman's rho (1 - 6*sum(d^2)/(n(n^2-1))) and Kendall's tau-a
+    ((C-D)/(n(n-1)/2)) are INTEGER-rational — ranks are total orders
+    via the (score, vec_id) tiebreak, so d^2, C, D are BIGINTs and
+    each statistic is one final double division (the
+    geo_moran_autocorrelation discipline). Restricting to the
+    dot-head keeps the comparison about the retrieval set that
+    actually surfaces, and bounds the pair join at {_RC_K}^2/2.
+
+    Plan shape at 100 TB: scoring is the usual map-side fold; the
+    head is TakeOrderedAndProject (never a full sort); ranking
+    windows and the pair self-join touch only {_RC_K} broadcast-sized
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    scored = emb.select(
+        "vec_id",
+        dot_product(F.col("embedding"), q).alias("dot"),
+        cosine_similarity(F.col("embedding"), q).alias("cos"),
+    )
+    head = scored.orderBy(F.desc("dot"), F.asc("vec_id")).limit(_RC_K)
+    ranked = head.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dot"), F.asc("vec_id")))
+        .alias("rd"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .alias("rc"),
+    )
+    sp = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rd") - F.col("rc")) * (F.col("rd") - F.col("rc")))
+        .cast("long")
+        .alias("d2"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    kt = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (
+                (F.col("b.rd") - F.col("a.rd"))
+                * (F.col("b.rc") - F.col("a.rc"))
+            ).alias("prod")
+        )
+        .agg(
+            F.sum((F.col("prod") > 0).cast("int")).cast("long")
+            .alias("concordant"),
+            F.sum((F.col("prod") < 0).cast("int")).cast("long")
+            .alias("discordant"),
+        )
+    )
+    return (
+        sp.crossJoin(F.broadcast(kt))
+        .select(
+            "n",
+            "d2",
+            "concordant",
+            "discordant",
+            (
+                F.lit(1.0)
+                - (6 * F.col("d2")).cast("double")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1))
+            ).alias("spearman_rho"),
+            (
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2)
+            ).alias("kendall_tau"),
+        )
+    )
