@@ -1349,6 +1349,69 @@ def main() -> None:
     probes["ordered_positions (bucketed prefix-sum ranking)"] = (
         ordered_positions_probe)
 
+    def paragraph_ccnet_probe(n: int) -> None:
+        """dedup_paragraph_ccnet shape: map-side paragraph split +
+        posexplode, ONE md5-partitioned window ranking first
+        occurrences, O(sources) rollup."""
+        docs = synth_docs(spark, max(n // 100, 1000)).select(
+            "doc_id", (F.col("doc_id") % 20).alias("source"),
+            F.split("text", " ").alias("w"))
+        np_ = F.ceil(F.size("w") / F.lit(20.0)).cast("long")
+        paras = docs.select(
+            "doc_id", "source",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), np_ - 1),
+                lambda i: F.array_join(
+                    F.slice("w", (i * 20 + 1).cast("int"), 20), " "))
+            ).alias("pidx", "para"))
+        w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pidx")
+        ranked = paras.withColumn("rn", F.row_number().over(w))
+        noop(ranked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("rn") > 1).cast("int")).alias("n_dropped")))
+
+    probes["paragraph_ccnet (hash-partitioned first-occurrence window)"] = (
+        paragraph_ccnet_probe)
+
+    def ttr_window_probe(n: int) -> None:
+        """text_ttr_sliding shape: token posexplode, one (doc, window)
+        distinct-count shuffle, O(sources) rollup."""
+        docs = synth_docs(spark, max(n // 100, 1000)).select(
+            "doc_id", (F.col("doc_id") % 20).alias("source"),
+            F.posexplode(F.split("text", " ")).alias("p", "tok"))
+        agg = docs.select(
+            "doc_id", "source", "tok",
+            (F.col("p") / 20).cast("long").alias("w")
+        ).groupBy("doc_id", "source", "w").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("tok").alias("u"))
+        noop(agg.filter(F.col("cnt") == 20).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("u").cast("double") / 20).alias("s")))
+
+    probes["ttr_windows ((doc,win) distinct-count agg)"] = ttr_window_probe
+
+    def burstiness_probe(n: int) -> None:
+        """text_word_burstiness shape: (word, doc) counts then vocab
+        stats — two map-side-combinable shuffles, broadcast scalar,
+        TakeOrdered top-20."""
+        docs = synth_docs(spark, max(n // 100, 1000)).select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        per_doc = docs.groupBy("tok", "doc_id").agg(
+            F.count(F.lit(1)).alias("c"))
+        nd = docs.select("doc_id").distinct().count()
+        stats = per_doc.groupBy("tok").agg(
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        ).filter(F.col("total") >= 50)
+        noop(stats.select(
+            "tok", "total",
+            ((F.lit(nd) * F.col("sum_sq") - F.col("total") * F.col("total"))
+             .cast("double") / (F.lit(nd) * F.col("total"))).alias("b"))
+            .orderBy(F.desc("b"), F.asc("tok")).limit(20))
+
+    probes["burstiness (word-doc counts + vocab stats)"] = burstiness_probe
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
