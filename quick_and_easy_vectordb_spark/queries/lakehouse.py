@@ -287,41 +287,44 @@ def src_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (exactly where Iceberg keeps it); data files are read
     directly by path with full parquet parallelism — no directory
     listing, and snapshot selection costs zero data I/O. File-level
-    min/max pruning would hang off the same manifest."""
+    min/max pruning would hang off the same manifest.
+
+    Round-9: routed through the pluggable TableFormat interface
+    (sources/table_format.py) — ManifestParquetFormat here; the
+    delta-spark adapter drops in behind the same three calls on a
+    cluster that has it."""
+    from quick_and_easy_vectordb_spark.sources.table_format import (
+        ManifestParquetFormat,
+    )
+
     base_cols = (
         F.col("o_orderkey"),
         F.year("o_orderdate").cast("long").alias("yr"),
         F.col("o_totalprice"),
     )
+    fmt = ManifestParquetFormat()
     d, ready = _scratch_dir("timetravel", sf_dir)
-    man1 = os.path.join(d, "manifest_v1.json")
-    man2 = os.path.join(d, "manifest_v2.json")
-    if not ready or not os.path.isfile(man2):
+    table = os.path.join(d, "orders_versioned")
+    if not ready or len(fmt.versions(table)) < 3:
         o = load_table(spark, sf_dir, "orders").select(*base_cols)
-        f_even = os.path.join(d, "file_even")
-        f_odd = os.path.join(d, "file_odd")
-        f_odd2 = os.path.join(d, "file_odd_restated")
-        o.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
-            f_even
-        )
         odd = o.filter(F.col("o_orderkey") % 2 == 1)
-        odd.write.mode("overwrite").parquet(f_odd)
-        odd.withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("yr") == 1997, F.col("o_totalprice") * 0.9
-            ).otherwise(F.col("o_totalprice")),
-        ).write.mode("overwrite").parquet(f_odd2)
-        # The commit: a manifest is metadata, written atomically last.
-        with open(man1, "w") as f:
-            json.dump({"version": 1, "files": [f_even, f_odd]}, f)
-        with open(man2, "w") as f:
-            json.dump({"version": 2, "files": [f_even, f_odd2]}, f)
+        fmt.commit(o.filter(F.col("o_orderkey") % 2 == 0), table,
+                   name="even")                                  # v1
+        fmt.commit(odd, table, name="odd")                       # v2
+        fmt.commit(                                              # v3:
+            odd.withColumn(                      # restate the odd half
+                "o_totalprice",
+                F.when(
+                    F.col("yr") == 1997, F.col("o_totalprice") * 0.9
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            table,
+            replace="odd",
+            name="odd_restated",
+        )
 
-    def read_snapshot(manifest_path: str) -> DataFrame:
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        return spark.read.parquet(*manifest["files"])
+    def read_snapshot(version: int) -> DataFrame:
+        return fmt.read(spark, table, version=version)
 
     def totals(df: DataFrame, snap: int) -> DataFrame:
         return df.groupBy("yr").agg(
@@ -331,7 +334,9 @@ def src_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         ).select(F.lit(snap).cast("long").alias("snapshot"), "yr", "n", "total_price")
 
-    return totals(read_snapshot(man1), 1).unionAll(totals(read_snapshot(man2), 2))
+    # table v2 = [even, odd] (pre-restatement) = the query's snapshot 1;
+    # table v3 = [even, odd_restated] = snapshot 2
+    return totals(read_snapshot(2), 1).unionAll(totals(read_snapshot(3), 2))
 
 
 # ---------------------------------------------------------------------------
