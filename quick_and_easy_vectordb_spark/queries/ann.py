@@ -2443,3 +2443,124 @@ def ann_anisotropic_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("par") / dsum("orth")).alias("aniso_ratio"),
     ).select(F.col("label").cast("long").alias("label"), "n", "par_sum",
              "orth_sum", "aniso_ratio")
+
+
+_SWEEP_KS = (4, 8, 12, 16)
+_SWEEP_SIG = HIST_PLANES  # 16-bit signature; prefixes give the sweep
+
+
+@query(
+    "ann_lsh_planes_sweep",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, {_sql_signature(_SWEEP_SIG)} AS sig,
+         {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS dot
+  FROM embeddings
+),
+qsig AS (SELECT '{python_lsh_signature(QUERY_VEC, _SWEEP_SIG)}' AS qs),
+exact AS (
+  SELECT vec_id FROM scored ORDER BY dot DESC, vec_id LIMIT 10
+),
+fan AS (
+  SELECT s.vec_id, s.dot, t.k
+  FROM scored s, qsig, unnest([{", ".join(str(k) for k in _SWEEP_KS)}])
+       AS t(k)
+  WHERE substr(s.sig, 1, t.k) = substr(qsig.qs, 1, t.k)
+),
+ranked AS (
+  SELECT k, vec_id,
+         row_number() OVER (PARTITION BY k ORDER BY dot DESC, vec_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n_candidates
+  FROM fan
+),
+agg AS (
+  SELECT r.k,
+         CAST(MAX(r.n_candidates) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_hits
+  FROM ranked r LEFT JOIN exact e ON e.vec_id = r.vec_id
+  WHERE r.rn <= 10
+  GROUP BY r.k
+),
+cfg AS (SELECT unnest([4, 8, 12, 16]) AS k)
+SELECT CAST(cfg.k AS BIGINT) AS k,
+       COALESCE(agg.n_candidates, 0) AS n_candidates,
+       COALESCE(agg.n_hits, 0) AS n_hits,
+       CAST(COALESCE(agg.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
+FROM cfg LEFT JOIN agg ON agg.k = cfg.k
+""",
+    tags=("ann", "lsh", "parameter-sweep", "recall"),
+)
+def ann_lsh_planes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PLANE-COUNT SWEEP from ONE signature pass — the
+    dedup_band_tuning discipline applied to vector LSH: because a
+    k-plane bucket is the k-bit PREFIX of the 16-bit signature, the
+    configs k = 4, 8, 12, 16 nest, and one signature computation
+    serves the whole sweep (candidates for k are rows whose prefix
+    matches the query's). Per config: candidate-set size and
+    recall@10 vs the exact dot top-10 — the selectivity/recall
+    trade-off curve that picks the production plane count. More
+    planes = smaller buckets = cheaper rerank but lower recall; this
+    table is where the knee shows.
+
+    Plan shape at 100 TB: signature + prefix-match fan-out are
+    map-side (each row emits <= |configs| candidate rows, and only
+    rows matching the 4-bit prefix emit at all — a 1/16 filter before
+    any shuffle); per-config top-10 plans as WindowGroupLimit; the
+    exact head is TakeOrderedAndProject; the 10-row exact set joins
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    qsig = python_lsh_signature(QUERY_VEC, _SWEEP_SIG)
+    scored = emb.select(
+        "vec_id",
+        lsh_signature("embedding", _SWEEP_SIG, DIM).alias("sig"),
+        dot_product(F.col("embedding"), q).alias("dot"),
+    )
+    exact = (
+        scored.orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("in_exact"))
+    )
+    ks = F.array(*[F.lit(k) for k in _SWEEP_KS])
+    fan = scored.select(
+        "vec_id",
+        "dot",
+        F.explode(
+            F.filter(
+                ks,
+                lambda k: F.substring("sig", 1, _SWEEP_SIG).substr(
+                    F.lit(1), k.cast("int")
+                )
+                == F.lit(qsig).substr(F.lit(1), k.cast("int")),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("dot"), F.asc("vec_id"))
+    wall = Window.partitionBy("k")
+    ranked = fan.select(
+        "k",
+        "vec_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_candidates"),
+    )
+    top = ranked.filter(F.col("rn") <= 10).join(
+        F.broadcast(exact), "vec_id", "left"
+    )
+    agg = top.groupBy("k").agg(
+        F.max("n_candidates").cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    cfg = spark.range(1).select(F.explode(ks).alias("k0")).select(
+        F.col("k0").cast("long").alias("k"))
+    # every config emits a row — an over-selective prefix shows up as
+    # an explicit (0 candidates, recall 0) row, not a missing one
+    return cfg.join(agg, "k", "left").select(
+        "k",
+        F.coalesce("n_candidates", F.lit(0).cast("long"))
+        .alias("n_candidates"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0).cast("long")).cast("double") / 10)
+        .alias("recall_at_10"),
+    )

@@ -8121,3 +8121,125 @@ def ev_event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event_study_coef"),
         )
     )
+
+
+_CMS_SWEEP_WS = (16, 64, 256)  # widths; depth fixed at _CMS_D rows
+
+
+@query(
+    "ev_cms_width_sweep",
+    oracle=f"""
+WITH k AS (
+  SELECT event_type || '|' || props AS key,
+         CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+),
+hr AS (
+  SELECT key, exact_cnt, t.r AS r,
+         (('0x' || substr(md5(t.r || ':' || key), 1, 12))::BIGINT) AS h
+  FROM k, unnest([0, 1, 2, 3]) AS t(r)
+),
+fan AS (
+  SELECT key, exact_cnt, r, h, t.w AS w
+  FROM hr, unnest([{", ".join(str(w) for w in _CMS_SWEEP_WS)}]) AS t(w)
+),
+counters AS (
+  SELECT w, r, h % w AS b, CAST(SUM(exact_cnt) AS BIGINT) AS c
+  FROM fan GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT f.key, f.w, MAX(f.exact_cnt) AS exact_cnt,
+         CAST(MIN(c.c) AS BIGINT) AS est
+  FROM fan f
+  JOIN counters c ON c.w = f.w AND c.r = f.r AND c.b = f.h % f.w
+  GROUP BY f.key, f.w
+)
+SELECT CAST(w AS BIGINT) AS w,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(est - exact_cnt) AS BIGINT) AS total_overestimate,
+       CAST(MAX(est - exact_cnt) AS BIGINT) AS max_overestimate,
+       CAST(SUM(est - exact_cnt) AS DOUBLE) / COUNT(*)
+         AS mean_overestimate
+FROM est GROUP BY w
+""",
+    tags=("events", "sketch", "count-min", "parameter-sweep"),
+)
+def ev_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN WIDTH SWEEP from ONE hash pass — sketch sizing as a
+    measured decision instead of a rule of thumb (the
+    dedup_band_tuning / ann_lsh_planes_sweep discipline applied to
+    the CMS of ev_cms_heavy_hitters): each key hashes ONCE per depth
+    row, and every width's bucket is h % w of the SAME 48-bit hash,
+    so the 3-width sweep costs one md5 pass plus per-width counter
+    aggregates. Per width: total / max / mean overestimate vs exact
+    counts — the error-vs-memory curve (CMS theory bounds mean error
+    by N/w; this table shows the actual constant for THIS key
+    distribution, which theory can't).
+
+    Plan shape at 100 TB: the key count is the only data-sized
+    shuffle; everything downstream runs on the O(vocab) key table —
+    depth x width fan-out of that table, counter aggregates of
+    O(d * w) rows, and a broadcast-sized join back. Counter tables
+    are mergeable across partitions/days by cell-wise addition, the
+    property that makes CMS a distributed sketch at all."""
+    ev = load_table(spark, sf_dir, "events")
+    k = (
+        ev.select(F.concat_ws("|", "event_type", "props").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    hr = k.select(
+        "key",
+        "exact_cnt",
+        F.explode(rows).alias("r"),
+    ).select(
+        "key",
+        "exact_cnt",
+        "r",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit(":"), F.col("key")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    ws = F.array(*[F.lit(w) for w in _CMS_SWEEP_WS])
+    fan = hr.select(
+        "key", "exact_cnt", "r", "h", F.explode(ws).alias("w")
+    ).persist()
+    counters = fan.groupBy(
+        F.col("w").alias("cw"), F.col("r").alias("cr"),
+        (F.col("h") % F.col("w")).alias("b"),
+    ).agg(F.sum("exact_cnt").cast("long").alias("c"))
+    est = (
+        fan.join(
+            F.broadcast(counters),
+            (F.col("cw") == F.col("w"))
+            & (F.col("cr") == F.col("r"))
+            & (F.col("b") == F.col("h") % F.col("w")),
+        )
+        .select("key", "w", "exact_cnt", "c")
+        .groupBy("key", "w")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("c").cast("long").alias("est"),
+        )
+    )
+    return est.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("est") - F.col("exact_cnt")).cast("long")
+        .alias("total_overestimate"),
+        F.max(F.col("est") - F.col("exact_cnt")).cast("long")
+        .alias("max_overestimate"),
+        (F.sum(F.col("est") - F.col("exact_cnt")).cast("double")
+         / F.count(F.lit(1))).alias("mean_overestimate"),
+    ).select(F.col("w").cast("long").alias("w"), "n_keys",
+             "total_overestimate", "max_overestimate", "mean_overestimate")

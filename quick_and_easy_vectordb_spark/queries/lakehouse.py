@@ -1681,3 +1681,97 @@ def src_merkle_tree_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(a, 1) AS merkle_root",
         "cast(size(a) as bigint) AS root_level_size",
     )
+
+
+@query(
+    "src_snapshot_expire_vacuum",
+    oracle="""
+WITH base AS (
+  SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+         CASE WHEN CAST(strftime(o_orderdate, '%Y') AS BIGINT) = 1997
+                   AND o_orderkey % 2 = 1
+              THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT yr, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_price,
+       CAST(2 AS BIGINT) AS n_files_live,
+       CAST(1 AS BIGINT) AS n_files_expired,
+       CAST(1 AS BIGINT) AS expired_read_fails
+FROM base GROUP BY yr
+""",
+    tags=("source", "lakehouse", "vacuum", "snapshot-expiry"),
+)
+def src_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY + VACUUM — the lifecycle step every versioned
+    table needs or storage grows without bound (Iceberg
+    expire_snapshots, Delta VACUUM): the src_snapshot_time_travel
+    construction (even + odd, then odd restated) retains only the
+    LATEST version; expiry drops the older manifests metadata-first,
+    then deletes the one data file ([odd]) no retained manifest
+    references — [even] survives because the latest manifest still
+    points at it, which is exactly the refcount-across-versions
+    subtlety a naive "delete old dirs" vacuum gets wrong. The result
+    row carries the post-vacuum aggregates (the restated totals the
+    oracle recomputes relationally), the live/expired file counts
+    from the vacuum's own set arithmetic, and a flag proving the
+    expired version's read now actually FAILS (attempted, caught).
+
+    Plan shape at 100 TB: expiry is O(manifests) driver metadata
+    arithmetic + file deletes — zero data I/O (the defining property:
+    VACUUM cost scales with metadata, not table size); the
+    certification aggregate reads only the live snapshot."""
+    from quick_and_easy_vectordb_spark.sources.table_format import (
+        ManifestParquetFormat,
+    )
+
+    fmt = ManifestParquetFormat()
+    d, ready = _scratch_dir("vacuum", sf_dir)
+    table = os.path.join(d, "orders_vacuum")
+    stats_path = os.path.join(d, "vacuum_stats.json")
+    if not ready or not os.path.isfile(stats_path):
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_totalprice"),
+        )
+        odd = o.filter(F.col("o_orderkey") % 2 == 1)
+        fmt.commit(o.filter(F.col("o_orderkey") % 2 == 0), table,
+                   name="even")
+        fmt.commit(odd, table, name="odd")
+        fmt.commit(
+            odd.withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("yr") == 1997, F.col("o_totalprice") * 0.9
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            table,
+            replace="odd",
+            name="odd_restated",
+        )
+        stats = fmt.expire(table, keep_versions=[3])
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+    with open(stats_path) as f:
+        stats = json.load(f)
+    try:
+        fmt.read(spark, table, version=2).count()
+        expired_read_fails = 0
+    except Exception:  # noqa: BLE001 — the failure IS the assertion
+        expired_read_fails = 1
+    live = fmt.read(spark, table)
+    return live.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_price"),
+    ).select(
+        "yr",
+        "n",
+        "total_price",
+        F.lit(stats["live"]).cast("long").alias("n_files_live"),
+        F.lit(stats["expired"]).cast("long").alias("n_files_expired"),
+        F.lit(expired_read_fails).cast("long").alias("expired_read_fails"),
+    )

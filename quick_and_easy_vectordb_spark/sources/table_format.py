@@ -130,6 +130,36 @@ class ManifestParquetFormat:
         manifest = self._load(table_path, v)
         return spark.read.parquet(*manifest["files"].values())
 
+    def expire(
+        self, table_path: str, keep_versions: list[int]
+    ) -> dict[str, int]:
+        """Snapshot expiry + vacuum (Iceberg expire_snapshots / Delta
+        VACUUM): drop the manifests NOT in ``keep_versions``, then
+        delete every data file no retained manifest references.
+        Metadata-only set arithmetic — no data is read. Returns
+        {'live': n, 'expired': n} file counts. Order matters: the
+        manifest (metadata) goes first so a crash mid-vacuum leaves
+        orphaned-but-unreferenced files (rerun-safe), never a live
+        manifest pointing at deleted data."""
+        import shutil
+
+        keep = set(keep_versions)
+        live_files: set[str] = set()
+        all_files: dict[str, str] = {}
+        for v in self.versions(table_path):
+            files = self._load(table_path, v)["files"]
+            all_files.update(files)
+            if v in keep:
+                live_files.update(files)
+        md = self._manifest_dir(table_path)
+        for v in self.versions(table_path):
+            if v not in keep:
+                os.remove(os.path.join(md, f"v{v}.json"))
+        expired = {n: p for n, p in all_files.items() if n not in live_files}
+        for path in expired.values():
+            shutil.rmtree(path, ignore_errors=True)
+        return {"live": len(live_files), "expired": len(expired)}
+
 
 class DeltaTableFormat:
     """Delta Lake adapter behind the same interface — import-gated:

@@ -66,6 +66,26 @@ def test_read_missing_table_raises(spark, table):
         ManifestParquetFormat().read(spark, table)
 
 
+def test_expire_vacuums_only_unreferenced_files(spark, table):
+    """Expiry refcounts files ACROSS retained versions: a file shared
+    with the kept version must survive even though an expired version
+    also references it."""
+    fmt = ManifestParquetFormat()
+    fmt.commit(spark.range(3), table, name="shared")           # v1
+    fmt.commit(spark.range(3, 6), table, name="old")           # v2
+    fmt.commit(spark.range(6, 9), table, replace="old",
+               name="new")                                     # v3
+    stats = fmt.expire(table, keep_versions=[3])
+    assert stats == {"live": 2, "expired": 1}
+    assert fmt.versions(table) == [3]
+    # kept version still fully readable (shared file survived)
+    assert sorted(r.id for r in fmt.read(spark, table).collect()) == [
+        0, 1, 2, 6, 7, 8,
+    ]
+    with pytest.raises(FileNotFoundError):
+        fmt._load(table, 2)
+
+
 def test_delta_adapter_is_import_gated():
     """No delta-spark in this container: constructing the adapter must
     raise ImportError (the torch-embedding env-gate discipline), and
