@@ -4,28 +4,26 @@ resolution, the step after pairwise near-dup detection.
 A dedup pipeline's output is pairs (a~b, b~c); what you act on is
 clusters ({a,b,c} keep one). Pairs → clusters is connected components.
 Spark has no built-in CC (GraphFrames is an external package), so this
-is iterative min-label propagation in pure DataFrame ops:
+is the ALTERNATING STAR algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond") in pure DataFrame ops: each round
+a large-star operation hangs every node's >-neighbors off its
+neighborhood minimum, then a small-star operation contracts the
+<=-neighborhood the same way, and the EDGE SET itself converges to a
+star forest whose centers are the component minima. Two
+groupBy+join shuffles per star, O(log^2 n) rounds provably, per-key
+state bounded by degree, all data distributed; ``localCheckpoint``
+truncates lineage each round (at cluster scale use ``checkpoint`` to
+reliable storage instead).
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
-
-repeated until no label changes. Each iteration is one self-join on
-the (symmetrized) edge list + one groupBy-min — two shuffles — and the
-iteration count is the graph diameter, which for near-dup clusters is
-tiny (clusters are dense cliques-ish; diameter 2-4). The driver loop
-only checks a scalar convergence count per round; all data stays
-distributed. ``localCheckpoint`` truncates the lineage each round so
-the plan doesn't grow exponentially with iterations (at cluster scale
-use ``checkpoint`` to reliable storage instead).
-
-This is the standard "hash-to-min" formulation (cf. the large-graph
-literature on MapReduce connected components), accelerated with
-pointer jumping (path halving): after each neighbor-propagation step,
-every vertex re-labels itself with its label's label —
-``label(v) <- label(label(v))`` — so label chains collapse
-geometrically and convergence takes O(log diameter) rounds instead of
-O(diameter). On near-dup graphs (dense, diameter 2-4) the extra join
-per round is noise; on adversarial long chains it is the difference
-between 10 rounds and 1000.
+History: rounds 1-8 used min-label propagation with one path-halving
+hop per round. That converges fast on dense near-dup clusters
+(diameter 2-4) but label-only halving STALLS on long chains whose id
+layout points "away" from the minimum — round 9's grid-blocked DBSCAN
+graph (spatial chains, diameter ~100) needed 25+ rounds while the cap
+was 20, and the operator silently returned split components (caught
+by the geo_dbscan_clusters oracle). Star rounds contract the graph
+itself, so no id layout defeats them — and an exhausted iteration cap
+now raises instead of returning wrong answers.
 """
 
 from __future__ import annotations
@@ -40,72 +38,122 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
-    pointer_jumping: bool = True,
+    max_iter: int = 25,
+    pointer_jumping: bool = True,  # kept for API compat; always on
 ) -> DataFrame:
     """Return (id, component) for every vertex in ``edges``, where
     ``component`` is the minimum vertex id reachable from ``id``.
 
-    Deterministic: min-labels are order-insensitive. Vertices only in
-    ``edges`` appear; isolated vertices (no edges) are the caller's
-    no-op case. ``pointer_jumping`` adds the path-halving step (one
-    extra label-table self-join per round) that bounds rounds by
-    O(log diameter) — disable only for known-low-diameter graphs
-    where the extra small join costs more than it saves.
+    ALTERNATING STAR algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"): each round rewrites the EDGE SET with a
+    large-star then a small-star operation until the graph is a star
+    forest whose centers are the component minima. Deterministic
+    (min-of-ids everywhere), provably O(log^2 n) rounds with per-key
+    state bounded by node degree.
+
+    Round 9 replaced the previous min-label propagation + path
+    halving: label-only halving provably stalls on adversarial id
+    layouts (a spatial-chain DBSCAN graph of diameter ~100 needed 25+
+    rounds — the old max_iter=20 SILENTLY returned split components,
+    caught by the geo_dbscan_clusters oracle). Star rounds contract
+    the graph itself, so id layout cannot defeat them; and an
+    exhausted ``max_iter`` now RAISES instead of returning a wrong
+    answer.
+
+    Vertices only in ``edges`` appear; isolated vertices (self-loop
+    only) map to themselves.
     """
     edges = edges.persist()  # scanned twice below (forward + reversed)
-    sym = edges.select(
+    sym0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # self-loops make every vertex its own neighbor, so label(v) is
-    # always in the min and pure relabeling needs no outer join
-    verts = sym.select(F.col("u").alias("u")).distinct()
-    sym = sym.unionByName(
-        verts.select("u", F.col("u").alias("v"))
-    ).persist()
+    verts = sym0.select(F.col("u").alias("vid")).distinct().persist()
+    # strip self-loops: star rounds operate on proper edges
+    e = (
+        sym0.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
 
-    # labels carries renamed columns (lu, label) so every join below has
-    # distinct attribute ids — avoids Spark's ambiguous-self-join trap
-    labels = verts.select(
-        F.col("u").alias("lu"), F.col("u").alias("label")
-    ).localCheckpoint()
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def large_star(sym: DataFrame) -> DataFrame:
+        # per node u: m = min(N(u) ∪ {u}); emit (v, m) for v > u
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        ).select(F.col("u").alias("mu"), "m")
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, F.col("u") == F.col("mu"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(sym: DataFrame) -> DataFrame:
+        # per node u over its ≤-neighborhood: m = min(N<(u) ∪ {u});
+        # emit (x, m) for x in N<(u) ∪ {u}, x != m
+        le = sym.filter(F.col("v") < F.col("u"))
+        mins = le.groupBy("u").agg(F.min("v").alias("m")).select(
+            F.col("u").alias("mu"), "m"
+        )
+        with_m = le.join(mins, F.col("u") == F.col("mu"))
+        out = with_m.select(F.col("v").alias("u"), F.col("m").alias("v")) \
+            .unionByName(
+                with_m.select(F.col("mu").alias("u"), F.col("m").alias("v"))
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = e.isEmpty()
     for _ in range(max_iter):
-        new_labels = (
-            sym.join(labels, F.col("v") == F.col("lu"), "inner")
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("u").alias("lu"), "label")
-        )
-        if pointer_jumping:
-            # Path halving: label <- label(label). Every label IS a
-            # vertex id (it is a min over vertex ids), so the lookup
-            # join always hits; min(old, hop) keeps monotonicity.
-            hop = new_labels.select(
-                F.col("lu").alias("ju"), F.col("label").alias("jlabel")
-            )
-            new_labels = (
-                new_labels.join(hop, F.col("label") == F.col("ju"), "inner")
-                .select(
-                    "lu",
-                    F.least(F.col("label"), F.col("jlabel")).alias("label"),
-                )
-            )
-        new_labels = new_labels.localCheckpoint()
-        nl = new_labels.select(
-            F.col("lu").alias("nu"), F.col("label").alias("nlabel")
-        )
-        changed = (
-            nl.join(labels, F.col("nu") == F.col("lu"))
-            .filter(F.col("nlabel") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    sym.unpersist()
-    edges.unpersist()  # persisted at entry; don't leak blocks in long sessions
-    return labels.select(F.col("lu").alias("id"), F.col("label").alias("component"))
+        new_e = small_star(_sym(large_star(_sym(e)))).localCheckpoint()
+        # stable iff the round was a no-op on the edge set: compare a
+        # cheap order-insensitive fingerprint (count + two sums) — the
+        # star fixed point is also detectable as "every edge points at
+        # a root", checked below before trusting convergence
+        same = (
+            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+        )
+        e = new_e
+        if same:
+            # fixed point reached; verify star shape: no edge's target
+            # is itself a source of a smaller edge
+            tgt = e.select(F.col("v").alias("t")).distinct()
+            nonroot_tgt = tgt.join(
+                e.select(F.col("u").alias("t")).distinct(), "t"
+            )
+            converged = nonroot_tgt.isEmpty()
+            if not converged:  # pragma: no cover — not reachable per
+                break          # the algorithm's fixed-point theorem
+    if not converged:
+        edges.unpersist()
+        verts.unpersist()
+        # an exhausted cap means SPLIT components — wrong answers,
+        # not slow ones; fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # star forest: non-roots point at their component min; everything
+    # else (roots, isolated vertices) labels itself
+    pointed = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), "component"
+    )
+    labeled = verts.join(
+        pointed, verts["vid"] == pointed["id"], "left"
+    ).select(
+        F.col("vid").alias("id"),
+        F.coalesce("component", F.col("vid")).alias("component"),
+    )
+    out = labeled.localCheckpoint()
+    edges.unpersist()
+    verts.unpersist()
+    return out
 
 
 def dup_clusters(

@@ -1409,3 +1409,134 @@ def geo_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp("x_prev", "x_next").alias("xi"),
         interp("y_prev", "y_next").alias("yi"),
     )
+
+
+@query(
+    "geo_dbscan_clusters",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 104729) % 36000 AS x,
+         (c_custkey * 7919) % 18000 AS y
+  FROM customer
+),
+pc AS (
+  SELECT id, x, y, x // {_EPS} AS cx, y // {_EPS} AS cy FROM p
+),
+pairs AS (
+  SELECT a.id AS pid, b.id AS qid
+  FROM pc a JOIN pc b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_EPS2}
+),
+ncnt AS (SELECT pid, COUNT(*) AS n_nbr FROM pairs GROUP BY pid),
+core AS (SELECT pid AS id FROM ncnt WHERE n_nbr >= {_MIN_PTS}),
+cedges AS (
+  SELECT pr.pid AS u, pr.qid AS v
+  FROM pairs pr
+  JOIN core a ON a.id = pr.pid
+  JOIN core b ON b.id = pr.qid
+),
+reach(u, v) AS (
+  SELECT u, v FROM cedges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v
+),
+comp AS (SELECT u AS id, MIN(v) AS cluster FROM reach GROUP BY u),
+border AS (
+  SELECT pr.pid AS id, MIN(c.cluster) AS cluster
+  FROM pairs pr
+  JOIN comp c ON c.id = pr.qid
+  WHERE pr.pid NOT IN (SELECT id FROM core)
+  GROUP BY pr.pid
+)
+SELECT cluster,
+       CAST(COUNT(CASE WHEN kind = 'core' THEN 1 END) AS BIGINT)
+         AS n_core,
+       CAST(COUNT(CASE WHEN kind = 'border' THEN 1 END) AS BIGINT)
+         AS n_border,
+       CAST(SUM(id) AS BIGINT) AS key_checksum
+FROM (
+  SELECT id, cluster, 'core' AS kind FROM comp
+  UNION ALL
+  SELECT id, cluster, 'border' FROM border
+) GROUP BY cluster
+""",
+    tags=("geo", "dbscan", "clustering", "connected-components"),
+)
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL DBSCAN cluster extraction — the step geo_dbscan_classify
+    stops short of (it labels core/border/noise; this assigns CLUSTER
+    IDS): core-core eps-edges collapse into connected components via
+    the pointer-jumping min-label operator (operators/graph.py — the
+    SAME operator that resolves dup-clusters, because grid-blocked
+    DBSCAN IS candidate-pair dedup over coordinates), and each border
+    point attaches to its minimum-labeled core neighbor (the
+    deterministic tiebreak for the border-of-two-clusters ambiguity
+    the original DBSCAN paper leaves order-dependent). One row per
+    cluster: core/border sizes and an id checksum. The oracle
+    recomputes components with a recursive-CTE closure — fine at
+    oracle scale, quadratic-per-cluster at production scale, which is
+    why the Spark side iterates pointer-jumping instead.
+
+    Plan shape at 100 TB: the eps-pair join is the one cell-keyed
+    shuffle (3x3 block replication); CC runs O(log diameter) rounds
+    on the core-edge table; border attachment is one more join on the
+    pair list. Cluster count and per-cluster rollup are tiny."""
+    from quick_and_easy_vectordb_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("x"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("y"),
+    )
+    pc = cust.select(
+        "id", "x", "y",
+        F.expr(f"x div {_EPS}").alias("cx"),
+        F.expr(f"y div {_EPS}").alias("cy"),
+    )
+    a, b = pc.alias("a"), pc.alias("b")
+    pairs = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+            <= _EPS2
+        ),
+    ).select(F.col("a.id").alias("pid"), F.col("b.id").alias("qid"))
+    pairs = pairs.persist()
+    core = (
+        pairs.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+        .filter(F.col("n_nbr") >= _MIN_PTS)
+        .select(F.col("pid").alias("id"))
+    )
+    cedges = (
+        pairs.join(core.select(F.col("id").alias("pid")), "pid")
+        .join(core.select(F.col("id").alias("qid")), "qid")
+        .select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b"))
+    )
+    comp = connected_components(cedges).select(
+        "id", F.col("component").alias("cluster")
+    )
+    border = (
+        pairs.join(core, pairs["pid"] == core["id"], "left_anti")
+        .join(comp.select(F.col("id").alias("qid"), "cluster"), "qid")
+        .groupBy("pid")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("pid").alias("id"), "cluster")
+    )
+    members = comp.select("id", "cluster", F.lit("core").alias("kind")).unionAll(
+        border.select("id", "cluster", F.lit("border").alias("kind"))
+    )
+    return members.groupBy("cluster").agg(
+        F.count(F.when(F.col("kind") == "core", 1)).cast("long")
+        .alias("n_core"),
+        F.count(F.when(F.col("kind") == "border", 1)).cast("long")
+        .alias("n_border"),
+        F.sum("id").cast("long").alias("key_checksum"),
+    )

@@ -35,10 +35,9 @@ def test_dup_clusters_shape(spark):
     assert rows[20].n_members == 2 and rows[20].members == [20, 21]
 
 
-def test_cc_pointer_jumping_beats_diameter(spark):
-    # A 120-vertex chain has diameter 120; pointer jumping must
-    # converge well within 12 rounds (~log2). Without it, 12 rounds
-    # of pure propagation cannot reach the far end.
+def test_cc_star_rounds_beat_diameter(spark):
+    # A 120-vertex chain has diameter 120; alternating star rounds
+    # must converge well within 12 rounds (O(log^2), not O(diameter)).
     n = 120
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
@@ -50,18 +49,42 @@ def test_cc_pointer_jumping_beats_diameter(spark):
     assert set(comp.values()) == {0} and len(comp) == n + 1
 
 
-def test_cc_plain_propagation_is_diameter_bound(spark):
-    # Sanity check of the contrast: plain propagation with the same
-    # round budget must NOT finish a 120-chain — proving the pointer
-    # jump is what buys the convergence above.
-    n = 120
+def test_cc_adversarial_id_layout_chain(spark):
+    """The round-9 regression: a chain whose SHUFFLED ids point label
+    pointers away from the minimum defeated the old label-propagation
+    + path-halving operator (it silently returned split components on
+    the geo DBSCAN graph). Star rounds contract the graph itself, so
+    the id layout must not matter."""
+    import random
+
+    n = 200
+    perm = list(range(n))
+    random.Random(7).shuffle(perm)
+    edges = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n
+
+
+def test_cc_exhausted_cap_raises_not_wrong(spark):
+    """An exhausted iteration budget must RAISE — the old operator
+    returned split components instead, which is how the round-9 bug
+    stayed invisible for eight rounds."""
+    import pytest
+
+    n = 300
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    comp = {
-        r.id: r.component
-        for r in connected_components(
-            edges, max_iter=12, pointer_jumping=False
-        ).collect()
-    }
-    assert set(comp.values()) != {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_cc_isolated_self_loop_vertex(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 7: 7}
