@@ -1412,6 +1412,27 @@ def main() -> None:
 
     probes["burstiness (word-doc counts + vocab stats)"] = burstiness_probe
 
+    def cc_chain_probe(n: int) -> None:
+        """Alternating-star connected components (round-9 rewrite) on
+        the adversarial shape that broke the old operator: ONE long
+        chain whose ids are a multiplicative permutation (labels point
+        away from the min). Rounds are O(log^2) in component size, so
+        wall-clock should grow ~linearly with a slowly growing round
+        count."""
+        from quick_and_easy_vectordb_spark.operators.graph import (
+            connected_components,
+        )
+
+        m = max(n // 20, 10_000) | 1  # odd → 2654435761 is coprime
+        ids = spark.range(m - 1).select(
+            ((F.col("id") * 2654435761) % m).alias("id_a"),
+            (((F.col("id") + 1) * 2654435761) % m).alias("id_b"),
+        )
+        noop(connected_components(ids))
+
+    probes["cc_chain (alternating-star CC, shuffled-id chain)"] = (
+        cc_chain_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
