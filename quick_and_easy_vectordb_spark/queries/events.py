@@ -8243,3 +8243,68 @@ def ev_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("mean_overestimate"),
     ).select(F.col("w").cast("long").alias("w"), "n_keys",
              "total_overestimate", "max_overestimate", "mean_overestimate")
+
+
+def run_stream_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ev_stream_stateful_totals re-run on Spark 4's
+    transformWithStateInPandas (SPARK-49564) — the NEW arbitrary
+    stateful API: named ValueState handles instead of one opaque
+    GroupState tuple, a class-based processor with init/close
+    lifecycle, mandatory RocksDB state store, and (not used here)
+    timers + ListState/MapState for richer operators.
+
+    ENV-GATED, not a registered oracle query: the API's Python side
+    needs the ``protobuf`` package (its state-server protocol is
+    proto-encoded), which this container does not ship — the same
+    gate discipline as the torch embedding backend.
+    tests/test_transform_with_state.py skips on the ImportError and
+    verifies batch-equivalence with the applyInPandasWithState twin
+    wherever protobuf IS present; ev_stream_stateful_totals carries
+    the oracle-checked semantics meanwhile.
+
+    100 TB shape: state is 3 integers per user in RocksDB (spillable
+    to disk — the practical difference from the HDFS-backed store at
+    large key cardinality); throughput is Arrow-batched like every
+    pandas-facing operator here."""
+    import google.protobuf.descriptor  # noqa: F401 — ImportError IS the gate
+
+    from quick_and_easy_vectordb_spark.streaming.windows import (
+        stream_user_activity_tws,
+    )
+
+    sink = "ev_stream_tws_sink"
+    spark.catalog.dropTempView(sink)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_tws_")
+        src = _stream_events_source(spark, d)
+        q = (
+            stream_user_activity_tws(src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )

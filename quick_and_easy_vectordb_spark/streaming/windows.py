@@ -412,3 +412,66 @@ def stream_type_activity_tws(events: DataFrame, watermark: str = "2 hours") -> D
             timeMode="None",
         )
     )
+
+
+def stream_user_activity_tws(events: DataFrame) -> DataFrame:
+    """The stream_user_activity_state accumulator re-expressed on
+    Spark 4's transformWithStateInPandas — the NEW arbitrary-stateful
+    API (SPARK-49564) that replaces applyInPandasWithState's single
+    opaque tuple with NAMED, independently-evolvable state handles
+    (ValueState here; ListState/MapState/timers for richer
+    operators), mandatory RocksDB state store, and a class-based
+    processor whose init/close lifecycle survives across batches.
+    Same contract as the old-API twin: per-user (count, first_us,
+    last_us), all-integer so emissions hash-check externally.
+
+    Requires spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider (the caller sets it; the HDFS-backed
+    default does not support transformWithState)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserActivity(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, first_us long, last_us long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, fu, lu = self._totals.get()
+            else:
+                n, fu, lu = 0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                mn, mx = int(pdf["us"].min()), int(pdf["us"].max())
+                fu = mn if fu is None else min(fu, mn)
+                lu = mx if lu is None else max(lu, mx)
+            self._totals.update((n, fu, lu))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [fu],
+                    "last_us": [lu],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("us"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserActivity(),
+            outputStructType=(
+                "user_id long, n_events long, first_us long, last_us long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
