@@ -2537,26 +2537,28 @@ def ann_lsh_planes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
+    fan = fan.persist()
+    # candidate counts separately from the ranking: fusing them as two
+    # window functions over the same 4-value partition key would block
+    # the WindowGroupLimit rewrite and sort EVERY candidate inside <= 4
+    # partitions; standalone rank+filter plans with partial per-input-
+    # partition top-10 heaps before the exchange (plan-pinned)
+    counts = fan.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"))
     w = Window.partitionBy("k").orderBy(F.desc("dot"), F.asc("vec_id"))
-    wall = Window.partitionBy("k")
-    ranked = fan.select(
-        "k",
-        "vec_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n_candidates"),
-    )
-    top = ranked.filter(F.col("rn") <= 10).join(
-        F.broadcast(exact), "vec_id", "left"
-    )
-    agg = top.groupBy("k").agg(
-        F.max("n_candidates").cast("long").alias("n_candidates"),
-        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_hits"),
+    top = (
+        fan.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long")
+             .alias("n_hits"))
     )
     cfg = spark.range(1).select(F.explode(ks).alias("k0")).select(
         F.col("k0").cast("long").alias("k"))
     # every config emits a row — an over-selective prefix shows up as
     # an explicit (0 candidates, recall 0) row, not a missing one
-    return cfg.join(agg, "k", "left").select(
+    return cfg.join(counts, "k", "left").join(top, "k", "left").select(
         "k",
         F.coalesce("n_candidates", F.lit(0).cast("long"))
         .alias("n_candidates"),

@@ -47,6 +47,28 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_lsh_planes_sweep_rank_uses_window_group_limit(spark, sf_dir):
+    """ann_lsh_planes_sweep: the per-config top-10 must plan through
+    WindowGroupLimit (partial per-input-partition heaps before the
+    exchange). The fused two-window form (rank + count over the same
+    4-value key) blocked the rewrite and sorted every candidate inside
+    <= 4 partitions — the shape this pin guards against."""
+    df = QUERIES["ann_lsh_planes_sweep"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_ccnet_single_hash_window_shuffle(spark, sf_dir):
+    """dedup_paragraph_ccnet: the first-occurrence ranking partitions
+    on the paragraph hash (data-distributed); no single-partition
+    window may touch paragraph rows."""
+    df = QUERIES["dedup_paragraph_ccnet"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(_w" in plan or "windowspecdefinition(md5" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_ordered_positions_is_distributed_and_correct(spark, sf_dir):
     """src_merge_on_read_deletes' write-time position assignment
     (round-8 verdict's one perf-weak item): the bucketed prefix-sum
