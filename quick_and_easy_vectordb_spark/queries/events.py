@@ -8308,3 +8308,95 @@ def run_stream_transform_with_state(
         F.min("first_us").alias("first_us"),
         F.max("last_us").alias("last_us"),
     )
+
+
+_DEC_SUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "ev_markov_k_step",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tr AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM tr GROUP BY 1),
+p1 AS (
+  SELECT tr.from_type AS i, tr.to_type AS j,
+         CAST(tr.n AS DOUBLE) / tot.t AS p
+  FROM tr JOIN tot ON tot.from_type = tr.from_type
+),
+p2 AS (
+  SELECT a.i, b.j, {_DEC_SUM.format(x='a.p * b.p')} AS p
+  FROM p1 a JOIN p1 b ON b.i = a.j GROUP BY a.i, b.j
+),
+p4 AS (
+  SELECT a.i, b.j, {_DEC_SUM.format(x='a.p * b.p')} AS p
+  FROM p2 a JOIN p2 b ON b.i = a.j GROUP BY a.i, b.j
+)
+SELECT i AS from_type, j AS to_type, p AS p4,
+       CAST(CAST(SUM(CAST(p AS DECIMAL(30,10)))
+                 OVER (PARTITION BY i) AS VARCHAR) AS DOUBLE) AS row_total
+FROM p4
+""",
+    tags=("events", "markov", "matrix-power", "iterative"),
+)
+def ev_markov_k_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-STEP TRANSITION PROBABILITIES — the 'where is a user 4
+    actions from now' forecast built by squaring the 1-step Markov
+    matrix twice (P⁴ = (P²)², the repeated-squaring trick that makes
+    k-step reachability O(log k) matrix multiplies — the same
+    schedule vdb_power_iteration_step amortizes): the 1-step matrix
+    comes from ev_markov_transitions' user-keyed LEAD construction,
+    and each multiply's inner sum over mid-states runs through
+    DECIMAL(30,10) so the float matrix product is ORDER-INDEPENDENT
+    and hash-verifies bitwise (a plain SUM of double products differs
+    in the last ulp per join order — the dsum discipline applied to
+    linear algebra). A decimal row_total column rides along as the
+    visible stochasticity check (≈1 up to the quantization of the
+    decimal sums).
+
+    Plan shape at 100 TB: ONE user-keyed stream shuffle builds the
+    count matrix; every multiply joins |types|² broadcast-sized
+    tables — matrix powers cost nothing at any corpus size because
+    the STATE SPACE, not the data, bounds them."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_tot = Window.partitionBy("from_type")
+    p1 = tr.select(
+        F.col("from_type").alias("i"),
+        F.col("to_type").alias("j"),
+        (F.col("n").cast("double") / F.sum("n").over(w_tot)).alias("p"),
+    )
+
+    def square(p: DataFrame) -> DataFrame:
+        a = p.select(F.col("i").alias("ai"), F.col("j").alias("aj"),
+                     F.col("p").alias("ap"))
+        b = p.select(F.col("i").alias("bi"), F.col("j").alias("bj"),
+                     F.col("p").alias("bp"))
+        return (
+            a.join(F.broadcast(b), F.col("bi") == F.col("aj"))
+            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            .agg(dsum(F.col("ap") * F.col("bp")).alias("p"))
+        )
+
+    p4 = square(square(p1))
+    w_row = Window.partitionBy("i")
+    return p4.select(
+        F.col("i").alias("from_type"),
+        F.col("j").alias("to_type"),
+        F.col("p").alias("p4"),
+        F.sum(F.col("p").cast("decimal(30,10)")).over(w_row)
+        .cast("double").alias("row_total"),
+    )

@@ -3376,3 +3376,119 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("burstiness"),
     )
     return scored.orderBy(F.desc("burstiness"), F.asc("tok")).limit(20)
+
+
+_CDC_WIN = 8    # rolling-window width (chars) for boundary hashing
+_CDC_MOD = 32   # boundary when h % 32 == 0 -> ~32-char mean chunks
+
+
+@query(
+    "text_cdc_chunking",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents
+           WHERE {SQL_NORM} <> ''),
+b AS (
+  SELECT doc_id, source, t,
+         CASE WHEN length(t) >= {_CDC_WIN}
+              THEN list_filter(range({_CDC_WIN}, length(t) + 1),
+                i -> ('0x' || substr(md5(substr(t, i - {_CDC_WIN} + 1,
+                                     {_CDC_WIN})), 1, 4))::BIGINT
+                     % {_CDC_MOD} = 0)
+              ELSE [] END AS bpos
+  FROM d
+),
+seg AS (
+  SELECT doc_id, source,
+         list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+         list_append(bpos, length(t)) AS ends, t
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(
+           list_transform(range(1, len(starts) + 1),
+             j -> CASE WHEN ends[j] >= starts[j]
+                       THEN substr(t, starts[j],
+                                   ends[j] - starts[j] + 1) END),
+           c -> c IS NOT NULL AND c <> '')) AS chunk
+  FROM seg
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*)
+         AS unique_ratio,
+       CAST(SUM(length(chunk)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(chunk)) AS DOUBLE) / COUNT(*) AS mean_chunk_len
+FROM chunks GROUP BY source
+""",
+    tags=("text", "cdc", "chunking", "storage-dedup", "rolling-hash"),
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the rsync/LBFS/restic primitive
+    behind every dedup store): chunk boundaries fall where the
+    rolling {_CDC_WIN}-char window's hash ≡ 0 (mod {_CDC_MOD}), so
+    an insertion resynchronizes after ~one window instead of shifting
+    every fixed-size block — the reason storage dedup survives edits
+    that defeat fixed chunking (text_chunking). Per source: chunk
+    count, distinct-hash count, unique ratio (the dedup payoff), and
+    mean chunk length (~{_CDC_MOD} chars by construction — the
+    expected boundary spacing; seeing it drift is how you detect
+    adversarial or degenerate content). Whole computation is per-row
+    ARRAY expressions (boundary list → start/end zip → substrings) —
+    the explode happens only at the final chunk stats.
+
+    Plan shape at 100 TB: boundary detection and chunk slicing are
+    map-side codegen; the only shuffles are the distinct-hash and
+    source aggregates (map-side-combinable). A real dedup store would
+    then anti-join chunk hashes against the chunk index — exactly
+    dedup_exact's shape over the chunk table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", normalized_text("text").alias("t")
+    ).filter(F.col("t") != "")
+    n = F.length("t")
+    bpos = F.when(
+        n >= _CDC_WIN,
+        F.filter(
+            F.sequence(F.lit(_CDC_WIN), n),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.substring("t", (i - _CDC_WIN + 1).cast("int"),
+                                      _CDC_WIN)),
+                    1, 4,
+                ), 16, 10,
+            ).cast("long") % _CDC_MOD == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    seg = docs.select(
+        "doc_id", "source", "t",
+        F.concat(F.array(F.lit(1).cast("long")),
+                 F.transform(bpos, lambda p: p + 1)).alias("starts"),
+        F.concat(bpos, F.array(n.cast("long"))).alias("ends"),
+    )
+    chunks = seg.select(
+        "doc_id", "source",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    "starts", "ends",
+                    lambda s, e: F.when(
+                        e >= s,
+                        F.expr("t").substr(
+                            s.cast("int"), (e - s + 1).cast("int")
+                        ),
+                    ),
+                ),
+                lambda c: c.isNotNull() & (c != ""),
+            )
+        ).alias("chunk"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count_distinct(F.md5("chunk")).cast("long").alias("n_distinct"),
+        (F.count_distinct(F.md5("chunk")).cast("double")
+         / F.count(F.lit(1))).alias("unique_ratio"),
+        F.sum(F.length("chunk")).cast("long").alias("total_chars"),
+        (F.sum(F.length("chunk")).cast("double") / F.count(F.lit(1)))
+        .alias("mean_chunk_len"),
+    )
