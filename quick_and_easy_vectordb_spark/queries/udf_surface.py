@@ -1820,3 +1820,97 @@ def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "udf_grouped_ols",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ')) AS x,
+         n_chars AS y
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d GROUP BY source
+)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (n * sxx - sx * sx) AS slope,
+       (sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+        * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM s
+""",
+    tags=("udf", "grouped-map", "applyInPandas", "ml", "ols"),
+)
+def udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP MODEL FITTING through applyInPandas — the
+    train-one-model-per-key pattern (per-store demand curves,
+    per-segment elasticities) that grouped-map pandas UDFs exist for:
+    each source's docs fit OLS of n_chars on token count inside one
+    pandas batch. The determinism trick that makes a FLOAT model fit
+    hash-verifiable across engines: the pandas side reduces each
+    group to INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²
+    — int64-exact, order-independent) and derives slope/intercept/R²
+    with the same closed-form expression shape the oracle uses —
+    division of BIGINTs, never a float accumulation (the
+    geo_moran_autocorrelation rationalization applied to regression;
+    naive pdf.cov() would differ in the last ulp per row order).
+
+    Plan shape at 100 TB: one shuffle groups rows by source; each
+    group reduces Arrow-batched in pandas to 6 integers — model state
+    is O(1) per key, so this scales to millions of per-key models
+    (the applyInPandas contract: a group must fit one executor, and a
+    6-integer reduction trivially does)."""
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    ).filter(F.col("x") > 0)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].astype("int64")
+        y = pdf["y"].astype("int64")
+        n = int(len(pdf))
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx, syy = int((x * y).sum()), int((x * x).sum()), int(
+            (y * y).sum())
+        cov_n = n * sxy - sx * sy           # python ints: exact
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        slope = float(cov_n) / var_x
+        intercept = (sy - slope * sx) / n
+        # squares/products as DOUBLES: the BIGINT forms overflow 2^63
+        # at large groups (cov_n^2 ~ 1e19), and the oracle must share
+        # the exact same rounding point
+        r2 = (float(cov_n) * float(cov_n)) / (float(var_x) * float(var_y))
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        fit, "source string, n long, slope double, intercept double, r2 double"
+    )
