@@ -2687,3 +2687,119 @@ def rel_ivm_distinct_refcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("long").alias("identity_holds"),
         )
     )
+
+
+# Bitemporal probe grid: transaction-time x valid-time as-of points.
+_BT_PROBES = (("1996-06-01", "1996-01-01"), ("1998-06-01", "1996-01-01"),
+              ("1998-06-01", "1994-06-01"), ("1995-06-01", "1996-01-01"))
+
+
+def _bt_versions_sql() -> str:
+    """The synthesized bitemporal part-price version table, shared by
+    oracle and docstring: v1 for every part (valid 1994-01-01,
+    recorded 1995-01-01); a RETROACTIVE correction for parts with
+    p_partkey % 3 = 0 (+10%, valid from 1996-01-01, recorded
+    1997-01-01). Knowledge before 1997 must NOT see the correction
+    even for later valid times — the defining bitemporal property."""
+    return """
+v AS (
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+         DATE '1994-01-01' AS valid_from, DATE '1995-01-01' AS tx_from
+  FROM part
+  UNION ALL
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) * 1.1,
+         DATE '1996-01-01', DATE '1997-01-01'
+  FROM part WHERE p_partkey % 3 = 0
+)"""
+
+
+@query(
+    "rel_bitemporal_asof",
+    oracle=f"""
+WITH {_bt_versions_sql()},
+probes AS (
+  SELECT unnest([{", ".join("DATE '" + t + "'" for t, _ in _BT_PROBES)}])
+    AS tx_at,
+  unnest([{", ".join("DATE '" + v + "'" for _, v in _BT_PROBES)}])
+    AS valid_at
+),
+vis AS (
+  SELECT pr.tx_at, pr.valid_at, v.p_partkey, v.price,
+         row_number() OVER (
+           PARTITION BY pr.tx_at, pr.valid_at, v.p_partkey
+           ORDER BY v.valid_from DESC, v.tx_from DESC) AS rn
+  FROM probes pr JOIN v
+    ON v.tx_from <= pr.tx_at AND v.valid_from <= pr.valid_at
+)
+SELECT strftime(tx_at, '%Y-%m-%d') AS tx_at,
+       strftime(valid_at, '%Y-%m-%d') AS valid_at,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM vis WHERE rn = 1
+GROUP BY 1, 2
+""",
+    tags=("relational", "bitemporal", "asof", "scd"),
+)
+def rel_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL AS-OF — the two-clock query SCD2
+    (rel_scd2_intervals: one validity axis) cannot answer: 'as the
+    system KNEW it at transaction time T_tx, what was the price VALID
+    at business time T_valid'. Version rows carry (valid_from,
+    tx_from); a probe sees a version iff BOTH clocks admit it, and
+    the winner is the latest (valid_from, tx_from) among visible ones
+    — so the retroactive 1997 correction (valid from 1996) is
+    invisible to any pre-1997 knowledge date even for 1996+ valid
+    times, and probes with valid_at before a part's first validity
+    see nothing. The 4-probe grid exercises exactly those cells:
+    normal read, post-correction read, pre-validity read (0 rows from
+    that part... the before-1994 probe sees NO parts and vanishes
+    from the output — explicitly the correct bitemporal answer), and
+    stale-knowledge read. Restatement-as-new-version is the
+    accounting/regulatory pattern (never UPDATE history; append a
+    correction with its own knowledge date).
+
+    Plan shape at 100 TB: the probe grid broadcasts; visibility is a
+    residual on the broadcast join; the per-(probe, key) winner is a
+    rank window partitioned by (probe, key) — data-distributed; the
+    rollup is map-side-combinable over O(probes) keys."""
+    part = load_table(spark, sf_dir, "part")
+    v1 = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-01-01").cast("date").alias("tx_from"),
+    )
+    v2 = part.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("double") * 1.1).alias("price"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit("1997-01-01").cast("date").alias("tx_from"),
+    )
+    v = v1.unionByName(v2)
+    probes = spark.createDataFrame(
+        [(t, vd) for t, vd in _BT_PROBES], "tx_at string, valid_at string"
+    ).select(
+        F.col("tx_at").cast("date").alias("tx_at"),
+        F.col("valid_at").cast("date").alias("valid_at"),
+    )
+    vis = v.join(
+        F.broadcast(probes),
+        (F.col("tx_from") <= F.col("tx_at"))
+        & (F.col("valid_from") <= F.col("valid_at")),
+    )
+    w = Window.partitionBy("tx_at", "valid_at", "p_partkey").orderBy(
+        F.desc("valid_from"), F.desc("tx_from")
+    )
+    winners = vis.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return winners.groupBy(
+        F.date_format("tx_at", "yyyy-MM-dd").alias("tx_at"),
+        F.date_format("valid_at", "yyyy-MM-dd").alias("valid_at"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("price").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_price"),
+    )
