@@ -8400,3 +8400,96 @@ def ev_markov_k_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p").cast("decimal(30,10)")).over(w_row)
         .cast("double").alias("row_total"),
     )
+
+
+_GAP_SWEEP_MIN = (15, 30, 60)  # session inactivity gaps (minutes)
+
+
+@query(
+    "ev_session_gap_sweep",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+  FROM events
+),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events),
+g AS (
+  SELECT t.g AS gap_min,
+         CAST(COALESCE(SUM(CASE WHEN delta_us > CAST(t.g AS BIGINT)
+                                               * 60000000
+                                THEN 1 END), 0) AS BIGINT) AS n_breaks,
+         CAST(COUNT(delta_us) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(CASE WHEN delta_us > CAST(t.g AS BIGINT)
+                                               * 60000000
+                                THEN delta_us END), 0) AS BIGINT)
+           AS idle_us
+  FROM seq, unnest([{", ".join(str(g) for g in _GAP_SWEEP_MIN)}]) AS t(g)
+  GROUP BY t.g
+)
+SELECT CAST(gap_min AS BIGINT) AS gap_min,
+       n_breaks + u.n_users AS n_sessions,
+       CAST(n_breaks + u.n_users AS DOUBLE) / u.n_users
+         AS sessions_per_user,
+       CAST(n_breaks AS DOUBLE) / n_gaps AS break_rate,
+       idle_us
+FROM g, u
+""",
+    tags=("events", "sessionize", "parameter-sweep"),
+)
+def ev_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-GAP SWEEP from ONE ordered pass — picking the
+    inactivity threshold (the one free parameter of ev_sessionize) as
+    a measured decision: because a gap that breaks sessions at 60 min
+    also breaks them at 30 and 15, the thresholds NEST, and
+    n_sessions(g) = n_users + #{{deltas > g}} needs only the per-user
+    LAG deltas computed once — the dedup_band_tuning /
+    ev_cms_width_sweep / ann_lsh_planes_sweep discipline applied to
+    sessionization. Per gap: session count, sessions/user, the
+    break rate (fraction of inter-event gaps that split), and total
+    idle time beyond the threshold. The knee of sessions_per_user
+    vs gap is where practitioners set the timeout (Halfaker et al.'s
+    activity-gap analysis).
+
+    Plan shape at 100 TB: ONE user-keyed window shuffle for the
+    deltas; the 3-threshold fan-out is map-side on the delta stream
+    and aggregates to O(thresholds) rows; the 1-row user count
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.unix_micros("ts")
+         - F.lag(F.unix_micros("ts")).over(w)).alias("delta_us")
+    )
+    u = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    gaps = F.array(*[F.lit(g).cast("long") for g in _GAP_SWEEP_MIN])
+    fan = seq.select(
+        "delta_us", F.explode(gaps).alias("gap_min")
+    ).groupBy("gap_min").agg(
+        F.coalesce(
+            F.sum((F.col("delta_us")
+                   > F.col("gap_min") * 60_000_000).cast("int")),
+            F.lit(0),
+        ).cast("long").alias("n_breaks"),
+        F.count("delta_us").cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("delta_us") > F.col("gap_min") * 60_000_000,
+                    F.col("delta_us"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("idle_us"),
+    )
+    return fan.crossJoin(F.broadcast(u)).select(
+        F.col("gap_min").cast("long").alias("gap_min"),
+        (F.col("n_breaks") + F.col("n_users")).alias("n_sessions"),
+        ((F.col("n_breaks") + F.col("n_users")).cast("double")
+         / F.col("n_users")).alias("sessions_per_user"),
+        (F.col("n_breaks").cast("double") / F.col("n_gaps"))
+        .alias("break_rate"),
+        "idle_us",
+    )

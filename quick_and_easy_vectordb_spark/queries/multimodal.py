@@ -2722,3 +2722,100 @@ def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, "doc_id long, frame_idx long, n_in_frame long, n_crossings long"
     )
+
+
+@query(
+    "mm_image_moments",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id,
+         xx.x AS x, yy.y AS y,
+         (doc_id * 31 + 3 * (yy.y * w + xx.x)) % 256
+         + (doc_id * 31 + 3 * (yy.y * w + xx.x) + 1) % 256
+         + (doc_id * 31 + 3 * (yy.y * w + xx.x) + 2) % 256 AS g3
+  FROM dims
+  CROSS JOIN LATERAL (SELECT unnest(range(w)) AS x) xx
+  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y) yy
+),
+m AS (
+  SELECT doc_id,
+         CAST(SUM(g3) AS BIGINT) AS m00,
+         CAST(SUM(x * g3) AS BIGINT) AS m10,
+         CAST(SUM(y * g3) AS BIGINT) AS m01,
+         CAST(SUM(x * x * g3) AS BIGINT) AS m20,
+         CAST(SUM(y * y * g3) AS BIGINT) AS m02,
+         CAST(SUM(x * y * g3) AS BIGINT) AS m11
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, m00,
+       CAST(m10 AS DOUBLE) / m00 AS cx,
+       CAST(m01 AS DOUBLE) / m00 AS cy,
+       m00 * m20 - m10 * m10 AS mu20_scaled,
+       m00 * m02 - m01 * m01 AS mu02_scaled,
+       m00 * m11 - m10 * m01 AS mu11_scaled
+FROM m
+""",
+    tags=("multimodal", "decode", "image", "moments", "mapInPandas"),
+)
+def mm_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE RAW + CENTRAL MOMENTS through the REAL PPM decoder — the
+    classical shape descriptors (intensity centroid, second-moment
+    covariance — the basis of Hu invariants, blob orientation, ORB's
+    orientation assignment) over the same synthesized payloads as
+    mm_decode_ppm_stats. Raw moments m00/m10/m01/m20/m02/m11 are
+    INTEGER sums of grayscale-weighted coordinates; centroids are one
+    int/int division each; and the central second moments come out
+    scaled by m00² — mu20_scaled = m00*m20 − m10², exactly the
+    geo_moran_autocorrelation rationalization (a float mean-centered
+    Σ(x−x̄)²·g would be order-dependent and never hash) — so every
+    column is a BIGINT or one deterministic division.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass (decode + six
+    vectorized numpy reductions per image), zero shuffle; downstream
+    consumers treat the moment table as any feature table."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "m00": [], "cx": [], "cy": [],
+                "mu20_scaled": [], "mu02_scaled": [], "mu11_scaled": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8 + doc_id % 5
+                n = w * h * 3
+                raster = ((doc_id * 31 + np.arange(n)) % 256).astype(np.uint8)
+                payload = b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                img = decode_image(payload)  # the real parser
+                g3 = img.astype(np.int64).sum(axis=2)  # (h, w)
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                m00 = int(g3.sum())
+                m10 = int((xs * g3).sum())
+                m01 = int((ys * g3).sum())
+                m20 = int((xs * xs * g3).sum())
+                m02 = int((ys * ys * g3).sum())
+                m11 = int((xs * ys * g3).sum())
+                out["doc_id"].append(doc_id)
+                out["m00"].append(m00)
+                out["cx"].append(m10 / m00)
+                out["cy"].append(m01 / m00)
+                out["mu20_scaled"].append(m00 * m20 - m10 * m10)
+                out["mu02_scaled"].append(m00 * m02 - m01 * m01)
+                out["mu11_scaled"].append(m00 * m11 - m10 * m01)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, m00 long, cx double, cy double, "
+        "mu20_scaled long, mu02_scaled long, mu11_scaled long",
+    )
