@@ -1115,6 +1115,12 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TUNE_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
 
+# Same hot-bucket cap as the production path (operators/dedup.py:141):
+# a tuning run is exactly where a boilerplate mega-bucket is most likely
+# to appear (the most permissive config collides the hardest), so the
+# tuner must be bounded the same way the deployment it is tuning is.
+_TUNE_BUCKET_CAP = 64
+
 
 def _band_tuning_oracle() -> str:
     """Generate the SQL oracle for `dedup_band_tuning`: candidate and
@@ -1202,9 +1208,21 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: signatures are built once (persisted, as
     in dedup_minhash_lsh); each config adds one (band, key) shuffle
     of O(docs * b) short rows; the verify join is bounded by the
-    UNION of candidate sets — in practice dominated by the most
-    permissive config, which the tuner would cap exactly like
-    lsh_candidate_pairs does in production."""
+    UNION of candidate sets. Pair expansion is CAPPED exactly like
+    the production path (operators/dedup.py:141): a COUNT window
+    over the (cfg, band, key) partitioning the bucket aggregation
+    needs anyway marks bucket sizes BEFORE any member list
+    materializes; buckets larger than ``_TUNE_BUCKET_CAP`` never
+    pair-expand — their candidate contribution is added
+    ANALYTICALLY as k·(k−1)/2 per diverted bucket (O(buckets)
+    rows, no O(k²) blowup), counted as unverified. On corpora with
+    no mega-bucket (this dataset) the table is bit-identical to
+    the uncapped exact table; with one, n_candidates becomes a
+    documented upper bound (cross-band duplicates of diverted
+    pairs are not deduped — the bucket's members were never
+    enumerated) while the plan stays bounded. Pinned by
+    tests/test_round10_plans.py (synthetic mega-bucket: divert
+    fires, no expansion; plan shows single window exchange)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES).persist()
@@ -1230,10 +1248,28 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.cfg", "bk.band", "bk.key")
+    # Bucket-size window BEFORE any member list materializes: the window
+    # shares the (cfg, band, key) exchange with the groupBy below AND with
+    # the diverted-count aggregation, so the cap costs zero extra shuffles.
+    wb = Window.partitionBy("cfg", "band", "key")
+    banded = banded.withColumn("k", F.count(F.lit(1)).over(wb)).persist()
     buckets = (
-        banded.groupBy("cfg", "band", "key")
+        banded.filter((F.col("k") > 1) & (F.col("k") <= _TUNE_BUCKET_CAP))
+        .groupBy("cfg", "band", "key")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    )
+    # Mega-buckets: never expanded — candidate contribution counted
+    # analytically (k·(k−1)/2 per bucket), attributed per config.
+    diverted = (
+        banded.filter(F.col("k") > _TUNE_BUCKET_CAP)
+        .select("cfg", "band", "key", "k")
+        .distinct()
+        .groupBy("cfg")
+        .agg(
+            (F.sum(F.col("k").cast("long") * (F.col("k") - 1)) / 2)
+            .cast("long")
+            .alias("n_diverted")
+        )
     )
     pairs = buckets.select(
         "cfg",
@@ -1264,15 +1300,46 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = allc.select("id_a", "id_b").distinct()
     jac = jaccard_pairs(sh, dp, threshold=0.0)  # unthresholded: tuner judges
     joined = allc.join(jac, ["id_a", "id_b"], "left")
-    return joined.groupBy("n_bands", "rows_per_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    exact = joined.groupBy("n_bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.count(F.when(F.col("jaccard") >= JACCARD_T, 1))
         .cast("long")
         .alias("n_verified"),
-        (
-            F.count(F.when(F.col("jaccard") >= JACCARD_T, 1)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("precision"),
+    )
+    # Fold the analytic diverted counts back in, driving the final table
+    # from the config list (broadcast 4-row dim) so a config whose every
+    # candidate was diverted still reports its analytic count. On corpora
+    # with no mega-bucket (this dataset) diverted is empty and every
+    # config has exact rows, so the table is bit-identical to the
+    # uncapped exact oracle; rows with zero candidates of either kind are
+    # dropped to match the oracle's GROUP BY over observed candidates.
+    cfgs = spark.createDataFrame(
+        [(b, r) for b, r in _TUNE_CONFIGS], "n_bands long, rows_per_band long"
+    )
+    return (
+        cfgs.join(exact, ["n_bands", "rows_per_band"], "left")
+        .join(diverted, cfgs["n_bands"] == diverted["cfg"], "left")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            (
+                F.coalesce(F.col("n_exact"), F.lit(0))
+                + F.coalesce(F.col("n_diverted"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_verified"), F.lit(0))
+            .cast("long")
+            .alias("n_verified"),
+            (
+                F.coalesce(F.col("n_verified"), F.lit(0)).cast("double")
+                / (
+                    F.coalesce(F.col("n_exact"), F.lit(0))
+                    + F.coalesce(F.col("n_diverted"), F.lit(0))
+                )
+            ).alias("precision"),
+        )
+        .filter(F.col("n_candidates") > 0)
     )
 
 
