@@ -108,19 +108,44 @@ def connected_components(
             )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    def _fingerprint(df: DataFrame):
+        # Order-insensitive set fingerprint in ONE map-side-combinable
+        # agg job: count + three xxhash64 XOR folds (XOR, not SUM — the
+        # edge sets are distinct so multiplicity is 1, and XOR cannot
+        # overflow, which matters under Spark 4's ANSI mode where a
+        # long-SUM overflow throws). Equal sets ⇒ equal fingerprints;
+        # a fingerprint MATCH is then confirmed with the exact
+        # exceptAll set-equality check below, so a collision can cost
+        # a wasted check, never a wrong convergence call.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u))").alias("xu"),
+            F.expr("bit_xor(xxhash64(v))").alias("xv"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("xuv"),
+        ).collect()[0]
+        return (row.n, row.xu, row.xv, row.xuv)
+
     converged = e.isEmpty()
+    fp_e = None
     for _ in range(max_iter):
         if converged:
             break
         new_e = small_star(_sym(large_star(_sym(e)))).localCheckpoint()
-        # stable iff the round was a no-op on the edge set: compare a
-        # cheap order-insensitive fingerprint (count + two sums) — the
-        # star fixed point is also detectable as "every edge points at
-        # a root", checked below before trusting convergence
-        same = (
+        # stable iff the round was a no-op on the edge set: cheap
+        # order-insensitive fingerprint first (one agg job per round;
+        # the previous round's fingerprint is reused, and a differing
+        # fingerprint PROVES the sets differ), exact exceptAll
+        # set-equality only on a fingerprint match — the star fixed
+        # point is also verified as "every edge points at a root"
+        # below before trusting convergence
+        if fp_e is None:
+            fp_e = _fingerprint(e)
+        fp_new = _fingerprint(new_e)
+        same = fp_new == fp_e and (
             new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
         )
         e = new_e
+        fp_e = fp_new
         if same:
             # fixed point reached; verify star shape: no edge's target
             # is itself a source of a smaller edge

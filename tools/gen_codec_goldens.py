@@ -128,8 +128,9 @@ def main() -> None:
 
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
+    jpeg_len = len(base64.b64decode(out["jpeg_flat"]["b64"]))
     print(f"wrote {OUT}: "
-          f"png {len(png_bytes)}B, jpeg {len(jpg_bytes)}B, "
+          f"png {len(png_bytes)}B, jpeg {jpeg_len}B, "
           f"wav {len(wav_bytes)}B")
 
 
