@@ -1902,7 +1902,11 @@ def ann_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect-bounded pattern as ann_kmeans_iterated's MLlib-style
     update). No corpus data beyond one vector per round reaches the
     driver; each round is a full scan — k scans total, which is the
-    textbook cost of greedy k-center.
+    textbook cost of greedy k-center. AT SCALE that k-sequential-scans
+    cost is exactly what k-means‖ (Bahmani et al., VLDB 2012) exists
+    to remove: ``ann_kmeans_parallel_init`` below is the oversampled
+    O(rounds)-pass variant (rounds ≈ 3-5 regardless of k) — use it
+    whenever k · scan-cost dominates, i.e. always at 100 TB.
 
     Reference basis: app.py has no index at all (O(N·d) flat scan per
     query, app.py:40-48); this is the train step its scale-up needs.
@@ -1932,6 +1936,277 @@ def ann_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, int(vid), float(m)) for (s, vid, m, _) in chosen],
         "step long, vec_id long, sel_metric double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: k-means‖ — the scalable init (Bahmani et al., VLDB 2012).
+# ---------------------------------------------------------------------------
+
+_KMP_ROUNDS = 3
+_KMP_ELL = 8.0  # oversampling factor ℓ = 2k — the paper's sweet spot
+_U_SCALE = 281474976710656.0  # 2^48: u = md5-prefix48 / 2^48 ∈ [0,1)
+_EMB_E = "e.embedding::DOUBLE[]"
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    # ‖a−b‖² with the same fold shape as the Spark-side _l2sq below
+    # (the validated sql_l2 ↔ l2_distance pair, minus the sqrt)
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmp_u_sql(r: int) -> str:
+    # deterministic per-(point, round) uniform: 48-bit md5 prefix as a
+    # double — the minhash parity pattern (operators/dedup.py:103)
+    return (
+        f"CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)"
+        f" || ':{r}'), 1, 12))::BIGINT AS DOUBLE)"
+    )
+
+
+def _kmp_oracle() -> str:
+    ctes = [
+        f"""cand_0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ORDER BY sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+    DESC, vec_id
+  LIMIT 1
+)"""
+    ]
+    for r in range(1, _KMP_ROUNDS + 1):
+        ctes.append(f"""d_{r} AS (
+  SELECT e.vec_id, MIN({_sql_l2sq(_EMB_E, 'c.v')}) AS d2
+  FROM embeddings e, cand_{r - 1} c
+  GROUP BY e.vec_id
+)""")
+        ctes.append(f"""phi_{r} AS (
+  SELECT CAST(CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+    AS phi
+  FROM d_{r}
+)""")
+        ctes.append(f"""new_{r} AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e
+  JOIN d_{r} d ON d.vec_id = e.vec_id
+  CROSS JOIN phi_{r} p
+  WHERE {_kmp_u_sql(r)} * p.phi < ({_KMP_ELL} * d.d2 * {_U_SCALE})
+)""")
+        ctes.append(
+            f"cand_{r} AS (SELECT vec_id, v FROM cand_{r - 1}"
+            f" UNION ALL SELECT vec_id, v FROM new_{r})"
+        )
+    R = _KMP_ROUNDS
+    ctes.append(f"""asg AS (
+  SELECT e.vec_id, c.vec_id AS cand_vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_l2sq(_EMB_E, 'c.v')}, c.vec_id) AS rn
+  FROM embeddings e, cand_{R} c
+)""")
+    ctes.append(
+        "w AS (SELECT cand_vec_id, COUNT(*) AS wt FROM asg"
+        " WHERE rn = 1 GROUP BY cand_vec_id)"
+    )
+    ctes.append(f"""cw AS (
+  SELECT c.vec_id, c.v, COALESCE(w.wt, 0) AS wt
+  FROM cand_{R} c LEFT JOIN w ON w.cand_vec_id = c.vec_id
+)""")
+    ctes.append(
+        "f0 AS (SELECT vec_id, v, wt, CAST(wt AS DOUBLE) AS m FROM cw"
+        " ORDER BY wt DESC, vec_id LIMIT 1)"
+    )
+    for i in range(1, _KPP_K):
+        d2s = [_sql_l2sq("c.v", f"f{j}.v") for j in range(i)]
+        mind = d2s[0] if len(d2s) == 1 else f"LEAST({', '.join(d2s)})"
+        froms = ", ".join(f"f{j}" for j in range(i))
+        notin = " AND ".join(f"c.vec_id <> f{j}.vec_id" for j in range(i))
+        ctes.append(f"""f{i} AS (
+  SELECT c.vec_id, c.v, c.wt, CAST(c.wt AS DOUBLE) * {mind} AS m
+  FROM cw c, {froms}
+  WHERE {notin}
+  ORDER BY m DESC, c.vec_id LIMIT 1
+)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, wt, m FROM f{i}"
+        for i in range(_KPP_K)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(step AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(wt AS BIGINT) AS weight, m AS sel_metric,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{R}) AS n_candidates
+FROM ({sel})"""
+    )
+
+
+@query(
+    "ann_kmeans_parallel_init",
+    oracle=_kmp_oracle(),
+    tags=("ann", "kmeans", "seeding", "kmeans-parallel", "oversampling"),
+)
+def ann_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS‖ INIT (Bahmani et al., "Scalable k-means++", VLDB 2012)
+    — the at-scale replacement for ann_kmeans_pp_init's k sequential
+    scans (VERDICT r09 item 4): a FIXED number of oversampling rounds
+    (3 here; O(log ψ) in the paper, ~5 in practice regardless of k)
+    each samples every point INDEPENDENTLY with probability
+    ℓ·d²(x,C)/φ, so each round is one parallel pass; the oversampled
+    candidate set (E[|C|] ≈ 1 + rounds·ℓ) is then weighted by how many
+    points it attracts and reduced to k finals by the weighted greedy.
+
+    Determinism for the oracle: the Bernoulli draw is the md5-prefix48
+    uniform (the minhash parity pattern, operators/dedup.py:103) keyed
+    on (vec_id, round); φ is a decimal-exact sum; the seed and every
+    tiebreak are pinned — so both engines derive the identical
+    candidate set, weights, and finals, and the hash gate pins all of
+    it. The final reduction here is the deterministic weighted
+    farthest-point greedy (the paper reclusters with k-means++; same
+    derandomization as ann_kmeans_pp_init).
+
+    Plan shape at 100 TB: per round ONE corpus scan computing
+    min-distance to the ≤ 1+r·ℓ collected candidates (literals folded
+    into the projection — the broadcast analog) + one decimal-exact
+    agg for φ and one O(ℓ)-row collect of new candidates. Weighting is
+    one more scan with a map-side min(struct) agg — no shuffle of
+    corpus×candidates rows, only the O(corpus) nearest-ids. Total:
+    2·rounds + 2 passes, independent of k — vs k-means++'s k passes.
+    Driver state is O(rounds·ℓ·dim) doubles, bounded.
+
+    Reference basis: app.py has no index (O(N·d) scan per query,
+    app.py:40-48); this is the train step its scale-up needs, sized
+    for corpora where even one extra full pass matters.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    first = (
+        emb.select("vec_id", "embedding", norm.alias("m"))
+        .orderBy(F.desc("m"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    cands: list[tuple[int, list[float]]] = [
+        (int(first.vec_id), [float(x) for x in first.embedding])
+    ]
+    for r in range(1, _KMP_ROUNDS + 1):
+        dists = [
+            _l2sq(F.col("embedding"), vector_literal(v)) for _, v in cands
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        d = emb.select("vec_id", "embedding", mind.alias("d2"))
+        phi = d.agg(dsum("d2").alias("phi")).collect()[0].phi
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("vec_id").cast("string"), F.lit(str(r))
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+        )
+        new_rows = (
+            d.filter(
+                u * F.lit(float(phi))
+                < F.lit(_KMP_ELL) * F.col("d2") * F.lit(_U_SCALE)
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cands.extend(
+            (int(row.vec_id), [float(x) for x in row.embedding])
+            for row in new_rows
+        )
+    cand_plain = spark.createDataFrame(
+        cands, "cand_vec_id long, cv array<double>"
+    )
+    cand_df = F.broadcast(cand_plain)
+    # weighting pass: nearest candidate per point via a map-side
+    # min(struct(d2, cand_id)) agg — lexicographic struct min IS the
+    # (distance, id) tiebreak, and only O(corpus) ids shuffle
+    nearest = (
+        emb.crossJoin(cand_df)
+        .select(
+            "vec_id",
+            F.struct(
+                _l2sq(F.col("embedding"), F.col("cv")).alias("d2"),
+                F.col("cand_vec_id").alias("cid"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.cid").alias("cand_vec_id"))
+    )
+    w = nearest.groupBy("cand_vec_id").agg(F.count(F.lit(1)).alias("wt"))
+    cw = [
+        (int(row.cand_vec_id), [float(x) for x in row.cv], int(row.wt))
+        for row in cand_plain.join(F.broadcast(w), "cand_vec_id", "left")
+        .select(
+            "cand_vec_id", "cv", F.coalesce("wt", F.lit(0)).alias("wt")
+        )
+        .collect()
+    ]
+    cw_df = spark.createDataFrame(
+        cw, "vec_id long, v array<double>, wt long"
+    )
+    # weighted greedy over the O(rounds·ℓ)-row candidate table — each
+    # step a one-row TakeOrderedAndProject, k steps over tiny data
+    chosen: list[tuple[int, int, int, float]] = []  # step, id, wt, m
+    sel0 = (
+        cw_df.select(
+            "vec_id", "v", "wt", F.col("wt").cast("double").alias("m")
+        )
+        .orderBy(F.desc("wt"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen.append((0, int(sel0.vec_id), int(sel0.wt), float(sel0.m)))
+    chosen_vecs = [[float(x) for x in sel0.v]]
+    for i in range(1, _KPP_K):
+        d2s = [_l2sq(F.col("v"), vector_literal(cv)) for cv in chosen_vecs]
+        mind = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+        nxt = (
+            cw_df.filter(
+                ~F.col("vec_id").isin([c[1] for c in chosen])
+            )
+            .select(
+                "vec_id",
+                "v",
+                "wt",
+                (F.col("wt").cast("double") * mind).alias("m"),
+            )
+            .orderBy(F.desc("m"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((i, int(nxt.vec_id), int(nxt.wt), float(nxt.m)))
+        chosen_vecs.append([float(x) for x in nxt.v])
+    return spark.createDataFrame(
+        [(s, vid, wt, m, len(cands)) for (s, vid, wt, m) in chosen],
+        "step long, vec_id long, weight long, sel_metric double,"
+        " n_candidates long",
     )
 
 

@@ -1433,6 +1433,81 @@ def main() -> None:
     probes["cc_chain (alternating-star CC, shuffled-id chain)"] = (
         cc_chain_probe)
 
+    # Round-10 additions: the two heaviest bench shapes (VERDICT r09
+    # item 3), probed by STAGING synthetic parquet and running the
+    # REGISTERED query itself — the probe measures the exact plan the
+    # bench and the driver run, not a reconstruction. Staging happens
+    # once per (shape, size) outside the timed region.
+    import tempfile
+
+    _stage_root = tempfile.mkdtemp(prefix="qev-probe-stage-")
+
+    def _stage_band_tuning_corpus(docs_n: int) -> str:
+        """documents.parquet with ~10%% exact near-dups (candidate
+        pairs exist at every band config) AND a 2%% boilerplate
+        MEGA-CLUSTER (docs_n/50 identical docs — far above the 64
+        bucket cap, so the probe exercises the round-10 analytic
+        divert; uncapped, this corpus is exactly the O(k²) blowup:
+        (docs_n/50)² pairs per band × 15 bands)."""
+        d = os.path.join(_stage_root, f"bt{docs_n}")
+        path = os.path.join(d, "documents.parquet")
+        if not os.path.isdir(path):
+            src = F.when(F.col("id") % 50 == 0, F.lit(-1)).otherwise(
+                F.col("id") % int(docs_n * 0.9)
+            )
+            word = lambda i: F.concat(  # noqa: E731
+                F.lit("w"),
+                F.pmod(F.hash(src, F.lit(i)), F.lit(5000)).cast("string"),
+            )
+            text = F.when(
+                src == -1,
+                F.lit(
+                    "footer terms apply all rights reserved contact the"
+                    " webmaster for takedown requests and details"
+                ),
+            ).otherwise(F.concat_ws(" ", *[word(i) for i in range(40)]))
+            spark.range(docs_n).select(
+                F.col("id").alias("doc_id"), text.alias("text")
+            ).write.mode("overwrite").parquet(path)
+        return d
+
+    def band_tuning_probe(n: int) -> None:
+        from quick_and_easy_vectordb_spark.queries import QUERIES
+
+        d = _stage_band_tuning_corpus(max(n // 100, 2000))
+        noop(QUERIES["dedup_band_tuning"].fn(spark, d))
+
+    probes["band_tuning (capped 15-band sweep + union verify)"] = (
+        band_tuning_probe)
+
+    def _stage_embeddings(vec_n: int) -> str:
+        """embeddings.parquet matching the fixture schema (vec_id
+        BIGINT, embedding FLOAT[64], label INT 0-9)."""
+        d = os.path.join(_stage_root, f"emb{vec_n}")
+        path = os.path.join(d, "embeddings.parquet")
+        if not os.path.isdir(path):
+            emb = F.array(*[
+                ((F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000)
+                 / 1000.0).cast("float")
+                for i in range(64)
+            ])
+            spark.range(vec_n).select(
+                F.col("id").alias("vec_id"),
+                emb.alias("embedding"),
+                F.pmod(F.hash("id", F.lit(99)), F.lit(10))
+                .cast("int").alias("label"),
+            ).write.mode("overwrite").parquet(path)
+        return d
+
+    def ivf_pq_probe(n: int) -> None:
+        from quick_and_easy_vectordb_spark.queries import QUERIES
+
+        d = _stage_embeddings(max(n // 100, 2000))
+        noop(QUERIES["ann_ivf_pq_search"].fn(spark, d))
+
+    probes["ivf_pq_search (coarse prune + ADC + exact rerank)"] = (
+        ivf_pq_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
