@@ -94,6 +94,75 @@ def test_band_tuning_all_diverted_corpus_still_reports(spark, tmp_path):
         assert r.precision == 0.0
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The one Catalyst scale feature not previously plan-pinned
+    (VERDICT r09 item 8): with AQE skew-join on (session.py sets
+    spark.sql.adaptive.skewJoin.enabled=true), a sort-merge join whose
+    shuffle has a pathologically hot key must get its hot partition
+    SPLIT by OptimizeSkewedJoin — the runtime complement to the
+    explicit salting of operators/skew.py:salted_join (which callers
+    use when they must bound the skew BEFORE the shuffle, e.g. when
+    the join is followed by a same-key aggregation AQE can't see).
+    The pin asserts the executed adaptive plan actually marked the
+    join skew=true and produced a skew-split shuffle read."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # force SMJ and shrink the skew thresholds to test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        # hot key 0 carries 300k of 330k fact rows. The payload must be
+        # (a) per-row derived — a constant would fold out of the
+        # pre-shuffle projection — and (b) consumed by the aggregate —
+        # or column pruning strips it; and it must be incompressible
+        # (md5), because skew detection reads COMPRESSED map-output
+        # sizes and 300k identical longs lz4 below any threshold.
+        fact = spark.range(330_000).select(
+            F.when(F.col("id") < 300_000, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(100)))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"))
+        agg = fact.join(dim, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("payload")).alias("maxlen"),
+        )
+        [row] = agg.collect()
+        assert (row["n"], row["maxlen"]) == (330_000, 32)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:4000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_band_tuning_plan_shape(spark, sf_dir):
     """The cap must not add shuffles: bucket sizing is a COUNT window
     over the same (cfg, band, key) partitioning the bucket aggregation
