@@ -291,6 +291,77 @@ def jaccard_pairs(
     return res.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame,
+    prefilter: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC verification of candidate pairs: alongside Jaccard,
+    the two CONTAINMENT scores C(A→B) = |A∩B|/|A| and C(B→A) =
+    |A∩B|/|B| (Broder). Jaccard misses subset relationships — a tweet
+    quoted inside an article has tiny Jaccard but containment ≈ 1 on
+    the short side — which is exactly the shape quote/inclusion dedup
+    and decontamination care about. Same plan as
+    :func:`jaccard_pairs` (one semi-prefilter, one intersection
+    equi-join, two broadcastable count joins); only the output
+    arithmetic differs. Output: (id_a, id_b, n_a, n_b, n_inter,
+    jaccard, containment_a, containment_b)."""
+    if prefilter:
+        candidates = candidates.persist()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = shingles.join(cand_ids, "id", "left_semi")
+    else:
+        sh = shingles
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("id").alias("rid_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("rid_b"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            counts.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment_a"),
+            (F.col("n_inter").cast("double") / F.col("n_b").cast("double"))
+            .alias("containment_b"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

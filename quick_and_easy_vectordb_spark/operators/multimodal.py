@@ -91,6 +91,8 @@ def decode_image(payload: bytes):
         return _decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
+    if b[:4] == b"qoif":
+        return _decode_qoi(b)
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -590,6 +592,127 @@ def _decode_jpeg(b: bytes):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_qoi(b: bytes):
+    """REAL QOI decoder (qoiformat.org spec, public domain) — all eight
+    chunk ops: QOI_OP_RGB (0xFE), QOI_OP_RGBA (0xFF), and the 2-bit-tag
+    INDEX / DIFF / LUMA / RUN ops, with the 64-slot running index
+    (hash r·3+g·5+b·7+a·11 mod 64) and the (0,0,0,255) initial pixel.
+    Returns (H, W, channels) uint8. QOI is the lightweight lossless
+    format training pipelines reach for when PNG's inflate cost
+    dominates — a single sequential pass, no entropy coding.
+    Exercised end-to-end by mm_decode_qoi_stats (oracle-checked) and
+    tests/test_multimodal_qoi.py (an image crafted to hit every op)."""
+    import numpy as np
+
+    if b[:4] != b"qoif" or len(b) < 22:
+        raise ValueError("not a QOI stream")
+    w = int.from_bytes(b[4:8], "big")
+    h = int.from_bytes(b[8:12], "big")
+    channels = b[12]
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    n = w * h
+    out = np.zeros((n, 4), dtype=np.uint8)
+    px = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    pos, i = 14, 0
+    while i < n:
+        b1 = b[pos]
+        pos += 1
+        if b1 == 0xFE:  # QOI_OP_RGB
+            px = (b[pos], b[pos + 1], b[pos + 2], px[3])
+            pos += 3
+        elif b1 == 0xFF:  # QOI_OP_RGBA
+            px = (b[pos], b[pos + 1], b[pos + 2], b[pos + 3])
+            pos += 4
+        else:
+            tag = b1 >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                px = index[b1 & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF (2-bit deltas, bias 2)
+                px = (
+                    (px[0] + ((b1 >> 4) & 3) - 2) & 255,
+                    (px[1] + ((b1 >> 2) & 3) - 2) & 255,
+                    (px[2] + (b1 & 3) - 2) & 255,
+                    px[3],
+                )
+            elif tag == 2:  # QOI_OP_LUMA (6-bit dg bias 32; dr/db rel)
+                b2 = b[pos]
+                pos += 1
+                dg = (b1 & 0x3F) - 32
+                px = (
+                    (px[0] + dg - 8 + ((b2 >> 4) & 0x0F)) & 255,
+                    (px[1] + dg) & 255,
+                    (px[2] + dg - 8 + (b2 & 0x0F)) & 255,
+                    px[3],
+                )
+            else:  # QOI_OP_RUN (bias -1; 63/64 reserved for RGB/RGBA)
+                run = (b1 & 0x3F) + 1
+                out[i : i + run] = px
+                i += run
+                continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px
+        i += 1
+    return out.reshape(h, w, 4)[:, :, :channels]
+
+
+def qoi_encode(raster, channels: int = 3) -> bytes:
+    """Pure-python QOI encoder (the synthesis side of the decode round
+    trip, like png_encode in mm_decode_png_stats): greedy per the spec
+    — RUN when the pixel repeats, else INDEX on a hash hit, else DIFF
+    if all channel deltas fit 2 bits, else LUMA if they fit the 6/4/4
+    scheme, else RGB. ``raster`` is (H, W, 3) uint8."""
+    import numpy as np
+
+    h, w = raster.shape[0], raster.shape[1]
+    out = bytearray(
+        b"qoif"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([channels, 0])
+    )
+    px = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    run = 0
+    flat = raster.reshape(-1, 3).astype(np.int64)
+    for p in flat:
+        cur = (int(p[0]), int(p[1]), int(p[2]), 255)
+        if cur == px:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[ih] == cur:
+            out.append(ih)
+        else:
+            index[ih] = cur
+            dr = ((cur[0] - px[0] + 128) & 255) - 128
+            dg = ((cur[1] - px[1] + 128) & 255) - 128
+            db = ((cur[2] - px[2] + 128) & 255) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, cur[0], cur[1], cur[2]])
+        px = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
 
 
 def _fake_features(payload: bytes) -> tuple[int, str, int, int]:

@@ -2648,3 +2648,129 @@ def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") > 1, F.col("doc_id"))
         ).cast("long").alias("n_docs_touched"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: asymmetric (containment) near-dup detection
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.8
+_QUOTE_SHIFT = 1_000_000
+
+
+@query(
+    "dedup_minhash_containment",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + {_QUOTE_SHIFT}, d.text || ' ' || d2.text
+  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 = 0
+),
+normc AS (SELECT doc_id, {SQL_NORM.replace("text", "u.text")} AS t FROM u),
+tokc AS (SELECT doc_id, string_split(t, ' ') AS w FROM normc WHERE t <> ''),
+shc AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM tokc),
+shd AS (SELECT DISTINCT doc_id, shingle FROM shc),
+hp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM shd
+),
+mh AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
+),
+bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz z ON z.band = a.band AND z.key = a.key
+   AND z.n_members <= {LSH_MAX_BUCKET}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shd s1 ON s1.doc_id = c.id_a
+  JOIN shd s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         CAST(n_inter AS BIGINT) AS n_inter,
+         CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE)
+           AS jaccard,
+         CAST(n_inter AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment_a,
+         CAST(n_inter AS DOUBLE) / CAST(cb.n AS DOUBLE) AS containment_b
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.id_a
+  JOIN cnt cb ON cb.doc_id = i.id_b
+)
+SELECT * FROM scored
+WHERE GREATEST(containment_a, containment_b) >= {_CONTAIN_T}
+""",
+    tags=("dedup", "minhash", "containment", "asymmetric", "quotes"),
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection via CONTAINMENT (Broder): Jaccard
+    misses subset relationships — a short document quoted verbatim
+    inside a long one has Jaccard ≈ |short|/|long| (tiny) but
+    containment C(short→long) ≈ 1 — and quote/inclusion pairs are
+    exactly what crawl dedup and benchmark decontamination must catch.
+    The corpus is augmented with synthetic quoting docs (every 10th
+    doc concatenated with its successor, id-shifted) so genuine
+    containment pairs exist; candidates come from the SAME capped
+    MinHash-LSH band join as dedup_minhash_lsh (containment-aware
+    indexes like LSH Ensemble partition by set size first — here the
+    corpus is length-homogeneous, so plain bands recall the pairs);
+    verification computes both containments exactly and keeps pairs
+    with max(C) >= {_CONTAIN_T} REGARDLESS of Jaccard — the pairs a
+    Jaccard threshold would discard.
+
+    Plan: operators/dedup.py:containment_pairs — identical shape to
+    jaccard_pairs (semi-prefilter, one intersection equi-join, two
+    count joins), only the output arithmetic differs. Scale story
+    matches dedup_minhash_lsh: no pairwise blowup, hot buckets capped.
+    """
+    from quick_and_easy_vectordb_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2")
+    )
+    quotes = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + _QUOTE_SHIFT).alias("doc_id"),
+            F.concat_ws(" ", "text", "t2").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(quotes)
+    sh = shingle_table(corpus, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    scored = containment_pairs(
+        sh, cands, prefilter=_corpus_is_big(sf_dir)
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= _CONTAIN_T
+    )

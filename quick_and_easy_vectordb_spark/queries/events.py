@@ -8493,3 +8493,193 @@ def ev_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("break_rate"),
         "idle_us",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: sequential testing + decayed feature scores
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.19, 0.21
+# The ln() constants fold into BOTH engines as the same double. SQL
+# side they are embedded as CAST('<repr>' AS DOUBLE) — a STRING parse,
+# which DuckDB correctly rounds once; a bare 17-digit numeric literal
+# would parse as DECIMAL(18,17) and double-round through the decimal,
+# shifting products by 1 ulp (measured).
+_SPRT_C1 = repr(_math.log(_SPRT_P1 / _SPRT_P0))            # per-success LLR
+_SPRT_C2 = repr(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))  # per-failure
+_SPRT_A = repr(_math.log(0.95 / 0.05))   # accept H1 above  (alpha=beta=.05)
+_SPRT_B = repr(_math.log(0.05 / 0.95))   # accept H0 below
+_SPRT_C1_SQL = f"CAST('{_SPRT_C1}' AS DOUBLE)"
+_SPRT_C2_SQL = f"CAST('{_SPRT_C2}' AS DOUBLE)"
+_SPRT_A_SQL = f"CAST('{_SPRT_A}' AS DOUBLE)"
+_SPRT_B_SQL = f"CAST('{_SPRT_B}' AS DOUBLE)"
+
+
+@query(
+    "ev_sprt_sequential_test",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+daily AS (
+  SELECT variant, day, COUNT(*) AS n, SUM(conv) AS c
+  FROM e GROUP BY variant, day
+),
+cum AS (
+  SELECT variant, day,
+         SUM(n) OVER (PARTITION BY variant ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(c) OVER (PARTITION BY variant ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM daily
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(day AS VARCHAR) AS day,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(cum_c AS BIGINT) AS cum_conv,
+       CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+         + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL} AS llr,
+       CASE
+         WHEN CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+              + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL} >= {_SPRT_A_SQL}
+           THEN 'accept_h1'
+         WHEN CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+              + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL} <= {_SPRT_B_SQL}
+           THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM cum
+""",
+    tags=("events", "experimentation", "sprt", "sequential", "ab-test"),
+)
+def ev_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPRT (Wald sequential probability ratio test) over an A/B
+    conversion stream, evaluated at DAILY checkpoints — the always-
+    valid alternative to fixed-horizon tests (peek any day without
+    alpha inflation): per variant the running log-likelihood ratio
+    LLR_t = c_t·ln(p1/p0) + (n_t−c_t)·ln((1−p1)/(1−p0)) against H0
+    p={_SPRT_P0} / H1 p={_SPRT_P1}, decided at ln((1−β)/α) /
+    ln(β/(1−α)) boundaries (α=β=0.05). The ln() constants are folded
+    into BOTH engines as the same Python double literal — the design
+    rule that keeps transcendental-function queries hash-verifiable
+    (same as text_zipf_fit avoiding ln entirely).
+
+    Scale design: sequential tests are evaluated at analysis
+    checkpoints, not per event — the corpus reduces map-side to a
+    (variant, day) grid (one combinable groupBy), and the cumulative
+    window runs over that O(variants × days) table, never over
+    events. Integer cumulative counts; two exact-rounded double
+    products at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("variant", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "variant",
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("c").over(w).alias("cum_c"),
+    )
+    llr = F.col("cum_c").cast("double") * F.lit(float(_SPRT_C1)) + (
+        F.col("cum_n") - F.col("cum_c")
+    ).cast("double") * F.lit(float(_SPRT_C2))
+    return cum.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("day").cast("string").alias("day"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_c").cast("long").alias("cum_conv"),
+        llr.alias("llr"),
+        F.when(llr >= float(_SPRT_A), F.lit("accept_h1"))
+        .when(llr <= float(_SPRT_B), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+_DECAY_TOPN = 50
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "ev_decay_user_score",
+    oracle=f"""
+WITH anchor AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+e AS (
+  SELECT user_id, value,
+         (anchor.a - epoch_us(ts)) // {_WEEK_US} AS k
+  FROM events CROSS JOIN anchor
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value * pow(0.5, k) AS DECIMAL(30,10)))
+              AS VARCHAR) AS DOUBLE) AS decayed_score,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           AS raw_sum
+  FROM e GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       decayed_score, raw_sum
+FROM s
+ORDER BY decayed_score DESC, user_id
+LIMIT {_DECAY_TOPN}
+""",
+    tags=("events", "features", "decay", "half-life", "scoring"),
+)
+def ev_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED user activity score — the feature-engineering
+    staple (recent behaviour weighted over stale): score(u) =
+    Σ value·2^(−weeks_old), one-week half-life anchored at the
+    corpus max timestamp. The decay weight is a POWER OF TWO — the
+    multiplication only shifts the value's exponent, so every per-row
+    product is EXACT in IEEE doubles and the decimal-exact sum makes
+    the aggregate order-independent and hash-verifiable (an e^−λt
+    decay would be 1-ulp engine-dependent; at half-life granularity
+    the two parameterizations are interchangeable).
+
+    Scale: anchor is a 1-row aggregate broadcast into the projection;
+    the score is one map-side-combinable decimal groupBy over users;
+    top-{_DECAY_TOPN} is TakeOrderedAndProject. No window, no
+    second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    e = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "value",
+        ((F.col("a") - F.unix_micros("ts")) / F.lit(_WEEK_US))
+        .cast("long")
+        .alias("k"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.pow(F.lit(0.5), F.col("k")))
+            .alias("decayed_score"),
+            dsum("value").alias("raw_sum"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "decayed_score",
+            "raw_sum",
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(_DECAY_TOPN)
+    )

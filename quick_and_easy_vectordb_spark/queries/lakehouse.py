@@ -1775,3 +1775,89 @@ def src_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(stats["expired"]).cast("long").alias("n_files_expired"),
         F.lit(expired_read_fails).cast("long").alias("expired_read_fails"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: incremental (version-diff) consumption
+# --------------------------------------------------------------------------
+
+
+@query(
+    "src_incremental_manifest_diff",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+  FROM orders
+),
+inc12 AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+inc23 AS (
+  SELECT o_orderkey, yr, o_totalprice * 2.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 100 = 0
+),
+u AS (
+  SELECT 'v1..v2' AS increment, yr, o_totalprice FROM inc12
+  UNION ALL
+  SELECT 'v2..v3' AS increment, yr, o_totalprice FROM inc23
+)
+SELECT increment, yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM u GROUP BY increment, yr
+""",
+    tags=("sources", "lakehouse", "incremental", "cdc", "manifest"),
+)
+def src_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONSUMPTION between table versions — the batch
+    analog of Delta change-data-feed / Iceberg incremental scan: a
+    downstream job that already processed version N reads ONLY the
+    files added by versions N+1..M, discovered by MANIFEST SET
+    ARITHMETIC (sources/table_format.py:diff_paths — zero data I/O for
+    the exclusion; the scan touches new files only, with full parquet
+    parallelism). Three commits are staged: v1 = even orderkeys, v2
+    appends the odd half, v3 appends a doubled-price batch (every
+    100th key); the query consumes v1→v2 and v2→v3 increments and
+    aggregates each — the oracle reproduces both increments in closed
+    form from the base table.
+
+    At 100 TB this is THE pattern that turns a daily full-table
+    rebuild into an O(new data) job; correctness hinges exactly on
+    what the manifest design guarantees — files are immutable once
+    referenced, so 'added since N' is a pure metadata diff."""
+    from quick_and_easy_vectordb_spark.sources.table_format import (
+        ManifestParquetFormat,
+    )
+
+    fmt = ManifestParquetFormat()
+    d, ready = _scratch_dir("incrdiff", sf_dir)
+    table = os.path.join(d, "orders_incremental")
+    if not ready or len(fmt.versions(table)) < 3:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_totalprice"),
+        )
+        fmt.commit(o.filter(F.col("o_orderkey") % 2 == 0), table,
+                   name="even")                                  # v1
+        fmt.commit(o.filter(F.col("o_orderkey") % 2 == 1), table,
+                   name="odd")                                   # v2
+        fmt.commit(                                              # v3
+            o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2.0
+            ),
+            table,
+            name="batch100",
+        )
+
+    def inc(tag: str, v_from: int, v_to: int) -> DataFrame:
+        return fmt.read_diff(spark, table, v_from, v_to).select(
+            F.lit(tag).alias("increment"), "yr", "o_totalprice"
+        )
+
+    u = inc("v1..v2", 1, 2).unionByName(inc("v2..v3", 2, 3))
+    return u.groupBy("increment", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_price"),
+    )

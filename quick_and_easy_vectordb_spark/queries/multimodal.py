@@ -2819,3 +2819,100 @@ def mm_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, m00 long, cx double, cy double, "
         "mu20_scaled long, mu02_scaled long, mu11_scaled long",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: QOI decode (the run/delta-coded lossless format)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_qoi_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, w, h,
+         (i // 6) * 3
+           + CASE WHEN (i // 6) % 10 = 0 THEN 128 ELSE 0 END AS s3
+  FROM px
+),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((doc_id * 37 + s3) % 256 + (doc_id * 11 + s3) % 256
+             + (doc_id * 53 + s3) % 256) AS pix_sum,
+         COUNT(*) * 3 AS n
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(pix_sum AS BIGINT) AS pix_sum,
+       CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_val
+FROM s
+""",
+    tags=("multimodal", "decode", "qoi", "mapInPandas"),
+)
+def mm_decode_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode under the oracle gate: per document a small RGB
+    image is synthesized deterministically (w = 6 + id%5, h = 5 +
+    id%4; pixels constant within 6-pixel segments — RUN ops — with a
+    +3-per-channel step between segments — LUMA ops — and a +128 jump
+    every 10th segment — RGB ops), encoded with the pure-python
+    spec-greedy encoder (operators/multimodal.py:qoi_encode), decoded
+    by the actual chunk-op QOI parser (_decode_qoi via decode_image's
+    magic dispatch, round-trip asserted per image), and reduced to
+    pixel statistics the DuckDB oracle reproduces in closed form over
+    the raster definition — the same harness shape as
+    mm_decode_png_stats. DIFF and INDEX ops are pinned separately by
+    tests/test_multimodal_qoi.py's crafted all-ops image. One Arrow
+    mapInPandas pass, zero shuffle; only doc_id is read."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import (
+        decode_image,
+        qoi_encode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "pix_sum": [], "mean_val": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 6 + doc_id % 5, 5 + doc_id % 4
+                i = np.arange(w * h, dtype=np.int64)
+                s3 = (i // 6) * 3 + np.where((i // 6) % 10 == 0, 128, 0)
+                raster = np.stack(
+                    [
+                        (doc_id * 37 + s3) % 256,
+                        (doc_id * 11 + s3) % 256,
+                        (doc_id * 53 + s3) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                payload = qoi_encode(raster)
+                img = decode_image(payload)  # the real parser
+                assert img.shape == (h, w, 3)
+                assert np.array_equal(img, raster)
+                pix_sum = int(img.astype(np.int64).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pix_sum"].append(pix_sum)
+                out["mean_val"].append(pix_sum / float(img.size))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width long, height long, pix_sum long,"
+        " mean_val double",
+    )

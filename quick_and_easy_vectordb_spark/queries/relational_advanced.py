@@ -2803,3 +2803,75 @@ def rel_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: auto-ranged equi-width histogram
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 16
+
+
+@query(
+    "rel_autorange_histogram",
+    oracle=f"""
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - mn)
+                 / ((mx - mn) / {_HIST_BINS}.0)) AS BIGINT),
+               {_HIST_BINS - 1}) AS bin,
+         mn, mx, o_totalprice
+  FROM orders CROSS JOIN stats
+)
+SELECT bin,
+       mn + CAST(bin AS DOUBLE) * ((mx - mn) / {_HIST_BINS}.0) AS lo,
+       mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / {_HIST_BINS}.0) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS sum_price
+FROM b GROUP BY bin, mn, mx
+""",
+    tags=("relational", "histogram", "profiling", "two-phase"),
+)
+def rel_autorange_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-RANGED equi-width histogram — the profiling primitive every
+    stats collector (ANALYZE, BI range filters, drift monitors) runs:
+    bin boundaries derived from the DATA (min/max) in a first pass,
+    counts in a second. Complements ev_equi_depth_histogram (quantile
+    bins) with the fixed-width variant whose two-phase shape is the
+    interesting part at scale: phase 1 is a 2-value aggregate, phase 2
+    folds (mn, mx) into every row as a BROADCAST and bins map-side —
+    one combinable groupBy over {_HIST_BINS} keys, never a sort. The
+    max value lands exactly on the upper fence, so the last bin is
+    closed via LEAST(bin, {_HIST_BINS - 1}) — both engines evaluate
+    the identical double expression tree, keeping bin assignment
+    bit-deterministic."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    b = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width)
+            .cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "mn",
+        "mx",
+        "o_totalprice",
+    )
+    return b.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "bin",
+        (F.col("mn") + F.col("bin").cast("double") * width).alias("lo"),
+        (F.col("mn") + (F.col("bin") + 1).cast("double") * width).alias("hi"),
+        "n",
+        "sum_price",
+    )

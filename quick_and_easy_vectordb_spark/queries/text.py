@@ -3492,3 +3492,121 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.length("chunk")).cast("double") / F.count(F.lit(1)))
         .alias("mean_chunk_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: top-p vocabulary coverage (tokenizer budget design)
+# --------------------------------------------------------------------------
+
+_TOPP_PS = (50, 90, 95, 99)
+
+
+@query(
+    "text_vocab_topp_coverage",
+    oracle=f"""
+WITH d AS (SELECT {{norm}} AS t FROM documents),
+tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d WHERE t <> ''),
+freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+bands AS (SELECT f, COUNT(*) AS cnt FROM freq GROUP BY f),
+cum AS (
+  SELECT f, cnt,
+         SUM(f * cnt) OVER (ORDER BY f DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+         SUM(cnt) OVER (ORDER BY f DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM bands
+),
+tot AS (SELECT MAX(cum_mass) AS tm, MAX(cum_toks) AS tv FROM cum),
+ps AS (SELECT unnest([{", ".join(str(p) for p in _TOPP_PS)}]) AS pnum),
+tgt AS (
+  SELECT pnum, tm, tv, (pnum * tm + 99) // 100 AS target
+  FROM ps CROSS JOIN tot
+),
+hit AS (
+  SELECT t.pnum, t.tm, t.tv, t.target, c.f, c.cnt, c.cum_mass, c.cum_toks,
+         ROW_NUMBER() OVER (PARTITION BY t.pnum ORDER BY c.cum_mass) AS rn
+  FROM tgt t JOIN cum c ON c.cum_mass >= t.target
+)
+SELECT CAST(pnum AS DOUBLE) / 100.0 AS p,
+       CAST((cum_toks - cnt)
+            + (target - (cum_mass - f * cnt) + f - 1) // f AS BIGINT)
+         AS vocab_size,
+       CAST((cum_mass - f * cnt)
+            + ((target - (cum_mass - f * cnt) + f - 1) // f) * f AS BIGINT)
+         AS covered_mass,
+       CAST(tm AS BIGINT) AS total_mass,
+       CAST(tv AS BIGINT) AS total_vocab,
+       CAST((cum_mass - f * cnt)
+            + ((target - (cum_mass - f * cnt) + f - 1) // f) * f AS DOUBLE)
+         / CAST(tm AS DOUBLE) AS coverage
+FROM hit WHERE rn = 1
+""".replace("{norm}", SQL_NORM),
+    tags=("text", "vocabulary", "coverage", "tokenizer", "zipf"),
+)
+def text_vocab_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-P VOCABULARY COVERAGE — the tokenizer-budget table: for each
+    target coverage p, the smallest frequency-ranked vocabulary whose
+    cumulative token mass reaches ceil(p · total) — the classic
+    Zipf-cut a BPE/vocab-size decision consults (how many types cover
+    95% of the corpus?).
+
+    Scale design: NO vocabulary-sized ranking window. Tokens reduce to
+    a (frequency → type-count) BAND table (one map-side-combined
+    groupBy over types; distinct frequencies number in the hundreds —
+    bounded by max frequency's divisor structure, not vocabulary), the
+    cumulative sums run over THAT table, and the cut INSIDE the
+    crossing band is computed analytically: every type in a band
+    contributes exactly f, so vocab_size = types_before +
+    ceil((target − mass_before)/f). A naive rank-window over the full
+    type table — what a direct translation would do — sorts the whole
+    vocabulary on one partition at 100 TB; this computes the same
+    numbers from an O(distinct-f) table. All integer arithmetic
+    (ceil-division via `div`), one final double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    bands = freq.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("f")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bands.select(
+        "f",
+        "cnt",
+        F.sum(F.col("f") * F.col("cnt")).over(w).alias("cum_mass"),
+        F.sum("cnt").over(w).alias("cum_toks"),
+    )
+    tot = cum.agg(
+        F.max("cum_mass").alias("tm"), F.max("cum_toks").alias("tv")
+    )
+    ps = spark.createDataFrame([(p,) for p in _TOPP_PS], "pnum long")
+    tgt = ps.crossJoin(F.broadcast(tot)).select(
+        "pnum", "tm", "tv", F.expr("(pnum * tm + 99) div 100").alias("target")
+    )
+    hit = (
+        tgt.join(F.broadcast(cum), F.col("cum_mass") >= F.col("target"))
+        .groupBy("pnum")
+        .agg(
+            F.min(
+                F.struct("cum_mass", "f", "cnt", "cum_toks", "target",
+                         "tm", "tv")
+            ).alias("s")
+        )
+        .select("pnum", "s.*")
+    )
+    k = F.expr("(target - (cum_mass - f * cnt) + f - 1) div f")
+    return hit.select(
+        (F.col("pnum").cast("double") / F.lit(100.0)).alias("p"),
+        (F.col("cum_toks") - F.col("cnt") + k).cast("long")
+        .alias("vocab_size"),
+        (F.col("cum_mass") - F.col("f") * F.col("cnt") + k * F.col("f"))
+        .cast("long")
+        .alias("covered_mass"),
+        F.col("tm").cast("long").alias("total_mass"),
+        F.col("tv").cast("long").alias("total_vocab"),
+        (
+            (F.col("cum_mass") - F.col("f") * F.col("cnt") + k * F.col("f"))
+            .cast("double")
+            / F.col("tm").cast("double")
+        ).alias("coverage"),
+    )
