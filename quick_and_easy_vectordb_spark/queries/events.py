@@ -8683,3 +8683,76 @@ def ev_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), F.asc("user_id"))
         .limit(_DECAY_TOPN)
     )
+
+
+@query(
+    "ev_cohort_retention_matrix",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size
+  FROM first_seen GROUP BY cohort_day
+),
+cells AS (
+  SELECT f.cohort_day, datediff('day', f.cohort_day, a.day) AS day_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN first_seen f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(c.day_offset AS BIGINT) AS day_offset,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention
+FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
+""",
+    tags=("events", "retention", "cohort", "growth"),
+)
+def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION MATRIX — the growth-analytics staple every
+    product dashboard renders: users grouped by first-seen day, each
+    cohort's share still active at day offsets 0..N. Complements
+    ev_growth_accounting (flow decomposition) and ev_ltv_triangle
+    (value triangle) with the classic activity-rate triangle.
+
+    Scale design: activity first reduces to DISTINCT (user, day) —
+    one map-side-combinable distinct, the only corpus-sized shuffle;
+    first-seen is a min-agg over that; the matrix is an
+    O(users·active-days) join keyed on user_id followed by a
+    combinable count-distinct over the O(days²) cohort grid. The
+    cohort-size join at the end is a broadcast of O(days) rows.
+    Integer counts, one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        act.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("n_active").cast("long").alias("n_active"),
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

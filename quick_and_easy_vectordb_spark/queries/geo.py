@@ -1540,3 +1540,128 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_border"),
         F.sum("id").cast("long").alias("key_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: inverse-distance-weighted spatial interpolation
+# --------------------------------------------------------------------------
+
+_IDW_CELL = 3000  # integer-domain cell edge (coords span 36000 x 18000)
+
+
+@query(
+    "geo_idw_interpolation",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey AS id, c_acctbal AS val,
+         (c_custkey * 104729) % 36000 AS x,
+         (c_custkey * 7919) % 18000 AS y
+  FROM customer
+),
+pc AS (
+  SELECT id, val, x, y,
+         x // {_IDW_CELL} AS cx, y // {_IDW_CELL} AS cy
+  FROM p
+),
+cells AS (SELECT DISTINCT cx, cy FROM pc),
+nb AS (
+  SELECT g.cx, g.cy,
+         g.cx * {_IDW_CELL} + {_IDW_CELL // 2} AS px,
+         g.cy * {_IDW_CELL} + {_IDW_CELL // 2} AS py,
+         p.val, p.x, p.y
+  FROM cells g JOIN pc p
+    ON abs(p.cx - g.cx) <= 1 AND abs(p.cy - g.cy) <= 1
+),
+d AS (
+  SELECT cx, cy, val,
+         (x - px) * (x - px) + (y - py) * (y - py) AS d2
+  FROM nb
+),
+agg AS (
+  SELECT cx, cy, COUNT(*) AS n_pts,
+         CAST(CAST(SUM(CAST(val / CAST(d2 AS DOUBLE) AS DECIMAL(30,10)))
+              AS VARCHAR) AS DOUBLE) AS num,
+         CAST(CAST(SUM(CAST(1.0 / CAST(d2 AS DOUBLE) AS DECIMAL(30,10)))
+              AS VARCHAR) AS DOUBLE) AS den
+  FROM d WHERE d2 > 0 GROUP BY cx, cy
+)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(n_pts AS BIGINT) AS n_pts,
+       num / den AS idw_estimate
+FROM agg WHERE n_pts >= 3
+""",
+    tags=("geo", "interpolation", "idw", "grid"),
+)
+def geo_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE-DISTANCE-WEIGHTED interpolation at grid-cell centers —
+    the spatial gap-filling primitive (sensor fields, price surfaces):
+    est(g) = Σ v/d² / Σ 1/d² over sample points in g's 3×3 cell
+    neighborhood. Coordinates live in the repo's deterministic integer
+    hash domain (same as geo_dbscan_clusters), so every d² is INTEGER
+    and the per-point weights are single exact-rounded double
+    divisions; both sums are decimal-exact, making the estimate
+    hash-verifiable.
+
+    Scale design: the occupied-cell list is a DISTINCT over cells
+    (tiny — bounded by the grid, not the points) and joins the point
+    table as a broadcast; per estimate only the 3×3 neighborhood's
+    points contribute (never all-pairs), and the weighted sums are one
+    map-side-combinable groupBy over O(grid) keys. The same blocked
+    shape as the grid kNN join — IDW is its aggregate cousin."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    p = cust.select(
+        F.col("c_acctbal").alias("val"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("x"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("y"),
+    ).select(
+        "val",
+        "x",
+        "y",
+        F.expr(f"x div {_IDW_CELL}").alias("cx"),
+        F.expr(f"y div {_IDW_CELL}").alias("cy"),
+    )
+    cells = p.select("cx", "cy").distinct()
+    nb = F.broadcast(
+        cells.select(
+            F.col("cx").alias("gcx"),
+            F.col("cy").alias("gcy"),
+            (F.col("cx") * _IDW_CELL + _IDW_CELL // 2).alias("px"),
+            (F.col("cy") * _IDW_CELL + _IDW_CELL // 2).alias("py"),
+        )
+    ).join(
+        p,
+        (F.abs(F.col("cx") - F.col("gcx")) <= 1)
+        & (F.abs(F.col("cy") - F.col("gcy")) <= 1),
+    )
+    d = nb.select(
+        "gcx",
+        "gcy",
+        "val",
+        (
+            (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+            + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        ).alias("d2"),
+    ).filter(F.col("d2") > 0)
+    agg = d.groupBy("gcx", "gcy").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(
+            (F.col("val") / F.col("d2").cast("double")).cast(
+                "decimal(30,10)"
+            )
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            (F.lit(1.0) / F.col("d2").cast("double")).cast("decimal(30,10)")
+        )
+        .cast("double")
+        .alias("den"),
+    )
+    return agg.filter(F.col("n_pts") >= 3).select(
+        F.col("gcx").cast("long").alias("cx"),
+        F.col("gcy").cast("long").alias("cy"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        (F.col("num") / F.col("den")).alias("idw_estimate"),
+    )

@@ -1861,3 +1861,96 @@ def src_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "src_manifest_branch_isolation",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+  FROM orders
+),
+evens AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+odds  AS (SELECT * FROM base WHERE o_orderkey % 2 = 1),
+exp_batch AS (
+  SELECT o_orderkey, yr, o_totalprice * 2.0 AS o_totalprice
+  FROM evens WHERE o_orderkey % 10 = 0
+),
+refs AS (
+  SELECT 'main@v1' AS ref, yr, o_totalprice FROM evens
+  UNION ALL
+  SELECT 'main@v2', yr, o_totalprice FROM evens
+  UNION ALL
+  SELECT 'main@v2', yr, o_totalprice FROM odds
+  UNION ALL
+  SELECT 'exp@v2', yr, o_totalprice FROM evens
+  UNION ALL
+  SELECT 'exp@v2', yr, o_totalprice FROM exp_batch
+)
+SELECT ref, yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+            AS DOUBLE) AS total_price
+FROM refs GROUP BY ref, yr
+""",
+    tags=("sources", "lakehouse", "branch", "refs", "isolation"),
+)
+def src_manifest_branch_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCHING on the manifest table format (Iceberg refs / Delta
+    shallow clone): an experiment branch is seeded from main@v1 by a
+    pure METADATA copy (sources/table_format.py:branch — the branch's
+    first manifest references the same immutable data files, zero data
+    I/O), then receives its own commit (a doubled-price batch) while
+    main independently receives the odd half. The query reads main@v1,
+    main@v2 and exp@v2 and aggregates each — proving (a) the branch
+    sees main's v1 data without copying it, (b) branch commits never
+    leak into main, (c) main commits after the fork never leak into
+    the branch. The oracle reproduces all three refs in closed form.
+
+    At 100 TB this is how a risky rewrite (new dedup threshold, new
+    tokenizer) runs against production data with zero copy and zero
+    risk: fork, write, validate, then either promote or drop the
+    branch's manifest dir."""
+    from quick_and_easy_vectordb_spark.sources.table_format import (
+        ManifestParquetFormat,
+    )
+
+    fmt = ManifestParquetFormat()
+    d, ready = _scratch_dir("branching", sf_dir)
+    table = os.path.join(d, "orders_branched")
+    if not ready or len(fmt.versions(table)) < 2:
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_totalprice"),
+        )
+        evens = o.filter(F.col("o_orderkey") % 2 == 0)
+        fmt.commit(evens, table, name="even")                    # main v1
+        branch = fmt.branch(table, "exp", from_version=1)        # fork
+        fmt.commit(                                              # exp v2
+            evens.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2.0
+            ),
+            branch,
+            name="doubled",
+        )
+        fmt.commit(o.filter(F.col("o_orderkey") % 2 == 1), table,
+                   name="odd")                                   # main v2
+    branch = os.path.join(table, "branches", "exp")
+
+    def ref(tag: str, path: str, version: int) -> DataFrame:
+        return fmt.read(spark, path, version=version).select(
+            F.lit(tag).alias("ref"), "yr", "o_totalprice"
+        )
+
+    u = (
+        ref("main@v1", table, 1)
+        .unionByName(ref("main@v2", table, 2))
+        .unionByName(ref("exp@v2", branch, 2))
+    )
+    return u.groupBy("ref", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -140,6 +140,30 @@ class ManifestParquetFormat:
         manifest = self._load(table_path, v)
         return spark.read.parquet(*manifest["files"].values())
 
+    def branch(
+        self, table_path: str, name: str, from_version: int
+    ) -> str:
+        """Create (or return, if it exists) a BRANCH — an independent
+        manifest lineage seeded from ``from_version``'s manifest
+        (Iceberg refs / Delta shallow-clone semantics). The branch's v1
+        references the SAME data files as the source version — safe
+        because files are immutable once referenced — so branching is
+        a pure metadata copy, zero data I/O. Commits to the returned
+        branch path write new files under the branch's own data dir
+        and never touch main's lineage. Returns the branch table path
+        (usable with every other method on this format)."""
+        bp = os.path.join(table_path, "branches", name)
+        if self.versions(bp):
+            return bp
+        manifest = self._load(table_path, from_version)
+        md = self._manifest_dir(bp)
+        os.makedirs(md, exist_ok=True)
+        tmp = os.path.join(md, ".v1.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "files": manifest["files"]}, f)
+        os.rename(tmp, os.path.join(md, "v1.json"))
+        return bp
+
     def diff_paths(
         self, table_path: str, from_version: int, to_version: int
     ) -> list[str]:
@@ -193,6 +217,17 @@ class ManifestParquetFormat:
             all_files.update(files)
             if v in keep:
                 live_files.update(files)
+        # BRANCH-AWARE retention: a branch seeded from an expired main
+        # version still references the shared data files — every
+        # branch's every manifest pins its files live here, or expiry
+        # would silently corrupt the fork (the classic refs-vs-GC
+        # hazard Iceberg's expire_snapshots resolves the same way).
+        br_root = os.path.join(table_path, "branches")
+        if os.path.isdir(br_root):
+            for bn in os.listdir(br_root):
+                bp = os.path.join(br_root, bn)
+                for v in self.versions(bp):
+                    live_files.update(self._load(bp, v)["files"])
         md = self._manifest_dir(table_path)
         for v in self.versions(table_path):
             if v not in keep:
