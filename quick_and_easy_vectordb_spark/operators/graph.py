@@ -62,7 +62,34 @@ def connected_components(
 
     Vertices only in ``edges`` appear; isolated vertices (self-loop
     only) map to themselves.
+
+    Robustness (round 10): the star rounds SELF-JOIN a plan rooted at
+    a localCheckpointed LogicalRDD, which trips a Spark 4 analysis bug
+    when constraint propagation rewrites the deduplicated relation's
+    stale constraint attributes ("NoSuchElementException: key not
+    found: <attr>" on any action) — reproducible whenever the INPUT
+    edge list is itself checkpoint-derived (e.g. incremental-merge
+    callers). Constraint propagation is therefore disabled for the
+    duration of this operator and restored after; the only cost is
+    filter-inference quality on two-column union/agg/join plans,
+    where it contributes nothing.
     """
+    spark = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    cp_saved = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        return _connected_components_impl(edges, src, dst, max_iter)
+    finally:
+        spark.conf.set(_CP, cp_saved)
+
+
+def _connected_components_impl(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
     edges = edges.persist()  # scanned twice below (forward + reversed)
     sym0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")

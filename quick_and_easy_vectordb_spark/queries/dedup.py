@@ -2838,10 +2838,21 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = connected_components(old_edges).persist()  # (id, component)
 
-    la = base.select(
+    # SCALE-CRITICAL: the base labeling is corpus-sized, so it must
+    # never broadcast whole. Only the labels of endpoints the delta
+    # actually touches are needed — a broadcast SEMI-filter of base by
+    # the O(delta) endpoint set (base scans map-side, no shuffle of
+    # base), and THAT O(delta) slice broadcasts into the label joins.
+    touched = (
+        new_edges.select(F.col("id_a").alias("id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    base_touched = base.join(F.broadcast(touched), "id", "left_semi")
+    la = base_touched.select(
         F.col("id").alias("id_a"), F.col("component").alias("ca")
     )
-    lb = base.select(
+    lb = base_touched.select(
         F.col("id").alias("id_b"), F.col("component").alias("cb")
     )
     contracted = (

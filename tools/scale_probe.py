@@ -1508,6 +1508,77 @@ def main() -> None:
     probes["ivf_pq_search (coarse prune + ADC + exact rerank)"] = (
         ivf_pq_probe)
 
+    def _stage_cc_base(n_nodes: int) -> str:
+        """Precomputed base labeling for the incremental-CC probe:
+        chain-segment components of size 4 over n_nodes ids, labeled
+        once by the full alternating-star CC and parqueted. Staging is
+        OUTSIDE the timed region — in production the base labels ARE a
+        stored table (yesterday's output)."""
+        from quick_and_easy_vectordb_spark.operators.graph import (
+            connected_components,
+        )
+
+        d = os.path.join(_stage_root, f"ccbase{n_nodes}", "labels.parquet")
+        if not os.path.isdir(d):
+            edges = spark.range(n_nodes - 1).filter(
+                F.col("id") % 4 != 3
+            ).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+            connected_components(edges).write.mode("overwrite").parquet(d)
+        return d
+
+    def cc_incremental_probe(n: int) -> None:
+        """dedup_cc_incremental's merge step at a FIXED delta (2000 new
+        edges) against a GROWING base labeling: wall-clock should be
+        ~flat in base size — the whole point of the contraction. The
+        base scan itself (one map-side semi-filter pass) is the only
+        base-sized work."""
+        from quick_and_easy_vectordb_spark.operators.graph import (
+            connected_components,
+        )
+
+        nodes = max(n // 4, 100_000)
+        base = spark.read.parquet(_stage_cc_base(nodes))
+        # leaf-ify delta: la/lb below re-derive from it through base,
+        # and the delta⋈delta-derived self-join otherwise trips a
+        # Spark 4 attribute-dedup bug ("key not found" at analysis)
+        delta = spark.range(2000).select(
+            ((F.col("id") * 7919) % nodes).alias("id_a"),
+            (F.lit(nodes) + F.col("id")).alias("id_b"),
+        ).localCheckpoint()
+        touched = (
+            delta.select(F.col("id_a").alias("id"))
+            .unionByName(delta.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        bt = base.join(F.broadcast(touched), "id", "left_semi")
+        la = bt.select(F.col("id").alias("id_a"),
+                       F.col("component").alias("ca"))
+        lb = bt.select(F.col("id").alias("id_b"),
+                       F.col("component").alias("cb"))
+        contracted = (
+            delta.join(F.broadcast(la), "id_a", "left")
+            .join(F.broadcast(lb), "id_b", "left")
+            .select(
+                F.coalesce("ca", F.col("id_a")).alias("u"),
+                F.coalesce("cb", F.col("id_b")).alias("v"),
+            )
+            .distinct()
+        )
+        merged = connected_components(contracted, "u", "v")
+        remap = merged.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("final"),
+        )
+        final = base.join(F.broadcast(remap), "component", "left").select(
+            "id", F.coalesce("final", F.col("component")).alias("component")
+        )
+        noop(final)
+
+    probes["cc_incremental (O(delta) merge vs growing base)"] = (
+        cc_incremental_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
