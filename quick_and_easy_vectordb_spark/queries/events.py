@@ -8756,3 +8756,106 @@ def ev_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+@query(
+    "ev_stream_sprt_monitor",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+daily AS (
+  SELECT variant, day, COUNT(*) AS n, SUM(conv) AS c
+  FROM e GROUP BY variant, day
+),
+cum AS (
+  SELECT variant, day,
+         SUM(n) OVER (PARTITION BY variant ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(c) OVER (PARTITION BY variant ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM daily
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(day AS VARCHAR) AS day,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(cum_c AS BIGINT) AS cum_conv,
+       CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+         + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL} AS llr,
+       CASE
+         WHEN CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+              + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL}
+              >= {_SPRT_A_SQL}
+           THEN 'accept_h1'
+         WHEN CAST(cum_c AS DOUBLE) * {_SPRT_C1_SQL}
+              + CAST(cum_n - cum_c AS DOUBLE) * {_SPRT_C2_SQL}
+              <= {_SPRT_B_SQL}
+           THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM cum
+""",
+    tags=("events", "streaming", "sprt", "sequential", "monitoring"),
+)
+def ev_stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_sprt_sequential_test deployed as a STREAMING MONITOR — the
+    natural home of a sequential test (it exists to be peeked
+    continuously): Structured Streaming incrementally maintains the
+    (variant, day) trial/conversion grid (complete-mode state is
+    O(variants × days) counters, independent of event volume), and
+    the LLR cumulation + boundary decision run as a trivial
+    O(days)-row batch step over the drained grid — exactly how a
+    production monitor re-evaluates boundaries per micro-batch. The
+    result hash-matches the batch query's oracle, proving the
+    streaming grid is bit-equivalent to the batch grid (integer
+    counts merge associatively, the design rule every streaming twin
+    here follows)."""
+    sink = "ev_stream_sprt_monitor_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_sprt_")
+    src = _stream_events_source(spark, d)
+    daily = (
+        src.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("variant", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    )
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = spark.table(sink)
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "variant",
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("c").over(w).alias("cum_c"),
+    )
+    llr = F.col("cum_c").cast("double") * F.lit(float(_SPRT_C1)) + (
+        F.col("cum_n") - F.col("cum_c")
+    ).cast("double") * F.lit(float(_SPRT_C2))
+    return cum.select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("day").cast("string").alias("day"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_c").cast("long").alias("cum_conv"),
+        llr.alias("llr"),
+        F.when(llr >= float(_SPRT_A), F.lit("accept_h1"))
+        .when(llr <= float(_SPRT_B), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

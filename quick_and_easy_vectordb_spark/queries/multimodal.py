@@ -2916,3 +2916,120 @@ def mm_decode_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, pix_sum long,"
         " mean_val double",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: G.711 mu-law companding roundtrip — pure Catalyst, no UDF
+# --------------------------------------------------------------------------
+
+_MULAW_N = 64  # samples per doc
+
+
+def _mulaw_sql() -> str:
+    # exponent CASE ladder over x = min(|s|, 32635) + 132 ∈ [132, 32767]
+    e_case = ("CASE " + " ".join(
+        f"WHEN x < {1 << (8 + e)} THEN {e}" for e in range(7)
+    ) + " ELSE 7 END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest(range({_MULAW_N})) AS i FROM documents
+),
+pcm AS (
+  SELECT doc_id, i,
+         (doc_id * 2731 + i * 97) % 65536 - 32768 AS s
+  FROM base
+),
+enc AS (
+  SELECT doc_id, i, s,
+         CASE WHEN s < 0 THEN -1 ELSE 1 END AS sgn,
+         LEAST(abs(s), 32635) + 132 AS x
+  FROM pcm
+),
+ex AS (SELECT doc_id, i, s, sgn, x, {e_case} AS e FROM enc),
+cod AS (
+  SELECT doc_id, i, s, sgn, e,
+         (x // (8 * (1 << e))) % 16 AS m
+  FROM ex
+),
+dec AS (
+  SELECT doc_id, i, s,
+         sgn * ((33 + 2 * m) * (1 << (e + 2)) - 132) AS d
+  FROM cod
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(d) AS BIGINT) AS decoded_sum,
+       CAST(MAX(abs(d - s)) AS BIGINT) AS max_abs_err,
+       CAST(SUM(abs(d - s)) AS DOUBLE) / COUNT(*) AS mean_abs_err
+FROM dec GROUP BY doc_id
+"""
+
+
+@query(
+    "mm_audio_mulaw_roundtrip",
+    oracle=_mulaw_sql(),
+    tags=("multimodal", "audio", "codec", "mulaw", "g711"),
+)
+def mm_audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-LAW companding round trip — the telephony/ASR-corpus
+    codec (8-bit log-companded samples), implemented as PURE CATALYST
+    integer expressions: encode = sign + 3-bit exponent (CASE ladder
+    over the biased magnitude, bias 132, clip 32635) + 4-bit mantissa;
+    decode = segment-midpoint reconstruction sign·((33+2m)·2^(e+2) −
+    132). No UDF anywhere — unlike the WAV/FLAC-style byte parsing
+    (mm_audio_* via Arrow), companding is pure integer arithmetic and
+    belongs JVM-side in whole-stage codegen: at 100 TB the transcode
+    runs at scan speed. Per-doc output pins both the exact decoded
+    values (sum) and the quantization-error envelope (max |err| =
+    2^(e+2) of the loudest segment — the log-companding property
+    itself).
+
+    Samples are the deterministic 16-bit ramp family the other audio
+    queries use, so the oracle reproduces the entire codec in closed
+    form; bit-identical across engines because every step is integer.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MULAW_N - 1))).alias("i"),
+    )
+    pcm = base.select(
+        "doc_id",
+        "i",
+        ((F.col("doc_id") * 2731 + F.col("i") * 97) % 65536 - 32768)
+        .alias("s"),
+    )
+    x = F.least(F.abs(F.col("s")), F.lit(32635)) + 132
+    sgn = F.when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(1))
+    e = F.lit(7)
+    for exp in range(6, -1, -1):
+        e = F.when(x < (1 << (8 + exp)), F.lit(exp)).otherwise(e)
+    enc = pcm.select(
+        "doc_id", "i", "s", sgn.alias("sgn"), x.alias("x"), e.alias("e")
+    )
+    cod = enc.select(
+        "doc_id",
+        "i",
+        "s",
+        "sgn",
+        "e",
+        (F.expr("x div (8 * shiftleft(1, e))") % 16).alias("m"),
+    )
+    dec = cod.select(
+        "doc_id",
+        "s",
+        (
+            F.col("sgn")
+            * F.expr("(33 + 2 * m) * shiftleft(1, e + 2) - 132")
+        ).alias("d"),
+    )
+    return dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("d").cast("long").alias("decoded_sum"),
+        F.max(F.abs(F.col("d") - F.col("s"))).cast("long")
+        .alias("max_abs_err"),
+        (
+            F.sum(F.abs(F.col("d") - F.col("s"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_abs_err"),
+    )
