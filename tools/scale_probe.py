@@ -1579,6 +1579,41 @@ def main() -> None:
     probes["cc_incremental (O(delta) merge vs growing base)"] = (
         cc_incremental_probe)
 
+    def retention_matrix_probe(n: int) -> None:
+        """ev_cohort_retention_matrix shape: distinct (user, day) is
+        the only corpus-sized shuffle; cohorts via min-agg; the matrix
+        itself is a count-distinct over the O(days²) grid. User
+        cardinality scales with n (constant events/user) — the
+        multitouch-probe lesson."""
+        ev = synth_fact(spark, n).select(
+            F.pmod(F.hash("id", F.lit(5)), F.lit(max(n // 40, 1000)))
+            .alias("user_id"),
+            F.to_date(
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + F.pmod(F.hash("id", F.lit(6)), F.lit(30))
+                    * 86_400_000_000
+                )
+            ).alias("day"),
+        )
+        act = ev.distinct()
+        first_seen = act.groupBy("user_id").agg(
+            F.min("day").alias("cohort_day"))
+        sizes = first_seen.groupBy("cohort_day").agg(
+            F.count(F.lit(1)).alias("cohort_size"))
+        cells = (
+            act.join(first_seen, "user_id")
+            .select("cohort_day",
+                    F.datediff("day", "cohort_day").alias("off"),
+                    "user_id")
+            .groupBy("cohort_day", "off")
+            .agg(F.count_distinct("user_id").alias("n_active"))
+        )
+        noop(cells.join(F.broadcast(sizes), "cohort_day"))
+
+    probes["retention_matrix (distinct + cohort join + grid agg)"] = (
+        retention_matrix_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
