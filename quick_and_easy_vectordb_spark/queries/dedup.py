@@ -2896,3 +2896,124 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: shingle-size sensitivity (the other MinHash tuning knob)
+# --------------------------------------------------------------------------
+
+_SENS_NS = (2, 3, 4)
+
+
+def _shingle_sens_oracle() -> str:
+    parts = [f"""norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> '')"""]
+    for n in _SENS_NS:
+        gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]"
+                                  for k in range(n))
+        parts.append(f"""sh{n} AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= {n} THEN
+        list_transform(range(1, len(w) - {n} + 2), i -> {gram})
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM toks))""")
+        parts.append(f"""hp{n} AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh{n})""")
+        parts.append(f"""mh{n} AS (
+  SELECT doc_id, s.seed, MIN(h1 + s.seed * h2) AS sig
+  FROM hp{n} CROSS JOIN (SELECT unnest(range({NUM_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed)""")
+        parts.append(f"""bands{n} AS (
+  SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+  FROM mh{n} GROUP BY doc_id, seed // {NUM_HASHES // BANDS})""")
+        parts.append(f"""bsz{n} AS (
+  SELECT band, key, COUNT(*) AS n_members FROM bands{n} GROUP BY band, key)""")
+        parts.append(f"""cand{n} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands{n} a JOIN bands{n} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz{n} z ON z.band = a.band AND z.key = a.key
+   AND z.n_members <= {LSH_MAX_BUCKET})""")
+        parts.append(f"""cnt{n} AS (
+  SELECT doc_id, COUNT(*) AS cshn FROM sh{n} GROUP BY doc_id)""")
+        parts.append(f"""jac{n} AS (
+  SELECT i.id_a, i.id_b,
+         CAST(n_inter AS DOUBLE)
+           / CAST(ca.cshn + cb.cshn - n_inter AS DOUBLE) AS j
+  FROM (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand{n} c
+    JOIN sh{n} s1 ON s1.doc_id = c.id_a
+    JOIN sh{n} s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+  ) i
+  JOIN cnt{n} ca ON ca.doc_id = i.id_a
+  JOIN cnt{n} cb ON cb.doc_id = i.id_b)""")
+        parts.append(f"""agg{n} AS (
+  SELECT CAST({n} AS BIGINT) AS shingle_n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{n}) AS n_candidates,
+         CAST(COUNT(*) AS BIGINT) AS n_verified,
+         CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM cand{n}) AS precision,
+         CAST(CAST(SUM(CAST(j AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mean_verified_jaccard
+  FROM jac{n} WHERE j >= {JACCARD_T})""")
+    sel = " UNION ALL ".join(f"SELECT * FROM agg{n}" for n in _SENS_NS)
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@query(
+    "dedup_shingle_size_sensitivity",
+    oracle=_shingle_sens_oracle(),
+    tags=("dedup", "minhash", "shingles", "tuning", "sensitivity"),
+)
+def dedup_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE-SIZE SENSITIVITY — the OTHER MinHash tuning knob
+    (dedup_band_tuning sweeps (b, r); this sweeps n): word n-gram size
+    trades recall for precision (bigger shingles → rarer collisions →
+    fewer, higher-Jaccard candidates), and the right n is corpus-
+    dependent (boilerplate-heavy crawls want larger n). For each
+    n ∈ {2, 3, 4} the FULL capped pipeline runs — shingle → 12
+    minhashes → 4-band LSH → exact-Jaccard verify — and reports
+    candidate volume, verified count, precision, and the decimal-exact
+    mean verified Jaccard: the table a deployment consults next to the
+    band-tuning table before committing a config to 100 TB.
+
+    Plan: three independent capped pipelines (each the
+    dedup_minhash_lsh shape — no pairwise blowup, hot buckets
+    diverted), each reduced to ONE summary row map-side; per-n shingle
+    tables persist so text is shingled once per n."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = _corpus_is_big(sf_dir)
+    rows = None
+    for n in _SENS_NS:
+        sh = shingle_table(docs, "text", "doc_id", n).persist()
+        sigs = minhash_signatures(sh, NUM_HASHES)
+        cands = lsh_candidate_pairs(
+            sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET
+        ).persist()
+        jac = jaccard_pairs(sh, cands, threshold=0.0, prefilter=big)
+        nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        v = jac.filter(F.col("jaccard") >= JACCARD_T).agg(
+            F.count(F.lit(1)).alias("n_verified"),
+            F.sum(F.col("jaccard").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("jsum"),
+        )
+        row = nc.crossJoin(v).select(
+            F.lit(n).cast("long").alias("shingle_n"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_verified").cast("long").alias("n_verified"),
+            (
+                F.col("n_verified").cast("double") / F.col("n_candidates")
+            ).alias("precision"),
+            (F.col("jsum") / F.col("n_verified"))
+            .alias("mean_verified_jaccard"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
