@@ -28,10 +28,25 @@ now raises instead of returning wrong answers.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dup_clusters"]
+
+# Reference-counted guard for the session-global constraint-propagation
+# toggle below (round-11, ADVICE r10): nested or concurrent
+# connected_components calls on the same SparkSession previously raced
+# the save/restore — the inner call could snapshot the already-disabled
+# value and "restore" the conf to false permanently. The outermost
+# entry saves + disables; only the matching outermost exit restores.
+# (Any UNRELATED query running concurrently on the same session still
+# observes the disabled conf for the duration — inherent to a
+# session-global toggle; the cost is only filter-inference quality.)
+_CP_LOCK = threading.Lock()
+_CP_DEPTH = 0
+_CP_SAVED = "true"
 
 
 def connected_components(
@@ -74,14 +89,21 @@ def connected_components(
     filter-inference quality on two-column union/agg/join plans,
     where it contributes nothing.
     """
+    global _CP_DEPTH, _CP_SAVED
     spark = edges.sparkSession
     _CP = "spark.sql.constraintPropagation.enabled"
-    cp_saved = spark.conf.get(_CP, "true")
-    spark.conf.set(_CP, "false")
+    with _CP_LOCK:
+        if _CP_DEPTH == 0:
+            _CP_SAVED = spark.conf.get(_CP, "true")
+            spark.conf.set(_CP, "false")
+        _CP_DEPTH += 1
     try:
         return _connected_components_impl(edges, src, dst, max_iter)
     finally:
-        spark.conf.set(_CP, cp_saved)
+        with _CP_LOCK:
+            _CP_DEPTH -= 1
+            if _CP_DEPTH == 0:
+                spark.conf.set(_CP, _CP_SAVED)
 
 
 def _connected_components_impl(

@@ -662,11 +662,21 @@ def _decode_qoi(b: bytes):
 def qoi_encode(raster, channels: int = 3) -> bytes:
     """Pure-python QOI encoder (the synthesis side of the decode round
     trip, like png_encode in mm_decode_png_stats): greedy per the spec
-    — RUN when the pixel repeats, else INDEX on a hash hit, else DIFF
-    if all channel deltas fit 2 bits, else LUMA if they fit the 6/4/4
-    scheme, else RGB. ``raster`` is (H, W, 3) uint8."""
+    — RUN when the pixel repeats, else INDEX on a hash hit, else (when
+    alpha is unchanged) DIFF if all channel deltas fit 2 bits, else
+    LUMA if they fit the 6/4/4 scheme, else RGB; RGBA whenever alpha
+    changes. ``raster`` is (H, W, channels) uint8 with channels 3 or 4
+    — the raster's last dimension must match ``channels`` (round-11,
+    ADVICE r10: the header and the payload encoding now always
+    agree)."""
     import numpy as np
 
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if raster.ndim != 3 or raster.shape[2] != channels:
+        raise ValueError(
+            f"raster shape {raster.shape} does not match channels={channels}"
+        )
     h, w = raster.shape[0], raster.shape[1]
     out = bytearray(
         b"qoif"
@@ -677,9 +687,14 @@ def qoi_encode(raster, channels: int = 3) -> bytes:
     px = (0, 0, 0, 255)
     index = [(0, 0, 0, 0)] * 64
     run = 0
-    flat = raster.reshape(-1, 3).astype(np.int64)
+    flat = raster.reshape(-1, channels).astype(np.int64)
     for p in flat:
-        cur = (int(p[0]), int(p[1]), int(p[2]), 255)
+        cur = (
+            int(p[0]),
+            int(p[1]),
+            int(p[2]),
+            int(p[3]) if channels == 4 else 255,
+        )
         if cur == px:
             run += 1
             if run == 62:
@@ -694,6 +709,12 @@ def qoi_encode(raster, channels: int = 3) -> bytes:
             out.append(ih)
         else:
             index[ih] = cur
+            if cur[3] != px[3]:
+                # DIFF/LUMA/RGB all carry the PREVIOUS alpha — an
+                # alpha change can only be expressed as QOI_OP_RGBA
+                out += bytes([0xFF, cur[0], cur[1], cur[2], cur[3]])
+                px = cur
+                continue
             dr = ((cur[0] - px[0] + 128) & 255) - 128
             dg = ((cur[1] - px[1] + 128) & 255) - 128
             db = ((cur[2] - px[2] + 128) & 255) - 128

@@ -171,10 +171,14 @@ class ManifestParquetFormat:
         ``to_version``, absent from ``from_version``) — pure metadata
         set arithmetic, zero data I/O. The manifest-format analog of
         Delta's change-data-feed 'insert' slice / Iceberg's
-        incremental scan between snapshot ids."""
+        incremental scan between snapshot ids. Compared by PATH, not
+        logical name (round-11, ADVICE r10): a restated entry (same
+        name, fresh uuid data dir) counts as added — matching
+        read_diff's CDF contract where an overwrite emits its new
+        rows; name comparison would silently drop restatements."""
         f0 = self._load(table_path, from_version)["files"]
         f1 = self._load(table_path, to_version)["files"]
-        return [p for n, p in sorted(f1.items()) if n not in f0]
+        return [p for n, p in sorted(f1.items()) if f0.get(n) != p]
 
     def read_diff(
         self,
@@ -206,20 +210,27 @@ class ManifestParquetFormat:
         {'live': n, 'expired': n} file counts. Order matters: the
         manifest (metadata) goes first so a crash mid-vacuum leaves
         orphaned-but-unreferenced files (rerun-safe), never a live
-        manifest pointing at deleted data."""
+        manifest pointing at deleted data.
+
+        Liveness is tracked by physical PATH, never by logical name
+        (round-11, ADVICE r10): restatement reuses a NAME across
+        versions with distinct paths, so name-keyed liveness collapses
+        a restated entry to its latest path only and the vacuum would
+        delete the older-but-still-kept snapshot's data (and a branch
+        pinned to the pre-restatement file would lose it too)."""
         import shutil
 
         keep = set(keep_versions)
-        live_files: set[str] = set()
-        all_files: dict[str, str] = {}
+        live_paths: set[str] = set()
+        all_paths: set[str] = set()
         for v in self.versions(table_path):
-            files = self._load(table_path, v)["files"]
-            all_files.update(files)
+            paths = set(self._load(table_path, v)["files"].values())
+            all_paths.update(paths)
             if v in keep:
-                live_files.update(files)
+                live_paths.update(paths)
         # BRANCH-AWARE retention: a branch seeded from an expired main
         # version still references the shared data files — every
-        # branch's every manifest pins its files live here, or expiry
+        # branch's every manifest pins its PATHS live here, or expiry
         # would silently corrupt the fork (the classic refs-vs-GC
         # hazard Iceberg's expire_snapshots resolves the same way).
         br_root = os.path.join(table_path, "branches")
@@ -227,31 +238,32 @@ class ManifestParquetFormat:
             for bn in os.listdir(br_root):
                 bp = os.path.join(br_root, bn)
                 for v in self.versions(bp):
-                    live_files.update(self._load(bp, v)["files"])
+                    live_paths.update(
+                        self._load(bp, v)["files"].values()
+                    )
         md = self._manifest_dir(table_path)
         for v in self.versions(table_path):
             if v not in keep:
                 os.remove(os.path.join(md, f"v{v}.json"))
-        expired = {n: p for n, p in all_files.items() if n not in live_files}
-        for path in expired.values():
+        expired_paths = all_paths - live_paths
+        for path in expired_paths:
             shutil.rmtree(path, ignore_errors=True)
         # Orphan vacuum: data dirs referenced by NO manifest at all —
         # the leftovers of a commit that crashed between df.write and
         # the manifest rename (see commit()). Safe under the single-
         # writer assumption every manifest format makes: nothing can
         # reference a dir until its manifest publishes.
-        live_paths = {all_files[n] for n in live_files if n in all_files}
         data_root = os.path.join(table_path, "data")
         orphans = 0
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 p = os.path.join(data_root, d)
-                if p not in live_paths and p not in expired.values():
+                if p not in live_paths and p not in expired_paths:
                     shutil.rmtree(p, ignore_errors=True)
                     orphans += 1
         return {
-            "live": len(live_files),
-            "expired": len(expired) + orphans,
+            "live": len(live_paths),
+            "expired": len(expired_paths) + orphans,
         }
 
 

@@ -88,3 +88,36 @@ def test_cc_isolated_self_loop_vertex(spark):
     )
     comp = {r.id: r.component for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 7: 7}
+
+
+def test_cc_conf_toggle_is_reentrant_and_restores(spark):
+    """Round-11 (ADVICE r10): the constraint-propagation toggle is
+    reference-counted — concurrent connected_components calls on the
+    same session must leave the conf exactly as it was, never
+    'restore' it to the disabled inner snapshot."""
+    import threading
+
+    from quick_and_easy_vectordb_spark.operators import graph as graph_mod
+
+    _CP = "spark.sql.constraintPropagation.enabled"
+    spark.conf.set(_CP, "true")
+    errs = []
+
+    def run(lo):
+        try:
+            edges = spark.createDataFrame(
+                [(lo + i, lo + i + 1) for i in range(5)],
+                "id_a long, id_b long",
+            )
+            connected_components(edges).collect()
+        except Exception as e:  # pragma: no cover — surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(k * 100,)) for k in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert spark.conf.get(_CP) == "true"
+    assert graph_mod._CP_DEPTH == 0

@@ -67,3 +67,33 @@ def test_random_roundtrip():
 def test_rejects_garbage():
     with pytest.raises(ValueError):
         _decode_qoi(b"nope")
+
+
+def test_rgba_roundtrip_with_alpha_changes():
+    """Round-11 (ADVICE r10): channels=4 is a real path — alpha
+    changes emit QOI_OP_RGBA (DIFF/LUMA/RGB all carry the previous
+    alpha), and the header's channel count matches the payload."""
+    rng = np.random.RandomState(11)
+    raster = rng.randint(0, 256, size=(9, 7, 4)).astype(np.uint8)
+    payload = qoi_encode(raster, channels=4)
+    assert payload[12] == 4
+    img = _decode_qoi(payload)
+    assert img.shape == (9, 7, 4)
+    assert np.array_equal(img, raster)
+    # constant-alpha RGBA also round-trips (no RGBA ops needed)
+    flat = raster.copy()
+    flat[:, :, 3] = 200
+    assert np.array_equal(_decode_qoi(qoi_encode(flat, channels=4)), flat)
+
+
+def test_channels_raster_mismatch_raises():
+    """Round-11 (ADVICE r10): a header/payload mismatch is now
+    impossible — channels must match the raster's last dimension."""
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        qoi_encode(rgb, channels=4)
+    with pytest.raises(ValueError):
+        qoi_encode(rgba, channels=3)
+    with pytest.raises(ValueError):
+        qoi_encode(rgb, channels=2)

@@ -180,6 +180,61 @@ def test_expire_keeps_branch_only_files(spark, table):
     assert sorted(r.id for r in fmt.read(spark, table).collect()) == [10, 11]
 
 
+def test_expire_keeps_restated_name_across_kept_versions(spark, table):
+    """Round-11 (ADVICE r10, high): liveness is tracked by PATH, not
+    logical name. Restate 'x' (v1→path1, v2→path2), keep BOTH
+    versions: the vacuum must not delete path1 just because the name
+    'x' now resolves to path2 in the latest manifest."""
+    fmt = ManifestParquetFormat()
+    fmt.commit(spark.range(3), table, name="x")                   # v1
+    fmt.commit(spark.range(10, 13), table, replace="x", name="x")  # v2
+    stats = fmt.expire(table, keep_versions=[1, 2])
+    assert stats == {"live": 2, "expired": 0}
+    # kept v1 must remain fully readable after the vacuum
+    assert sorted(r.id for r in fmt.read(spark, table, 1).collect()) == [
+        0, 1, 2,
+    ]
+    assert sorted(r.id for r in fmt.read(spark, table, 2).collect()) == [
+        10, 11, 12,
+    ]
+
+
+def test_expire_keeps_branch_pinned_path_after_main_restates(spark, table):
+    """Round-11 (ADVICE r10, high): a branch seeded from main@v1 pins
+    v1's PHYSICAL path. When main later restates the same logical name
+    and expires down to the restated version, the branch's data must
+    survive (name-keyed liveness collapsed 'x' to main's latest path
+    and deleted the fork's file)."""
+    fmt = ManifestParquetFormat()
+    fmt.commit(spark.range(3), table, name="x")                   # v1
+    bp = fmt.branch(table, "fork", from_version=1)
+    fmt.commit(spark.range(10, 13), table, replace="x", name="x")  # v2
+    stats = fmt.expire(table, keep_versions=[2])
+    assert stats["expired"] == 0  # v1's path pinned by the branch
+    assert sorted(r.id for r in fmt.read(spark, bp).collect()) == [0, 1, 2]
+    assert sorted(r.id for r in fmt.read(spark, table).collect()) == [
+        10, 11, 12,
+    ]
+
+
+def test_diff_paths_counts_restatement_as_added(spark, table):
+    """Round-11 (ADVICE r10, medium): diff_paths compares PATHS, so a
+    restated entry (same logical name, fresh uuid dir) is returned —
+    matching read_diff's documented CDF semantics. An unchanged entry
+    (same name, same path) is not."""
+    fmt = ManifestParquetFormat()
+    fmt.commit(spark.range(3), table, name="keep")                 # v1
+    fmt.commit(spark.range(5, 8), table, name="x")                 # v2
+    fmt.commit(spark.range(10, 13), table, replace="x", name="x")  # v3
+    # v2→v3: 'keep' unchanged (excluded), 'x' restated (included)
+    paths = fmt.diff_paths(table, 2, 3)
+    assert len(paths) == 1
+    added = fmt.read_diff(spark, table, 2, 3)
+    assert sorted(r.id for r in added.collect()) == [10, 11, 12]
+    # v1→v2: plain addition still reported
+    assert len(fmt.diff_paths(table, 1, 2)) == 1
+
+
 def test_delta_adapter_snapshot_isolation():
     """Functional twin of the manifest snapshot-isolation test, runs
     wherever delta-spark is installed (VERDICT r09 item 5); elsewhere
