@@ -1249,21 +1249,42 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.cfg", "bk.band", "bk.key")
     # Bucket-size window BEFORE any member list materializes: the window
-    # shares the (cfg, band, key) exchange with the groupBy below AND with
-    # the diverted-count aggregation, so the cap costs zero extra shuffles.
+    # shares its (cfg, band, key) exchange with the groupBy below, so the
+    # cap costs zero extra shuffles.
     wb = Window.partitionBy("cfg", "band", "key")
-    banded = banded.withColumn("k", F.count(F.lit(1)).over(wb)).persist()
-    buckets = (
-        banded.filter((F.col("k") > 1) & (F.col("k") <= _TUNE_BUCKET_CAP))
+    banded = banded.withColumn("k", F.count(F.lit(1)).over(wb))
+    # ONE aggregation pass over the banded rows feeds BOTH branches
+    # (round-11, VERDICT r10 item 2): per bucket its size k and — only
+    # under the cap — its sorted member list (collect_list skips the
+    # NULLs the WHEN emits for mega-bucket rows, so a diverted bucket
+    # carries an EMPTY array, never an O(k) one). The previous cut
+    # re-scanned a persisted banded twice and pushed the mega-bucket
+    # rows through a separate DISTINCT shuffle; bucket_stats is
+    # O(buckets) rows, so re-deriving the two branches from it is a
+    # cached in-memory scan, not a recomputation.
+    # Singleton buckets (k = 1, the vast majority) can contribute
+    # neither pairs nor diverted counts — drop them before the
+    # aggregation so its state holds only collision buckets.
+    bucket_stats = (
+        banded.filter(F.col("k") > 1)
         .groupBy("cfg", "band", "key")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .agg(
+            F.first("k").alias("k"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("k") <= _TUNE_BUCKET_CAP, F.col("id"))
+                )
+            ).alias("ids"),
+        )
+        .persist()
     )
+    buckets = bucket_stats.filter(
+        (F.col("k") > 1) & (F.col("k") <= _TUNE_BUCKET_CAP)
+    ).select("cfg", "ids")
     # Mega-buckets: never expanded — candidate contribution counted
     # analytically (k·(k−1)/2 per bucket), attributed per config.
     diverted = (
-        banded.filter(F.col("k") > _TUNE_BUCKET_CAP)
-        .select("cfg", "band", "key", "k")
-        .distinct()
+        bucket_stats.filter(F.col("k") > _TUNE_BUCKET_CAP)
         .groupBy("cfg")
         .agg(
             (F.sum(F.col("k").cast("long") * (F.col("k") - 1)) / 2)
