@@ -70,12 +70,30 @@ def main() -> None:
         "vdb_end_to_end_pipeline",
         "rel_q21_sole_problem_supplier",
     }
+    # Load guard (round-11, VERDICT r10 item 5): BENCH_r10 was taken
+    # during a co-tenant load spike and read 1.23x slower on untouched
+    # plans — uniform drift across byte-identical plans is the
+    # documented signature of host contention on this VM, and the guest
+    # 1-min loadavg visibly carries it. Two defenses: (a) optionally
+    # spin (bounded) until the 1-min load drops below a threshold
+    # before the timed loop starts, and (b) record the loadavg at every
+    # query's start so the emitted JSON carries its own noise evidence.
+    load_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "90"))
+    load_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "3.0"))
+    load_start = round(os.getloadavg()[0], 2)
+    waited = 0.0
+    while os.getloadavg()[0] >= load_thresh and waited < load_wait_s:
+        time.sleep(5.0)
+        waited += 5.0
+    load_at_timing = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
     for name, qd in bench_queries.items():
         if name in errors:
             continue
+        loads[name] = round(os.getloadavg()[0], 2)
         runs: list[float] = []
         for _ in range(repeats + 2 if name in noisy else repeats):
             spark.catalog.clearCache()  # no cross-repeat cache reuse
@@ -114,6 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "runs": all_runs,
+                "load_1m_at_query_start": loads,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -130,6 +149,10 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "n_errors": len(errors),
+                "load_1m_start": load_start,
+                "load_1m_at_timing": load_at_timing,
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "load_wait_s": round(waited, 1),
             }
         )
     )

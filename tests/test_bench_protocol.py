@@ -40,6 +40,10 @@ def _worst_case_final_line() -> str:
             "sf": 0.1,
             "repeats": 3,
             "n_errors": 0,
+            "load_1m_start": 99.99,
+            "load_1m_at_timing": 99.99,
+            "load_1m_end": 99.99,
+            "load_wait_s": 90.0,
         }
     )
 
