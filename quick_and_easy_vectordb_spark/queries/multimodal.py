@@ -3147,3 +3147,90 @@ def mm_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_interior long, total_mag long, n_edges long,"
         " edge_density double",
     )
+
+
+_PDF_PAGE_CHARS = 180
+
+
+@query(
+    "mm_pdf_extract_chunks",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+st AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+  FROM d
+)
+SELECT doc_id AS document_id,
+       CAST((s - 1) // 150 AS BIGINT) AS chunk_idx,
+       CAST(doc_id * 10000 + (s - 1) // 150 AS BIGINT) AS chunk_id,
+       substr(text, CAST(s AS BIGINT), 200) AS chunk_text,
+       CAST((length(text) + {_PDF_PAGE_CHARS - 1}) // {_PDF_PAGE_CHARS}
+            AS BIGINT) AS n_pages
+FROM st
+""",
+    tags=("multimodal", "pdf", "extract", "chunking", "mapInPandas"),
+)
+def mm_pdf_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT EXTRACTION → CHUNKING — the one capability the
+    reference implies but never built (PyPDF2 pinned in its
+    requirements.txt:7, never imported in app.py; SURVEY §0). Per
+    document a real multi-page PDF is synthesized ({_PDF_PAGE_CHARS}
+    chars per page, Flate-compressed content streams, correct xref),
+    parsed back by the actual subset extractor
+    (operators/pdf.py:pdf_extract_text — object scan, zlib inflate,
+    content-stream tokenizer, Tj/TJ/'/" show ops), the lossless
+    roundtrip is ASSERTED per document, and the extracted text feeds
+    the existing JVM chunker (operators/chunking.py, 200-char windows,
+    50 overlap). The DuckDB oracle reproduces the whole pipeline in
+    closed form over documents.text — valid exactly because extraction
+    is lossless, which is what the in-UDF assert pins.
+
+    Scale shape: extraction is ONE Arrow mapInPandas pass over the
+    binary column (zero shuffles, Python cost linear in payload
+    bytes); chunking stays pure Catalyst (sequence + posexplode +
+    substring, map-side). At 100 TB the PDF payloads arrive via
+    spark.read.format('binaryFile') and hit the same extractor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from quick_and_easy_vectordb_spark.operators.pdf import (
+        pdf_encode,
+        pdf_extract_text,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out = {"doc_id": [], "text": [], "n_pages": []}
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                pages = [
+                    text[i : i + _PDF_PAGE_CHARS]
+                    for i in range(0, len(text), _PDF_PAGE_CHARS)
+                ]
+                payload = pdf_encode(pages)  # real PDF bytes
+                extracted = pdf_extract_text(payload)  # real parser
+                assert extracted == pages, doc_id  # lossless contract
+                out["doc_id"].append(int(doc_id))
+                out["text"].append("".join(extracted))
+                out["n_pages"].append(len(pages))
+            yield pd.DataFrame(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    extracted = docs.mapInPandas(
+        run, "doc_id long, text string, n_pages long"
+    )
+    chunks = chunk_documents(extracted, chunk_size=200, overlap=50)
+    return chunks.join(
+        F.broadcast(
+            extracted.select(F.col("doc_id").alias("document_id"), "n_pages")
+        ),
+        "document_id",
+    )
