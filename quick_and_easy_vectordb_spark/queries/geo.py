@@ -1665,3 +1665,307 @@ def geo_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pts").cast("long").alias("n_pts"),
         (F.col("num") / F.col("den")).alias("idw_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: local hotspot detection, map matching, OD flows
+# ---------------------------------------------------------------------------
+
+_GI_CELL = 3000  # integer-domain cell edge, 12 x 6 grid
+
+
+@query(
+    "geo_gi_star_hotspots",
+    oracle=f"""
+WITH p AS (
+  SELECT (c_custkey * 104729) % 36000 AS x,
+         (c_custkey * 7919) % 18000 AS y
+  FROM customer
+),
+cells AS (
+  SELECT x // {_GI_CELL} AS cx, y // {_GI_CELL} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM p GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM cells
+),
+nbr AS (
+  SELECT a.cx, a.cy, a.x,
+         CAST(SUM(b.x) AS BIGINT) AS s_nbr,
+         CAST(COUNT(*) AS BIGINT) AS w_nbr
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+  GROUP BY a.cx, a.cy, a.x
+)
+SELECT CAST(nbr.cx AS BIGINT) AS cx, CAST(nbr.cy AS BIGINT) AS cy,
+       nbr.x AS n_points, s_nbr, w_nbr,
+       CAST(tot.n * s_nbr - w_nbr * tot.sx AS DOUBLE)
+         / sqrt(CAST(tot.n * tot.sx2 - tot.sx * tot.sx AS DOUBLE)
+                * CAST(tot.n * w_nbr - w_nbr * w_nbr AS DOUBLE)
+                / CAST(tot.n - 1 AS DOUBLE)) AS gi_z
+FROM nbr, tot
+WHERE tot.n * tot.sx2 > tot.sx * tot.sx
+  AND tot.n * w_nbr > w_nbr * w_nbr
+""",
+    tags=("geo", "hotspot", "getis-ord", "grid", "statistics"),
+)
+def geo_gi_star_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GETIS-ORD Gi* LOCAL hotspot z-scores over the occupied cell
+    grid — the per-cell complement of geo_moran_autocorrelation's one
+    global statistic (Moran answers "is there clustering anywhere?";
+    Gi* answers "WHICH cells are the hot/cold spots", the question a
+    dispatch or anomaly pipeline actually asks). Per cell i with 3x3
+    neighborhood (self included): z_i = (n·S_i − W_i·Σx) /
+    sqrt((n·Σx² − (Σx)²)·(n·W_i − W_i²)/(n−1)) — algebraically the
+    textbook Gi* with every intermediate kept INTEGER-EXACT until one
+    double conversion, one multiply, one divide, one sqrt, one final
+    divide, so the score is hash-comparable across engines (sqrt is
+    IEEE exact-rounded; no transcendental crosses the boundary).
+
+    Scale design: the point scan collapses map-side to O(grid) cell
+    rows; the 1-row global moment aggregate broadcasts; the 3x3
+    neighbor sum is the offset-REPLICATION equi-join (each cell
+    emitted into its 9 neighbor keys — O(9·cells) rows, broadcast,
+    never a theta-join over points). At 100 TB only the first
+    aggregate touches data."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cells = (
+        cust.select(
+            ((F.col("c_custkey") * 104729) % 36000).alias("x"),
+            ((F.col("c_custkey") * 7919) % 18000).alias("y"),
+        )
+        .select(
+            F.expr(f"x div {_GI_CELL}").alias("cx"),
+            F.expr(f"y div {_GI_CELL}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    # offset replication: each cell j contributes to the 9 cells whose
+    # neighborhood contains it — a plain equi-join on the target key
+    offsets = F.expr(
+        "explode(array("
+        + ",".join(
+            f"struct({dx} as dx, {dy} as dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    repl = cells.select(
+        F.col("cx").alias("jcx"), F.col("cy").alias("jcy"),
+        F.col("x").alias("jx"), offsets.alias("o"),
+    ).select(
+        (F.col("jcx") + F.col("o.dx")).alias("tcx"),
+        (F.col("jcy") + F.col("o.dy")).alias("tcy"),
+        "jx",
+    )
+    nbr = (
+        cells.join(
+            F.broadcast(repl),
+            (F.col("cx") == F.col("tcx")) & (F.col("cy") == F.col("tcy")),
+        )
+        .groupBy("cx", "cy", "x")
+        .agg(
+            F.sum("jx").cast("long").alias("s_nbr"),
+            F.count(F.lit(1)).cast("long").alias("w_nbr"),
+        )
+    )
+    j = nbr.crossJoin(F.broadcast(tot))
+    num = (F.col("n") * F.col("s_nbr") - F.col("w_nbr") * F.col("sx")).cast(
+        "double"
+    )
+    a = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    b = (F.col("n") * F.col("w_nbr") - F.col("w_nbr") * F.col("w_nbr")).cast(
+        "double"
+    )
+    return j.filter(
+        (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("w_nbr") > F.col("w_nbr") * F.col("w_nbr"))
+    ).select(
+        F.col("cx").cast("long").alias("cx"),
+        F.col("cy").cast("long").alias("cy"),
+        F.col("x").alias("n_points"),
+        "s_nbr",
+        "w_nbr",
+        (num / F.sqrt(a * b / (F.col("n") - 1).cast("double"))).alias("gi_z"),
+    )
+
+
+_MM_NODE = 3000  # grid-graph node spacing in the integer domain
+
+
+@query(
+    "geo_map_matching",
+    oracle=f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         (user_id * 104729 + event_id * 7919) % 36000 AS x,
+         (user_id * 7919 + event_id * 104729) % 18000 AS y
+  FROM events
+),
+snap AS (
+  SELECT user_id, ts, event_id,
+         (x + {_MM_NODE // 2}) // {_MM_NODE} AS nx,
+         (y + {_MM_NODE // 2}) // {_MM_NODE} AS ny
+  FROM pos
+),
+step AS (
+  SELECT user_id, nx, ny,
+         lag(nx) OVER w AS pnx, lag(ny) OVER w AS pny
+  FROM snap
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(pnx AS BIGINT) AS from_x, CAST(pny AS BIGINT) AS from_y,
+       CAST(nx AS BIGINT) AS to_x, CAST(ny AS BIGINT) AS to_y,
+       CAST(COUNT(*) AS BIGINT) AS n_traversals,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM step
+WHERE pnx IS NOT NULL AND NOT (pnx = nx AND pny = ny)
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("geo", "map-matching", "trajectory", "graph", "window"),
+)
+def geo_map_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY MAP-MATCHING to a grid graph — noisy pings snapped
+    to their nearest graph node (rounding in the integer coordinate
+    domain = nearest node of a {_MM_NODE}-spaced lattice), consecutive
+    distinct nodes per user become directed EDGE TRAVERSALS, and the
+    output is the edge-load table (traversals + distinct users per
+    edge) that feeds congestion modeling and route popularity — the
+    aggregate a real HMM matcher (Newson-Krumm) also starts from.
+    Self-transitions (consecutive pings snapping to the same node)
+    are dwell, not movement, and are excluded.
+
+    Plan shape at 100 TB: ONE shuffle on user_id feeds the lag window
+    (snapping is a map-side projection before it), then one
+    combinable groupBy on the edge key — same two-exchange skeleton
+    as geo_trajectory_stats, with O(1) state per user in the window
+    and O(edges) aggregate keys."""
+    ev = load_table(spark, sf_dir, "events")
+    half = _MM_NODE // 2
+    snap = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 36000).alias("x"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 18000).alias("y"),
+    ).select(
+        "user_id", "ts", "event_id",
+        F.expr(f"(x + {half}) div {_MM_NODE}").alias("nx"),
+        F.expr(f"(y + {half}) div {_MM_NODE}").alias("ny"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = snap.select(
+        "user_id", "nx", "ny",
+        F.lag("nx").over(w).alias("pnx"),
+        F.lag("ny").over(w).alias("pny"),
+    )
+    return (
+        step.filter(
+            F.col("pnx").isNotNull()
+            & ~((F.col("pnx") == F.col("nx")) & (F.col("pny") == F.col("ny")))
+        )
+        .groupBy(
+            F.col("pnx").cast("long").alias("from_x"),
+            F.col("pny").cast("long").alias("from_y"),
+            F.col("nx").cast("long").alias("to_x"),
+            F.col("ny").cast("long").alias("to_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traversals"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_OD_CELL = 4500  # coarser cells for the OD matrix (8 x 4 grid)
+
+
+@query(
+    "geo_od_flow_matrix",
+    oracle=f"""
+WITH pos AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         (user_id * 104729 + event_id * 7919) % 36000 AS x,
+         (user_id * 7919 + event_id * 104729) % 18000 AS y
+  FROM events
+),
+r AS (
+  SELECT user_id, day, x, y,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id, day) AS n
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+),
+trips AS (
+  SELECT user_id, day,
+         MAX(CASE WHEN rn = 1 THEN x // {_OD_CELL} END) AS ocx,
+         MAX(CASE WHEN rn = 1 THEN y // {_OD_CELL} END) AS ocy,
+         MAX(CASE WHEN rn = n THEN x // {_OD_CELL} END) AS dcx,
+         MAX(CASE WHEN rn = n THEN y // {_OD_CELL} END) AS dcy
+  FROM r GROUP BY user_id, day
+)
+SELECT CAST(ocx AS BIGINT) AS origin_x, CAST(ocy AS BIGINT) AS origin_y,
+       CAST(dcx AS BIGINT) AS dest_x, CAST(dcy AS BIGINT) AS dest_y,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM trips
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("geo", "od-matrix", "mobility", "window"),
+)
+def geo_od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIGIN-DESTINATION FLOW MATRIX — the mobility-analytics staple
+    (commute matrices, zone-to-zone demand): per (user, day) the
+    FIRST and LAST position (by ts, event_id) define a trip from the
+    origin cell to the destination cell; flows aggregate trips and
+    distinct users per directed cell pair. Same-cell flows are kept —
+    "stayed within zone" is a real row in a demand matrix.
+
+    Plan shape at 100 TB: one shuffle on (user, day) feeds the
+    row_number/count window, one grouped pass per trip endpoint
+    extraction (conditional MAX — no second window), then a
+    combinable groupBy over O(cells²) flow keys. Events are read
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts", "event_id",
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 36000).alias("x"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 18000).alias("y"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id", "day")
+    r = pos.select(
+        "user_id", "day", "x", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    trips = r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.expr(f"x div {_OD_CELL}"))).alias("ocx"),
+        F.max(F.when(F.col("rn") == 1, F.expr(f"y div {_OD_CELL}"))).alias("ocy"),
+        F.max(
+            F.when(F.col("rn") == F.col("n"), F.expr(f"x div {_OD_CELL}"))
+        ).alias("dcx"),
+        F.max(
+            F.when(F.col("rn") == F.col("n"), F.expr(f"y div {_OD_CELL}"))
+        ).alias("dcy"),
+    )
+    return trips.groupBy(
+        F.col("ocx").cast("long").alias("origin_x"),
+        F.col("ocy").cast("long").alias("origin_y"),
+        F.col("dcx").cast("long").alias("dest_x"),
+        F.col("dcy").cast("long").alias("dest_y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
