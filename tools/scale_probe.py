@@ -1614,6 +1614,55 @@ def main() -> None:
     probes["retention_matrix (distinct + cohort join + grid agg)"] = (
         retention_matrix_probe)
 
+    # Round-11 (VERDICT r10 item 8): the pure-python codec decoders are
+    # the only mapInPandas-heavy family without a probe row. Work is
+    # per-row Python (encode + full decode per payload, zero shuffle),
+    # so wall-clock must grow linearly in payload COUNT with the 32
+    # worker threads absorbing it until n_docs/32 rows per task; the
+    # probe scales docs 1x→30x (n // 1000 → 2k/20k/60k payloads).
+    # Superlinear here would mean Arrow batch overhead or pickling is
+    # growing faster than row count.
+    def codec_decode_probe(n: int) -> None:
+        from quick_and_easy_vectordb_spark.operators.multimodal import (
+            decode_image,
+            qoi_encode,
+        )
+        from quick_and_easy_vectordb_spark.queries.multimodal import (
+            jpeg_encode_gray_dc,
+        )
+
+        n_docs = max(n // 1000, 100)
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids, sums = [], []
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    w, h = 6 + doc_id % 5, 5 + doc_id % 4
+                    i = np.arange(w * h, dtype=np.int64)
+                    s3 = (i // 6) * 3
+                    raster = np.stack(
+                        [(doc_id * k + s3) % 256 for k in (37, 11, 53)],
+                        axis=1,
+                    ).astype(np.uint8).reshape(h, w, 3)
+                    img = decode_image(qoi_encode(raster))
+                    # JPEG: one 8x8 gray DC block per doc (the entropy
+                    # pipeline end-to-end at fixed per-row cost)
+                    jb = jpeg_encode_gray_dc([[doc_id % 256]], 8, 8)
+                    jimg = decode_image(jb)
+                    ids.append(doc_id)
+                    sums.append(int(img.sum()) + int(jimg.sum()))
+                yield pd.DataFrame({"doc_id": ids, "pix_sum": sums})
+
+        docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        noop(docs.mapInPandas(run, "doc_id long, pix_sum long"))
+
+    probes["codec_decode (QOI+JPEG python per-row, mapInPandas)"] = (
+        codec_decode_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
