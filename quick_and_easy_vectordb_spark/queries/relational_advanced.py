@@ -2875,3 +2875,72 @@ def rel_autorange_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: incremental top-k view maintenance (bounded-state IVM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_incremental_topk_merge",
+    oracle="""
+WITH full_rank AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY year(o_orderdate), o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT CAST(yr AS BIGINT) AS yr, o_orderpriority,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+FROM full_rank WHERE rnk <= 3
+""",
+    tags=("relational", "ivm", "topk", "window", "incremental"),
+)
+def rel_incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TOP-K maintenance — the leaderboard IVM pattern:
+    per-group top-k is a MONOID (topk(A ∪ B) = topk(topk(A) ∪
+    topk(B)) exactly, for any deterministic total order), so an
+    append-only table's top-k view is maintained by ranking ONLY the
+    delta and merging it with the O(groups·k) retained state — the
+    base is never rescanned. Simulated split: base = 90% of orders
+    (o_orderkey % 10 != 0), delta = the remaining 10%; state and
+    delta are each ranked to k=3 per (year, priority), merged, and
+    re-ranked. The oracle recomputes top-3 over the FULL table — the
+    merge is correct iff it matches bit-for-bit, which is the monoid
+    identity made testable. Tiebreak (price DESC, orderkey ASC) makes
+    the order total, so equality is exact, not probabilistic.
+
+    Plan shape at 100 TB: the expensive window runs once over the
+    base (historical, amortized) and per-batch over the delta; the
+    merge window sees 2·groups·k rows — constant. Spark pushes the
+    rnk <= 3 filter into the window via WindowGroupLimit, so even the
+    base pass keeps a bounded per-group heap instead of a full sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("yr", "o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .drop("rnk")
+        )
+
+    state = topk(o.filter(F.col("o_orderkey") % 10 != 0))  # base pass
+    delta = topk(o.filter(F.col("o_orderkey") % 10 == 0))  # per-batch
+    merged = topk(state.unionByName(delta))  # O(groups·k) rows
+    return merged.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("yr").cast("long").alias("yr"),
+        "o_orderpriority",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_totalprice",
+    )

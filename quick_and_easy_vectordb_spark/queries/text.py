@@ -3610,3 +3610,117 @@ def text_vocab_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tm").cast("double")
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: URL canonicalization dedup (crawl-pipeline staple)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_url_canonical_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'https://site' || (doc_id % 7) || '.example.com/art/'
+           || (doc_id % 40) || '?id=' || (doc_id % 20) AS canonical,
+         CAST(doc_id % 3 = 0 AS INT) || CAST(doc_id % 5 = 0 AS INT)
+           || CAST(doc_id % 6 = 0 AS INT) || CAST(doc_id % 8 = 0 AS INT)
+           || CAST(doc_id % 4 = 0 AS INT) || CAST(doc_id % 2 = 0 AS INT)
+           AS variant
+  FROM documents
+)
+SELECT canonical AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM d GROUP BY canonical
+""",
+    tags=("text", "url", "canonicalization", "dedup", "crawl"),
+)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION dedup — the crawl-pipeline step BEFORE any
+    content dedup (the same page arrives under casing variants,
+    www-prefixes, default ports, trailing slashes, tracking params and
+    fragments; CommonCrawl-scale corpora dedupe on the canonical URL
+    first because it is O(1) per row vs MinHash's O(shingles)). Each
+    doc gets a deterministically MESSY url (case noise from doc_id%2
+    via %8, www. by %3, :443 by %5, trailing slash by %4 via %8,
+    utm params by %6, fragment by %8), and the engine canonicalizes
+    with REAL string surgery — fragment strip, scheme+host lowercase,
+    www. strip, default-port strip, trailing-slash strip, query-param
+    filter (utm_*) + sort + rejoin — entirely in Catalyst expressions
+    (split_part / regexp_replace / filter / array_sort / array_join:
+    zero UDFs, whole-stage codegen). The oracle never parses: it
+    recomputes the expected canonical form and the raw-variant
+    cardinality in closed form from the residues, so a parsing bug on
+    ANY step breaks the hash.
+
+    Scale: one projection + one combinable groupBy on the canonical
+    key — the cheapest dedup pass that exists, which is why it runs
+    first at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+            || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
+            || CAST(doc_id % 7 AS STRING) || '.Example.COM'
+            || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+            || '/art/' || CAST(doc_id % 40 AS STRING)
+            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+            || '?utm_source=feed&id=' || CAST(doc_id % 20 AS STRING)
+            || CASE WHEN doc_id % 6 = 0 THEN '&utm_campaign=x' ELSE '' END
+            || CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END
+            """
+        ).alias("url"),
+    )
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.expr("split_part(url, '#', 1)").alias("nofrag"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr("lower(split_part(nofrag, '://', 1))").alias("scheme"),
+        F.expr("split_part(nofrag, '://', 2)").alias("rest"),
+    ).select(
+        "doc_id",
+        "url",
+        "scheme",
+        F.expr("split_part(rest, '/', 1)").alias("hostport"),
+        # everything from the first '/' on (starts with '/')
+        F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)").alias(
+            "path_q"
+        ),
+    ).select(
+        "doc_id",
+        "url",
+        "scheme",
+        F.expr(
+            "regexp_replace(regexp_replace(lower(hostport),"
+            " ':(443|80)$', ''), '^www\\\\.', '')"
+        ).alias("host"),
+        F.expr(
+            "regexp_replace(split_part(path_q, '?', 1), '/$', '')"
+        ).alias("path"),
+        F.expr(
+            "array_sort(filter(split(split_part(path_q, '?', 2), '&'),"
+            " p -> p != '' AND p NOT LIKE 'utm_%'))"
+        ).alias("params"),
+    )
+    canon = parts.select(
+        "doc_id",
+        "url",
+        F.expr(
+            "scheme || '://' || host || path ||"
+            " CASE WHEN size(params) = 0 THEN ''"
+            "      ELSE '?' || array_join(params, '&') END"
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_raw_variants"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
+    )
