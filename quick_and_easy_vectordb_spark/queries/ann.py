@@ -2841,3 +2841,154 @@ def ann_lsh_planes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n_hits", F.lit(0).cast("long")).cast("double") / 10)
         .alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: query-adaptive nprobe (margin-based IVF probing)
+# ---------------------------------------------------------------------------
+
+_ADAPT_TAU = 0.5  # probe 2 cells when d1² > τ·d2² (ambiguous boundary)
+_ADAPT_NQ = 8
+
+
+@query(
+    "ann_adaptive_nprobe",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_ADAPT_NQ}
+),
+qc AS (
+  SELECT q.query_id, cent.label,
+         CAST(CAST(SUM(CAST((cent.c - q.qv[cent.pos])
+              * (cent.c - q.qv[cent.pos]) AS DECIMAL(30,10)))
+              AS VARCHAR) AS DOUBLE) AS dist2
+  FROM qs q CROSS JOIN cent
+  GROUP BY q.query_id, cent.label
+),
+rk AS (
+  SELECT query_id, label, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2, label) AS crank
+  FROM qc
+),
+np AS (
+  SELECT query_id,
+         CASE WHEN MAX(CASE WHEN crank = 1 THEN dist2 END)
+                   > {_ADAPT_TAU} * MAX(CASE WHEN crank = 2 THEN dist2 END)
+              THEN 2 ELSE 1 END AS nprobe
+  FROM rk GROUP BY query_id
+),
+probes AS (
+  SELECT rk.query_id, rk.label, np.nprobe
+  FROM rk JOIN np ON np.query_id = rk.query_id
+  WHERE rk.crank <= np.nprobe
+),
+scored AS (
+  SELECT p.query_id, p.nprobe, e.vec_id,
+         {sql_l2(_EMB, "(SELECT qv FROM qs WHERE qs.query_id = p.query_id)")}
+           AS l2_dist
+  FROM probes p JOIN embeddings e ON e.label = p.label
+),
+r AS (
+  SELECT query_id, nprobe, vec_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist, vec_id) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(vec_id AS BIGINT) AS vec_id, l2_dist
+FROM r WHERE rnk <= 3
+""",
+    tags=("ann", "ivf", "adaptive", "nprobe", "topk"),
+)
+def ann_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-ADAPTIVE nprobe — fixed-nprobe IVF wastes probes on easy
+    queries and misses on boundary queries; the standard production
+    refinement probes MORE cells only when the query sits near a
+    Voronoi boundary. Decision rule: probe 2 cells iff d1² > τ·d2²
+    (τ = {_ADAPT_TAU}; the closest centroid is not decisively closer
+    than the runner-up), else 1 — a pure comparison on
+    identically-computed doubles, so the adaptive CHOICE itself is
+    oracle-checked per query, not just the final top-k. Batch of
+    {_ADAPT_NQ} queries; exact L2 re-rank inside the probed cells.
+
+    Plan shape at 100 TB: centroids are O(cells·dim) — the query→cell
+    distance table, the margin rank and the probe list are all
+    driver-scale broadcasts; the corpus is touched ONLY by the final
+    equi-join on label (partition pruning with label-partitioned
+    storage), never shuffled. Compare ann_nprobe_recall_curve, which
+    sweeps GLOBAL nprobe; this one picks it per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _ADAPT_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cent = centroids_by_key(emb, "embedding", "label")
+    qc = (
+        qs.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.col("key").alias("label"),
+            F.posexplode("centroid").alias("pos", "c"),
+            "qv",
+        )
+        .select(
+            "query_id",
+            "label",
+            (
+                (F.col("c") - F.element_at("qv", F.col("pos") + 1))
+                * (F.col("c") - F.element_at("qv", F.col("pos") + 1))
+            )
+            .cast("decimal(30,10)")
+            .alias("diff2"),
+        )
+        .groupBy("query_id", "label")
+        .agg(F.sum("diff2").cast("double").alias("dist2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist2", "label")
+    rk = qc.withColumn("crank", F.row_number().over(wq))
+    np_df = rk.groupBy("query_id").agg(
+        F.when(
+            F.max(F.when(F.col("crank") == 1, F.col("dist2")))
+            > _ADAPT_TAU * F.max(F.when(F.col("crank") == 2, F.col("dist2"))),
+            2,
+        )
+        .otherwise(1)
+        .alias("nprobe")
+    )
+    probes = rk.join(np_df, "query_id").filter(
+        F.col("crank") <= F.col("nprobe")
+    ).select("query_id", "label", "nprobe")
+    scored = emb.join(F.broadcast(probes), "label").join(
+        F.broadcast(qs), "query_id"
+    ).select(
+        "query_id",
+        "nprobe",
+        "vec_id",
+        l2_distance(F.col("embedding"), F.col("qv")).alias("l2_dist"),
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "l2_dist",
+        )
+    )

@@ -3724,3 +3724,72 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("long").alias("n_raw_variants"),
         F.min("doc_id").cast("long").alias("canonical_doc"),
     )
+
+
+@query(
+    "text_word_aware_chunking",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 23 = 0 AND length(text) > 0),
+st AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, 150)) AS s
+  FROM d
+),
+raw AS (
+  SELECT doc_id, (s - 1) // 150 AS chunk_idx,
+         substr(text, CAST(s AS BIGINT), 200) AS raw
+  FROM st
+)
+SELECT doc_id AS document_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CASE WHEN length(raw) = 200
+            THEN regexp_replace(raw, ' [^ ]*$', '')
+            ELSE raw END AS chunk_text,
+       CAST(length(CASE WHEN length(raw) = 200
+                        THEN regexp_replace(raw, ' [^ ]*$', '')
+                        ELSE raw END) AS BIGINT) AS n_chars
+FROM raw
+""",
+    tags=("text", "chunking", "word-aware"),
+)
+def text_word_aware_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-AWARE chunking — fixed character windows cut words in half
+    at every boundary, which hurts both dedup shingles and embedding
+    quality; the standard fix keeps the fixed STARTS (so chunks stay
+    independently computable — no greedy chain, no sequential
+    dependency) and snaps each full window's END back to the last
+    space, dropping the trailing word fragment. With overlap (50) ≥
+    the max word length nothing is lost: the fragment reappears whole
+    at the next window's start. Final (short) windows keep their tail
+    verbatim. Pure Catalyst: sequence + posexplode + substring +
+    one regexp; the oracle mirrors the identical expressions.
+
+    Scale: identical plan to text_chunking — one generator explode,
+    no shuffle, no UDF; word snapping is one more codegen'd regexp
+    per chunk."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 23 == 0) & (F.length("text") > 0)
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    raw = docs.select(
+        F.col("doc_id").alias("document_id"),
+        F.posexplode(starts).alias("chunk_idx", "s"),
+        F.col("text").alias("__t"),
+    ).select(
+        "document_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr("substring(__t, s, 200)").alias("raw"),
+    )
+    trimmed = F.when(
+        F.length("raw") == 200,
+        F.regexp_replace(F.col("raw"), " [^ ]*$", ""),
+    ).otherwise(F.col("raw"))
+    return raw.select(
+        "document_id",
+        "chunk_idx",
+        trimmed.alias("chunk_text"),
+        F.length(trimmed).cast("long").alias("n_chars"),
+    )
