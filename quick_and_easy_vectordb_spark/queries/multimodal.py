@@ -3181,23 +3181,24 @@ def mm_pdf_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pdf.py:pdf_extract_text — object scan, zlib inflate,
     content-stream tokenizer, Tj/TJ/'/" show ops), the lossless
     roundtrip is ASSERTED per document, and the extracted text feeds
-    the existing JVM chunker (operators/chunking.py, 200-char windows,
-    50 overlap). The DuckDB oracle reproduces the whole pipeline in
-    closed form over documents.text — valid exactly because extraction
-    is lossless, which is what the in-UDF assert pins.
+    the JVM chunker (the operators/chunking.py windows — 200 chars,
+    50 overlap — inlined here so n_pages rides along and the plan has
+    ONE extraction branch; a chunk_documents call + n_pages join would
+    recompute the Python extraction for the join side). The DuckDB
+    oracle reproduces the whole pipeline in closed form over
+    documents.text — valid exactly because extraction is lossless,
+    which is what the in-UDF assert pins.
 
     Scale shape: extraction is ONE Arrow mapInPandas pass over the
-    binary column (zero shuffles, Python cost linear in payload
-    bytes); chunking stays pure Catalyst (sequence + posexplode +
-    substring, map-side). At 100 TB the PDF payloads arrive via
-    spark.read.format('binaryFile') and hit the same extractor."""
+    binary column (zero shuffles, zero joins, Python cost linear in
+    payload bytes); chunking stays pure Catalyst (sequence +
+    posexplode + substring, map-side). At 100 TB the PDF payloads
+    arrive via spark.read.format('binaryFile') and hit the same
+    extractor."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from quick_and_easy_vectordb_spark.operators.chunking import (
-        chunk_documents,
-    )
     from quick_and_easy_vectordb_spark.operators.pdf import (
         pdf_encode,
         pdf_extract_text,
@@ -3227,12 +3228,24 @@ def mm_pdf_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = docs.mapInPandas(
         run, "doc_id long, text string, n_pages long"
     )
-    chunks = chunk_documents(extracted, chunk_size=200, overlap=50)
-    return chunks.join(
-        F.broadcast(
-            extracted.select(F.col("doc_id").alias("document_id"), "n_pages")
-        ),
+    # chunk_documents' window arithmetic inlined so n_pages stays on
+    # the row — one extraction branch, no join
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    return extracted.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("document_id"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        F.col("text").alias("__t"),
+        "n_pages",
+    ).select(
         "document_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("document_id") * 10_000 + F.col("chunk_idx"))
+        .cast("long")
+        .alias("chunk_id"),
+        F.expr("substring(__t, start, 200)").alias("chunk_text"),
+        "n_pages",
     )
 
 

@@ -1663,6 +1663,40 @@ def main() -> None:
     probes["codec_decode (QOI+JPEG python per-row, mapInPandas)"] = (
         codec_decode_probe)
 
+    # PDF extraction (round 11): same per-row-python mapInPandas family
+    # but with zlib inflate + content-stream tokenization per payload —
+    # a heavier per-row constant than the image codecs, so it gets its
+    # own row. Each row writes and fully parses a ~4-page PDF.
+    def pdf_extract_probe(n: int) -> None:
+        from quick_and_easy_vectordb_spark.operators.pdf import (
+            pdf_encode,
+            pdf_extract_text,
+        )
+
+        n_docs = max(n // 1000, 100)
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, chars = [], []
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    text = (f"tok{doc_id} ") * (60 + doc_id % 37)
+                    pages = [
+                        text[i : i + 180] for i in range(0, len(text), 180)
+                    ]
+                    got = pdf_extract_text(pdf_encode(pages))
+                    ids.append(doc_id)
+                    chars.append(sum(len(p) for p in got))
+                yield pd.DataFrame({"doc_id": ids, "n_chars": chars})
+
+        docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        noop(docs.mapInPandas(run, "doc_id long, n_chars long"))
+
+    probes["pdf_extract (encode+parse python per-row, mapInPandas)"] = (
+        pdf_extract_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
