@@ -3139,3 +3139,119 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_kept"),
     )
+
+
+@query(
+    "dedup_two_stage_funnel",
+    oracle=f"""
+WITH RECURSIVE {SQL_VERIFIED_PAIRS},
+url AS (
+  SELECT doc_id,
+         'https://site' || (doc_id % 7) || '.example.com/art/'
+           || (doc_id % 40) || '?id=' || (doc_id % 20) AS canonical
+  FROM documents
+),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM url GROUP BY canonical),
+sp AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN surv a ON a.doc_id = p.id_a
+  JOIN surv b ON b.doc_id = p.id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM sp
+  UNION SELECT id_b, id_a FROM sp
+  UNION SELECT id_a, id_a FROM sp
+  UNION SELECT id_b, id_b FROM sp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+kept AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component
+  FROM surv s LEFT JOIN comp c ON c.id = s.doc_id
+)
+SELECT * FROM (
+  SELECT 'raw' AS stage, CAST(1 AS BIGINT) AS ord,
+         CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 'url_dedup', CAST(2 AS BIGINT),
+         CAST(COUNT(*) AS BIGINT) FROM surv
+  UNION ALL
+  SELECT 'content_dedup', CAST(3 AS BIGINT),
+         CAST(COUNT(DISTINCT component) AS BIGINT) FROM kept
+)
+""",
+    tags=("dedup", "funnel", "url", "minhash", "two-stage"),
+)
+def dedup_two_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TWO-STAGE DEDUP FUNNEL — how production crawls actually
+    dedupe: stage 1 collapses URL-canonical duplicates (O(1) per row,
+    queries/text.py:canonicalize_urls — real Catalyst string surgery,
+    min-id survivor per canonical URL); stage 2 runs MinHash content
+    dedup and counts the clusters REMAINING AMONG THE SURVIVORS. The
+    output is the reduction funnel (raw → url_dedup → content_dedup
+    doc counts) — the one-look table that tells you how much each
+    stage buys before you pay for the next.
+
+    Candidate generation runs over the full corpus (the shared-LSH-
+    index pattern: one index, many consumers — bucket caps are
+    corpus-level properties) and the pair set is then SEMI-JOINED to
+    survivors on both endpoints; CC and the component count see only
+    survivor pairs. The oracle mirrors the full chain, components by
+    recursive CTE.
+
+    Scale: stage 1 is a projection + groupBy; stage 2 adds nothing
+    beyond the standard capped-LSH pipeline; the semi-joins are
+    broadcastable (survivor ids ≪ corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from quick_and_easy_vectordb_spark.queries.text import (
+        canonicalize_urls,
+        synth_messy_urls,
+    )
+
+    surv = (
+        canonicalize_urls(synth_messy_urls(docs.select("doc_id")))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sh = shingle_table(docs, "text", "doc_id", 3).persist()
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(
+        sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir)
+    )
+    sp = pairs.join(
+        F.broadcast(surv.select(F.col("doc_id").alias("id_a"))),
+        "id_a",
+        "leftsemi",
+    ).join(
+        F.broadcast(surv.select(F.col("doc_id").alias("id_b"))),
+        "id_b",
+        "leftsemi",
+    )
+    comp = connected_components(sp, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    kept = surv.join(comp, "doc_id", "left").select(
+        F.coalesce("component", "doc_id").alias("component")
+    )
+    n_raw = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_surv = surv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_kept = kept.agg(F.countDistinct("component").cast("long").alias("n"))
+
+    def stage(tag: str, ordv: int, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("stage"),
+            F.lit(ordv).cast("long").alias("ord"),
+            F.col("n").alias("n_docs"),
+        )
+
+    return (
+        stage("raw", 1, n_raw)
+        .unionByName(stage("url_dedup", 2, n_surv))
+        .unionByName(stage("content_dedup", 3, n_kept))
+    )

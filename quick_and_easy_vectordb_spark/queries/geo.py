@@ -1969,3 +1969,116 @@ def geo_od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_trips"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# 8 angularly-ordered unit offsets (a star-convex octagon template):
+# scaling by an integer keeps every vertex coordinate — and therefore
+# every shoelace cross term — in exact integer arithmetic.
+_POLY_OFFS = ((2, 0), (1, 1), (0, 2), (-1, 1), (-2, 0), (-1, -1),
+              (0, -2), (1, -1))
+
+
+@query(
+    "geo_polygon_area_shoelace",
+    oracle=f"""
+WITH n AS (
+  SELECT n_nationkey AS nk,
+         (n_nationkey * 104729) % 36000 AS cx,
+         (n_nationkey * 7919) % 18000 AS cy,
+         1 + n_nationkey % 3 AS s
+  FROM nation
+),
+offs AS (
+  SELECT unnest(range(8)) AS k,
+         unnest([{", ".join(str(dx) for dx, _ in _POLY_OFFS)}]) AS dx,
+         unnest([{", ".join(str(dy) for _, dy in _POLY_OFFS)}]) AS dy
+),
+v AS (
+  SELECT nk, k, cx + s * dx AS x, cy + s * dy AS y
+  FROM n CROSS JOIN offs
+),
+e AS (
+  SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON b.nk = a.nk AND b.k = (a.k + 1) % 8
+),
+agg AS (
+  SELECT nk,
+         CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS shoelace2,
+         CAST(CAST(SUM(CAST(sqrt(CAST((x2 - x1) * (x2 - x1)
+              + (y2 - y1) * (y2 - y1) AS DOUBLE)) AS DECIMAL(30,10)))
+              AS VARCHAR) AS DOUBLE) AS perimeter
+  FROM e GROUP BY nk
+)
+SELECT CAST(nk AS BIGINT) AS nationkey,
+       CAST(abs(shoelace2) AS DOUBLE) / 2.0 AS area,
+       perimeter
+FROM agg
+""",
+    tags=("geo", "polygon", "shoelace", "geometry"),
+)
+def geo_polygon_area_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON AREA + PERIMETER by the SHOELACE formula — the vector
+    geometry primitive under zone statistics (area-weighted rates,
+    density denominators): per nation a deterministic star-convex
+    octagon (8 angularly-ordered integer offsets scaled by
+    1 + key % 3 around the nation's hash centroid), edges formed by a
+    self-join on consecutive vertex index mod n, area = |Σ(x₁y₂ −
+    x₂y₁)|/2 with every cross term EXACT INTEGER, perimeter =
+    decimal-exact sum of per-edge sqrt (each sqrt is one IEEE
+    exact-rounded op on an integer, so even the irrational column
+    hash-matches).
+
+    Scale: vertices are a generator cross join (8 rows per polygon,
+    map-side); the edge join is an equi-join on (polygon, next-index)
+    — state bounded by vertex count; one combinable groupBy per
+    polygon. A billion polygons stream through without any
+    polygon-sized state."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    n = nation.select(
+        F.col("n_nationkey").alias("nk"),
+        ((F.col("n_nationkey") * 104729) % 36000).alias("cx"),
+        ((F.col("n_nationkey") * 7919) % 18000).alias("cy"),
+        (1 + F.col("n_nationkey") % 3).alias("s"),
+    )
+    offs = F.expr(
+        "explode(array("
+        + ",".join(
+            f"struct({k} as k, {dx} as dx, {dy} as dy)"
+            for k, (dx, dy) in enumerate(_POLY_OFFS)
+        )
+        + "))"
+    )
+    v = n.select("nk", "cx", "cy", "s", offs.alias("o")).select(
+        "nk",
+        F.col("o.k").alias("k"),
+        (F.col("cx") + F.col("s") * F.col("o.dx")).alias("x"),
+        (F.col("cy") + F.col("s") * F.col("o.dy")).alias("y"),
+    )
+    a = v.select("nk", "k", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = v.select(
+        F.col("nk").alias("bnk"),
+        F.col("k").alias("bk"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    e = a.join(
+        b,
+        (F.col("bnk") == F.col("nk")) & (F.col("bk") == (F.col("k") + 1) % 8),
+    )
+    seg = F.sqrt(
+        (
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ).cast("double")
+    )
+    agg = e.groupBy("nk").agg(
+        F.sum(
+            F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+        ).cast("long").alias("shoelace2"),
+        F.sum(seg.cast("decimal(30,10)")).cast("double").alias("perimeter"),
+    )
+    return agg.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        (F.abs(F.col("shoelace2")).cast("double") / 2.0).alias("area"),
+        "perimeter",
+    )

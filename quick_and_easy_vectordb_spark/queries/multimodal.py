@@ -3170,6 +3170,7 @@ SELECT doc_id AS document_id,
 FROM st
 """,
     tags=("multimodal", "pdf", "extract", "chunking", "mapInPandas"),
+    bench=True,
 )
 def mm_pdf_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF TEXT EXTRACTION → CHUNKING — the one capability the

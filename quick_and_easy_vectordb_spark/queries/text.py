@@ -3616,6 +3616,86 @@ def text_vocab_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 11: URL canonicalization dedup (crawl-pipeline staple)
 # ---------------------------------------------------------------------------
 
+# The closed-form canonical URL the oracle expects — see
+# text_url_canonical_dedup's docstring for the messy-URL derivation.
+SQL_CANONICAL_URL = (
+    "'https://site' || (doc_id % 7) || '.example.com/art/'"
+    " || (doc_id % 40) || '?id=' || (doc_id % 20)"
+)
+
+
+def synth_messy_urls(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, url): deterministically MESSY urls — case noise
+    (doc_id%2), www. (%3), :443 (%5), trailing slash (%4), utm params
+    (%6), fragment (%8) — over the clean canonical skeleton."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+            || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
+            || CAST(doc_id % 7 AS STRING) || '.Example.COM'
+            || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+            || '/art/' || CAST(doc_id % 40 AS STRING)
+            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+            || '?utm_source=feed&id=' || CAST(doc_id % 20 AS STRING)
+            || CASE WHEN doc_id % 6 = 0 THEN '&utm_campaign=x' ELSE '' END
+            || CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END
+            """
+        ).alias("url"),
+    )
+
+
+def canonicalize_urls(raw: "DataFrame") -> "DataFrame":
+    """(doc_id, url, canonical_url): REAL canonicalization in pure
+    Catalyst string expressions — fragment strip, scheme+host
+    lowercase, www. strip, default-port strip, trailing-slash strip,
+    query-param filter (utm_*) + sort + rejoin. Zero UDFs; shared by
+    text_url_canonical_dedup and the two-stage dedup funnel."""
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.expr("split_part(url, '#', 1)").alias("nofrag"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr("lower(split_part(nofrag, '://', 1))").alias("scheme"),
+        F.expr("split_part(nofrag, '://', 2)").alias("rest"),
+    ).select(
+        "doc_id",
+        "url",
+        "scheme",
+        F.expr("split_part(rest, '/', 1)").alias("hostport"),
+        # everything from the first '/' on (starts with '/')
+        F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)").alias(
+            "path_q"
+        ),
+    ).select(
+        "doc_id",
+        "url",
+        "scheme",
+        F.expr(
+            "regexp_replace(regexp_replace(lower(hostport),"
+            " ':(443|80)$', ''), '^www\\\\.', '')"
+        ).alias("host"),
+        F.expr(
+            "regexp_replace(split_part(path_q, '?', 1), '/$', '')"
+        ).alias("path"),
+        F.expr(
+            "array_sort(filter(split(split_part(path_q, '?', 2), '&'),"
+            " p -> p != '' AND p NOT LIKE 'utm_%'))"
+        ).alias("params"),
+    )
+    return parts.select(
+        "doc_id",
+        "url",
+        F.expr(
+            "scheme || '://' || host || path ||"
+            " CASE WHEN size(params) = 0 THEN ''"
+            "      ELSE '?' || array_join(params, '&') END"
+        ).alias("canonical_url"),
+    )
+
 
 @query(
     "text_url_canonical_dedup",
@@ -3660,65 +3740,7 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the cheapest dedup pass that exists, which is why it runs
     first at 100 TB."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    raw = docs.select(
-        "doc_id",
-        F.expr(
-            """
-            CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
-            || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END
-            || CAST(doc_id % 7 AS STRING) || '.Example.COM'
-            || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
-            || '/art/' || CAST(doc_id % 40 AS STRING)
-            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
-            || '?utm_source=feed&id=' || CAST(doc_id % 20 AS STRING)
-            || CASE WHEN doc_id % 6 = 0 THEN '&utm_campaign=x' ELSE '' END
-            || CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END
-            """
-        ).alias("url"),
-    )
-    parts = raw.select(
-        "doc_id",
-        "url",
-        F.expr("split_part(url, '#', 1)").alias("nofrag"),
-    ).select(
-        "doc_id",
-        "url",
-        F.expr("lower(split_part(nofrag, '://', 1))").alias("scheme"),
-        F.expr("split_part(nofrag, '://', 2)").alias("rest"),
-    ).select(
-        "doc_id",
-        "url",
-        "scheme",
-        F.expr("split_part(rest, '/', 1)").alias("hostport"),
-        # everything from the first '/' on (starts with '/')
-        F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)").alias(
-            "path_q"
-        ),
-    ).select(
-        "doc_id",
-        "url",
-        "scheme",
-        F.expr(
-            "regexp_replace(regexp_replace(lower(hostport),"
-            " ':(443|80)$', ''), '^www\\\\.', '')"
-        ).alias("host"),
-        F.expr(
-            "regexp_replace(split_part(path_q, '?', 1), '/$', '')"
-        ).alias("path"),
-        F.expr(
-            "array_sort(filter(split(split_part(path_q, '?', 2), '&'),"
-            " p -> p != '' AND p NOT LIKE 'utm_%'))"
-        ).alias("params"),
-    )
-    canon = parts.select(
-        "doc_id",
-        "url",
-        F.expr(
-            "scheme || '://' || host || path ||"
-            " CASE WHEN size(params) = 0 THEN ''"
-            "      ELSE '?' || array_join(params, '&') END"
-        ).alias("canonical_url"),
-    )
+    canon = canonicalize_urls(synth_messy_urls(docs))
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("url").cast("long").alias("n_raw_variants"),
