@@ -2054,3 +2054,80 @@ def src_vacuum_restatement_safety(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(stats["expired"]).cast("long").alias("n_files_expired"),
         F.lit(expired_read_fails).cast("long").alias("expired_read_fails"),
     )
+
+
+@query(
+    "src_pdf_datasource_read",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 9 = 0 AND length(text) > 0),
+pg AS (
+  SELECT doc_id, text,
+         unnest(range((length(text) + 179) // 180)) AS page_idx
+  FROM d
+),
+pages AS (
+  SELECT doc_id, page_idx,
+         substr(text, CAST(page_idx * 180 + 1 AS BIGINT), 180) AS page
+  FROM pg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(page_idx AS BIGINT) AS page_idx,
+       CAST(length(page) AS BIGINT) AS n_chars,
+       md5(page) AS page_md5
+FROM pages
+""",
+    tags=("sources", "datasource", "pdf", "connector"),
+)
+def src_pdf_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DIRECTORY OF PDFs AS A SPARK TABLE — the file-connector shape
+    of the Python DataSource API (sources/pydatasource.py:
+    PdfDirDataSource, format ``qev_pdf``): the driver plans one
+    partition per FILE-LIST shard (names only — bytes never touch the
+    driver), each executor opens its shard's files and runs the
+    operators/pdf.py subset parser, emitting one row per page
+    (doc_id from the file name, page index, char count, page md5).
+    Fixture: ~1/9 of documents written as real multi-page Flate PDFs
+    into a scratch dir (cached per process); the oracle reproduces
+    every page row in closed form from the source text — valid
+    because the writer/parser pair is lossless (pinned by
+    tests/test_pdf.py).
+
+    Scale: listing is O(files) driver-side strings; parse cost is
+    per-row Python that scales out with executors (probe:
+    SCALING.md pdf_extract row); downstream is an ordinary relation —
+    predicates on doc_id/page_idx prune at the row level, and a real
+    deployment shards the listing itself (manifest files) past ~1M
+    objects."""
+    import os as _os
+
+    from quick_and_easy_vectordb_spark.operators.pdf import pdf_encode
+    from quick_and_easy_vectordb_spark.sources.pydatasource import (
+        register_pdf,
+    )
+
+    d, ready = _scratch_dir("pdfdir", sf_dir)
+    pdf_dir = os.path.join(d, "pdfs")
+    if not ready or not os.path.isdir(pdf_dir):
+        _os.makedirs(pdf_dir, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 9 == 0) & (F.length("text") > 0))
+            .select("doc_id", "text")
+            .collect()  # fixture staging only: ~1/9 of a toy table
+        )
+        for r in rows:
+            pages = [
+                r.text[i : i + 180] for i in range(0, len(r.text), 180)
+            ]
+            with open(
+                os.path.join(pdf_dir, f"{int(r.doc_id):06d}.pdf"), "wb"
+            ) as f:
+                f.write(pdf_encode(pages))
+    register_pdf(spark)
+    return (
+        spark.read.format("qev_pdf")
+        .option("path", pdf_dir)
+        .option("partitions", "8")
+        .load()
+    )

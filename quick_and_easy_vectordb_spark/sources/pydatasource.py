@@ -187,3 +187,79 @@ class SynthEventsWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: a FILE-based Python DataSource — a directory of PDFs as a
+# first-class Spark table (format ``qev_pdf``), with the subset parser
+# of operators/pdf.py doing the per-file work inside the executors.
+# ---------------------------------------------------------------------------
+
+PDF_SCHEMA_DDL = (
+    "doc_id long, page_idx long, n_chars long, page_md5 string"
+)
+
+
+class FileListPartition(InputPartition):
+    """One partition = one shard of the FILE LIST. The driver only
+    lists names (O(files) strings); bytes are opened executor-side —
+    the planning contract every file connector follows."""
+
+    def __init__(self, paths: Sequence[str]) -> None:
+        self.paths = list(paths)
+
+
+class PdfDirReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> Sequence[FileListPartition]:
+        import os as _os
+
+        names = sorted(
+            n for n in _os.listdir(self.path) if n.endswith(".pdf")
+        )
+        paths = [_os.path.join(self.path, n) for n in names]
+        step = max(1, -(-len(paths) // self.num_partitions))
+        return [
+            FileListPartition(paths[s : s + step])
+            for s in range(0, len(paths), step)
+        ]
+
+    def read(self, partition: FileListPartition) -> Iterator[tuple]:
+        import hashlib
+        import os as _os
+
+        from quick_and_easy_vectordb_spark.operators.pdf import (
+            pdf_extract_text,
+        )
+
+        for p in partition.paths:
+            doc_id = int(_os.path.basename(p)[:-4])
+            with open(p, "rb") as f:
+                pages = pdf_extract_text(f.read())
+            for i, page in enumerate(pages):
+                yield (
+                    doc_id,
+                    i,
+                    len(page),
+                    hashlib.md5(page.encode()).hexdigest(),
+                )
+
+
+class PdfDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "qev_pdf"
+
+    def schema(self) -> str:
+        return PDF_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> PdfDirReader:
+        return PdfDirReader(self.options)
+
+
+def register_pdf(spark) -> None:
+    """Idempotent registration of the qev_pdf format."""
+    spark.dataSource.register(PdfDirDataSource)
