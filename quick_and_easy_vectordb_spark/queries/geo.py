@@ -2082,3 +2082,268 @@ def geo_polygon_area_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("shoelace2")).cast("double") / 2.0).alias("area"),
         "perimeter",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (continued): segment-intersection spatial join with
+# reference-point dedup, and a distance-threshold spatial ANTI join.
+# ---------------------------------------------------------------------------
+
+# Segment synthesis from customer keys: start point on the integer
+# grid, extent bounded so every segment's bbox spans <= 2x2 grid cells
+# (dx in [100, 1299], dy in [-650, 649], start y >= 700 keeps all
+# coordinates non-negative so integer DIV agrees across engines).
+# The start point uses a QUADRATIC congruential hash: the linear
+# k*104729 % 36000 synthesis used elsewhere is a 1-D lattice whose
+# points never land within bbox range of each other (stride gcd
+# structure), yielding ZERO candidate pairs; the k^2 term breaks the
+# lattice and produces a realistic overlap density (~1.7k candidate
+# pairs / ~600 crossings at sf0.01).
+_SEG_CELL = 4000
+_SQL_SEG = """
+  SELECT c_custkey AS id,
+         (c_custkey * c_custkey * 7 + c_custkey * 104729) % 36000 AS ax,
+         700 + (c_custkey * c_custkey * 13 + c_custkey * 7919) % 16000 AS ay,
+         (c_custkey * c_custkey * 7 + c_custkey * 104729) % 36000
+             + 100 + (c_custkey * 13) % 1200 AS bx,
+         700 + (c_custkey * c_custkey * 13 + c_custkey * 7919) % 16000
+             + (c_custkey * 31) % 1300 - 650 AS by
+  FROM customer
+"""
+
+
+def _sql_cross(px, py, qx, qy, rx, ry) -> str:
+    """Integer cross product (q - p) x (r - p) — orientation sign."""
+    return (
+        f"(({qx} - {px}) * ({ry} - {py}) - ({qy} - {py}) * ({rx} - {px}))"
+    )
+
+
+@query(
+    "geo_segment_intersections",
+    oracle=f"""
+WITH seg AS ({_SQL_SEG}),
+bb AS (
+  SELECT id, ax, ay, bx, by,
+         ax AS x0, bx AS x1,
+         LEAST(ay, by) AS y0, GREATEST(ay, by) AS y1
+  FROM seg
+),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         a.ax AS aax, a.ay AS aay, a.bx AS abx, a.by AS aby,
+         b.ax AS bax, b.ay AS bay, b.bx AS bbx, b.by AS bby
+  FROM bb a JOIN bb b
+    ON a.id < b.id
+   AND a.x0 <= b.x1 AND b.x0 <= a.x1
+   AND a.y0 <= b.y1 AND b.y0 <= a.y1
+),
+hits AS (
+  SELECT a_id, b_id,
+         CASE WHEN
+           {_sql_cross('bax', 'bay', 'bbx', 'bby', 'aax', 'aay')}
+             * {_sql_cross('bax', 'bay', 'bbx', 'bby', 'abx', 'aby')} < 0
+           AND
+           {_sql_cross('aax', 'aay', 'abx', 'aby', 'bax', 'bay')}
+             * {_sql_cross('aax', 'aay', 'abx', 'aby', 'bbx', 'bby')} < 0
+         THEN 1 ELSE 0 END AS hit
+  FROM cand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_intersections,
+       CAST(COALESCE(SUM(CASE WHEN hit = 1 THEN a_id * b_id ELSE 0 END), 0)
+            AS BIGINT) AS pair_checksum
+FROM hits
+""",
+    tags=("geo", "spatial-join", "segment-intersection", "pbsm",
+          "reference-point-dedup"),
+)
+def geo_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-INTERSECTION spatial self-join with REFERENCE-POINT
+    deduplication (the PBSM trick, Patel & DeWitt SIGMOD'96) — the
+    road-network / cadastral overlay workload: count pairs of line
+    segments that properly cross. Candidate generation replicates each
+    segment into the <= 2x2 grid cells its bounding box overlaps and
+    equi-joins on the cell id, exactly like geo_bbox_range_join — but a
+    PAIR of bboxes can share SEVERAL cells, so naive blocking emits
+    duplicates that would need a distinct(). Instead each candidate
+    pair is evaluated ONLY in its canonical cell — the cell containing
+    the min corner of the two bboxes' intersection, a point guaranteed
+    to lie in both bboxes — so every bbox-overlapping pair is produced
+    EXACTLY once with zero dedup shuffle. n_candidates pins that
+    exactly-once property against the oracle's blocking-free count.
+    The crossing test is four integer cross-product orientation signs
+    (proper crossing: both endpoint pairs strictly straddle), the same
+    division-free discipline as geo_point_in_polygon; |cross| < 2^27
+    so the sign products stay far inside BIGINT.
+
+    Plan shape at 100 TB: scan -> <=4x explode -> one shuffle on the
+    cell key -> hash self-join -> agg; no distinct, no nested loop, no
+    second pass. Cell size trades replication (<= 2x2 here because
+    extent < cell side) against per-cell pair fan-in, the same dial as
+    the LSH band width; skewed cells salt exactly like the dedup band
+    join (operators/skew.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hx = (k * k * 7 + k * 104729) % 36000
+    hy = (k * k * 13 + k * 7919) % 16000
+    seg = cust.select(
+        k.alias("id"),
+        hx.alias("ax"),
+        (F.lit(700) + hy).alias("ay"),
+        (hx + 100 + (k * 13) % 1200).alias("bx"),
+        (F.lit(700) + hy + (k * 31) % 1300 - 650).alias("by"),
+    ).select(
+        "id", "ax", "ay", "bx", "by",
+        F.col("ax").alias("x0"),
+        F.col("bx").alias("x1"),
+        F.least("ay", "by").alias("y0"),
+        F.greatest("ay", "by").alias("y1"),
+    )
+    cells = F.expr(
+        f"explode(flatten(transform("
+        f"  sequence(x0 div {_SEG_CELL}, x1 div {_SEG_CELL}),"
+        f"  gx -> transform("
+        f"    sequence(y0 div {_SEG_CELL}, y1 div {_SEG_CELL}),"
+        f"    gy -> struct(gx as cx, gy as cy)))))"
+    )
+    rep = seg.select("*", cells.alias("c")).select(
+        "id", "ax", "ay", "bx", "by", "x0", "x1", "y0", "y1",
+        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+    )
+    a = rep.select(*[F.col(c).alias(f"a_{c}") for c in
+                     ("id", "ax", "ay", "bx", "by", "x0", "x1", "y0", "y1")],
+                   "cx", "cy")
+    b = rep.select(*[F.col(c).alias(f"b_{c}") for c in
+                     ("id", "ax", "ay", "bx", "by", "x0", "x1", "y0", "y1")],
+                   "cx", "cy")
+    cand = a.join(b, ["cx", "cy"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1"))
+        # reference-point dedup: evaluate the pair only in the cell
+        # holding the min corner of the two bboxes' intersection.
+        & (F.col("cx")
+           == F.floor(F.greatest("a_x0", "b_x0") / _SEG_CELL).cast("long"))
+        & (F.col("cy")
+           == F.floor(F.greatest("a_y0", "b_y0") / _SEG_CELL).cast("long"))
+    )
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py)) - (
+            F.col(qy) - F.col(py)
+        ) * (F.col(rx) - F.col(px))
+
+    d1 = cross("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay")
+    d2 = cross("b_ax", "b_ay", "b_bx", "b_by", "a_bx", "a_by")
+    d3 = cross("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay")
+    d4 = cross("a_ax", "a_ay", "a_bx", "a_by", "b_bx", "b_by")
+    hit = F.when((d1 * d2 < 0) & (d3 * d4 < 0), 1).otherwise(0)
+    return cand.select(hit.alias("hit"), "a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+        .alias("n_intersections"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit") == 1,
+                         F.col("a_id") * F.col("b_id")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("pair_checksum"),
+    )
+
+
+_COVER_R = 900
+_COVER_R2 = _COVER_R * _COVER_R
+
+
+@query(
+    "geo_distance_anti_join",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 104729) % 36000 AS px,
+         (c_custkey * 7919) % 18000 AS py
+  FROM customer
+),
+s AS (
+  SELECT (s_suppkey * 104729) % 36000 AS sx,
+         (s_suppkey * 7919) % 18000 AS sy
+  FROM supplier
+),
+un AS (
+  SELECT c_custkey FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s
+    WHERE (p.px - s.sx) * (p.px - s.sx)
+        + (p.py - s.sy) * (p.py - s.sy) <= {_COVER_R2}
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_uncovered,
+       CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS uncovered_checksum,
+       CAST(COALESCE(MIN(c_custkey), -1) AS BIGINT) AS min_uncovered_key
+FROM un
+""",
+    tags=("geo", "anti-join", "coverage", "grid-blocking", "distance"),
+)
+def geo_distance_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTANCE-THRESHOLD spatial ANTI join — the coverage-gap query
+    (customers no depot serves, sensors outside every cell tower's
+    radius, addresses beyond any polling station): points with NO site
+    within radius r. Naive SQL is a NOT EXISTS with a distance
+    predicate — a nested loop per point. Blocked: cell side == r, each
+    site replicated into its 3x3 neighbor cells (so every point within
+    r of a site shares a cell with one of its replicas — the
+    geo_grid_knn_join guarantee), and the whole query becomes ONE
+    LEFT ANTI hash join of points against the replicated site table on
+    (cell, distance <= r^2). Anti join needs NO dedup of the 9x
+    replication — a point is uncovered iff it matches zero replicas —
+    so there is no distinct() anywhere.
+
+    Plan shape at 100 TB: BroadcastHashJoin LeftAnti when the site
+    table is small (here; plan-pinned in tests), shuffle anti join on
+    the cell key when it isn't. The points side — the 100 TB side —
+    is scanned once, never replicated, never shuffled in the broadcast
+    case. Distance math is division-free integer arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    p = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729) % 36000).alias("px"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("py"),
+    ).select(
+        "c_custkey", "px", "py",
+        (F.col("px") / _COVER_R).cast("long").alias("cx"),
+        (F.col("py") / _COVER_R).cast("long").alias("cy"),
+    )
+    s = supp.select(
+        ((F.col("s_suppkey") * 104729) % 36000).alias("sx"),
+        ((F.col("s_suppkey") * 7919) % 18000).alias("sy"),
+    ).select(
+        "sx", "sy",
+        (F.col("sx") / _COVER_R).cast("long").alias("scx"),
+        (F.col("sy") / _COVER_R).cast("long").alias("scy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+    )
+    s9 = s.select("*", offsets.alias("o")).select(
+        "sx", "sy",
+        (F.col("scx") + F.col("o.dx")).alias("kx"),
+        (F.col("scy") + F.col("o.dy")).alias("ky"),
+    )
+    dist2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    cond = (
+        (F.col("cx") == F.col("kx"))
+        & (F.col("cy") == F.col("ky"))
+        & (dist2 <= _COVER_R2)
+    )
+    uncovered = p.join(F.broadcast(s9), cond, "left_anti")
+    return uncovered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_uncovered"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long")
+        .alias("uncovered_checksum"),
+        F.coalesce(F.min("c_custkey"), F.lit(-1)).cast("long")
+        .alias("min_uncovered_key"),
+    )

@@ -3815,3 +3815,80 @@ def text_word_aware_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed.alias("chunk_text"),
         F.length(trimmed).cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "text_html_strip_stats",
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id, source,
+         '<html><body><h1>' || source || '</h1><p>' || text ||
+         '</p><script>track();</script></body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, html,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '<script>[\s\S]*?</script>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '\s+', ' ', 'g')) AS content
+  FROM h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(html)) AS BIGINT) AS html_chars,
+       CAST(SUM(length(content)) AS BIGINT) AS content_chars,
+       CAST(SUM(length(html) - length(replace(html, '<', ''))) AS BIGINT)
+         AS n_tags,
+       CAST(SUM(length(content)) AS DOUBLE) / SUM(length(html))
+         AS content_ratio
+FROM s GROUP BY source
+""",
+    tags=("text", "html-strip", "boilerplate", "ingest", "curation"),
+)
+def text_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML BOILERPLATE STRIPPING — the first transformation every
+    web-crawl ingest runs (WET-file extraction, trafilatura's cheap
+    tier): drop <script> blocks wholesale, replace every remaining tag
+    with whitespace, squeeze runs. The fixture corpus is plain text,
+    so each document is first wrapped in a deterministic HTML template
+    — making the strip LOSSLESS-verifiable: the oracle re-derives the
+    exact content length, tag count, and content-to-markup ratio per
+    source. Non-greedy [\\s\\S]*? spans newlines in both regex engines
+    (Java and RE2); tag removal is '<[^>]*>' — the same conservative
+    patterns a production boilerplate pass starts from.
+
+    Plan shape at 100 TB: three regexp_replace calls fused into ONE
+    whole-stage-codegen projection over the scan — zero shuffles
+    before the final per-source aggregate (map-side combined, O(sources)
+    groups). Regex work is embarrassingly parallel and JVM-side; no
+    Python touches the hot path (contrast: a BeautifulSoup-per-row UDF
+    pays 10-100x for the same cheap tier)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p><script>track();</script></body></html>"),
+    )
+    content = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, r"<script>[\s\S]*?</script>", " "),
+                r"<[^>]*>", " "),
+            r"\s+", " ")
+    )
+    s = docs.select("source", html.alias("html"), content.alias("content"))
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("html")).cast("long").alias("html_chars"),
+        F.sum(F.length("content")).cast("long").alias("content_chars"),
+        F.sum(
+            F.length("html") - F.length(F.regexp_replace("html", "<", ""))
+        ).cast("long").alias("n_tags"),
+        (
+            F.sum(F.length("content")).cast("double")
+            / F.sum(F.length("html"))
+        ).alias("content_ratio"),
+    )

@@ -1914,3 +1914,92 @@ def udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         fit, "source string, n long, slope double, intercept double, r2 double"
     )
+
+
+@query(
+    "udf_grouped_ewma",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id % 97 AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events
+),
+b AS (
+  SELECT user_id, x, i // 24 AS block, i % 24 AS j FROM o
+),
+v AS (
+  SELECT user_id, block, j,
+         CASE WHEN j = 0 THEN CAST(x AS DOUBLE)
+              ELSE x * pow(2.0, j - 1) END AS v
+  FROM b
+),
+s AS (
+  SELECT user_id, block, j,
+         pow(0.5, j) * SUM(v) OVER (PARTITION BY user_id, block
+                                    ORDER BY j) AS s,
+         COUNT(*) OVER (PARTITION BY user_id, block) AS n
+  FROM v
+)
+SELECT user_id, CAST(block AS BIGINT) AS block,
+       CAST(n AS BIGINT) AS n_rows, s AS ewma_last
+FROM s WHERE j = n - 1
+""",
+    tags=("udf", "grouped-map", "applyInPandas", "stateful", "ewma"),
+)
+def udf_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-STATE grouped-map UDF — recursive EWMA
+    (s_t = a*x_t + (1-a)*s_{t-1}), the feature-engineering recurrence
+    (decayed engagement scores, per-entity smoothed counters) that
+    LOOKS non-relational: each output depends on the entire ordered
+    prefix, so there is no fixed-frame window that computes it. The
+    pandas side runs the literal recursion per user in arrival order,
+    resetting every 24 rows (bounded-state blocks — the practical form:
+    an unbounded 0.5-decay underflows doubles past ~1100 steps anyway).
+    The correctness trick that makes a RECURSIVE float computation
+    hash-verifiable across engines: with a = 0.5 and integer inputs
+    (event_id % 97 < 2^7), every intermediate s_t is a dyadic rational
+    with < 53 mantissa bits — the recursion is EXACT in IEEE double,
+    and equals the closed form s_j = 0.5^j * (v_0 + .. + v_j) with
+    v_0 = x_0, v_m = x_m * 2^(m-1), which IS window-expressible: the
+    oracle computes it as one prefix-sum window, pinning the recursion
+    against an independent algebraic derivation bit-for-bit (the
+    udf_grouped_ols integer-sufficient-statistics discipline applied
+    to a recurrence; block length 24 keeps all prefix sums < 2^34).
+
+    Plan shape at 100 TB: one shuffle groups events by user; each
+    group sorts locally by (ts, event_id) inside the Arrow batch and
+    reduces to O(blocks) rows — state is one double per group, and
+    groups stream through applyInPandas independently. The same
+    recurrence under Structured Streaming is
+    applyInPandasWithState with s as the state value
+    (streaming/windows.py discipline)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") % 97).cast("long").alias("x"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(pdf["user_id"].iloc[0])
+        out_u, out_b, out_n, out_s = [], [], [], []
+        s = 0.0
+        xs = pdf["x"].tolist()
+        for i, x in enumerate(xs):
+            j = i % 24
+            s = float(x) if j == 0 else 0.5 * float(x) + 0.5 * s
+            if j == 23 or i == len(xs) - 1:
+                out_u.append(uid)
+                out_b.append(i // 24)
+                out_n.append(j + 1)
+                out_s.append(s)
+        return pd.DataFrame(
+            {"user_id": out_u, "block": out_b, "n_rows": out_n,
+             "ewma_last": out_s}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, block long, n_rows long, ewma_last double"
+    )

@@ -2869,3 +2869,76 @@ def vdb_query_dedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@query(
+    "vdb_hard_negative_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+         {sql_dot('e.embedding::DOUBLE[]', 'q.qv')} AS score
+  FROM embeddings e JOIN q ON e.label <> q.q_label
+),
+r AS (
+  SELECT query_id, neg_id, neg_label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+       CAST(rank AS BIGINT) AS rank, score
+FROM r WHERE rank <= 3
+""",
+    tags=("vector", "hard-negatives", "training-data", "knn", "window"),
+)
+def vdb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data op
+    (DPR/SimCSE-style retrieval training): for each anchor vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label.
+    These near-miss negatives carry the gradient signal that random
+    negatives don't; mining them is a ranking query with an EXCLUSION
+    predicate, not a plain kNN — the label-mismatch condition rides
+    the candidate join itself, so positives are never scored, never
+    ranked, never filtered after the fact.
+
+    Plan shape at 100 TB: the anchor set is the small side (a
+    training batch), broadcast into the corpus scan exactly like
+    vdb_batch_knn — the corpus is scanned once, never shuffled, and
+    per-anchor top-k is a bounded rank window. When the anchor set is
+    itself huge, candidate generation swaps to the LSH-bucketed
+    equi-join of vdb_batch_knn_lsh and the label-exclusion predicate
+    moves onto that join unchanged — mining cost is then
+    O(candidates), not O(anchors x corpus). Raw dot-product scoring
+    keeps the fold order of functions/vector.py:dot_product so every
+    score is oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("neg_label") != F.col("q_label")
+    ).select(
+        "query_id", "neg_id", "neg_label",
+        dot_product(F.col("cv"), F.col("qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neg_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            F.col("rank").cast("long").alias("rank"), "score",
+        )
+    )
