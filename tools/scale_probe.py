@@ -1697,6 +1697,82 @@ def main() -> None:
     probes["pdf_extract (encode+parse python per-row, mapInPandas)"] = (
         pdf_extract_probe)
 
+    # Segment-intersection spatial self-join (round 11, continued):
+    # the PBSM reference-point shape of geo_segment_intersections. The
+    # coordinate SPACE scales with sqrt(n) so segment DENSITY — and
+    # therefore candidate pairs per cell — stays constant: that is the
+    # regime a constant-density spatial corpus (road networks, parcel
+    # maps) actually grows in. A fixed-space probe would grow pair
+    # count quadratically by construction of the WORKLOAD (density
+    # doubling), not the algorithm, and tell us nothing.
+    def segment_intersections_probe(n: int) -> None:
+        n_segs = max(n // 4, 10_000)
+        side = (n_segs / 1500.0) ** 0.5
+        xm, ym = int(36000 * side), int(16000 * side)
+        cell = 4000
+        k = F.col("id") + 1
+        hx = F.pmod(k * k * 7 + k * 104729, F.lit(xm))
+        hy = F.pmod(k * k * 13 + k * 7919, F.lit(ym))
+        seg = spark.range(n_segs).select(
+            k.alias("sid"),
+            hx.alias("ax"),
+            (F.lit(700) + hy).alias("ay"),
+            (hx + 100 + F.pmod(k * 13, F.lit(1200))).alias("bx"),
+            (F.lit(700) + hy + F.pmod(k * 31, F.lit(1300)) - 650).alias("by"),
+        ).select(
+            "sid", "ax", "ay", "bx", "by",
+            F.col("ax").alias("x0"), F.col("bx").alias("x1"),
+            F.least("ay", "by").alias("y0"),
+            F.greatest("ay", "by").alias("y1"),
+        )
+        cells = F.expr(
+            f"explode(flatten(transform("
+            f"  sequence(x0 div {cell}, x1 div {cell}),"
+            f"  gx -> transform("
+            f"    sequence(y0 div {cell}, y1 div {cell}),"
+            f"    gy -> struct(gx as cx, gy as cy)))))"
+        )
+        rep = seg.select("*", cells.alias("c")).select(
+            "sid", "ax", "ay", "bx", "by", "x0", "x1", "y0", "y1",
+            F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+        )
+        cols = ("sid", "ax", "ay", "bx", "by", "x0", "x1", "y0", "y1")
+        a = rep.select(
+            *[F.col(c).alias(f"a_{c}") for c in cols], "cx", "cy")
+        b = rep.select(
+            *[F.col(c).alias(f"b_{c}") for c in cols], "cx", "cy")
+        cand = a.join(b, ["cx", "cy"]).filter(
+            (F.col("a_sid") < F.col("b_sid"))
+            & (F.col("a_x0") <= F.col("b_x1"))
+            & (F.col("b_x0") <= F.col("a_x1"))
+            & (F.col("a_y0") <= F.col("b_y1"))
+            & (F.col("b_y0") <= F.col("a_y1"))
+            & (F.col("cx")
+               == F.floor(F.greatest("a_x0", "b_x0") / cell).cast("long"))
+            & (F.col("cy")
+               == F.floor(F.greatest("a_y0", "b_y0") / cell).cast("long"))
+        )
+
+        def cr(px, py, qx, qy, rx, ry):
+            return (F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py)) - (
+                F.col(qy) - F.col(py)
+            ) * (F.col(rx) - F.col(px))
+
+        d1 = cr("b_ax", "b_ay", "b_bx", "b_by", "a_ax", "a_ay")
+        d2 = cr("b_ax", "b_ay", "b_bx", "b_by", "a_bx", "a_by")
+        d3 = cr("a_ax", "a_ay", "a_bx", "a_by", "b_ax", "b_ay")
+        d4 = cr("a_ax", "a_ay", "a_bx", "a_by", "b_bx", "b_by")
+        hit = F.when((d1 * d2 < 0) & (d3 * d4 < 0), 1).otherwise(0)
+        noop(
+            cand.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(hit).alias("n_intersections"),
+            )
+        )
+
+    probes["segment_intersections (PBSM ref-point, const density)"] = (
+        segment_intersections_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
