@@ -2942,3 +2942,167 @@ def vdb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"), "score",
         )
     )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    """Squared L2 with the same fold shape as sql_l2 (no sqrt)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _sq_l2(a, b):
+    """Squared L2 with the same fold shape as functions.vector
+    .l2_distance (no sqrt): zip_with squares, sequential fold."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "vdb_kcenter_coreset",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS o FROM embeddings
+),
+c1 AS (
+  SELECT vec_id AS id1, o AS o1 FROM e
+  ORDER BY list_dot_product(o, o) DESC, vec_id LIMIT 1
+),
+d1 AS (
+  SELECT e.vec_id, e.o, {_sq_l2_sql('e.o', 'c1.o1')} AS dc1
+  FROM e CROSS JOIN c1
+),
+c2 AS (
+  SELECT vec_id AS id2, o AS o2 FROM d1
+  ORDER BY dc1 DESC, vec_id LIMIT 1
+),
+d2 AS (
+  SELECT d1.vec_id, d1.o, d1.dc1, {_sq_l2_sql('d1.o', 'c2.o2')} AS dc2
+  FROM d1 CROSS JOIN c2
+),
+c3 AS (
+  SELECT vec_id AS id3, o AS o3 FROM d2
+  ORDER BY LEAST(dc1, dc2) DESC, vec_id LIMIT 1
+),
+d3 AS (
+  SELECT d2.vec_id, d2.dc1, d2.dc2, {_sq_l2_sql('d2.o', 'c3.o3')} AS dc3
+  FROM d2 CROSS JOIN c3
+),
+asg AS (
+  SELECT vec_id,
+         CASE WHEN dc1 <= dc2 AND dc1 <= dc3 THEN 1
+              WHEN dc2 <= dc3 THEN 2 ELSE 3 END AS center_rank,
+         LEAST(dc1, dc2, dc3) AS mind
+  FROM d3
+),
+ctr AS (
+  SELECT 1 AS center_rank, id1 AS center_id FROM c1
+  UNION ALL SELECT 2, id2 FROM c2
+  UNION ALL SELECT 3, id3 FROM c3
+)
+SELECT CAST(ctr.center_rank AS BIGINT) AS center_rank,
+       ctr.center_id,
+       CAST(COUNT(asg.vec_id) AS BIGINT) AS n_assigned,
+       MAX(asg.mind) AS coverage_radius_sq
+FROM ctr LEFT JOIN asg ON asg.center_rank = ctr.center_rank
+GROUP BY ctr.center_rank, ctr.center_id
+""",
+    tags=("vector", "coreset", "k-center", "diversity", "curation"),
+)
+def vdb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY CORESET (Gonzalez 1985; the diverse-subset
+    selector behind active-learning and training-data curation, cf.
+    Sener & Savarese 2018) — pick k=3 maximally-spread representatives:
+    seed with the max-norm vector, then repeatedly take the point
+    FARTHEST from its nearest chosen center (the classic 2-approx for
+    the k-center objective). Every argmax is a TakeOrdered with a
+    vec_id tiebreak, so the greedy trajectory is deterministic and the
+    whole recursion unrolls into SQL the same way geo_douglas_peucker
+    unrolls RDP — an ITERATIVE selection algorithm pinned bitwise
+    against the oracle. Output: each center, its assigned-point count
+    (nearest-center partition, ties to the lower rank), and the
+    per-center coverage radius — max over the radius column IS the
+    k-center objective value.
+
+    Plan shape at 100 TB: k passes over the corpus, each ONE scan +
+    a broadcast of O(d) state (the new center's vector rides a 1-row
+    broadcast crossJoin — model update, never data); the assignment
+    pass is scan + 3 fold expressions + one tiny groupBy. Greedy
+    k-center is exactly k scans — contrast coreset-by-clustering
+    which pays an iterated k-means. Squared L2 keeps the fold shape
+    of functions/vector.py so no sqrt crosses the engine boundary
+    until nothing is compared after it."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("o")
+    )
+    c1 = (
+        e.select(
+            F.col("vec_id").alias("id1"), F.col("o").alias("o1"),
+            dot_product("o", "o").alias("n2"),
+        )
+        .orderBy(F.desc("n2"), F.asc("id1"))
+        .limit(1)
+        .drop("n2")
+    )
+    d1 = e.crossJoin(F.broadcast(c1)).select(
+        "vec_id", "o", "id1", _sq_l2("o", "o1").alias("dc1")
+    )
+    c2 = (
+        d1.select(F.col("vec_id").alias("id2"), F.col("o").alias("o2"), "dc1")
+        .orderBy(F.desc("dc1"), F.asc("id2"))
+        .limit(1)
+        .drop("dc1")
+    )
+    d2 = d1.crossJoin(F.broadcast(c2)).select(
+        "vec_id", "o", "id1", "id2", "dc1",
+        _sq_l2("o", "o2").alias("dc2"),
+    )
+    c3 = (
+        d2.select(
+            F.col("vec_id").alias("id3"), F.col("o").alias("o3"),
+            F.least("dc1", "dc2").alias("m2"),
+        )
+        .orderBy(F.desc("m2"), F.asc("id3"))
+        .limit(1)
+        .drop("m2")
+    )
+    d3 = d2.crossJoin(F.broadcast(c3)).select(
+        "vec_id", "id1", "id2", "id3", "dc1", "dc2",
+        _sq_l2("o", "o3").alias("dc3"),
+    )
+    asg = d3.select(
+        "vec_id", "id1", "id2", "id3",
+        F.when(
+            (F.col("dc1") <= F.col("dc2")) & (F.col("dc1") <= F.col("dc3")), 1
+        )
+        .when(F.col("dc2") <= F.col("dc3"), 2)
+        .otherwise(3)
+        .alias("center_rank"),
+        F.least("dc1", "dc2", "dc3").alias("mind"),
+    )
+    out = asg.groupBy("center_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.max("mind").alias("coverage_radius_sq"),
+        F.first("id1").alias("id1"),
+        F.first("id2").alias("id2"),
+        F.first("id3").alias("id3"),
+    )
+    return out.select(
+        F.col("center_rank").cast("long").alias("center_rank"),
+        F.when(F.col("center_rank") == 1, F.col("id1"))
+        .when(F.col("center_rank") == 2, F.col("id2"))
+        .otherwise(F.col("id3"))
+        .alias("center_id"),
+        "n_assigned",
+        "coverage_radius_sq",
+    )

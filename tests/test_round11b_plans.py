@@ -193,3 +193,55 @@ def test_rabitq_estimator_shortlist_recall(spark, sf_dir):
         .collect()
     }
     assert len(est_top & exact_top) >= 6
+
+
+def test_kcenter_coreset_matches_pure_python_greedy(spark, sf_dir):
+    """Independent recount of the greedy trajectory: pure-python
+    sequential-fold distances (the exact IEEE op sequence the Catalyst
+    aggregate performs) must pick the same three centers, and the
+    reported coverage radius must equal the recomputed k-center
+    objective."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def norm2(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc
+
+    c1 = min(vecs, key=lambda i: (-norm2(vecs[i]), i))
+    d = {i: sq(v, vecs[c1]) for i, v in vecs.items()}
+    c2 = min(vecs, key=lambda i: (-d[i], i))
+    d = {i: min(d[i], sq(v, vecs[c2])) for i, v in vecs.items()}
+    c3 = min(vecs, key=lambda i: (-d[i], i))
+    d = {i: min(d[i], sq(v, vecs[c3])) for i, v in vecs.items()}
+
+    got = {
+        r["center_rank"]: r
+        for r in QUERIES["vdb_kcenter_coreset"].fn(spark, sf_dir).collect()
+    }
+    assert [got[k]["center_id"] for k in (1, 2, 3)] == [c1, c2, c3]
+    assert max(r["coverage_radius_sq"] for r in got.values()) == max(
+        d.values()
+    )
+    assert sum(r["n_assigned"] for r in got.values()) == len(vecs)
+
+
+def test_kcenter_coreset_broadcasts_centers_not_data(spark, sf_dir):
+    """Each greedy round must ride a broadcast of the 1-row center
+    frame — never a shuffled or nested-loop join of the corpus."""
+    plan = _plan(spark, sf_dir, "vdb_kcenter_coreset")
+    assert plan.count("BroadcastNestedLoopJoin") >= 3  # 1-row crossJoins
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
