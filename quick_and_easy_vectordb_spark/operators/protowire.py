@@ -1,0 +1,128 @@
+"""Protobuf WIRE FORMAT encode/decode, dependency-free.
+
+The protobuf wire format (public spec: protobuf.dev/programming-guides/
+encoding) is the de-facto record serialization for training-data
+pipelines (TFRecord payloads, RPC logs, feature stores). This module
+implements the two wire types the record schema below needs, in pure
+python, executor-side:
+
+- wire type 0 (VARINT): base-128 little-endian groups, MSB = continue
+- wire type 2 (LEN): varint length prefix + raw bytes
+
+Schema used by the roundtrip query (field numbers < 16, so every tag
+is exactly one byte ``(field << 3) | wire_type``):
+
+    message Doc {
+      int64  doc_id  = 1;  // varint
+      string lang    = 2;  // len-delimited, utf-8
+      string source  = 3;  // len-delimited, utf-8
+      int64  n_chars = 4;  // varint
+    }
+
+The encoder and decoder are written INDEPENDENTLY (the decoder never
+reuses encoder state) so a roundtrip genuinely exercises the parse:
+the decoder walks tag bytes, dispatches on wire type, and tolerates
+unknown fields by skipping them — the forward-compatibility behavior
+the spec mandates.
+
+Reference context: the reference app (app.py:1-193) has no binary
+serialization; this is pipeline-extension surface (SURVEY.md §2b).
+No reference code is used; the wire format is the public spec.
+"""
+
+from __future__ import annotations
+
+
+def encode_varint(value: int) -> bytes:
+    """Base-128 varint (non-negative; int64 values in this schema are
+    always >= 0 here — negative would need 10-byte two's-complement)."""
+    if value < 0:
+        raise ValueError("negative varint needs zigzag/10-byte form")
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Return (value, new_pos); raises on truncation or >10 bytes."""
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if shift > 63:
+            raise ValueError("varint exceeds 10 bytes")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def varint_size(value: int) -> int:
+    """Encoded byte length of a non-negative varint (the closed form
+    the DuckDB oracle mirrors as a CASE over powers of 128)."""
+    n = 1
+    while value >= 0x80:
+        value >>= 7
+        n += 1
+    return n
+
+
+def encode_doc(doc_id: int, lang: str, source: str, n_chars: int) -> bytes:
+    """Encode one Doc message (fields in ascending field-number order,
+    the canonical serialization)."""
+    lb = lang.encode("utf-8")
+    sb = source.encode("utf-8")
+    out = bytearray()
+    out.append((1 << 3) | 0)            # doc_id, varint
+    out += encode_varint(doc_id)
+    out.append((2 << 3) | 2)            # lang, len-delimited
+    out += encode_varint(len(lb))
+    out += lb
+    out.append((3 << 3) | 2)            # source, len-delimited
+    out += encode_varint(len(sb))
+    out += sb
+    out.append((4 << 3) | 0)            # n_chars, varint
+    out += encode_varint(n_chars)
+    return bytes(out)
+
+
+def decode_doc(buf: bytes) -> dict:
+    """Parse one Doc message. Unknown fields are SKIPPED (spec
+    forward-compatibility); unknown wire types raise. Returns a dict
+    with doc_id/lang/source/n_chars (missing fields keep proto3
+    defaults: 0 / '')."""
+    out = {"doc_id": 0, "lang": "", "source": "", "n_chars": 0}
+    pos = 0
+    while pos < len(buf):
+        key, pos = decode_varint(buf, pos)
+        field, wtype = key >> 3, key & 0x07
+        if wtype == 0:
+            val, pos = decode_varint(buf, pos)
+            if field == 1:
+                out["doc_id"] = val
+            elif field == 4:
+                out["n_chars"] = val
+            # unknown varint field: value already consumed
+        elif wtype == 2:
+            ln, pos = decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("truncated length-delimited field")
+            raw = buf[pos : pos + ln]
+            pos += ln
+            if field == 2:
+                out["lang"] = raw.decode("utf-8")
+            elif field == 3:
+                out["source"] = raw.decode("utf-8")
+            # unknown LEN field: bytes already skipped
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+    return out

@@ -2131,3 +2131,96 @@ def src_pdf_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@query(
+    "src_protobuf_wire_roundtrip",
+    oracle="""
+WITH sz AS (
+  SELECT lang, source, n_chars,
+         1 + (CASE WHEN doc_id < 128 THEN 1
+                   WHEN doc_id < 16384 THEN 2
+                   WHEN doc_id < 2097152 THEN 3
+                   WHEN doc_id < 268435456 THEN 4
+                   ELSE 5 END)
+       + 1 + 1 + length(lang)
+       + 1 + 1 + length(source)
+       + 1 + (CASE WHEN n_chars < 128 THEN 1
+                   WHEN n_chars < 16384 THEN 2
+                   WHEN n_chars < 2097152 THEN 3
+                   WHEN n_chars < 268435456 THEN 4
+                   ELSE 5 END) AS wire_bytes
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(wire_bytes) AS BIGINT) AS sum_wire_bytes
+FROM sz GROUP BY lang, source
+""",
+    tags=("sources", "protobuf", "wire-format", "serialization",
+          "roundtrip"),
+)
+def src_protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF WIRE-FORMAT encode → decode roundtrip — the record
+    serialization every TFRecord/feature-store/RPC-log pipeline pays
+    at ingest, implemented dependency-free from the public spec
+    (operators/protowire.py: varints, one-byte tags, length-delimited
+    strings, unknown-field skipping). Each document row is encoded to
+    wire bytes and re-parsed by an INDEPENDENT decoder inside one
+    mapInPandas pass; the decoded fields flow into the per-(lang,
+    source) aggregate, so any parse corruption breaks the counts. The
+    oracle is the spec itself: the per-row wire size has a CLOSED FORM
+    (tag byte + base-128 varint length per field, length prefix +
+    payload for strings) that DuckDB computes as a CASE over powers of
+    128 — sum_wire_bytes pins the ENCODER byte-for-byte against the
+    published encoding rules without the oracle ever touching a byte
+    buffer.
+
+    Plan shape at 100 TB: one Arrow-batched python pass, zero
+    shuffles before the tiny (lang, source) aggregate; serialization
+    cost scales out with executors exactly like the codec family
+    (SCALING.md codec_decode/pdf_extract rows). At ingest the decode
+    half runs alone over binary payload columns (webdataset/tar or
+    kafka bytes); the encode half is the writer path."""
+    from quick_and_easy_vectordb_spark.operators.protowire import (
+        decode_doc,
+        encode_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs, sources, chars, sizes = [], [], [], []
+            for doc_id, lang, source, n_chars in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                wire = encode_doc(
+                    int(doc_id), str(lang), str(source), int(n_chars)
+                )
+                dec = decode_doc(wire)
+                if dec["doc_id"] != int(doc_id) or dec["n_chars"] != int(
+                    n_chars
+                ):
+                    raise ValueError("wire roundtrip mismatch")
+                langs.append(dec["lang"])
+                sources.append(dec["source"])
+                chars.append(dec["n_chars"])
+                sizes.append(len(wire))
+            yield pd.DataFrame(
+                {"lang": langs, "source": sources, "n_chars": chars,
+                 "wire_bytes": sizes}
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip,
+        "lang string, source string, n_chars long, wire_bytes long",
+    )
+    return decoded.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("wire_bytes").cast("long").alias("sum_wire_bytes"),
+    )
