@@ -64,11 +64,27 @@ def canonical(df: pd.DataFrame) -> tuple[int, list[str], str, list[str]]:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
     sf_dir = SF_DIR
-    for a in sys.argv[1:]:
+    argv = []
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            if i + 1 >= len(args):
+                print("--sf needs a directory argument")
+                return 2
+            sf_dir = args[i + 1]
+            i += 1
+        elif not a.startswith("--"):
+            argv.append(a)
+        i += 1
+    unknown = [n for n in argv if n not in QUERIES]
+    if unknown:
+        print(f"unknown query name(s): {unknown}")
+        return 2
     names = argv or list(QUERIES)
 
     spark = get_spark("oracle-check")
