@@ -2347,3 +2347,116 @@ def geo_distance_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("c_custkey"), F.lit(-1)).cast("long")
         .alias("min_uncovered_key"),
     )
+
+
+# Hexagonal binning lattice (doubled integer coordinates so odd-row
+# offsets stay integral): centers every _HEX_HS horizontally, rows
+# every _HEX_VS vertically, odd rows shifted _HEX_HS/2. _HEX_VS ~
+# _HEX_HS * sqrt(3)/2 makes the Voronoi cells near-regular hexagons;
+# EXACTNESS needs only that both engines use the same integer centers.
+_HEX_HS = 2000
+_HEX_VS = 1732
+
+
+def _hex_sql() -> str:
+    """Nearest-hex-center assignment, fully unrolled: two candidate
+    rows (below/above), nearest in-row center for each, pick the
+    closer by exact integer squared distance (ties -> lower row)."""
+    return f"""
+  SELECT c_custkey,
+         2 * ((c_custkey * 104729) % 36000) AS x2,
+         2 * ((c_custkey * 7919) % 18000) AS y2
+  FROM customer
+"""
+
+
+@query(
+    "geo_hex_binning",
+    oracle=f"""
+WITH p AS ({_hex_sql()}),
+cand AS (
+  SELECT c_custkey, x2, y2,
+         y2 // {_HEX_VS} AS j1,
+         y2 // {_HEX_VS} + 1 AS j2
+  FROM p
+),
+cc AS (
+  SELECT c_custkey, x2, y2, j1, j2,
+         (x2 - (j1 % 2) * {_HEX_HS // 2} + {_HEX_HS // 2}) // {_HEX_HS}
+           AS i1,
+         (x2 - (j2 % 2) * {_HEX_HS // 2} + {_HEX_HS // 2}) // {_HEX_HS}
+           AS i2
+  FROM cand
+),
+dd AS (
+  SELECT c_custkey, j1, j2, i1, i2,
+         (x2 - (i1 * {_HEX_HS} + (j1 % 2) * {_HEX_HS // 2}))
+           * (x2 - (i1 * {_HEX_HS} + (j1 % 2) * {_HEX_HS // 2}))
+           + (y2 - j1 * {_HEX_VS}) * (y2 - j1 * {_HEX_VS}) AS d1,
+         (x2 - (i2 * {_HEX_HS} + (j2 % 2) * {_HEX_HS // 2}))
+           * (x2 - (i2 * {_HEX_HS} + (j2 % 2) * {_HEX_HS // 2}))
+           + (y2 - j2 * {_HEX_VS}) * (y2 - j2 * {_HEX_VS}) AS d2
+  FROM cc
+),
+asg AS (
+  SELECT c_custkey,
+         CASE WHEN d1 <= d2 THEN i1 ELSE i2 END AS hex_i,
+         CASE WHEN d1 <= d2 THEN j1 ELSE j2 END AS hex_j
+  FROM dd
+)
+SELECT hex_i, hex_j,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM asg GROUP BY hex_i, hex_j
+""",
+    tags=("geo", "hex-binning", "h3", "voronoi", "spatial-index"),
+)
+def geo_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEXAGONAL BINNING — the H3/Uber-style spatial aggregation
+    (hex cells have uniform neighbor distances, which is why modern
+    geospatial stacks bin hexagonally rather than by square or
+    geohash): each point is assigned to the NEAREST center of an
+    offset lattice (rows every VS, centers every HS, odd rows shifted
+    HS/2) — the Voronoi diagram of that lattice IS a hex grid. The
+    assignment needs only TWO candidates (nearest in-row center of
+    the row below and above), compared by exact integer squared
+    distance on DOUBLED coordinates (so the half-spacing odd-row
+    offset stays integral): no trigonometry, no floats, no cube
+    rounding — the whole hex transform is a handful of integer
+    divs and multiplies, unrolled identically in both engines, ties
+    broken to the lower row.
+
+    Plan shape at 100 TB: assignment is one codegen projection over
+    the point scan; the rollup is one map-side-combined aggregate on
+    (hex_i, hex_j) — identical cost to the square-grid geo_tile_pyramid
+    with the neighbor-uniformity benefit hex analysts want. Coarser
+    hex pyramids reaggregate the cell table (7-child H3-style rollups)
+    without re-reading points."""
+    cust = load_table(spark, sf_dir, "customer")
+    hs, vs, h2 = _HEX_HS, _HEX_VS, _HEX_HS // 2
+    p = cust.select(
+        "c_custkey",
+        (2 * ((F.col("c_custkey") * 104729) % 36000)).alias("x2"),
+        (2 * ((F.col("c_custkey") * 7919) % 18000)).alias("y2"),
+    )
+    j1 = (F.col("y2") / vs).cast("long")
+    j2 = j1 + 1
+    i1 = ((F.col("x2") - (j1 % 2) * h2 + h2) / hs).cast("long")
+    i2 = ((F.col("x2") - (j2 % 2) * h2 + h2) / hs).cast("long")
+    cx1 = i1 * hs + (j1 % 2) * h2
+    cx2 = i2 * hs + (j2 % 2) * h2
+    d1 = (F.col("x2") - cx1) * (F.col("x2") - cx1) + (
+        F.col("y2") - j1 * vs
+    ) * (F.col("y2") - j1 * vs)
+    d2 = (F.col("x2") - cx2) * (F.col("x2") - cx2) + (
+        F.col("y2") - j2 * vs
+    ) * (F.col("y2") - j2 * vs)
+    asg = p.select(
+        "c_custkey",
+        F.when(d1 <= d2, i1).otherwise(i2).alias("hex_i"),
+        F.when(d1 <= d2, j1).otherwise(j2).alias("hex_j"),
+    )
+    return asg.groupBy("hex_i", "hex_j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("c_custkey").cast("long").alias("key_checksum"),
+    )
