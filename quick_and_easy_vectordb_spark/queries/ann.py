@@ -3065,3 +3065,102 @@ def ann_rabitq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_dot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# Tier-1 of the cascade reuses the packed-sign-word Hamming fragment
+# shared with vdb_binary_quantized_search (defined with the other
+# binary-quantization helpers in queries/vector.py; vector is fully
+# imported before ann in the registry's import order).
+from quick_and_easy_vectordb_spark.queries.vector import (  # noqa: E402
+    _SQL_HAMMING as _SQL_BIN_HAMMING,
+)
+
+
+@query(
+    "ann_rerank_cascade",
+    oracle=f"""
+WITH c1 AS (
+  SELECT vec_id, {_SQL_BIN_HAMMING} AS hamming
+  FROM embeddings ORDER BY hamming, vec_id LIMIT 200
+),
+{SQL_SQ8_DQ},
+s2 AS (
+  SELECT c1.vec_id, c1.hamming, {sql_dot('dq.e8', sql_vec(QUERY_VEC))}
+           AS sq8_score
+  FROM c1 JOIN dq ON dq.vec_id = c1.vec_id
+  ORDER BY sq8_score DESC, c1.vec_id LIMIT 50
+),
+s3 AS (
+  SELECT s2.vec_id, s2.hamming, s2.sq8_score,
+         {sql_dot(_EMB, sql_vec(QUERY_VEC))} AS score
+  FROM s2 JOIN embeddings e ON e.vec_id = s2.vec_id
+  ORDER BY score DESC, s2.vec_id LIMIT 10
+)
+SELECT vec_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+         AS rank,
+       hamming, sq8_score, score
+FROM s3
+""",
+    tags=("ann", "cascade", "rerank", "binary", "sq8", "serving"),
+)
+def ann_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-TIER RERANK CASCADE — the production ANN serving topology
+    (binary prefilter → scalar-quantized rerank → exact rerank), each
+    tier cutting candidates ~4x while reading a progressively wider
+    representation: (1) packed sign bits (2 words/vector, 16x smaller
+    than float32 — the tier that scans billions) keep the 200 nearest
+    by Hamming; (2) the SQ8 bin-midpoint reconstruction (8x smaller)
+    rescores those 200 by approximate dot and keeps 50; (3) exact
+    floats rerank the 50 into the final 10. The engine's existing
+    single-tier queries (vdb_binary_quantized_search, ann_sq8_search,
+    vdb_topk_dot) are this cascade's stages run in isolation; the
+    composition is what a serving system actually executes, and the
+    whole funnel is ONE lazy plan — candidates flow tier to tier as
+    broadcasts, never a driver round-trip.
+
+    Plan shape at 100 TB: tier-1 is the only corpus-wide scan and
+    touches only the packed-word column (TakeOrderedAndProject heap);
+    tiers 2-3 join 200-/50-row broadcast candidate sets back to
+    narrow column reads. Every tier is deterministic (id tiebreaks),
+    so the full funnel — including which candidates survive each cut
+    — hash-matches the oracle's identical three-CTE cascade."""
+    from quick_and_easy_vectordb_spark.queries.vector import (
+        _QW,
+        _spark_sign_word,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ham = (
+        F.bit_count(_spark_sign_word("embedding", 0).bitwiseXOR(F.lit(_QW[0])))
+        + F.bit_count(
+            _spark_sign_word("embedding", 1).bitwiseXOR(F.lit(_QW[1]))
+        )
+    ).cast("long")
+    c1 = (
+        emb.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(200)
+    )
+    s2 = (
+        _sq8_scored(emb)
+        .join(F.broadcast(c1), "vec_id")
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    q = vector_literal(QUERY_VEC)
+    s3 = (
+        emb.join(F.broadcast(s2), "vec_id")
+        .select(
+            "vec_id", "hamming", "sq8_score",
+            dot_product("embedding", q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return s3.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "hamming", "sq8_score", "score",
+    )
