@@ -3892,3 +3892,102 @@ def text_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.length("html"))
         ).alias("content_ratio"),
     )
+
+
+@query(
+    "text_dictionary_phrase_match",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS w,
+         generate_subscripts(string_split(t, ' '), 1) AS pos
+  FROM d WHERE t <> ''
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM (SELECT string_split(t, ' ') AS w FROM d WHERE t <> '')
+  WHERE len(w) >= 2
+),
+dict AS (
+  SELECT bigram AS phrase,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 10)
+),
+m AS (
+  SELECT dict.phrase, t1.doc_id
+  FROM toks t1
+  JOIN dict ON t1.w = dict.w1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+              AND t2.w = dict.w2
+)
+SELECT phrase,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM m GROUP BY phrase
+""",
+    tags=("text", "dictionary-match", "multi-pattern", "blocklist",
+          "curation"),
+)
+def text_dictionary_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PATTERN DICTIONARY MATCHING — the blocklist / PII-term /
+    brand-safety scan every curation pipeline runs: N phrases matched
+    against the whole corpus in ONE pass (the relational stand-in for
+    Aho-Corasick: broadcast the dictionary, anchor on each phrase's
+    FIRST token, verify the remaining tokens positionally). The
+    dictionary here is self-derived (the corpus's top-10 bigrams, the
+    text_top_bigrams shape) so the fixture is guaranteed to exercise
+    hits; a production run swaps in its term table unchanged. Per
+    phrase: matched-document count and total occurrences —
+    text_positional_phrase_search is the single-phrase special case;
+    the dictionary join is what makes it N-phrases-one-scan.
+
+    Plan shape at 100 TB: the anchor join t1 ⨝ broadcast(dict) FILTERS
+    the positional token table down to first-token hits BEFORE the
+    (doc, pos)-keyed positional self-join — the join input shrinks by
+    the dictionary's selectivity, so cost tracks matches, not corpus ×
+    patterns. Longer phrases add one positional join per extra token
+    (same shape, same key); the token table is built once and shuffled
+    once."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    toks = docs.select(
+        "doc_id", F.posexplode(w).alias("pos", "w")
+    ).persist()
+    bigrams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    )
+    dic = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(10)
+        .select(
+            F.col("bigram").alias("phrase"),
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+    )
+    t1 = toks.join(F.broadcast(dic), F.col("w") == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2"
+    )
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("w").alias("wb"),
+    )
+    m = t1.join(
+        t2,
+        (F.col("d2") == F.col("doc_id"))
+        & (F.col("p2") == F.col("pos") + 1)
+        & (F.col("wb") == F.col("w2")),
+    )
+    return m.groupBy("phrase").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
