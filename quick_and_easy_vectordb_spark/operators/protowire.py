@@ -50,7 +50,12 @@ def encode_varint(value: int) -> bytes:
 
 
 def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    """Return (value, new_pos); raises on truncation or >10 bytes."""
+    """Return (value, new_pos); raises on truncation, on encodings
+    longer than 10 bytes, and on values outside the spec's 64-bit
+    range (a 10-byte group CAN encode up to 2^70-1 — real decoders
+    must reject or truncate the excess; this one rejects, so a
+    corrupt stream can never smuggle an out-of-range int into an
+    int64 column)."""
     result = 0
     shift = 0
     while True:
@@ -62,6 +67,8 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
+            if result >= 1 << 64:
+                raise ValueError("varint exceeds 64 bits")
             return result, pos
         shift += 7
 

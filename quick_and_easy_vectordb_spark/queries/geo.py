@@ -2358,11 +2358,9 @@ _HEX_HS = 2000
 _HEX_VS = 1732
 
 
-def _hex_sql() -> str:
-    """Nearest-hex-center assignment, fully unrolled: two candidate
-    rows (below/above), nearest in-row center for each, pick the
-    closer by exact integer squared distance (ties -> lower row)."""
-    return f"""
+# Point synthesis on DOUBLED coordinates (the assignment logic itself
+# lives in geo_hex_binning's oracle CTEs / Spark expressions below).
+_SQL_HEX_PTS = """
   SELECT c_custkey,
          2 * ((c_custkey * 104729) % 36000) AS x2,
          2 * ((c_custkey * 7919) % 18000) AS y2
@@ -2373,7 +2371,7 @@ def _hex_sql() -> str:
 @query(
     "geo_hex_binning",
     oracle=f"""
-WITH p AS ({_hex_sql()}),
+WITH p AS ({_SQL_HEX_PTS}),
 cand AS (
   SELECT c_custkey, x2, y2,
          y2 // {_HEX_VS} AS j1,

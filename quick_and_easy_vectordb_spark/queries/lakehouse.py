@@ -2135,6 +2135,11 @@ def src_pdf_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "src_protobuf_wire_roundtrip",
+    # varint_len: full 1..9-group ladder (int64 values here are
+    # non-negative, so <= 9 groups of 7 bits); string sizes use
+    # strlen() — DuckDB's BYTE length, matching the encoder's utf-8
+    # byte counts — and the length PREFIX is itself varint-sized, not
+    # a hardcoded single byte.
     oracle="""
 WITH sz AS (
   SELECT lang, source, n_chars,
@@ -2142,14 +2147,24 @@ WITH sz AS (
                    WHEN doc_id < 16384 THEN 2
                    WHEN doc_id < 2097152 THEN 3
                    WHEN doc_id < 268435456 THEN 4
-                   ELSE 5 END)
-       + 1 + 1 + length(lang)
-       + 1 + 1 + length(source)
+                   WHEN doc_id < 34359738368 THEN 5
+                   WHEN doc_id < 4398046511104 THEN 6
+                   WHEN doc_id < 562949953421312 THEN 7
+                   WHEN doc_id < 72057594037927936 THEN 8
+                   ELSE 9 END)
+       + 1 + (CASE WHEN strlen(lang) < 128 THEN 1 ELSE 2 END)
+           + strlen(lang)
+       + 1 + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END)
+           + strlen(source)
        + 1 + (CASE WHEN n_chars < 128 THEN 1
                    WHEN n_chars < 16384 THEN 2
                    WHEN n_chars < 2097152 THEN 3
                    WHEN n_chars < 268435456 THEN 4
-                   ELSE 5 END) AS wire_bytes
+                   WHEN n_chars < 34359738368 THEN 5
+                   WHEN n_chars < 4398046511104 THEN 6
+                   WHEN n_chars < 562949953421312 THEN 7
+                   WHEN n_chars < 72057594037927936 THEN 8
+                   ELSE 9 END) AS wire_bytes
   FROM documents
 )
 SELECT lang, source,

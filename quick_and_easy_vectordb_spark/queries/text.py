@@ -3832,7 +3832,7 @@ s AS (
            regexp_replace(
              regexp_replace(html, '<script>[\s\S]*?</script>', ' ', 'g'),
              '<[^>]*>', ' ', 'g'),
-           '\s+', ' ', 'g')) AS content
+           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS content
   FROM h
 )
 SELECT source,
@@ -3872,12 +3872,16 @@ def text_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1><p>"),
         F.col("text"), F.lit("</p><script>track();</script></body></html>"),
     )
+    # Whitespace squeeze uses an EXPLICIT class, not \s: Java's \s
+    # includes \x0B (vertical tab) while RE2's does not — the one
+    # character where the engines' shorthands disagree. ([\s\S] above
+    # is safe: each engine's own union is still "every character".)
     content = F.trim(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(html, r"<script>[\s\S]*?</script>", " "),
                 r"<[^>]*>", " "),
-            r"\s+", " ")
+            r"[ \t\n\x0B\f\r]+", " ")
     )
     s = docs.select("source", html.alias("html"), content.alias("content"))
     return s.groupBy("source").agg(

@@ -3081,7 +3081,7 @@ def vdb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sq_l2("o", "o3").alias("dc3"),
     )
     asg = d3.select(
-        "vec_id", "id1", "id2", "id3",
+        "vec_id",
         F.when(
             (F.col("dc1") <= F.col("dc2")) & (F.col("dc1") <= F.col("dc3")), 1
         )
@@ -3090,19 +3090,22 @@ def vdb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("center_rank"),
         F.least("dc1", "dc2", "dc3").alias("mind"),
     )
-    out = asg.groupBy("center_rank").agg(
+    agg = asg.groupBy("center_rank").agg(
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
         F.max("mind").alias("coverage_radius_sq"),
-        F.first("id1").alias("id1"),
-        F.first("id2").alias("id2"),
-        F.first("id3").alias("id3"),
     )
-    return out.select(
+    # Mirror the oracle's ctr LEFT JOIN: every center rank emits a row
+    # even with zero assigned points (possible only on degenerate
+    # duplicate-vector corpora, where a later center coincides with an
+    # earlier one and the lower-rank tiebreak absorbs its points).
+    ctr = (
+        c1.select(F.lit(1).alias("center_rank"), F.col("id1").alias("center_id"))
+        .unionAll(c2.select(F.lit(2), F.col("id2")))
+        .unionAll(c3.select(F.lit(3), F.col("id3")))
+    )
+    return ctr.join(F.broadcast(agg), "center_rank", "left").select(
         F.col("center_rank").cast("long").alias("center_rank"),
-        F.when(F.col("center_rank") == 1, F.col("id1"))
-        .when(F.col("center_rank") == 2, F.col("id2"))
-        .otherwise(F.col("id3"))
-        .alias("center_id"),
-        "n_assigned",
+        "center_id",
+        F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
         "coverage_radius_sq",
     )

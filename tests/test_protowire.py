@@ -35,6 +35,14 @@ def test_varint_errors():
         decode_varint(b"\x80" * 11, 0)  # > 10 bytes
     with pytest.raises(ValueError):
         encode_varint(-1)
+    # 10 bytes whose shifts are legal but whose VALUE exceeds 2^64-1:
+    # nine continuation groups then 0x7F at shift 63 → ~2^70. The spec
+    # caps varints at 64 bits; the decoder must reject, not return an
+    # unbounded int that would overflow an int64 Arrow column.
+    with pytest.raises(ValueError):
+        decode_varint(b"\xff" * 9 + b"\x7f", 0)
+    # ...but exactly 2^64-1 (the max uint64) still decodes.
+    assert decode_varint(b"\xff" * 9 + b"\x01", 0)[0] == 2**64 - 1
 
 
 def test_decode_hand_written_message():

@@ -245,3 +245,26 @@ def test_kcenter_coreset_broadcasts_centers_not_data(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") >= 3  # 1-row crossJoins
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kcenter_emits_all_ranks_on_degenerate_corpus(spark, sf_dir, tmp_path):
+    """On an all-duplicate corpus every greedy argmax collapses onto
+    the same vector and every point ties to rank 1 — the output must
+    still emit ALL THREE ranks (zero-assigned ranks included), exactly
+    like the oracle's ctr LEFT JOIN."""
+    import os
+
+    rows = [(i, [1.0] * 8, 0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "degenerate")
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["center_rank"]: r
+        for r in QUERIES["vdb_kcenter_coreset"].fn(spark, d).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["n_assigned"] == 6
+    assert out[2]["n_assigned"] == 0 and out[3]["n_assigned"] == 0
+    assert out[2]["coverage_radius_sq"] is None
