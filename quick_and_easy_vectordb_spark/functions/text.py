@@ -49,7 +49,7 @@ def _c(col: Column | str) -> Column:
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for near-dup comparison: lowercase, collapse all
     whitespace runs to single spaces, trim."""
-    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def tokens(col: Column | str) -> Column:

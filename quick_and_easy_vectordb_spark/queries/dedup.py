@@ -29,7 +29,7 @@ from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------- SQL
 # DuckDB fragments that mirror functions/text.py exactly.
-SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 # Shingle CTE chain over a relation R(doc_id, text) — mirrors
 # functions.text.word_shingles(n=3): distinct word 3-grams, whole-text
@@ -1097,7 +1097,7 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast dim against the corpus scan."""
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
-        "source", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("h")
+        "source", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+", " "))).alias("h")
     )
     cs = h.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -1918,7 +1918,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+", " ")
     )
     k = docs.select(
         "doc_id",

@@ -31,7 +31,7 @@ from quick_and_easy_vectordb_spark.operators.util import (
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
-SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 SQL_NTOK = "CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END"
 
 # Reusable quality-score CTE chain over ``documents`` ending in

@@ -460,9 +460,9 @@ def src_python_datasource_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
   FROM documents
-  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+  WHERE trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) <> ''
 ),
 chunks AS (
   SELECT doc_id, i AS chunk_idx,
@@ -936,9 +936,9 @@ def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
   FROM documents
-  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+  WHERE trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) <> ''
 )
 SELECT doc_id, CAST(i AS BIGINT) AS pos,
        w[i + 1] AS g1, w[i + 2] AS g2, w[i + 3] AS g3
@@ -1827,11 +1827,11 @@ def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 WITH d AS (
   SELECT source,
-         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+         len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ',
                                               'g')), ' ')) AS x,
          n_chars AS y
   FROM documents
-  WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+  WHERE trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) <> ''
 ),
 s AS (
   SELECT source,

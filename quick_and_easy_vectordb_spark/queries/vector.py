@@ -645,7 +645,7 @@ _RRF_K = 60
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
   FROM documents
 ),
 lex AS (
@@ -2070,7 +2070,7 @@ _BETA = 1 - _ALPHA  # computed ONCE in python; 1-0.7 differs by 1 ulp
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
   FROM documents
 ),
 lex AS (
