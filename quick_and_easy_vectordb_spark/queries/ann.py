@@ -3011,10 +3011,10 @@ t AS (
          list_dot_product(o, {sql_vec(QUERY_VEC)}) AS exact_dot
   FROM s
 )
-SELECT vec_id, n2 * sq / so AS est_dot, exact_dot,
-       n2 * sq / so - exact_dot AS err
+SELECT vec_id, n2 * sq / NULLIF(so, 0) AS est_dot, exact_dot,
+       n2 * sq / NULLIF(so, 0) - exact_dot AS err
 FROM t
-ORDER BY est_dot DESC, vec_id
+ORDER BY est_dot DESC NULLS LAST, vec_id
 LIMIT 10
 """,
     tags=("ann", "rabitq", "binary-quantization", "estimator", "topk"),
@@ -3027,8 +3027,10 @@ def ann_rabitq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     true inner product, so the 1-bit index can RANK BY DOT PRODUCT,
     not just by bit overlap. With x_b = sign(o)/sqrt(D) the estimator
     <o,q> ≈ ||o||² · <sign(o), q> / <sign(o), o> (the 1/sqrt(D)
-    cancels); <sign(o), o> = Σ|o_i| > 0, so the correction is always
-    defined. This build omits the paper's random rotation (it exists
+    cancels); <sign(o), o> = Σ|o_i| > 0 for any non-zero vector, and
+    for the all-zero degenerate case both engines NULL the estimate
+    via an explicit NULLIF/when guard (Spark non-ANSI division would
+    otherwise yield NULL while DuckDB yields ±Infinity — divergent). This build omits the paper's random rotation (it exists
     to make the error bound data-independent; determinism is what
     makes the estimator oracle-checkable here) — the estimator algebra
     and storage layout are the paper's. Output: top-10 by ESTIMATED
@@ -3056,13 +3058,18 @@ def ann_rabitq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_product(sg, q).alias("sq"),
         dot_product("embedding", q).alias("exact_dot"),
     )
-    est = F.col("n2") * F.col("sq") / F.col("so")
+    # Zero-vector guard: NULL the estimate when <sign(o),o> = 0 so the
+    # Spark and DuckDB sides agree even on a degenerate corpus (Spark's
+    # non-ANSI x/0 is NULL; DuckDB's is +-Infinity).
+    est = F.when(
+        F.col("so") != 0, F.col("n2") * F.col("sq") / F.col("so")
+    )
     return (
         d.select(
             "vec_id", est.alias("est_dot"), "exact_dot",
             (est - F.col("exact_dot")).alias("err"),
         )
-        .orderBy(F.desc("est_dot"), F.asc("vec_id"))
+        .orderBy(F.desc_nulls_last("est_dot"), F.asc("vec_id"))
         .limit(10)
     )
 

@@ -2138,8 +2138,9 @@ def src_pdf_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # varint_len: full 1..9-group ladder (int64 values here are
     # non-negative, so <= 9 groups of 7 bits); string sizes use
     # strlen() — DuckDB's BYTE length, matching the encoder's utf-8
-    # byte counts — and the length PREFIX is itself varint-sized, not
-    # a hardcoded single byte.
+    # byte counts — and the length PREFIX is itself varint-sized with
+    # its own ladder (truncated at 5 groups = strings < 2^35 bytes,
+    # unconditionally true for anything a 2 GB Arrow batch can carry).
     oracle="""
 WITH sz AS (
   SELECT lang, source, n_chars,
@@ -2152,9 +2153,17 @@ WITH sz AS (
                    WHEN doc_id < 562949953421312 THEN 7
                    WHEN doc_id < 72057594037927936 THEN 8
                    ELSE 9 END)
-       + 1 + (CASE WHEN strlen(lang) < 128 THEN 1 ELSE 2 END)
+       + 1 + (CASE WHEN strlen(lang) < 128 THEN 1
+                   WHEN strlen(lang) < 16384 THEN 2
+                   WHEN strlen(lang) < 2097152 THEN 3
+                   WHEN strlen(lang) < 268435456 THEN 4
+                   ELSE 5 END)
            + strlen(lang)
-       + 1 + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END)
+       + 1 + (CASE WHEN strlen(source) < 128 THEN 1
+                   WHEN strlen(source) < 16384 THEN 2
+                   WHEN strlen(source) < 2097152 THEN 3
+                   WHEN strlen(source) < 268435456 THEN 4
+                   ELSE 5 END)
            + strlen(source)
        + 1 + (CASE WHEN n_chars < 128 THEN 1
                    WHEN n_chars < 16384 THEN 2

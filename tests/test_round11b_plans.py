@@ -12,7 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from quick_and_easy_vectordb_spark.plans.inspect import formatted_plan
+from quick_and_easy_vectordb_spark.plans.inspect import (
+    formatted_plan,
+    shuffle_count,
+)
 from quick_and_easy_vectordb_spark.queries import QUERIES
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -88,9 +91,10 @@ def test_grouped_ewma_recursion_matches_closed_form():
 
 
 def test_grouped_ewma_plan_is_one_group_pass(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "udf_grouped_ewma")
+    df = QUERIES["udf_grouped_ewma"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
     assert "FlatMapGroupsInPandas" in plan
-    assert plan.count("Exchange") == 2  # plan prints tree + details
+    assert shuffle_count(df) == 1  # one group-key shuffle, nothing else
 
 
 def test_hard_negative_mining_broadcasts_anchors(spark, sf_dir):

@@ -78,7 +78,13 @@ def main() -> int:
                 return 2
             sf_dir = args[i + 1]
             i += 1
-        elif not a.startswith("--"):
+        elif a.startswith("--"):
+            # A typo like --fs=dir silently running the default sf dir is
+            # exactly the failure mode that once made sf0.1 claims
+            # unverifiable — reject like unknown query names.
+            print(f"unknown flag: {a} (supported: --sf DIR / --sf=DIR)")
+            return 2
+        else:
             argv.append(a)
         i += 1
     unknown = [n for n in argv if n not in QUERIES]
