@@ -80,38 +80,97 @@ def main() -> None:
     # query's start so the emitted JSON carries its own noise evidence.
     load_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "90"))
     load_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "3.0"))
+    # Round-12 (VERDICT r11 item 2): the suite-start gate alone is not
+    # enough — r11's run started at load 3.4 and ENDED at 9.0, so a
+    # single wait up front guards only the first queries. The gate now
+    # also fires BEFORE EVERY TIMED REPEAT, drawing from one shared
+    # budget for the whole suite (bounded: a permanently-loaded host
+    # must still produce a JSON line, it just carries the load
+    # evidence). Per-query waits are recorded in DETAIL.
+    budget = {"left": float(os.environ.get(
+        "SPARK_GRAFT_BENCH_LOAD_BUDGET", "300"))}
+
+    def wait_quiet(max_this_wait: float) -> float:
+        w = 0.0
+        while (
+            os.getloadavg()[0] >= load_thresh
+            and w < max_this_wait
+            and budget["left"] > 0
+        ):
+            time.sleep(5.0)
+            w += 5.0
+            budget["left"] -= 5.0
+        return w
+
     load_start = round(os.getloadavg()[0], 2)
-    waited = 0.0
-    while os.getloadavg()[0] >= load_thresh and waited < load_wait_s:
-        time.sleep(5.0)
-        waited += 5.0
+    waited = wait_quiet(load_wait_s)
     load_at_timing = round(os.getloadavg()[0], 2)
+
+    def time_query(qd, n_runs: int, per_run_wait: float):
+        """n_runs noop-sink executions; returns (runs, run_loads,
+        wait_s) or raises the query's error."""
+        runs: list[float] = []
+        run_loads: list[float] = []
+        wait_total = 0.0
+        for _ in range(n_runs):
+            wait_total += wait_quiet(per_run_wait)
+            run_loads.append(round(os.getloadavg()[0], 2))
+            spark.catalog.clearCache()  # no cross-repeat cache reuse
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        return runs, run_loads, wait_total
+
+    per_repeat_wait = float(
+        os.environ.get("SPARK_GRAFT_BENCH_REPEAT_WAIT", "20")
+    )
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    loads: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
+    query_waits: dict[str, float] = {}
     for name, qd in bench_queries.items():
         if name in errors:
             continue
-        loads[name] = round(os.getloadavg()[0], 2)
-        runs: list[float] = []
-        for _ in range(repeats + 2 if name in noisy else repeats):
-            spark.catalog.clearCache()  # no cross-repeat cache reuse
-            t0 = time.perf_counter()
-            try:
-                df = qd.fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-            except Exception as e:  # noqa: BLE001
-                errors[name] = f"{type(e).__name__}: {e}"[:500]
-                break
-            runs.append(time.perf_counter() - t0)
-        if runs and name not in errors:
-            timings[name] = round(min(runs), 4)
-            srt = sorted(runs)
-            mid = len(srt) // 2
-            med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
-            medians[name] = round(med, 4)
-            all_runs[name] = [round(r, 4) for r in runs]
+        try:
+            runs, run_loads, w = time_query(
+                qd, repeats + 2 if name in noisy else repeats,
+                per_repeat_wait,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
+        loads[name] = run_loads
+        if w:
+            query_waits[name] = round(w, 1)
+        timings[name] = round(min(runs), 4)
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        medians[name] = round(med, 4)
+        all_runs[name] = [round(r, 4) for r in runs]
+
+    # Isolated pass (VERDICT r11 item 2b): the heavy queries (>= 2 s
+    # in-suite minimum) re-run min-of-4 in a fresh loop AFTER the
+    # suite, each repeat load-gated. On a quiet host these agree with
+    # the in-suite minima within noise; when they don't, the per-run
+    # load lists say why. The isolated minimum is the steady-state
+    # number for cross-round comparison of heavy movers.
+    iso_cut = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_CUT", "2.0"))
+    isolated: dict[str, float] = {}
+    isolated_runs: dict[str, list[float]] = {}
+    isolated_loads: dict[str, list[float]] = {}
+    for name in [n for n, t in timings.items() if t >= iso_cut]:
+        try:
+            runs, run_loads, _ = time_query(
+                bench_queries[name], 4, per_repeat_wait
+            )
+        except Exception:  # noqa: BLE001
+            continue  # already timed in-suite; isolation is best-effort
+        isolated[name] = round(min(runs), 4)
+        isolated_runs[name] = [round(r, 4) for r in runs]
+        isolated_loads[name] = run_loads
 
     total = round(sum(timings.values()), 4)
     # min is the headline (steady-state, comparable to a long-running
@@ -132,7 +191,10 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "runs": all_runs,
-                "load_1m_at_query_start": loads,
+                "load_1m_per_run": loads,
+                "load_wait_per_query_s": query_waits,
+                "isolated_runs": isolated_runs,
+                "isolated_load_1m_per_run": isolated_loads,
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -149,10 +211,15 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "n_errors": len(errors),
+                "isolated": isolated,
                 "load_1m_start": load_start,
                 "load_1m_at_timing": load_at_timing,
                 "load_1m_end": round(os.getloadavg()[0], 2),
                 "load_wait_s": round(waited, 1),
+                "load_wait_total_s": round(
+                    float(os.environ.get(
+                        "SPARK_GRAFT_BENCH_LOAD_BUDGET", "300"))
+                    - budget["left"], 1),
             }
         )
     )

@@ -62,7 +62,9 @@ def decode_image(payload: bytes):
     RGB / RGBA; zlib inflate + all five scanline filters), and
     BASELINE SEQUENTIAL JPEG (marker parse, Huffman entropy decode,
     dequantize, de-zigzag, 8x8 IDCT, YCbCr→RGB — pure numpy, no codec
-    libraries; progressive/arithmetic/12-bit JPEG raise). Video codecs
+    libraries; progressive/arithmetic/12-bit JPEG raise), and baseline
+    TIFF (operators/tiff.py — both endiannesses, multi-IFD, strips,
+    none/PackBits; LZW/tiles/planar-2 raise). Video codecs
     require ffmpeg, which this container lacks, and raise
     NotImplementedError. The mapInPandas pipeline around this call is
     identical either way — on a cluster with codec libraries, extend
@@ -93,6 +95,14 @@ def decode_image(payload: bytes):
         return _decode_gif(b)
     if b[:4] == b"qoif":
         return _decode_qoi(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # Baseline TIFF (operators/tiff.py): page 0 of the IFD chain;
+        # multi-page callers use tiff_decode_pages directly.
+        from quick_and_easy_vectordb_spark.operators.tiff import (
+            tiff_decode_pages,
+        )
+
+        return tiff_decode_pages(b)[0]
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)

@@ -3331,3 +3331,117 @@ def mm_pdf_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_product(embed(F.col("chunk_text")), q).alias("similarity"),
     )
     return scored.orderBy(F.desc("similarity"), F.asc("chunk_id")).limit(5)
+
+
+# --------------------------------------------------------------------------
+# Round 12: baseline TIFF decode (multi-IFD, both endiannesses, PackBits)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_tiff_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS w0, 4 + doc_id % 4 AS h0,
+         9 + doc_id % 7 AS w1, 5 + doc_id % 3 AS h1
+  FROM documents
+),
+rgb AS (
+  SELECT doc_id,
+         SUM((doc_id * 17 + i) % 256 + (doc_id * 27 + i) % 256
+             + (doc_id * 37 + i) % 256) AS rgb_sum
+  FROM (SELECT doc_id, w0, h0, unnest(range(w0 * h0)) AS i FROM dims)
+  GROUP BY doc_id
+),
+gray AS (
+  SELECT doc_id,
+         SUM((doc_id * 13 + (i // 4) * 5) % 256) AS gray_sum,
+         COUNT(*) AS n1
+  FROM (SELECT doc_id, w1, h1, unnest(range(w1 * h1)) AS i FROM dims)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(2 AS BIGINT) AS n_pages,
+       CAST(d.w0 AS BIGINT) AS width0, CAST(d.h0 AS BIGINT) AS height0,
+       CAST(r.rgb_sum AS BIGINT) AS rgb_sum,
+       CAST(g.gray_sum AS BIGINT) AS gray_sum,
+       CAST(g.gray_sum AS DOUBLE) / CAST(g.n1 AS DOUBLE) AS gray_mean
+FROM dims d JOIN rgb r USING (doc_id) JOIN gray g USING (doc_id)
+""",
+    tags=("multimodal", "decode", "tiff", "packbits", "mapInPandas"),
+)
+def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BASELINE-TIFF decode under the oracle gate — the last
+    mainstream still-image container joining the codec family
+    (operators/tiff.py; VERDICT r11 item 3). Per document a TWO-PAGE
+    TIFF is synthesized: page 0 an RGB raster (w = 6 + id%5, h = 4 +
+    id%4, channel c pixel i = (id*(17+10c) + i) % 256), page 1 a
+    grayscale raster with 4-pixel runs ((id*13 + (i//4)*5) % 256 —
+    the shape PackBits actually compresses). Byte order alternates
+    with document parity (II/MM both hot under the gate) and
+    compression alternates none/PackBits on id%3, with 3-row strips
+    forcing the multi-strip layout. The file is built by the
+    spec-subset encoder, decoded by the real IFD-walking parser
+    (tiff_decode_pages; roundtrip asserted per page), and reduced to
+    pixel statistics the DuckDB oracle reproduces in closed form from
+    the raster definition — the mm_decode_qoi_stats harness shape.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffles;
+    per-row Python decode cost scales out with executors like the
+    rest of the codec family (SCALING.md codec_decode row). Only
+    doc_id is read from the scan."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.tiff import (
+        tiff_decode_pages,
+        tiff_encode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_pages": [], "width0": [], "height0": [],
+                "rgb_sum": [], "gray_sum": [], "gray_mean": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w0, h0 = 6 + d % 5, 4 + d % 4
+                w1, h1 = 9 + d % 7, 5 + d % 3
+                i0 = np.arange(w0 * h0, dtype=np.int64)
+                rgb = np.stack(
+                    [(d * (17 + 10 * c) + i0) % 256 for c in range(3)],
+                    axis=1,
+                ).astype(np.uint8).reshape(h0, w0, 3)
+                i1 = np.arange(w1 * h1, dtype=np.int64)
+                gray = ((d * 13 + (i1 // 4) * 5) % 256).astype(
+                    np.uint8
+                ).reshape(h1, w1)
+                payload = tiff_encode(
+                    [rgb, gray],
+                    byteorder="<" if d % 2 == 0 else ">",
+                    compression=1 if d % 3 == 0 else 32773,
+                    rows_per_strip=3,
+                )
+                pages = tiff_decode_pages(payload)  # the real parser
+                assert len(pages) == 2
+                assert np.array_equal(pages[0], rgb)
+                assert np.array_equal(pages[1], gray[:, :, None])
+                gsum = int(pages[1].astype(np.int64).sum())
+                out["doc_id"].append(d)
+                out["n_pages"].append(len(pages))
+                out["width0"].append(w0)
+                out["height0"].append(h0)
+                out["rgb_sum"].append(int(pages[0].astype(np.int64).sum()))
+                out["gray_sum"].append(gsum)
+                out["gray_mean"].append(gsum / float(pages[1].size))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_pages long, width0 long, height0 long,"
+        " rgb_sum long, gray_sum long, gray_mean double",
+    )

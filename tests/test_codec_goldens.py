@@ -70,6 +70,18 @@ def test_jpeg_golden_external_gradient_within_upsample_tolerance():
     assert float(d.mean()) < 3.0
 
 
+def test_tiff_golden_external_packbits_bit_exact():
+    """The JDK's TIFFImageWriter emits big-endian ('MM') strip-layout
+    PackBits — a third-party encoder pinning the byte-order handling
+    AND the RLE decode path independently of this repo's own writer."""
+    g = _golden("tiff_packbits")
+    raw = base64.b64decode(g["b64"])
+    assert raw[:4] == b"MM\x00*"
+    img = decode_image(raw)
+    assert img.shape == (g["h"], g["w"], 3)
+    assert img.tolist() == g["pixels"]
+
+
 def test_wav_golden_external_pcm_exact():
     g = _golden("wav")
     samples, rate = decode_audio(base64.b64decode(g["b64"]))

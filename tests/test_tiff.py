@@ -1,0 +1,221 @@
+"""Baseline TIFF codec (operators/tiff.py): roundtrips, PackBits
+crafted cases, encoder golden pin, and out-of-subset guards.
+
+The guards matter as much as the happy path: the decoder must REFUSE
+(not silently mis-decode) every TIFF structure outside the supported
+subset — LZW/JPEG compression, tiles, planar=2, 16-bit, palette —
+because a wrong-but-plausible raster would flow straight into the
+oracle-checked statistics queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
+from quick_and_easy_vectordb_spark.operators.tiff import (
+    packbits_decode,
+    packbits_encode,
+    tiff_decode_pages,
+    tiff_encode,
+)
+
+
+def _raster_rgb(w, h, seed):
+    i = np.arange(w * h, dtype=np.int64)
+    return np.stack(
+        [(seed * (17 + 10 * c) + i) % 256 for c in range(3)], axis=1
+    ).astype(np.uint8).reshape(h, w, 3)
+
+
+def _raster_gray(w, h, seed):
+    i = np.arange(w * h, dtype=np.int64)
+    return ((seed * 13 + (i // 4) * 5) % 256).astype(np.uint8).reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# PackBits
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"A",
+        b"AB",
+        b"AAA",  # minimum run
+        b"A" * 128,  # exactly one max repeat packet
+        b"A" * 129,  # run splits across packets
+        b"A" * 300,
+        bytes(range(129)),  # literal splits across packets
+        b"AB" + b"C" * 3 + b"DE",  # literal-run-literal
+        b"AAABBBCCCD" * 50,
+        bytes([1, 1, 2, 2, 3, 3]),  # 2-runs stay literal (spec greedy)
+    ],
+)
+def test_packbits_roundtrip(data):
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+def test_packbits_decode_noop_and_short():
+    # -128 (0x80) is a spec noop and must be skipped.
+    assert packbits_decode(b"\x80\x02ABC", 3) == b"ABC"
+    # A stream ending short of the expected byte count is an error,
+    # never a silently truncated raster.
+    with pytest.raises(ValueError, match="short"):
+        packbits_decode(b"\x01AB", 5)
+
+
+def test_packbits_run_encoding_is_spec_shaped():
+    # 5-byte run -> control 257-5=252, then the byte.
+    assert packbits_encode(b"Z" * 5) == bytes([252]) + b"Z"
+    # 3 literals -> control 2 (n+1 bytes follow).
+    assert packbits_encode(b"XYZ") == bytes([2]) + b"XYZ"
+
+
+# ---------------------------------------------------------------------------
+# Encode/decode roundtrips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 32773])
+def test_tiff_roundtrip_multipage(bo, comp):
+    rgb = _raster_rgb(13, 7, 5)
+    gray = _raster_gray(9, 11, 5)
+    b = tiff_encode([rgb, gray], byteorder=bo, compression=comp,
+                    rows_per_strip=3)
+    pages = tiff_decode_pages(b)
+    assert len(pages) == 2
+    assert np.array_equal(pages[0], rgb)
+    assert np.array_equal(pages[1], gray[:, :, None])
+
+
+def test_tiff_single_strip_and_uneven_last_strip():
+    # h=5 with rows_per_strip=4: last strip is 1 row; also h < rps.
+    g = _raster_gray(6, 5, 3)
+    for rps in (4, 64):
+        pages = tiff_decode_pages(
+            tiff_encode([g], compression=32773, rows_per_strip=rps)
+        )
+        assert np.array_equal(pages[0], g[:, :, None])
+
+
+def test_decode_image_dispatches_tiff_page0():
+    rgb = _raster_rgb(8, 6, 9)
+    for bo in ("<", ">"):
+        b = tiff_encode([rgb, _raster_gray(4, 4, 9)], byteorder=bo)
+        assert b[:2] == (b"II" if bo == "<" else b"MM")
+        img = decode_image(b)
+        assert np.array_equal(img, rgb)
+
+
+def test_encoder_golden_md5_pinned():
+    """Byte-for-byte pin of the encoder output for a fixed input, both
+    endiannesses x both compressions — any layout drift (IFD order,
+    overflow placement, strip math) fails here even if the decoder
+    drifts with it."""
+    rgb = _raster_rgb(10, 6, 42)
+    gray = _raster_gray(7, 9, 42)
+    digests = {
+        (bo, comp): hashlib.md5(
+            tiff_encode([rgb, gray], byteorder=bo, compression=comp,
+                        rows_per_strip=3)
+        ).hexdigest()
+        for bo in ("<", ">")
+        for comp in (1, 32773)
+    }
+    assert digests == {
+        ("<", 1): "6bfa4c41a19d414f3452826d8d9841c0",
+        ("<", 32773): "ecea790f3222d399415706950f831396",
+        (">", 1): "aab895543c2b1294bbb22955bf4dd392",
+        (">", 32773): "a235887de47b3a9d83c15c4a3814e342",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Out-of-subset guards
+# ---------------------------------------------------------------------------
+
+def _patch_tag(b: bytes, tag: int, *, new_tag: int | None = None,
+               new_value: int | None = None) -> bytes:
+    """Patch the first IFD: rewrite a tag's id or its inline value."""
+    bo = "<" if b[:2] == b"II" else ">"
+    (ifd,) = struct.unpack(bo + "I", b[4:8])
+    (n,) = struct.unpack(bo + "H", b[ifd : ifd + 2])
+    buf = bytearray(b)
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        t, typ, cnt = struct.unpack(bo + "HHI", b[pos : pos + 8])
+        if t == tag:
+            if new_tag is not None:
+                buf[pos : pos + 2] = struct.pack(bo + "H", new_tag)
+            if new_value is not None:
+                fmt = "H" if typ == 3 else "I"
+                width = 2 if typ == 3 else 4
+                buf[pos + 8 : pos + 8 + width] = struct.pack(
+                    bo + fmt, new_value
+                )
+            return bytes(buf)
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_rejects_unsupported_compression():
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    lzw = _patch_tag(b, 259, new_value=5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        tiff_decode_pages(lzw)
+
+
+def test_rejects_tiled_layout():
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    tiled = _patch_tag(b, 278, new_tag=322)  # RowsPerStrip -> TileWidth
+    with pytest.raises(NotImplementedError, match="tiled"):
+        tiff_decode_pages(tiled)
+
+
+def test_rejects_16_bit():
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    deep = _patch_tag(b, 258, new_value=16)
+    with pytest.raises(NotImplementedError, match="8 bits"):
+        tiff_decode_pages(deep)
+
+
+def test_rejects_planar_separate():
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    planar2 = _patch_tag(b, 284, new_value=2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff_decode_pages(planar2)
+
+
+def test_rejects_palette_photometric():
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    pal = _patch_tag(b, 262, new_value=3)
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        tiff_decode_pages(pal)
+
+
+def test_rejects_bad_magic_and_cycle():
+    with pytest.raises(ValueError, match="byte-order"):
+        tiff_decode_pages(b"XX\x2a\x00" + b"\x00" * 8)
+    b = tiff_encode([_raster_gray(4, 4, 1)])
+    bo = "<"
+    (ifd,) = struct.unpack(bo + "I", b[4:8])
+    (n,) = struct.unpack(bo + "H", b[ifd : ifd + 2])
+    buf = bytearray(b)
+    nxt = ifd + 2 + 12 * n
+    buf[nxt : nxt + 4] = struct.pack(bo + "I", ifd)  # self-loop
+    with pytest.raises(ValueError, match="cyclic"):
+        tiff_decode_pages(bytes(buf))
+
+
+def test_truncated_strip_is_an_error():
+    b = tiff_encode([_raster_gray(8, 8, 2)], compression=1,
+                    rows_per_strip=64)
+    # Shrink the single strip's byte count below the raster size.
+    short = _patch_tag(b, 279, new_value=10)
+    with pytest.raises(ValueError, match="strip"):
+        tiff_decode_pages(short)

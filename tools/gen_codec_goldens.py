@@ -109,6 +109,38 @@ def main() -> None:
     out["jpeg_gradient"] = jpeg_golden(
         16, 16, lambda x, y: (8 * x + 64, 8 * y + 32, 4 * (x + y) + 96))
 
+    # ---- TIFF (lossless: expected pixels == the pattern). The JDK
+    # writer emits big-endian ("MM") strip-layout TIFF; PackBits is
+    # requested explicitly so the golden pins the RLE decode path
+    # against a third-party encoder, not just this repo's own. ----
+    wt, ht = 9, 7
+    patt = pixel_pattern(wt, ht)
+    imgt = BI(wt, ht, BI.TYPE_INT_RGB)
+    for y in range(ht):
+        for x in range(wt):
+            r, g, b = patt[y][x]
+            imgt.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("PackBits")
+    baost = jvm.java.io.ByteArrayOutputStream()
+    iost = jvm.javax.imageio.ImageIO.createImageOutputStream(baost)
+    writer.setOutput(iost)
+    writer.write(None, jvm.javax.imageio.IIOImage(imgt, None, None),
+                 param)
+    iost.flush()
+    tiff_bytes = bytes(baost.toByteArray())
+    assert tiff_bytes[:4] == b"MM\x00*"
+    out["tiff_packbits"] = {
+        "encoder": "JDK javax.imageio (TIFFImageWriter, PackBits)",
+        "b64": base64.b64encode(tiff_bytes).decode(),
+        "w": wt, "h": ht,
+        "pixels": patt,
+    }
+
     # ---- WAV (PCM 16-bit: expected samples exact) ----
     samples = [((i * 2731 + 17) % 65536) - 32768 for i in range(64)]
     raw = b"".join(struct.pack("<h", s) for s in samples)
@@ -131,7 +163,7 @@ def main() -> None:
     jpeg_len = len(base64.b64decode(out["jpeg_flat"]["b64"]))
     print(f"wrote {OUT}: "
           f"png {len(png_bytes)}B, jpeg {jpeg_len}B, "
-          f"wav {len(wav_bytes)}B")
+          f"tiff {len(tiff_bytes)}B, wav {len(wav_bytes)}B")
 
 
 if __name__ == "__main__":
