@@ -2458,3 +2458,446 @@ def geo_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum("c_custkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: polygon-polygon overlap join (PBSM), geohash prefix
+# pyramid, adaptive quadtree refinement.
+# ---------------------------------------------------------------------------
+
+# Triangle synthesis (all coordinates strictly positive; vertex
+# extent <= 1300 < cell side so every bbox spans <= 2x2 grid cells).
+# Quadratic congruential hash for the anchor vertex — same rationale
+# as _SQL_SEG: the linear synthesis is a 1-D lattice with no overlaps.
+_TRI_CELL = 4000
+
+_SQL_TRI_A = """
+  SELECT s_suppkey AS id,
+         700 + (s_suppkey * s_suppkey * 11 + s_suppkey * 104729) % 34000
+           AS ax,
+         700 + (s_suppkey * s_suppkey * 17 + s_suppkey * 7919) % 16000
+           AS ay,
+         700 + (s_suppkey * s_suppkey * 11 + s_suppkey * 104729) % 34000
+           + 100 + (s_suppkey * 13) % 1200 AS bx,
+         700 + (s_suppkey * s_suppkey * 17 + s_suppkey * 7919) % 16000
+           + (s_suppkey * 31) % 1300 - 650 AS by,
+         700 + (s_suppkey * s_suppkey * 11 + s_suppkey * 104729) % 34000
+           + (s_suppkey * 29) % 1300 - 650 AS cx,
+         700 + (s_suppkey * s_suppkey * 17 + s_suppkey * 7919) % 16000
+           + 100 + (s_suppkey * 41) % 1200 AS cy
+  FROM supplier
+"""
+
+_SQL_TRI_B = """
+  SELECT c_custkey AS id,
+         700 + (c_custkey * c_custkey * 7 + c_custkey * 104729) % 34000
+           AS ax,
+         700 + (c_custkey * c_custkey * 13 + c_custkey * 7919) % 16000
+           AS ay,
+         700 + (c_custkey * c_custkey * 7 + c_custkey * 104729) % 34000
+           + 100 + (c_custkey * 17) % 1200 AS bx,
+         700 + (c_custkey * c_custkey * 13 + c_custkey * 7919) % 16000
+           + (c_custkey * 37) % 1300 - 650 AS by,
+         700 + (c_custkey * c_custkey * 7 + c_custkey * 104729) % 34000
+           + (c_custkey * 23) % 1300 - 650 AS cx,
+         700 + (c_custkey * c_custkey * 13 + c_custkey * 7919) % 16000
+           + 100 + (c_custkey * 43) % 1200 AS cy
+  FROM customer
+"""
+
+
+def _sql_pit(px, py, ax, ay, bx, by, cx, cy) -> str:
+    """Inclusive point-in-triangle: all three orientation signs agree
+    (either orientation — synthesized triangles wind both ways)."""
+    s1 = _sql_cross(ax, ay, bx, by, px, py)
+    s2 = _sql_cross(bx, by, cx, cy, px, py)
+    s3 = _sql_cross(cx, cy, ax, ay, px, py)
+    return (
+        f"(({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0)"
+        f" OR ({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0))"
+    )
+
+
+def _sql_seg_cross(p, q, r, s) -> str:
+    """Proper segment crossing (both endpoint pairs strictly
+    straddle); p/q/r/s are (x_expr, y_expr) pairs."""
+    d1 = _sql_cross(*p, *q, *r)
+    d2 = _sql_cross(*p, *q, *s)
+    d3 = _sql_cross(*r, *s, *p)
+    d4 = _sql_cross(*r, *s, *q)
+    return f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)"
+
+
+def _sql_tri_overlap() -> str:
+    """Convex-polygon overlap over prefixed columns a_*/b_*: any of
+    the 9 edge pairs properly crosses, OR one triangle's first vertex
+    lies in the other (no crossings + overlap => containment for
+    convex shapes, and containment puts EVERY vertex inside, so one
+    vertex test per direction suffices)."""
+    av = [("a_ax", "a_ay"), ("a_bx", "a_by"), ("a_cx", "a_cy")]
+    bv = [("b_ax", "b_ay"), ("b_bx", "b_by"), ("b_cx", "b_cy")]
+    crossings = [
+        _sql_seg_cross(av[i], av[(i + 1) % 3], bv[j], bv[(j + 1) % 3])
+        for i in range(3)
+        for j in range(3)
+    ]
+    pit_ab = _sql_pit("a_ax", "a_ay", *bv[0], *bv[1], *bv[2])
+    pit_ba = _sql_pit("b_ax", "b_ay", *av[0], *av[1], *av[2])
+    return "(" + " OR ".join(crossings + [pit_ab, pit_ba]) + ")"
+
+
+@query(
+    "geo_triangle_overlap_join",
+    oracle=f"""
+WITH ta AS ({_SQL_TRI_A}),
+tb AS ({_SQL_TRI_B}),
+ba AS (
+  SELECT id AS a_id, ax AS a_ax, ay AS a_ay, bx AS a_bx, by AS a_by,
+         cx AS a_cx, cy AS a_cy,
+         LEAST(ax, bx, cx) AS a_x0, GREATEST(ax, bx, cx) AS a_x1,
+         LEAST(ay, by, cy) AS a_y0, GREATEST(ay, by, cy) AS a_y1
+  FROM ta
+),
+bb AS (
+  SELECT id AS b_id, ax AS b_ax, ay AS b_ay, bx AS b_bx, by AS b_by,
+         cx AS b_cx, cy AS b_cy,
+         LEAST(ax, bx, cx) AS b_x0, GREATEST(ax, bx, cx) AS b_x1,
+         LEAST(ay, by, cy) AS b_y0, GREATEST(ay, by, cy) AS b_y1
+  FROM bb_src
+),
+cand AS (
+  SELECT *
+  FROM ba JOIN bb
+    ON a_x0 <= b_x1 AND b_x0 <= a_x1
+   AND a_y0 <= b_y1 AND b_y0 <= a_y1
+),
+hits AS (
+  SELECT a_id, b_id,
+         CASE WHEN {_sql_tri_overlap()} THEN 1 ELSE 0 END AS hit
+  FROM cand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_overlaps,
+       CAST(COALESCE(SUM(CASE WHEN hit = 1 THEN a_id * b_id ELSE 0 END),
+                     0) AS BIGINT) AS pair_checksum
+FROM hits
+""".replace("FROM bb_src", f"FROM ({_SQL_TRI_B}) AS tb2"),
+    tags=("geo", "spatial-join", "polygon-overlap", "pbsm",
+          "reference-point-dedup"),
+)
+def geo_triangle_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON-POLYGON OVERLAP JOIN via PBSM grid blocking — the
+    cadastral/zoning overlay workload (which parcels intersect which
+    flood zones), here with the minimal convex polygon (triangles) so
+    the exact predicate stays pure integer arithmetic. Candidate
+    generation is the geo_segment_intersections machinery applied
+    BIPARTITE: both sides' bounding boxes replicate into their <= 2x2
+    grid cells, equi-join on the cell key, and each bbox-overlapping
+    pair is evaluated exactly once in the canonical cell holding the
+    min corner of the bbox intersection (reference-point dedup — no
+    distinct anywhere). The exact test is the convex-shape theorem:
+    two convex polygons overlap iff an edge pair properly crosses or
+    one's first vertex lies inside the other (9 strict crossing tests
+    + 2 inclusive point-in-triangle tests, all integer cross-product
+    signs; |cross| < 2^30, products < 2^60 — inside BIGINT).
+    n_candidates pins the exactly-once blocking against the oracle's
+    blocking-free bbox join.
+
+    Plan shape at 100 TB: two scans -> <= 4x explode each -> ONE
+    shuffle on the cell key -> hash join -> agg. Replication factor
+    is bounded by extent/cell_side (the PBSM dial); skewed cells salt
+    like the dedup band join. Real polygon vertex rings ride along as
+    array columns with the same bbox blocking; only the refinement
+    predicate grows."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def triangles(df, key, m1, m2, e1, e2, e3, e4):
+        k = F.col(key)
+        hx = F.lit(700) + (k * k * m1 + k * 104729) % 34000
+        hy = F.lit(700) + (k * k * m2 + k * 7919) % 16000
+        return df.select(
+            k.alias("id"),
+            hx.alias("ax"), hy.alias("ay"),
+            (hx + 100 + (k * e1) % 1200).alias("bx"),
+            (hy + (k * e2) % 1300 - 650).alias("by"),
+            (hx + (k * e3) % 1300 - 650).alias("cx"),
+            (hy + 100 + (k * e4) % 1200).alias("cy"),
+        ).select(
+            "*",
+            F.least("ax", "bx", "cx").alias("x0"),
+            F.greatest("ax", "bx", "cx").alias("x1"),
+            F.least("ay", "by", "cy").alias("y0"),
+            F.greatest("ay", "by", "cy").alias("y1"),
+        )
+
+    ta = triangles(sup, "s_suppkey", 11, 17, 13, 31, 29, 41)
+    tb = triangles(cust, "c_custkey", 7, 13, 17, 37, 23, 43)
+
+    cells = F.expr(
+        f"explode(flatten(transform("
+        f"  sequence(x0 div {_TRI_CELL}, x1 div {_TRI_CELL}),"
+        f"  gx -> transform("
+        f"    sequence(y0 div {_TRI_CELL}, y1 div {_TRI_CELL}),"
+        f"    gy -> struct(gx as gcx, gy as gcy)))))"
+    )
+    vcols = ("id", "ax", "ay", "bx", "by", "cx", "cy",
+             "x0", "x1", "y0", "y1")
+
+    def replicate(t, prefix):
+        return t.select("*", cells.alias("c")).select(
+            *[F.col(c).alias(f"{prefix}_{c}") for c in vcols],
+            F.col("c.gcx").alias("gcx"), F.col("c.gcy").alias("gcy"),
+        )
+
+    ra = replicate(ta, "a")
+    rb = replicate(tb, "b")
+    cand = ra.join(rb, ["gcx", "gcy"]).filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1"))
+        & (F.col("gcx") == F.floor(
+            F.greatest("a_x0", "b_x0") / _TRI_CELL).cast("long"))
+        & (F.col("gcy") == F.floor(
+            F.greatest("a_y0", "b_y0") / _TRI_CELL).cast("long"))
+    )
+    hit = F.when(F.expr(_sql_tri_overlap()), 1).otherwise(0)
+    return cand.select(hit.alias("hit"), "a_id", "b_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit") == 1,
+                         F.col("a_id") * F.col("b_id")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("pair_checksum"),
+    )
+
+
+@query(
+    "geo_geohash_prefix_agg",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         {_SQL_LAT.format(k='c_custkey')} AS lat,
+         {_SQL_LON.format(k='c_custkey')} AS lon
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         CAST(floor((lat + 90.0) / 180.0 * 4096) AS BIGINT) AS latq,
+         CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS lonq
+  FROM p
+),
+g AS (SELECT c_custkey, {_gh_expr(lambda b, n: f"({b} * {1 << n})")} AS gh
+      FROM q),
+h AS (SELECT c_custkey, {_gh_chars_expr('gh')} AS geohash FROM g),
+lv AS (
+  SELECT CAST(lvl AS BIGINT) AS level, substr(geohash, 1, lvl) AS prefix,
+         c_custkey
+  FROM h, (SELECT unnest(range(1, 5)) AS lvl)
+)
+SELECT level, prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM lv GROUP BY level, prefix
+""",
+    tags=("geo", "geohash", "prefix-rollup", "pyramid", "spatial-index"),
+)
+def geo_geohash_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH PREFIX PYRAMID — the hierarchical rollup the prefix
+    property exists for (VERDICT r11 item 5): counts and key
+    checksums at every prefix length 1..4, the multi-resolution cell
+    table a tile service / heatmap / spatial-stats layer reads. The
+    Spark side demonstrates the SCALE-CORRECT construction: points
+    shuffle ONCE into the finest (4-char) cell table, and every
+    coarser level re-aggregates the CELL TABLE (O(cells), not
+    O(points)) by prefix truncation — a 4x explode of the cell table
+    feeding one grouped aggregate, the same pyramid discipline as
+    geo_tile_pyramid but over the standard base-32 key. The oracle
+    computes each level directly from the points (level x point
+    cross-unnest), pinning that cell-table reaggregation is exactly
+    point-level aggregation — the algebraic property (SUM/COUNT are
+    associative over the prefix partition) that makes pyramid
+    maintenance O(delta) under appends.
+
+    100 TB shape: one shuffle on the 4-char key (~1M cells), then
+    three aggregations over <= 1M rows each; the pyramid is
+    incrementally maintainable by adding per-batch deltas at the
+    finest level and re-rolling only touched prefixes."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    q = c.select(
+        "c_custkey",
+        F.floor((_lat("c_custkey") + 90.0) / 180.0 * 4096)
+        .cast("long").alias("latq"),
+        F.floor((_lon("c_custkey") + 180.0) / 360.0 * 8192)
+        .cast("long").alias("lonq"),
+    )
+    g = q.selectExpr(
+        "c_custkey",
+        f"({_gh_expr(lambda b, n: f'shiftleft({b}, {n})')}) AS gh"
+        .replace("//", "DIV"),
+    )
+    h = g.selectExpr(
+        "c_custkey",
+        f"(substr({_gh_chars_expr('gh')}, 1, 4)) AS p4"
+        .replace("//", "DIV"),
+    )
+    # One point-level shuffle builds the finest cell table; the
+    # coarser levels come from EXPLODING each cell row into its 4
+    # prefix levels and re-aggregating — one cell-level shuffle for
+    # the whole pyramid, one scan of the points, no cache/union fan
+    # (a union of per-level aggregates would recompute the point
+    # aggregation per branch: 4 scans, 7 shuffles — measured).
+    cells4 = h.groupBy("p4").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("c_custkey").cast("long").alias("key_checksum"),
+    )
+    lv = cells4.select(
+        F.explode(F.expr("sequence(1, 4)")).alias("lvl"),
+        "p4", "n_points", "key_checksum",
+    )
+    return (
+        lv.groupBy(
+            F.col("lvl").cast("long").alias("level"),
+            F.expr("substr(p4, 1, lvl)").alias("prefix"),
+        )
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("key_checksum").cast("long").alias("key_checksum"),
+        )
+    )
+
+
+_QT_T = 400  # refinement threshold: split a cell holding > T points
+_QT_WX = [36000, 18000, 9000, 4500]  # cell widths, depths 0..3
+_QT_WY = [18000, 9000, 4500, 2250]
+
+
+@query(
+    "geo_quadtree_leaf_cells",
+    oracle=f"""
+WITH pts AS (
+  -- squared transform: density ~ 1/sqrt(coord), concentrated near
+  -- the origin, so the tree genuinely refines unevenly (uniform
+  -- synthesis makes every branch open to the cap - no adaptivity).
+  SELECT ((o_orderkey * 104729) % 36000) * ((o_orderkey * 104729) % 36000)
+           // 36000 AS x,
+         ((o_orderkey * 7919) % 18000) * ((o_orderkey * 7919) % 18000)
+           // 18000 AS y
+  FROM orders
+),
+c3 AS (
+  SELECT x // {_QT_WX[3]} AS cx, y // {_QT_WY[3]} AS cy,
+         COUNT(*) AS n, SUM(x) AS xs
+  FROM pts GROUP BY 1, 2
+),
+c2 AS (SELECT cx // 2 AS cx, cy // 2 AS cy, SUM(n) AS n, SUM(xs) AS xs
+       FROM c3 GROUP BY 1, 2),
+c1 AS (SELECT cx // 2 AS cx, cy // 2 AS cy, SUM(n) AS n, SUM(xs) AS xs
+       FROM c2 GROUP BY 1, 2),
+c0 AS (SELECT cx // 2 AS cx, cy // 2 AS cy, SUM(n) AS n, SUM(xs) AS xs
+       FROM c1 GROUP BY 1, 2),
+open0 AS (SELECT * FROM c0 WHERE n > {_QT_T}),
+j1 AS (SELECT c1.* FROM c1
+       JOIN open0 p ON c1.cx // 2 = p.cx AND c1.cy // 2 = p.cy),
+open1 AS (SELECT * FROM j1 WHERE n > {_QT_T}),
+j2 AS (SELECT c2.* FROM c2
+       JOIN open1 p ON c2.cx // 2 = p.cx AND c2.cy // 2 = p.cy),
+open2 AS (SELECT * FROM j2 WHERE n > {_QT_T}),
+j3 AS (SELECT c3.* FROM c3
+       JOIN open2 p ON c3.cx // 2 = p.cx AND c3.cy // 2 = p.cy),
+leaves AS (
+  SELECT 0 AS depth, cx, cy, n, xs FROM c0 WHERE n <= {_QT_T}
+  UNION ALL
+  SELECT 1, cx, cy, n, xs FROM j1 WHERE n <= {_QT_T}
+  UNION ALL
+  SELECT 2, cx, cy, n, xs FROM j2 WHERE n <= {_QT_T}
+  UNION ALL
+  SELECT 3, cx, cy, n, xs FROM j3
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(cx AS BIGINT) AS cell_x,
+       CAST(cy AS BIGINT) AS cell_y, CAST(n AS BIGINT) AS n_points,
+       CAST(xs AS BIGINT) AS x_checksum
+FROM leaves
+""",
+    tags=("geo", "quadtree", "adaptive-refinement", "spatial-index"),
+)
+def geo_quadtree_leaf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE QUADTREE construction as pure aggregation — the
+    density-adaptive spatial index (dense regions refine to depth 3,
+    sparse regions stay coarse) that backs variable-resolution
+    heatmaps and spatial partition sizing. The leaf rule: a node is a
+    leaf iff its count <= {_QT_T} (or it sits at the depth cap) and
+    every ancestor's count exceeds {_QT_T}. The construction is the
+    one that scales: points shuffle ONCE into the finest-depth cell
+    table; depths 2,1,0 are rollups of the CELL table (halving
+    integer cell coords — parent/child alignment is exact because
+    each depth's cell width is exactly twice the next); leaf
+    selection is three parent-joins over tables of <= 4^d cells. No
+    per-level re-scan of points, no driver-side recursion — the
+    'tree' is four relations and the open/closed frontier is a join.
+
+    The oracle rebuilds the same pyramid in SQL (all integer division
+    on non-negative coordinates — identical semantics both engines);
+    x_checksum pins that refinement reassigns every point to exactly
+    one leaf.
+
+    100 TB shape: one point shuffle + O(cells) rollups, exactly like
+    geo_tile_pyramid; deeper caps add rollup levels, never point
+    passes. Appends maintain it incrementally: add deltas at the
+    finest level, re-roll touched parents, re-evaluate the open
+    frontier locally."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # Squared transform (see the oracle comment): non-negative
+    # operands, so floor == integer division in both engines.
+    u = (F.col("o_orderkey") * 104729) % 36000
+    v = (F.col("o_orderkey") * 7919) % 18000
+    pts = o.select(
+        F.floor(u * u / F.lit(36000)).cast("long").alias("x"),
+        F.floor(v * v / F.lit(18000)).cast("long").alias("y"),
+    )
+    c3 = pts.groupBy(
+        F.expr(f"x DIV {_QT_WX[3]}").alias("cx"),
+        F.expr(f"y DIV {_QT_WY[3]}").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("xs"))
+
+    def up(df):
+        return df.groupBy(
+            F.expr("cx DIV 2").alias("cx"), F.expr("cy DIV 2").alias("cy")
+        ).agg(F.sum("n").alias("n"), F.sum("xs").alias("xs"))
+
+    c2 = up(c3)
+    c1 = up(c2)
+    c0 = up(c1)
+
+    def child_of_open(child, open_parent):
+        p = open_parent.select(
+            F.col("cx").alias("pcx"), F.col("cy").alias("pcy")
+        )
+        return child.join(
+            F.broadcast(p),
+            (F.expr("cx DIV 2") == F.col("pcx"))
+            & (F.expr("cy DIV 2") == F.col("pcy")),
+        ).drop("pcx", "pcy")
+
+    open0 = c0.filter(F.col("n") > _QT_T)
+    j1 = child_of_open(c1, open0)
+    open1 = j1.filter(F.col("n") > _QT_T)
+    j2 = child_of_open(c2, open1)
+    open2 = j2.filter(F.col("n") > _QT_T)
+    j3 = child_of_open(c3, open2)
+
+    def leaf(df, depth):
+        return df.select(
+            F.lit(depth).cast("long").alias("depth"),
+            F.col("cx").cast("long").alias("cell_x"),
+            F.col("cy").cast("long").alias("cell_y"),
+            F.col("n").cast("long").alias("n_points"),
+            F.col("xs").cast("long").alias("x_checksum"),
+        )
+
+    return (
+        leaf(c0.filter(F.col("n") <= _QT_T), 0)
+        .unionByName(leaf(j1.filter(F.col("n") <= _QT_T), 1))
+        .unionByName(leaf(j2.filter(F.col("n") <= _QT_T), 2))
+        .unionByName(leaf(j3, 3))
+    )

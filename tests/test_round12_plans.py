@@ -1,0 +1,103 @@
+"""Plan pins for the round-12 additions: the physical plan each
+operator PROMISES (no nested loops where a hash join is the contract,
+bounded shuffle counts, point data touched once)."""
+
+from __future__ import annotations
+
+import pytest
+
+from quick_and_easy_vectordb_spark.plans.inspect import (
+    formatted_plan,
+    shuffle_count,
+)
+from quick_and_easy_vectordb_spark.queries import QUERIES
+
+
+def _df(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_triangle_overlap_is_cell_key_hash_join(spark, sf_dir):
+    """Bipartite PBSM: candidates must come from an equi-join on the
+    grid cell key — never a nested loop over the bbox predicates —
+    and reference-point dedup means no Distinct/Dedup node."""
+    df = _df(spark, sf_dir, "geo_triangle_overlap_join")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_triangle_overlap_result_nontrivial(spark, sf_dir):
+    row = _df(spark, sf_dir, "geo_triangle_overlap_join").collect()[0]
+    assert row["n_candidates"] > 0
+    assert 0 < row["n_overlaps"] <= row["n_candidates"]
+
+
+def test_geohash_prefix_agg_single_point_shuffle(spark, sf_dir):
+    """Points shuffle once into the finest cell table; levels 1-3
+    re-aggregate cells. Union of 4 aggregates = 1 point shuffle + 3
+    cell shuffles; anything above means a level re-scanned points."""
+    import re
+
+    df = _df(spark, sf_dir, "geo_geohash_prefix_agg")
+    assert shuffle_count(df) == 2  # points -> cells, cells -> pyramid
+    plan = formatted_plan(df)
+    # The point-level table must be scanned exactly once (details
+    # section lists each node once as "(n) Scan parquet").
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet", plan,
+                          re.MULTILINE)) == 1
+
+
+def test_geohash_prefix_levels_are_consistent(spark, sf_dir):
+    import collections
+
+    rows = _df(spark, sf_dir, "geo_geohash_prefix_agg").collect()
+    by_level = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        by_level[r["level"]][0] += r["n_points"]
+        by_level[r["level"]][1] += r["key_checksum"]
+    # Every level partitions the same point set.
+    totals = set(tuple(v) for v in by_level.values())
+    assert len(totals) == 1 and len(by_level) == 4
+
+
+def test_quadtree_leaves_partition_points(spark, sf_dir):
+    """Leaves must cover every point exactly once, and the adaptive
+    frontier must actually vary (at least two distinct leaf depths at
+    sf0.01 — the uniform-synthesis failure mode collapsed everything
+    to the cap)."""
+    from pyspark.sql import functions as F
+
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    rows = _df(spark, sf_dir, "geo_quadtree_leaf_cells").collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_points"] for r in rows) == n_orders
+    depths = {r["depth"] for r in rows}
+    if n_orders >= 10000:  # sf0.01+: the skewed tail is sparse
+        assert len(depths) >= 2
+    # No leaf both exceeds the threshold and sits above the cap.
+    for r in rows:
+        assert r["depth"] == 3 or r["n_points"] <= 400
+
+
+def test_quadtree_single_point_shuffle(spark, sf_dir):
+    """One shuffle of points into the finest cells; everything above
+    is rollups of <= 64-row cell tables plus broadcast parent joins."""
+    df = _df(spark, sf_dir, "geo_quadtree_leaf_cells")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # parent joins stay broadcast
+    # Points (orders) scanned once; cell-table ops don't re-read them.
+    assert plan.count("orders.parquet]") <= plan.count("Scan parquet")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["geo_triangle_overlap_join", "geo_geohash_prefix_agg",
+     "geo_quadtree_leaf_cells", "mm_decode_tiff_stats"],
+)
+def test_round12_schema_stable(spark, sf_dir, name):
+    df = _df(spark, sf_dir, name)
+    assert df.schema == _df(spark, sf_dir, name).schema
