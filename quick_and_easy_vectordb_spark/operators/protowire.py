@@ -133,3 +133,117 @@ def decode_doc(buf: bytes) -> dict:
         else:
             raise ValueError(f"unsupported wire type {wtype}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 item 6): packed repeated fields and nested
+# messages — the other two wire shapes real feeds use.
+#
+#     message Event {
+#       int64          user_id   = 1;  // varint
+#       repeated int64 event_ids = 2;  // PACKED varints (proto3 default)
+#       Meta           meta      = 3;  // nested message, LEN
+#     }
+#     message Meta {
+#       string top_type = 1;  // len-delimited, utf-8
+#       int64  n_events = 2;  // varint
+#     }
+# ---------------------------------------------------------------------------
+
+
+def encode_event(user_id: int, event_ids, top_type: str,
+                 n_events: int) -> bytes:
+    """Encode one Event. The repeated field uses the PACKED encoding
+    (one LEN record whose payload is the concatenated varints) —
+    proto3's default for repeated scalars; the nested message is a
+    LEN record whose payload is an independently encoded Meta."""
+    out = bytearray()
+    out.append((1 << 3) | 0)
+    out += encode_varint(user_id)
+    packed = bytearray()
+    for v in event_ids:
+        packed += encode_varint(int(v))
+    out.append((2 << 3) | 2)
+    out += encode_varint(len(packed))
+    out += packed
+    meta = bytearray()
+    tb = top_type.encode("utf-8")
+    meta.append((1 << 3) | 2)
+    meta += encode_varint(len(tb))
+    meta += tb
+    meta.append((2 << 3) | 0)
+    meta += encode_varint(n_events)
+    out.append((3 << 3) | 2)
+    out += encode_varint(len(meta))
+    out += meta
+    return bytes(out)
+
+
+def _decode_meta(buf: bytes) -> dict:
+    out = {"top_type": "", "n_events": 0}
+    pos = 0
+    while pos < len(buf):
+        key, pos = decode_varint(buf, pos)
+        field, wtype = key >> 3, key & 0x07
+        if wtype == 0:
+            val, pos = decode_varint(buf, pos)
+            if field == 2:
+                out["n_events"] = val
+        elif wtype == 2:
+            ln, pos = decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("truncated nested field")
+            raw = buf[pos : pos + ln]
+            pos += ln
+            if field == 1:
+                out["top_type"] = raw.decode("utf-8")
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+    return out
+
+
+def decode_event(buf: bytes) -> dict:
+    """Parse one Event, written independently of the encoder. Spec
+    conformance points exercised by tests/the oracle query:
+
+    - the packed repeated field is a LEN record parsed as
+      back-to-back varints;
+    - per the spec, a conformant decoder must ALSO accept the
+      EXPANDED encoding (each element its own field-2 varint record)
+      and concatenate: repeated fields may arrive in either form, or
+      a mix, across serializations;
+    - the nested message is recursively parsed from its LEN payload;
+      repeated occurrences of a message field MERGE (last scalar
+      wins) per the spec's message-merge rule;
+    - unknown fields skip; unknown wire types raise."""
+    out = {"user_id": 0, "event_ids": [], "top_type": "", "n_events": 0}
+    pos = 0
+    while pos < len(buf):
+        key, pos = decode_varint(buf, pos)
+        field, wtype = key >> 3, key & 0x07
+        if wtype == 0:
+            val, pos = decode_varint(buf, pos)
+            if field == 1:
+                out["user_id"] = val
+            elif field == 2:  # expanded repeated element
+                out["event_ids"].append(val)
+        elif wtype == 2:
+            ln, pos = decode_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("truncated length-delimited field")
+            raw = buf[pos : pos + ln]
+            pos += ln
+            if field == 2:  # packed repeated payload
+                p = 0
+                while p < ln:
+                    v, p = decode_varint(raw, p)
+                    out["event_ids"].append(v)
+            elif field == 3:
+                m = _decode_meta(raw)
+                if m["top_type"]:
+                    out["top_type"] = m["top_type"]
+                if m["n_events"]:
+                    out["n_events"] = m["n_events"]
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+    return out

@@ -2248,3 +2248,116 @@ def src_protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("wire_bytes").cast("long").alias("sum_wire_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 item 6): packed repeated + nested message —
+# the other two protobuf wire shapes real feeds use.
+# ---------------------------------------------------------------------------
+
+
+def _sql_varint_size(e: str) -> str:
+    """Full 1..9-group base-128 ladder for a non-negative BIGINT
+    expression (2^63-1 needs 9 groups of 7 bits)."""
+    steps = " ".join(
+        f"WHEN ({e}) < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+    )
+    return f"(CASE {steps} ELSE 9 END)"
+
+
+@query(
+    "src_protobuf_packed_nested",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id,
+         COUNT(*) AS n_ids,
+         SUM(event_id) AS ids_checksum,
+         MIN(event_type) AS top_type,
+         SUM({_sql_varint_size('event_id')}) AS payload
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT *,
+         1 + {_sql_varint_size('strlen(top_type)')} + strlen(top_type)
+           + 1 + {_sql_varint_size('n_ids')} AS meta_len
+  FROM per
+)
+SELECT user_id,
+       CAST(n_ids AS BIGINT) AS n_ids,
+       CAST(ids_checksum AS BIGINT) AS ids_checksum,
+       top_type,
+       CAST(1 + {_sql_varint_size('user_id')}
+            + 1 + {_sql_varint_size('payload')} + payload
+            + 1 + {_sql_varint_size('meta_len')} + meta_len
+            AS BIGINT) AS wire_bytes
+FROM m
+""",
+    tags=("sources", "protobuf", "wire-format", "packed", "nested",
+          "roundtrip"),
+)
+def src_protobuf_packed_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF PACKED-REPEATED + NESTED-MESSAGE roundtrip — the two
+    wire shapes src_protobuf_wire_roundtrip's scalar schema doesn't
+    reach, and the ones real event feeds are made of (proto3 packs
+    repeated scalars by default; every feature-store record nests).
+    Per user, an Event message is encoded carrying the user's sorted
+    event_ids as ONE packed LEN record (payload = concatenated
+    varints) and a nested Meta message (top event type + count); an
+    independent decoder re-parses it — including the spec rule that
+    repeated scalars must ALSO be accepted in expanded form (pinned
+    by tests/test_protowire_packed.py along with message-merge).
+    The oracle is again the spec's closed form: packed payload size =
+    SUM over the group of per-element varint sizes (a CASE ladder
+    aggregated per user), nested size = its own fields + a varint
+    length prefix, all computed by DuckDB without touching a byte
+    buffer — so wire_bytes pins tag placement, both length prefixes,
+    and every varint width byte-for-byte.
+
+    Plan shape at 100 TB: one shuffle groups events per user
+    (collect_list bounded by per-user cardinality — the packed field
+    IS a per-record list, so the bound is the schema's, not the
+    operator's); encode+decode is one Arrow mapInPandas pass over the
+    aggregated table. Cites reference scope: app.py has no binary
+    serialization — pipeline-extension surface (SURVEY.md §2b)."""
+    from quick_and_easy_vectordb_spark.operators.protowire import (
+        decode_event,
+        encode_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("ids"),
+        F.min("event_type").alias("top_type"),
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"user_id": [], "n_ids": [], "ids_checksum": [],
+                   "top_type": [], "wire_bytes": []}
+            for user_id, ids, top in zip(
+                pdf["user_id"], pdf["ids"], pdf["top_type"]
+            ):
+                ids = [int(x) for x in ids]
+                wire = encode_event(int(user_id), ids, str(top), len(ids))
+                dec = decode_event(wire)
+                if (
+                    dec["user_id"] != int(user_id)
+                    or dec["event_ids"] != ids
+                    or dec["top_type"] != str(top)
+                    or dec["n_events"] != len(ids)
+                ):
+                    raise ValueError("packed/nested roundtrip mismatch")
+                out["user_id"].append(int(user_id))
+                out["n_ids"].append(len(ids))
+                out["ids_checksum"].append(sum(ids))
+                out["top_type"].append(str(top))
+                out["wire_bytes"].append(len(wire))
+            yield pd.DataFrame(out)
+
+    return agg.mapInPandas(
+        roundtrip,
+        "user_id long, n_ids long, ids_checksum long, top_type string,"
+        " wire_bytes long",
+    )
