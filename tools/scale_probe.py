@@ -1773,6 +1773,119 @@ def main() -> None:
     probes["segment_intersections (PBSM ref-point, const density)"] = (
         segment_intersections_probe)
 
+    # Round-12 (VERDICT r11 item 4): the two round-11 heavy additions
+    # that lacked probe rows.
+    #
+    # rerank_cascade: THE claim to verify is that tiers 2-3 stay
+    # CONSTANT as the corpus grows — only tier-1 (cheap surrogate top
+    # 200 via TakeOrderedAndProject) is corpus-sized; the two
+    # broadcast join-backs touch 200/50 rows regardless of n. Linear
+    # (or better) wall growth confirms it; superlinear would mean a
+    # candidate set scaling with the corpus.
+    _QPROBE = [((i * 37) % 2001 - 1000) / 1000.0 for i in range(16)]
+
+    def _probe_dot(col, qv):
+        return F.aggregate(
+            F.zip_with(
+                col, F.array(*[F.lit(float(x)) for x in qv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def rerank_cascade_probe(n):
+        vecs = synth_vecs(n // 4)
+        # tier-1 surrogate: sign-agreement count (integer, the
+        # popcount stand-in — same cost class, same plan shape).
+        t1 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in _QPROBE]),
+                lambda a, b: F.when(a * b >= 0, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, t: acc + t,
+        )
+        c1 = (
+            vecs.select("vec_id", t1.alias("agree"))
+            .orderBy(F.desc("agree"), F.asc("vec_id"))
+            .limit(200)
+        )
+        s2 = (
+            vecs.join(F.broadcast(c1), "vec_id")
+            .select("vec_id",
+                    F.round(_probe_dot(F.col("embedding"), _QPROBE), 1)
+                    .alias("mid"))
+            .orderBy(F.desc("mid"), F.asc("vec_id"))
+            .limit(50)
+        )
+        s3 = (
+            vecs.join(F.broadcast(s2), "vec_id")
+            .select("vec_id",
+                    _probe_dot(F.col("embedding"), _QPROBE).alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(10)
+        )
+        noop(s3)
+
+    probes["rerank_cascade (3 tiers, bcast candidate join-backs)"] = (
+        rerank_cascade_probe)
+
+    # hard_negative_mining, corpus growth: fixed 50-anchor batch
+    # broadcast into a growing corpus — the BNLJ pair count is
+    # 50 x corpus, so wall must grow linearly with n.
+    def _hn(anchors_df, corpus_df):
+        a = anchors_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.pmod(F.col("vec_id"), F.lit(8)).alias("q_label"),
+        )
+        c = corpus_df.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("embedding").alias("cv"),
+            F.pmod(F.col("neg_id" if "neg_id" in corpus_df.columns
+                          else "vec_id"), F.lit(8)).alias("neg_label"),
+        )
+        scored = c.join(
+            F.broadcast(a), F.col("neg_label") != F.col("q_label")
+        ).select(
+            "query_id", "neg_id",
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0.0), lambda acc, t: acc + t,
+            ).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neg_id"))
+        noop(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+
+    def hard_negative_corpus_probe(n):
+        # corpus = n//16: calibrated so the 30x point (3.75M vectors x
+        # 50 anchors = 187M scored pairs) stays under ~60 s/run.
+        corpus = synth_vecs(n // 16)
+        anchors = synth_vecs(50)
+        _hn(anchors, corpus)
+
+    probes["hard_negatives (50 bcast anchors, corpus-growth)"] = (
+        hard_negative_corpus_probe)
+
+    # hard_negative_mining, ANCHOR growth at fixed corpus: pair count
+    # is anchors x 50k, so wall should grow linearly with the anchor
+    # batch; superlinear here would trigger the documented LSH-bucket
+    # swap (vdb_batch_knn_lsh's candidate generation with the label
+    # exclusion riding the equi-join).
+    def hard_negative_anchor_probe(n):
+        corpus = synth_vecs(50_000)
+        anchors = synth_vecs(max(1, n // 40_000))  # 50 -> 500 -> 1500
+        _hn(anchors, corpus)
+
+    probes["hard_negatives (anchor-growth, 50k corpus)"] = (
+        hard_negative_anchor_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
