@@ -165,9 +165,18 @@ def lsh_batch_knn(
     corpus_vec: str = "vec",
     metric: str = "cosine",
     score_col: str = "score",
+    exclude_label: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Approximate batch kNN for query sets too large to broadcast —
     the escape hatch :func:`batch_knn`'s docstring promises.
+
+    ``exclude_label=(query_label_col, corpus_label_col)`` turns the
+    kNN into HARD-NEGATIVE candidate generation: the inequality
+    predicate rides the bucket equi-join itself (same-label corpus
+    rows are dropped before the dedup shuffle, never scored into the
+    top-k), and the corpus label column is carried through to the
+    output — the LSH-bucketed swap vdb_hard_negative_mining's
+    docstring promises for anchor sets too large to broadcast.
 
     Both sides get the deterministic random-hyperplane LSH signature
     (operators/ann.py:lsh_signature); each query additionally probes
@@ -267,9 +276,15 @@ def lsh_batch_knn(
     # exchange, a ~10× width penalty measured as a spill storm at 30×
     # in tools/scale_probe.py. Payload columns for the k winners are a
     # cheap re-join for the caller (Q·k rows).
+    joined = qp.join(c, "__bucket")
+    out_cols = [query_id, corpus_id]
+    if exclude_label is not None:
+        q_label, c_label = exclude_label
+        joined = joined.filter(F.col(c_label) != F.col(q_label))
+        out_cols.append(c_label)
     scored = (
-        qp.join(c, "__bucket")
-        .select(query_id, corpus_id, score_expr.alias(score_col))
+        joined
+        .select(*out_cols, score_expr.alias(score_col))
         .dropDuplicates([query_id, corpus_id])
     )
     order = [

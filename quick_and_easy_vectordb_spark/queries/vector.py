@@ -2944,6 +2944,94 @@ def vdb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vdb_hard_negative_mining_lsh",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS neg_id, embedding::DOUBLE[] AS cv, label,
+         {_lsh_knn_sig_sql('embedding::DOUBLE[]', _LSH_KNN_PLANES)}
+           AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         label AS q_label,
+         {_lsh_knn_sig_sql('embedding::DOUBLE[]', _LSH_KNN_PLANES)}
+           AS qsig
+  FROM embeddings WHERE vec_id % 50 = 0
+), p AS (
+  SELECT query_id, qv, q_label,
+         unnest({_lsh_knn_flips_sql('qsig', _LSH_KNN_PLANES)}) AS bucket
+  FROM q
+), cand AS (
+  SELECT DISTINCT p.query_id, c.neg_id, c.label AS neg_label,
+         {sql_dot('c.cv', 'p.qv')} AS score
+  FROM p JOIN c USING (bucket)
+  WHERE c.label <> p.q_label
+), r AS (
+  SELECT query_id, neg_id, neg_label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neg_id) AS rank
+  FROM cand
+)
+SELECT query_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+       CAST(rank AS BIGINT) AS rank, score
+FROM r WHERE rank <= 3
+""",
+    tags=("vector", "hard-negatives", "training-data", "lsh", "join",
+          "window"),
+)
+def vdb_hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING, LSH-BUCKETED — the documented swap
+    vdb_hard_negative_mining promises for when the anchor set is too
+    large to broadcast (VERDICT r11 item 4), now a registered query
+    rather than prose: candidate generation is vdb_batch_knn_lsh's
+    Hamming-1 multiprobe bucket EQUI-JOIN, and the label-exclusion
+    predicate rides that join (operators/search.py:lsh_batch_knn
+    ``exclude_label`` — same-label rows are dropped before the dedup
+    shuffle, never scored). Cost is O(candidates) = probes x N/2^P
+    per anchor, independent of the anchor-set size fitting in any
+    broadcast budget; both sides hash-partition by bucket.
+    Approximate by construction (negatives outside probed buckets are
+    unseen) and still oracle-exact: deterministic hyperplanes make
+    the bucket assignment, the probe set, and the surviving top-k
+    bitwise reproducible in SQL.
+
+    Plan shape at 100 TB: shuffle equi-join on the bucket string (no
+    broadcast, no nested loop), then one per-anchor rank window over
+    candidates — the same topology that probes flat in SCALING.md's
+    lsh_bucket_equijoin row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    res = lsh_batch_knn(
+        anchors,
+        corpus,
+        k=3,
+        num_planes=_LSH_KNN_PLANES,
+        dim=DIM,
+        probe_radius=1,
+        query_id="query_id",
+        query_vec="qv",
+        corpus_id="neg_id",
+        corpus_vec="cv",
+        metric="dot",
+        exclude_label=("q_label", "neg_label"),
+    )
+    return res.select(
+        "query_id", "neg_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        F.col("rank").cast("long").alias("rank"), "score",
+    )
+
+
 def _sq_l2_sql(a: str, b: str) -> str:
     """Squared L2 with the same fold shape as sql_l2 (no sqrt)."""
     return (

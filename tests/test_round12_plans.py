@@ -93,10 +93,43 @@ def test_quadtree_single_point_shuffle(spark, sf_dir):
     assert plan.count("orders.parquet]") <= plan.count("Scan parquet")
 
 
+def test_hard_negative_lsh_is_bucket_equijoin(spark, sf_dir):
+    """The LSH swap's whole point: NO broadcast of the anchor set, NO
+    nested loop — candidates come from a shuffle equi-join on the
+    bucket string, with the label exclusion riding that join."""
+    df = _df(spark, sf_dir, "vdb_hard_negative_mining_lsh")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # HASH join keyed on the bucket string. At sf0.01 the planner
+    # broadcasts the tiny side (BroadcastHashJoin) — still the
+    # equi-join contract; at scale the same plan degrades gracefully
+    # to SortMergeJoin because the join KEY exists (a nested loop has
+    # no such fallback).
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "__bucket" in plan
+
+
+def test_hard_negative_lsh_excludes_anchor_label(spark, sf_dir):
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    rows = _df(spark, sf_dir, "vdb_hard_negative_mining_lsh").collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+
+
 @pytest.mark.parametrize(
     "name",
     ["geo_triangle_overlap_join", "geo_geohash_prefix_agg",
-     "geo_quadtree_leaf_cells", "mm_decode_tiff_stats"],
+     "geo_quadtree_leaf_cells", "mm_decode_tiff_stats",
+     "vdb_hard_negative_mining_lsh", "src_protobuf_packed_nested"],
 )
 def test_round12_schema_stable(spark, sf_dir, name):
     df = _df(spark, sf_dir, name)
