@@ -2901,3 +2901,100 @@ def geo_quadtree_leaf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leaf(j2.filter(F.col("n") <= _QT_T), 2))
         .unionByName(leaf(j3, 3))
     )
+
+
+@query(
+    "geo_rect_cover_segments",
+    oracle="""
+WITH r AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 104729) % 80 AS cx0,
+         (c_custkey * 7919) % 40 AS cy0,
+         1 + (c_custkey * 13) % 8 AS w,
+         1 + (c_custkey * 17) % 6 AS h
+  FROM customer
+),
+rows_ AS (
+  SELECT id, cx0, cx0 + w AS cx1x, unnest(range(cy0, cy0 + h)) AS cy
+  FROM r
+),
+deltas AS (
+  SELECT cy, cx, SUM(d) AS d FROM (
+    SELECT cy, cx0 AS cx, 1 AS d FROM rows_
+    UNION ALL
+    SELECT cy, cx1x AS cx, -1 AS d FROM rows_
+  ) GROUP BY cy, cx HAVING SUM(d) <> 0
+),
+sweep AS (
+  SELECT cy, cx,
+         SUM(d) OVER (PARTITION BY cy ORDER BY cx
+                      ROWS UNBOUNDED PRECEDING) AS coverage,
+         LEAD(cx) OVER (PARTITION BY cy ORDER BY cx) AS cx_to
+  FROM deltas
+)
+SELECT CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx_from,
+       CAST(cx_to AS BIGINT) AS cx_to, CAST(coverage AS BIGINT) AS coverage
+FROM sweep WHERE coverage > 0
+""",
+    tags=("geo", "interval-sweep", "coverage", "difference-array"),
+)
+def geo_rect_cover_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECTANGLE COVERAGE via DIFFERENCE-ARRAY SWEEP — how many
+    rectangles (service areas, ad geofences, sensor footprints) cover
+    each region of the grid, WITHOUT materializing grid cells or
+    joining rect x cell. Each rectangle contributes two deltas per
+    covered row (+1 at its left edge, -1 one past its right edge);
+    net-zero breakpoints drop (HAVING <> 0, canonical segments); a
+    per-row running sum turns deltas into coverage SEGMENTS
+    (cy, cx_from, cx_to, coverage). Work is O(rects x height +
+    breakpoints) — the 1-D sweep per row — versus O(rects x area) for
+    the naive cell join; identical integer construction both engines.
+
+    Plan shape at 100 TB: one explode (bounded height), one
+    (cy, cx) aggregate shuffle, one cy-partitioned window — no
+    self-join, no dense grid. Rows partition independently, so the
+    sweep scales with breakpoints per row (the same reason database
+    interval trees sweep, not rasterize). A second sweep over cy on
+    the segment table would yield 2-D prefix sums / Klee's-algorithm
+    union area with the same discipline."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    r = cust.select(
+        k.alias("id"),
+        ((k * 104729) % 80).alias("cx0"),
+        ((k * 7919) % 40).alias("cy0"),
+        (1 + (k * 13) % 8).alias("w"),
+        (1 + (k * 17) % 6).alias("h"),
+    )
+    rows_ = r.select(
+        "id", "cx0", (F.col("cx0") + F.col("w")).alias("cx1x"),
+        F.explode(
+            F.sequence(F.col("cy0"), F.col("cy0") + F.col("h") - 1)
+        ).alias("cy"),
+    )
+    deltas = (
+        rows_.select("cy", F.col("cx0").alias("cx"), F.lit(1).alias("d"))
+        .unionByName(
+            rows_.select("cy", F.col("cx1x").alias("cx"),
+                         F.lit(-1).alias("d"))
+        )
+        .groupBy("cy", "cx")
+        .agg(F.sum("d").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    w_sum = (
+        Window.partitionBy("cy").orderBy("cx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("cy").orderBy("cx")
+    sweep = deltas.select(
+        "cy", "cx",
+        F.sum("d").over(w_sum).alias("coverage"),
+        F.lead("cx").over(w_lead).alias("cx_to"),
+    )
+    return sweep.filter(F.col("coverage") > 0).select(
+        F.col("cy").cast("long").alias("cy"),
+        F.col("cx").cast("long").alias("cx_from"),
+        F.col("cx_to").cast("long").alias("cx_to"),
+        F.col("coverage").cast("long").alias("coverage"),
+    )

@@ -2361,3 +2361,117 @@ def src_protobuf_packed_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_ids long, ids_checksum long, top_type string,"
         " wire_bytes long",
     )
+
+
+def _sql_zigzag_size(e: str) -> str:
+    """Avro long wire size for a NON-NEGATIVE BIGINT expression: the
+    zigzag map doubles the value, so the ladder thresholds are
+    64 * 128^k (vs the protobuf ladder's 128^k); a non-negative long
+    can still need 10 groups once n >= 2^62."""
+    steps = " ".join(
+        f"WHEN ({e}) < {64 * (128 ** k)} THEN {k + 1}" for k in range(9)
+    )
+    return f"(CASE {steps} ELSE 10 END)"
+
+
+@query(
+    "src_avro_binary_roundtrip",
+    oracle=f"""
+WITH sz AS (
+  SELECT event_type, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         {_sql_zigzag_size('event_id')}
+           + {_sql_zigzag_size('user_id')}
+           + {_sql_zigzag_size('strlen(event_type)')}
+           + strlen(event_type) + 8 AS wire_bytes
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(wire_bytes) AS BIGINT) AS sum_wire_bytes,
+       CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM sz GROUP BY event_type
+""",
+    tags=("sources", "avro", "wire-format", "zigzag", "container",
+          "roundtrip"),
+)
+def src_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO BINARY encode → decode roundtrip — the OTHER major record
+    wire format next to protobuf, pinning the rules protobuf doesn't
+    have (operators/avrowire.py, from the public Avro spec): ZIGZAG
+    varints (thresholds double — the oracle ladder is 64·128^k, vs
+    128^k for protobuf; the spec's 0,-1,1,-2 → 0,1,2,3 mapping is
+    unit-pinned), TAGLESS records (schema-ordered concatenation — a
+    misaligned read corrupts every later field, so the roundtrip
+    assert is load-bearing), 8-byte little-endian doubles, and the
+    OBJECT CONTAINER framing (magic, metadata map, sync markers,
+    null/deflate codecs — each mapInPandas batch is container-written
+    and re-read with order + bitwise-double equality asserted, so the
+    framing is exercised under the driver gate, while wire_bytes pins
+    the per-record encoding in closed form). Spark's own Avro reader
+    lives in the external spark-avro jar, absent offline — gated like
+    torch/delta; this keeps the format surface real and tested.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffles
+    before the tiny per-type aggregate — the codec-family cost model
+    (SCALING.md codec_decode row); at ingest the decode half runs
+    alone over container blocks, which self-describe via sync markers
+    and therefore SPLIT cleanly across executors (the property that
+    made Avro the HDFS-era record format)."""
+    from quick_and_easy_vectordb_spark.operators.avrowire import (
+        container_read,
+        container_write,
+        decode_event_record,
+        encode_event_record,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                (int(e), int(u), str(t), float(v))
+                for e, u, t, v in zip(pdf["event_id"], pdf["user_id"],
+                                      pdf["event_type"], pdf["value"])
+            ]
+            sizes = []
+            for r in recs:
+                wire = encode_event_record(*r)
+                dec, endpos = decode_event_record(wire)
+                if (
+                    endpos != len(wire)
+                    or dec["event_id"] != r[0]
+                    or dec["user_id"] != r[1]
+                    or dec["event_type"] != r[2]
+                    or dec["value"] != r[3]  # bitwise double equality
+                ):
+                    raise ValueError("avro record roundtrip mismatch")
+                sizes.append(len(wire))
+            # Container framing: whole batch through the object file.
+            back = container_read(container_write(recs, codec="null",
+                                                  block_size=512))
+            if len(back) != len(recs) or any(
+                b["event_id"] != r[0] or b["value"] != r[3]
+                for b, r in zip(back, recs)
+            ):
+                raise ValueError("avro container roundtrip mismatch")
+            yield pd.DataFrame({
+                "event_type": [r[2] for r in recs],
+                "user_id": [r[1] for r in recs],
+                "cents": [int(round(r[3] * 100)) for r in recs],
+                "wire_bytes": sizes,
+            })
+
+    decoded = ev.mapInPandas(
+        roundtrip,
+        "event_type string, user_id long, cents long, wire_bytes long",
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("wire_bytes").cast("long").alias("sum_wire_bytes"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

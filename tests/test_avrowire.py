@@ -1,0 +1,102 @@
+"""Avro binary codec (operators/avrowire.py): spec vectors, negative
+zigzag behavior (the rule protobuf's plain varint doesn't have),
+container framing, codec gates, truncation errors."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quick_and_easy_vectordb_spark.operators.avrowire import (
+    container_read,
+    container_write,
+    decode_event_record,
+    decode_long,
+    encode_event_record,
+    encode_long,
+    long_size,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+def test_zigzag_spec_vectors():
+    """The Avro spec's own table: 0,-1,1,-2,2 -> 0,1,2,3,4."""
+    assert [zigzag_encode(n) for n in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+    # And the property the mapping exists for: small NEGATIVES stay
+    # small on the wire (protobuf's plain varint spends 10 bytes).
+    assert len(encode_long(-1)) == 1
+    assert len(encode_long(-64)) == 1
+    assert len(encode_long(-65)) == 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_long_roundtrip_property(n):
+    enc = encode_long(n)
+    assert len(enc) == long_size(n)
+    assert decode_long(enc, 0) == (n, len(enc))
+    assert zigzag_decode(zigzag_encode(n)) == n
+
+
+def test_zigzag_size_ladder_thresholds():
+    """Boundaries double vs protobuf: 1 byte up to n=63, then 64."""
+    assert long_size(63) == 1 and long_size(64) == 2
+    assert long_size(8191) == 2 and long_size(8192) == 3
+    assert long_size(2**62 - 1) == 9 and long_size(2**62) == 10
+
+
+def test_record_is_tagless_and_positional():
+    wire = encode_event_record(7, 3, "click", 1.25)
+    dec, end = decode_event_record(wire)
+    assert end == len(wire)
+    assert dec == {"event_id": 7, "user_id": 3,
+                   "event_type": "click", "value": 1.25}
+    # No tags: the record is exactly the concatenation of its fields.
+    import struct
+
+    assert wire == (encode_long(7) + encode_long(3)
+                    + encode_long(5) + b"click"
+                    + struct.pack("<d", 1.25))
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_multiblock(codec):
+    recs = [(i, i % 11, ["a", "bb", "ccc"][i % 3], i / 7.0)
+            for i in range(2500)]
+    b = container_write(recs, codec=codec, block_size=1000)  # 3 blocks
+    back = container_read(b)
+    assert [r["event_id"] for r in back] == [r[0] for r in recs]
+    assert all(back[i]["value"] == recs[i][3] for i in range(2500))
+    if codec == "deflate":
+        null_len = len(container_write(recs, codec="null",
+                                       block_size=1000))
+        assert len(b) < null_len  # compression actually happened
+
+
+def test_container_corrupt_sync_and_bad_magic():
+    b = bytearray(container_write([(1, 2, "x", 0.5)]))
+    b[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        container_read(bytes(b))
+    with pytest.raises(ValueError, match="magic"):
+        container_read(b"Obj\x02" + bytes(b[4:]))
+
+
+def test_container_unknown_codec_refuses():
+    b = container_write([(1, 2, "x", 0.5)])
+    bad = b.replace(b"null", b"lzo\x00", 1)
+    # The metadata map length prefix still reads 4 bytes -> 'lzo\x00'.
+    with pytest.raises(NotImplementedError, match="codec"):
+        container_read(bad)
+
+
+def test_truncation_errors():
+    wire = encode_event_record(1, 2, "click", 0.0)
+    with pytest.raises(ValueError):
+        decode_event_record(wire[:-1])  # cut inside the double
+    with pytest.raises(ValueError):
+        decode_event_record(wire[:3])  # cut inside the string length
+    with pytest.raises(ValueError):
+        decode_long(b"\x80\x80", 0)  # unterminated varint

@@ -125,11 +125,38 @@ def test_hard_negative_lsh_excludes_anchor_label(spark, sf_dir):
         assert r["neg_label"] != labels[r["query_id"]]
 
 
+def test_rect_cover_sweep_has_no_join(spark, sf_dir):
+    """The sweep's point: coverage without rect x cell joins — the
+    plan must contain NO join node at all, just explode + aggregate +
+    window."""
+    df = _df(spark, sf_dir, "geo_rect_cover_segments")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 3  # union-agg + window (+AQE variance)
+
+
+def test_rect_cover_segments_conserve_area(spark, sf_dir):
+    """Integral of coverage over segments == total rectangle area —
+    the conservation law the difference-array construction implies."""
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    rows = _df(spark, sf_dir, "geo_rect_cover_segments").collect()
+    covered = sum(
+        r["coverage"] * (r["cx_to"] - r["cx_from"]) for r in rows
+    )
+    k = [r["c_custkey"] for r in
+         load_table(spark, sf_dir, "customer").select("c_custkey").collect()]
+    area = sum((1 + kk * 13 % 8) * (1 + kk * 17 % 6) for kk in k)
+    assert covered == area
+
+
 @pytest.mark.parametrize(
     "name",
     ["geo_triangle_overlap_join", "geo_geohash_prefix_agg",
      "geo_quadtree_leaf_cells", "mm_decode_tiff_stats",
-     "vdb_hard_negative_mining_lsh", "src_protobuf_packed_nested"],
+     "vdb_hard_negative_mining_lsh", "src_protobuf_packed_nested",
+     "geo_rect_cover_segments", "src_avro_binary_roundtrip"],
 )
 def test_round12_schema_stable(spark, sf_dir, name):
     df = _df(spark, sf_dir, name)
