@@ -2998,3 +2998,82 @@ def geo_rect_cover_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx_to").cast("long").alias("cx_to"),
         F.col("coverage").cast("long").alias("coverage"),
     )
+
+
+@query(
+    "geo_rect_union_length",
+    # The ORACLE RASTERIZES (explode every covered cell, distinct,
+    # islands trick for run counting) while the Spark side SWEEPS
+    # (difference array -> segments) — two independent algorithms for
+    # the same quantity, so a bug in either construction breaks the
+    # hash. Rasterizing is fine for the oracle's toy scale and would
+    # be the 100 TB anti-pattern the sweep exists to avoid.
+    oracle="""
+WITH r AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 104729) % 80 AS cx0,
+         (c_custkey * 7919) % 40 AS cy0,
+         1 + (c_custkey * 13) % 8 AS w,
+         1 + (c_custkey * 17) % 6 AS h
+  FROM customer
+),
+cov AS (
+  -- NB: two unnest() in ONE select zip in parallel in DuckDB; the
+  -- cross product needs the two LATERALs.
+  SELECT cy, cx, COUNT(*) AS c FROM (
+    SELECT t1.cy, t2.cx, id FROM r,
+           LATERAL (SELECT unnest(range(cy0, cy0 + h)) AS cy) t1,
+           LATERAL (SELECT unnest(range(cx0, cx0 + w)) AS cx) t2
+  ) GROUP BY cy, cx
+),
+runs AS (
+  SELECT cy, cx, c,
+         cx - DENSE_RANK() OVER (PARTITION BY cy ORDER BY cx) AS grp
+  FROM cov
+)
+SELECT CAST(cy AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS union_cells,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_segments,
+       CAST(MAX(c) AS BIGINT) AS max_coverage
+FROM runs GROUP BY cy
+""",
+    tags=("geo", "interval-sweep", "klee", "union-area"),
+)
+def geo_rect_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLEE'S PROBLEM, per row: total UNION length covered by any
+    rectangle, segment count, and peak overlap per grid row — the
+    1-D slice of union-area-of-rectangles, the measure an ad-reach /
+    sensor-coverage / geofence-dedup pipeline reports. Computed
+    ENTIRELY from the difference-array sweep of
+    geo_rect_cover_segments: covered segments are disjoint, so union
+    length = SUM of segment widths and peak overlap = MAX coverage;
+    maximal RUNS (Klee's segments — adjacent sweep pieces with
+    different coverage belong to ONE contiguous run) are counted by
+    the gaps-and-islands rule on the segment table itself (a run
+    starts where the previous segment's cx_to != this cx_from) — one
+    window + one tiny aggregate, no second pass over rectangles. The oracle
+    computes the same three numbers by RASTERIZING (distinct covered
+    cells + the islands trick for run counting) — an independent
+    algorithm, so the hash pins sweep-vs-raster equivalence, not a
+    mirrored construction.
+
+    100 TB shape: everything downstream of the sweep is O(segments);
+    Klee's full union AREA is one more sweep over cy with the same
+    discipline. The rasterized oracle shape (explode every covered
+    cell) is exactly what this operator exists to avoid at scale."""
+    segs = geo_rect_cover_segments(spark, sf_dir)
+    w = Window.partitionBy("cy").orderBy("cx_from")
+    prev_end = F.lag("cx_to").over(w)
+    run_start = F.when(
+        prev_end.isNull() | (prev_end != F.col("cx_from")), 1
+    ).otherwise(0)
+    return (
+        segs.withColumn("run_start", run_start)
+        .groupBy(F.col("cy"))
+        .agg(
+            F.sum(F.col("cx_to") - F.col("cx_from")).cast("long")
+            .alias("union_cells"),
+            F.sum("run_start").cast("long").alias("n_segments"),
+            F.max("coverage").cast("long").alias("max_coverage"),
+        )
+    )

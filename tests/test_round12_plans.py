@@ -156,7 +156,8 @@ def test_rect_cover_segments_conserve_area(spark, sf_dir):
     ["geo_triangle_overlap_join", "geo_geohash_prefix_agg",
      "geo_quadtree_leaf_cells", "mm_decode_tiff_stats",
      "vdb_hard_negative_mining_lsh", "src_protobuf_packed_nested",
-     "geo_rect_cover_segments", "src_avro_binary_roundtrip"],
+     "geo_rect_cover_segments", "src_avro_binary_roundtrip",
+     "geo_rect_union_length"],
 )
 def test_round12_schema_stable(spark, sf_dir, name):
     df = _df(spark, sf_dir, name)
