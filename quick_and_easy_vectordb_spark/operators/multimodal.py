@@ -64,7 +64,7 @@ def decode_image(payload: bytes):
     dequantize, de-zigzag, 8x8 IDCT, YCbCr→RGB — pure numpy, no codec
     libraries; progressive/arithmetic/12-bit JPEG raise), and baseline
     TIFF (operators/tiff.py — both endiannesses, multi-IFD, strips,
-    none/PackBits; LZW/tiles/planar-2 raise). Video codecs
+    none/LZW/PackBits; Deflate/tiles/planar-2 raise). Video codecs
     require ffmpeg, which this container lacks, and raise
     NotImplementedError. The mapInPandas pipeline around this call is
     identical either way — on a cluster with codec libraries, extend

@@ -11,13 +11,20 @@ decoders in operators/multimodal.py:
   SHORT or LONG arrays, inline or offset-stored
 * 8-bit grayscale (SamplesPerPixel=1) and RGB (SamplesPerPixel=3),
   chunky planar configuration
-* Compression 1 (none) and 32773 (PackBits), the spec's own
-  byte-oriented run-length scheme
+* Compression 1 (none), 32773 (PackBits — the spec's byte-oriented
+  run-length scheme), and 5 (TIFF-variant LZW: MSB-first code
+  packing with the "early change" width bump — the two documented
+  deltas from the GIF LZW variant already implemented in
+  operators/multimodal.py)
 
 Out-of-subset structures raise ``NotImplementedError`` with the
-reason (LZW/JPEG-in-TIFF compression, tiled layout, planar=2,
+reason (Deflate/JPEG-in-TIFF compression, tiled layout, planar=2,
 bits != 8, palette/bilevel photometric) — tested in
-tests/test_tiff.py, unreachable from the fixture corpora.
+tests/test_tiff.py, unreachable from the fixture corpora. The LZW
+path is cross-validated against the JDK in BOTH directions (decode
+of JDK output bit-exact via the committed golden; JDK reads this
+encoder's output bit-exact, both byte orders — Py4J check recorded
+in CHECKLOCAL_r12.md).
 
 Reference parity note: the reference app (``/root/reference/app.py``)
 has no image path at all; the multimodal column family is part of the
@@ -30,8 +37,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["packbits_encode", "packbits_decode", "tiff_encode",
-           "tiff_decode_pages"]
+__all__ = ["packbits_encode", "packbits_decode", "lzw_encode_tiff",
+           "lzw_decode_tiff", "tiff_encode", "tiff_decode_pages"]
 
 # Tag numbers from the TIFF 6.0 spec, section 8.
 _IMAGE_WIDTH = 256
@@ -112,6 +119,125 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# TIFF-variant LZW (TIFF 6.0 section 13). Differs from the GIF
+# variant (operators/multimodal.py:_gif_lzw_decode) in exactly two
+# spec'd ways: codes pack MSB-FIRST, and the code width increments
+# ONE CODE EARLY (the "early change": at table size (1<<w)-1, not
+# (1<<w)). Clear=256, EOI=257, entries from 258, max 12 bits.
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """Greedy spec encoder; resets the table (Clear) when the next
+    entry would exceed the 12-bit space under early change."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_LZW_CLEAR, width)
+    omega = b""
+    for byte in data:
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        put(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        # Width timing: the decoder's table lags the encoder's by one
+        # entry (it adds for code k while reading code k+1), and the
+        # spec's early change is defined on the DECODER's count
+        # ((1<<w)-1, verified bit-exact against JDK LZW output in
+        # tests/test_tiff.py). The encoder therefore bumps at 1<<w in
+        # its own count — the same wire position.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        omega = k
+        if next_code >= 4094:  # table nearly full: reset
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if omega:
+        put(table[omega], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Decode exactly ``expected`` bytes (strip byte count bounds the
+    input; the raster byte count bounds the output)."""
+    out = bytearray()
+    # MSB-first bit reader.
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _LZW_EOI  # truncated: treat as end
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    # Pre-initialized to the post-Clear state (TIFF streams open with
+    # Clear, but a conforming decoder needn't require it).
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = get(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW stream must start with a literal"
+                                 " after Clear")
+            entry = bytes([code])
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    if len(out) < expected:
+        raise ValueError("LZW stream ended short of expected bytes")
+    return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
@@ -126,8 +252,9 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
     the multi-strip layout that real scanners/writers emit."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
-    if compression not in (1, 32773):
-        raise ValueError("encoder supports compression 1 or 32773 only")
+    if compression not in (1, 5, 32773):
+        raise ValueError("encoder supports compression 1, 5 (LZW) or "
+                         "32773 (PackBits) only")
     bo = byteorder
     out = bytearray()
     out += b"II" if bo == "<" else b"MM"
@@ -160,6 +287,8 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
             chunk = flat[y0 * row_bytes : (y0 + rows) * row_bytes]
             if compression == 32773:
                 chunk = packbits_encode(chunk)
+            elif compression == 5:
+                chunk = lzw_encode_tiff(chunk)
             strip_offsets.append(len(out))
             strip_counts.append(len(chunk))
             out += chunk
@@ -285,10 +414,11 @@ def tiff_decode_pages(b: bytes):
             raise NotImplementedError(
                 f"only 8 bits per sample supported, got {bits}"
             )
-        if comp not in (1, 32773):
+        if comp not in (1, 5, 32773):
             raise NotImplementedError(
-                f"TIFF compression {comp} not supported (none/PackBits "
-                "only; LZW and JPEG-in-TIFF need external codecs)"
+                f"TIFF compression {comp} not supported (none/LZW/"
+                "PackBits only; JPEG-in-TIFF and Deflate variants are "
+                "out of subset)"
             )
         if photo not in (1, 2):
             raise NotImplementedError(
@@ -311,6 +441,8 @@ def tiff_decode_pages(b: bytes):
             raw = b[off : off + cnt]
             if comp == 32773:
                 raw = packbits_decode(raw, rows * row_bytes)
+            elif comp == 5:
+                raw = lzw_decode_tiff(raw, rows * row_bytes)
             if len(raw) < rows * row_bytes:
                 raise ValueError("TIFF strip shorter than expected")
             raster += raw[: rows * row_bytes]

@@ -3379,8 +3379,11 @@ def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale raster with 4-pixel runs ((id*13 + (i//4)*5) % 256 —
     the shape PackBits actually compresses). Byte order alternates
     with document parity (II/MM both hot under the gate) and
-    compression alternates none/PackBits on id%3, with 3-row strips
-    forcing the multi-strip layout. The file is built by the
+    compression rotates none/PackBits/LZW on id%3 (the TIFF-variant
+    LZW — MSB-first, early change — is JDK-cross-validated in BOTH
+    directions: tests/test_codec_goldens.py decodes JDK LZW output
+    bit-exact, and the JDK reads this encoder's LZW bit-exact), with
+    3-row strips forcing the multi-strip layout. The file is built by the
     spec-subset encoder, decoded by the real IFD-walking parser
     (tiff_decode_pages; roundtrip asserted per page), and reduced to
     pixel statistics the DuckDB oracle reproduces in closed form from
@@ -3422,7 +3425,10 @@ def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = tiff_encode(
                     [rgb, gray],
                     byteorder="<" if d % 2 == 0 else ">",
-                    compression=1 if d % 3 == 0 else 32773,
+                    # all three compressions rotate through the gate;
+                    # the OUTPUT (pixel stats) is compression-
+                    # independent, so the oracle hash is unchanged
+                    compression=[1, 32773, 5][d % 3],
                     rows_per_strip=3,
                 )
                 pages = tiff_decode_pages(payload)  # the real parser

@@ -82,6 +82,19 @@ def test_tiff_golden_external_packbits_bit_exact():
     assert img.tolist() == g["pixels"]
 
 
+def test_tiff_golden_external_lzw_bit_exact():
+    """JDK LZW-compressed TIFF, 32x32 — ~2000 table entries crossing
+    the 511 and 1023 early-change width boundaries, the exact timing
+    the TIFF-variant LZW decoder must match. (The reverse direction —
+    the JDK reading THIS repo's LZW output bit-exact, both byte
+    orders — was verified via Py4J at golden-generation time; see
+    CHECKLOCAL_r12.md.)"""
+    g = _golden("tiff_lzw")
+    img = decode_image(base64.b64decode(g["b64"]))
+    assert img.shape == (g["h"], g["w"], 3)
+    assert img.tolist() == g["pixels"]
+
+
 def test_wav_golden_external_pcm_exact():
     g = _golden("wav")
     samples, rate = decode_audio(base64.b64decode(g["b64"]))

@@ -3,7 +3,7 @@ crafted cases, encoder golden pin, and out-of-subset guards.
 
 The guards matter as much as the happy path: the decoder must REFUSE
 (not silently mis-decode) every TIFF structure outside the supported
-subset — LZW/JPEG compression, tiles, planar=2, 16-bit, palette —
+subset — Deflate/JPEG compression, tiles, planar=2, 16-bit, palette —
 because a wrong-but-plausible raster would flow straight into the
 oracle-checked statistics queries.
 """
@@ -18,6 +18,8 @@ import pytest
 
 from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
 from quick_and_easy_vectordb_spark.operators.tiff import (
+    lzw_decode_tiff,
+    lzw_encode_tiff,
     packbits_decode,
     packbits_encode,
     tiff_decode_pages,
@@ -82,7 +84,7 @@ def test_packbits_run_encoding_is_spec_shaped():
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("bo", ["<", ">"])
-@pytest.mark.parametrize("comp", [1, 32773])
+@pytest.mark.parametrize("comp", [1, 5, 32773])
 def test_tiff_roundtrip_multipage(bo, comp):
     rgb = _raster_rgb(13, 7, 5)
     gray = _raster_gray(9, 11, 5)
@@ -92,6 +94,37 @@ def test_tiff_roundtrip_multipage(bo, comp):
     assert len(pages) == 2
     assert np.array_equal(pages[0], rgb)
     assert np.array_equal(pages[1], gray[:, :, None])
+
+
+def test_lzw_roundtrip_crossing_width_boundaries():
+    """20k low-entropy bytes force > 1023 table entries plus a table
+    reset — both early-change bumps and the Clear path in one
+    stream; KwKwK (ABABAB...) separately."""
+    import random
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(5) for _ in range(20000))
+    assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
+    kwk = b"AB" * 500  # immediate reuse of the just-added entry
+    assert lzw_decode_tiff(lzw_encode_tiff(kwk), len(kwk)) == kwk
+
+
+def test_lzw_stream_shape_and_errors():
+    # Stream opens with Clear (code 256 in 9 bits: 1000_0000 0...).
+    enc = lzw_encode_tiff(b"A")
+    assert enc[0] == 0x80
+    with pytest.raises(ValueError, match="short"):
+        lzw_decode_tiff(enc, 5)  # demand more than encoded
+    # A non-literal code right after Clear is malformed.
+    first = (256 << 9) | 300  # Clear, then code 300
+    first_bits = first << 6  # pad 18 -> 24 bits
+    with pytest.raises(ValueError, match="literal after Clear"):
+        lzw_decode_tiff(first_bits.to_bytes(3, "big"), 4)
+    # Clear, literal 'A', then a code beyond the table (300 > 258).
+    acc = (((256 << 9) | 65) << 9) | 300  # 27 bits
+    bits = acc << 5  # pad to 32
+    with pytest.raises(ValueError, match="out of range"):
+        lzw_decode_tiff(bits.to_bytes(4, "big"), 4)
 
 
 def test_tiff_single_strip_and_uneven_last_strip():
@@ -115,7 +148,7 @@ def test_decode_image_dispatches_tiff_page0():
 
 def test_encoder_golden_md5_pinned():
     """Byte-for-byte pin of the encoder output for a fixed input, both
-    endiannesses x both compressions — any layout drift (IFD order,
+    endiannesses x all three compressions — any layout drift (IFD order,
     overflow placement, strip math) fails here even if the decoder
     drifts with it."""
     rgb = _raster_rgb(10, 6, 42)
@@ -126,12 +159,14 @@ def test_encoder_golden_md5_pinned():
                         rows_per_strip=3)
         ).hexdigest()
         for bo in ("<", ">")
-        for comp in (1, 32773)
+        for comp in (1, 5, 32773)
     }
     assert digests == {
         ("<", 1): "6bfa4c41a19d414f3452826d8d9841c0",
+        ("<", 5): "f0f7b53640e5143767a56f6e0880c8d3",
         ("<", 32773): "ecea790f3222d399415706950f831396",
         (">", 1): "aab895543c2b1294bbb22955bf4dd392",
+        (">", 5): "2b208a9bcc7f3af935b7090537d1eea9",
         (">", 32773): "a235887de47b3a9d83c15c4a3814e342",
     }
 
@@ -165,9 +200,9 @@ def _patch_tag(b: bytes, tag: int, *, new_tag: int | None = None,
 
 def test_rejects_unsupported_compression():
     b = tiff_encode([_raster_gray(4, 4, 1)])
-    lzw = _patch_tag(b, 259, new_value=5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        tiff_decode_pages(lzw)
+    deflate = _patch_tag(b, 259, new_value=8)  # Deflate: out of subset
+    with pytest.raises(NotImplementedError, match="compression 8"):
+        tiff_decode_pages(deflate)
 
 
 def test_rejects_tiled_layout():

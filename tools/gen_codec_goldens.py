@@ -141,6 +141,37 @@ def main() -> None:
         "pixels": patt,
     }
 
+    # ---- TIFF LZW (same writer, LZW compression): a 32x32 RGB
+    # pattern produces ~2000 table entries, crossing both the 511 and
+    # 1023 early-change width boundaries — the exact timing the
+    # TIFF-variant LZW decoder must get right. ----
+    wl, hl = 32, 32
+    patl = pixel_pattern(wl, hl)
+    imgl = BI(wl, hl, BI.TYPE_INT_RGB)
+    for y in range(hl):
+        for x in range(wl):
+            r, g, b = patl[y][x]
+            imgl.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer_l = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    param_l = writer_l.getDefaultWriteParam()
+    param_l.setCompressionMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param_l.setCompressionType("LZW")
+    baosl = jvm.java.io.ByteArrayOutputStream()
+    iosl = jvm.javax.imageio.ImageIO.createImageOutputStream(baosl)
+    writer_l.setOutput(iosl)
+    writer_l.write(None, jvm.javax.imageio.IIOImage(imgl, None, None),
+                   param_l)
+    iosl.flush()
+    tiff_lzw_bytes = bytes(baosl.toByteArray())
+    out["tiff_lzw"] = {
+        "encoder": "JDK javax.imageio (TIFFImageWriter, LZW)",
+        "b64": base64.b64encode(tiff_lzw_bytes).decode(),
+        "w": wl, "h": hl,
+        "pixels": patl,
+    }
+
     # ---- WAV (PCM 16-bit: expected samples exact) ----
     samples = [((i * 2731 + 17) % 65536) - 32768 for i in range(64)]
     raw = b"".join(struct.pack("<h", s) for s in samples)
