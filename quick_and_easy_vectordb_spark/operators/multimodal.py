@@ -6,12 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes stream through the Python workers in
 columnar batches (never row-at-a-time py4j).
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg):
-``decode_image`` raises NotImplementedError by design, and the
-pipeline runs with a deterministic md5-derived fake featureizer whose
-Spark-side plumbing (schema, batching, partitioning) is identical to
-what a real decoder would use — swap ``_fake_features`` for a real
-decode and nothing else changes.
+The codec step is REAL for the still-image/audio family (pure
+Python/numpy, no PIL/ffmpeg): PNM, BMP, non-interlaced PNG, baseline
+sequential JPEG, GIF, QOI here, baseline TIFF with none/LZW/PackBits
+in operators/tiff.py, 16-bit WAV in ``decode_audio``. VIDEO codecs
+genuinely need ffmpeg (absent in this container), so the
+frame-sample/feature paths that would touch them fall back to the
+deterministic md5-derived fake featureizer (``_fake_features``) whose
+Spark-side plumbing (schema, batching, partitioning) is identical —
+swap in a real video decode and nothing else changes.
 
 Scale note: payload columns dominate row width, so every operator here
 selects the minimal column set (Parquet column pruning keeps payloads
@@ -120,10 +123,10 @@ def decode_image(payload: bytes):
         img = np.stack(rows)
         return img[::-1] if h > 0 else img  # bottom-up unless negative
     raise NotImplementedError(
-        "image decoding beyond PNM/BMP/PNG/baseline-JPEG (video "
-        "codecs, exotic formats) requires PIL/opencv/ffmpeg, not "
-        "available in this container; extract_binary_features uses "
-        "the deterministic md5-based fake featureizer for such "
+        "image decoding beyond PNM/BMP/PNG/baseline-JPEG/GIF/QOI/TIFF "
+        "(video codecs, exotic formats) requires PIL/opencv/ffmpeg, "
+        "not available in this container; extract_binary_features "
+        "uses the deterministic md5-based fake featureizer for such "
         "payloads"
     )
 
