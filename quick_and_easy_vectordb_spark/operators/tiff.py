@@ -51,6 +51,7 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 _TILE_WIDTH = 322
 _TILE_OFFSETS = 324
 
@@ -242,19 +243,25 @@ def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
-                rows_per_strip: int = 4) -> bytes:
+                rows_per_strip: int = 4, predictor: int = 1) -> bytes:
     """Write a (possibly multi-page) baseline TIFF.
 
     ``pages``: list of numpy uint8 arrays shaped (h, w) or (h, w, 1)
     for grayscale, (h, w, 3) for RGB. ``byteorder``: "<" or ">".
     ``compression``: 1 (none) or 32773 (PackBits), applied per strip
-    as the spec requires. Strips of ``rows_per_strip`` rows exercise
-    the multi-strip layout that real scanners/writers emit."""
+    as the spec requires. ``predictor=2`` applies horizontal
+    differencing per row/channel before compression (TIFF 6.0 section
+    14 — the standard companion of LZW in real files: gradients
+    become near-constant byte streams the dictionary loves). Strips
+    of ``rows_per_strip`` rows exercise the multi-strip layout that
+    real scanners/writers emit."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     if compression not in (1, 5, 32773):
         raise ValueError("encoder supports compression 1, 5 (LZW) or "
                          "32773 (PackBits) only")
+    if predictor not in (1, 2):
+        raise ValueError("predictor 1 (none) or 2 (horizontal) only")
     bo = byteorder
     out = bytearray()
     out += b"II" if bo == "<" else b"MM"
@@ -277,6 +284,11 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
         if spp not in (1, 3):
             raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
         row_bytes = w * spp
+        if predictor == 2:
+            # Horizontal differencing, per row and channel, uint8 wrap.
+            d = arr.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            arr = (d % 256).astype(np.uint8)
         flat = arr.tobytes()
 
         # Strips.
@@ -310,6 +322,8 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
              strip_counts),
             (_PLANAR_CONFIG, _TYPE_SHORT, 1, [1]),
         ]
+        if predictor == 2:
+            entries.append((_PREDICTOR, _TYPE_SHORT, 1, [2]))
         ifd_offset = len(out)
         # Patch the previous next-IFD pointer (or header offset).
         out[next_ptr_at : next_ptr_at + 4] = struct.pack(
@@ -393,7 +407,7 @@ def tiff_decode_pages(b: bytes):
             if tag in (_IMAGE_WIDTH, _IMAGE_LENGTH, _BITS_PER_SAMPLE,
                        _COMPRESSION, _PHOTOMETRIC, _STRIP_OFFSETS,
                        _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP,
-                       _STRIP_BYTE_COUNTS, _PLANAR_CONFIG):
+                       _STRIP_BYTE_COUNTS, _PLANAR_CONFIG, _PREDICTOR):
                 tags[tag] = _read_values(b, bo, typ, count,
                                          b[pos + 8 : pos + 12])
             elif tag in (_TILE_WIDTH, _TILE_OFFSETS):
@@ -430,6 +444,12 @@ def tiff_decode_pages(b: bytes):
                                       "channel planes) not supported")
         if spp not in (1, 3):
             raise NotImplementedError(f"{spp} samples per pixel")
+        pred = tags.get(_PREDICTOR, [1])[0]
+        if pred not in (1, 2):
+            raise NotImplementedError(
+                f"predictor {pred} not supported (none/horizontal only;"
+                " 3 is floating-point differencing)"
+            )
 
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
@@ -447,8 +467,13 @@ def tiff_decode_pages(b: bytes):
                 raise ValueError("TIFF strip shorter than expected")
             raster += raw[: rows * row_bytes]
         arr = np.frombuffer(bytes(raster), dtype=np.uint8,
-                            count=h * row_bytes)
-        pages.append(arr.reshape(h, w, spp))
+                            count=h * row_bytes).reshape(h, w, spp)
+        if pred == 2:
+            # Undo horizontal differencing: cumulative sum per row and
+            # channel, uint8 wraparound.
+            arr = np.cumsum(arr.astype(np.int64), axis=1) % 256
+            arr = arr.astype(np.uint8)
+        pages.append(arr)
     if not pages:
         raise ValueError("TIFF with no IFDs")
     return pages
