@@ -3368,7 +3368,9 @@ SELECT d.doc_id, CAST(2 AS BIGINT) AS n_pages,
        CAST(g.gray_sum AS DOUBLE) / CAST(g.n1 AS DOUBLE) AS gray_mean
 FROM dims d JOIN rgb r USING (doc_id) JOIN gray g USING (doc_id)
 """,
-    tags=("multimodal", "decode", "tiff", "packbits", "mapInPandas"),
+    tags=("multimodal", "decode", "tiff", "packbits", "lzw",
+          "mapInPandas"),
+    bench=True,
 )
 def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BASELINE-TIFF decode under the oracle gate — the last
