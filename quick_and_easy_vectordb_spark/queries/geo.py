@@ -3077,3 +3077,179 @@ def geo_rect_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("coverage").cast("long").alias("max_coverage"),
         )
     )
+
+
+# Octant classification shared VERBATIM by both engines (pure integer
+# comparisons on dx/dy — no atan2, which would cross the transcendental
+# exactness boundary). Octants 0..7 counter-clockwise from East;
+# boundaries (|dx| == |dy|, axes) assigned deterministically by the
+# CASE order. -1 = stationary.
+_SQL_OCTANT = """CASE
+  WHEN dx = 0 AND dy = 0 THEN -1
+  WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+  WHEN dy > 0 AND dx > 0 AND dy >= dx THEN 1
+  WHEN dy > 0 AND dx <= 0 AND dy > -dx THEN 2
+  WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3
+  WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4
+  WHEN dy < 0 AND dx < 0 AND -dy >= -dx THEN 5
+  WHEN dy < 0 AND dx >= 0 AND -dy > dx THEN 6
+  ELSE 7 END"""
+
+
+@query(
+    "geo_direction_rose",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id,
+         (event_id * 104729) % 36000 AS x,
+         (event_id * 7919) % 18000 AS y
+  FROM events
+),
+mv AS (
+  SELECT user_id, x, y,
+         LEAD(x) OVER (PARTITION BY user_id ORDER BY event_id) - x AS dx,
+         LEAD(y) OVER (PARTITION BY user_id ORDER BY event_id) - y AS dy
+  FROM p
+),
+oc AS (
+  SELECT user_id, dx, dy, {_SQL_OCTANT} AS octant
+  FROM mv WHERE dx IS NOT NULL
+)
+SELECT CAST(octant AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS manhattan_total,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM oc GROUP BY octant
+""",
+    tags=("geo", "trajectory", "direction-rose", "octant"),
+)
+def geo_direction_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVEMENT DIRECTION ROSE — the bearing histogram every fleet /
+    migration / footfall analysis plots, WITHOUT trigonometry: each
+    consecutive per-user displacement is classified into one of 8
+    octants by pure integer sign/magnitude comparisons (the shared
+    CASE fragment runs verbatim in both engines; atan2 would cross
+    the transcendental exactness boundary the geo family's header
+    documents). Boundaries are deterministic by CASE order; octant
+    -1 catches stationary pairs. Output: per-octant move count,
+    total Manhattan displacement, distinct movers.
+
+    Plan shape at 100 TB: one per-user window (the trajectory
+    family's existing shuffle key — shared with geo_trajectory_stats,
+    so a real pipeline computes both in one pass) + a map-side-
+    combined 9-group aggregate. No joins, no explode."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    p = ev.select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 104729) % 36000).alias("x"),
+        ((F.col("event_id") * 7919) % 18000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    mv = p.select(
+        "user_id",
+        (F.lead("x").over(w) - F.col("x")).alias("dx"),
+        (F.lead("y").over(w) - F.col("y")).alias("dy"),
+    ).filter(F.col("dx").isNotNull())
+    oc = mv.select(
+        "user_id", "dx", "dy", F.expr(_SQL_OCTANT).alias("octant")
+    )
+    return oc.groupBy(F.col("octant").cast("long").alias("octant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum(F.abs(F.col("dx")) + F.abs(F.col("dy"))).cast("long")
+        .alias("manhattan_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "geo_grid_boxblur_density",
+    oracle="""
+WITH p AS (
+  -- squared transform (the geo_quadtree_leaf_cells trick): the plain
+  -- linear synthesis is a near-perfect lattice whose smoothed density
+  -- never exceeds 6 -- no hotspot to find
+  SELECT ((c_custkey * 104729) % 36000) * ((c_custkey * 104729) % 36000)
+           // 36000 AS x,
+         ((c_custkey * 7919) % 18000) * ((c_custkey * 7919) % 18000)
+           // 18000 AS y
+  FROM customer
+),
+cells AS (
+  SELECT x // 400 AS cx, y // 400 AS cy, COUNT(*) AS n
+  FROM p GROUP BY 1, 2
+),
+spread AS (
+  SELECT cells.cx + o.dx AS cx, cells.cy + o.dy AS cy, n
+  FROM cells CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)
+),
+blur AS (
+  SELECT cx, cy, SUM(n) AS density9 FROM spread GROUP BY cx, cy
+)
+SELECT CAST(b.cx AS BIGINT) AS cx, CAST(b.cy AS BIGINT) AS cy,
+       CAST(b.density9 AS BIGINT) AS density9,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS own_count
+FROM blur b LEFT JOIN cells c ON b.cx = c.cx AND b.cy = c.cy
+WHERE b.density9 >= 20
+""",
+    tags=("geo", "stencil", "density", "box-blur", "hotspot"),
+)
+def geo_grid_boxblur_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 BOX-BLUR DENSITY over the point grid — the smoothing pass
+    every heatmap/hotspot layer runs before thresholding, computed as
+    STENCIL-AS-AGGREGATION: each non-empty cell EXPLODES its count
+    into its 9 neighbor positions and one re-aggregation sums the
+    contributions — no 9-way self-join, no dense raster, cost
+    O(non-empty cells x 9) regardless of grid size. (geo_gi_star
+    solves the statistical version of this with weights; this is the
+    raw pipeline primitive it and every KDE-lite layer share.)
+    Cells with smoothed density >= 20 are reported with their own
+    raw count (LEFT join back to the sparse cell table: empty cells
+    inside dense neighborhoods appear with own_count 0 — exactly the
+    gap-filling a threshold layer needs).
+
+    Plan shape at 100 TB: one point shuffle into cells, a 9x explode
+    of the CELL table (tiny), one cell re-aggregation, one broadcast
+    join back. Wider kernels grow the explode factor, never a join;
+    separable kernels (two 1-D passes) cut even that at k > ~5."""
+    cust = load_table(spark, sf_dir, "customer")
+    u = (F.col("c_custkey") * 104729) % 36000
+    v = (F.col("c_custkey") * 7919) % 18000
+    p = cust.select(
+        F.floor(u * u / F.lit(36000)).cast("long").alias("x"),
+        F.floor(v * v / F.lit(18000)).cast("long").alias("y"),
+    )
+    cells = p.groupBy(
+        F.expr("x DIV 400").alias("cx"), F.expr("y DIV 400").alias("cy")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    offsets = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    spread = cells.select("cx", "cy", "n", offsets.alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "n",
+    )
+    blur = spread.groupBy("cx", "cy").agg(F.sum("n").alias("density9"))
+    own = cells.select(
+        F.col("cx").alias("ocx"), F.col("cy").alias("ocy"),
+        F.col("n").alias("own"),
+    )
+    return (
+        blur.filter(F.col("density9") >= 20)
+        .join(
+            F.broadcast(own),
+            (F.col("cx") == F.col("ocx")) & (F.col("cy") == F.col("ocy")),
+            "left",
+        )
+        .select(
+            F.col("cx").cast("long").alias("cx"),
+            F.col("cy").cast("long").alias("cy"),
+            F.col("density9").cast("long").alias("density9"),
+            F.coalesce(F.col("own"), F.lit(0)).cast("long")
+            .alias("own_count"),
+        )
+    )

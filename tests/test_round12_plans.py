@@ -157,7 +157,8 @@ def test_rect_cover_segments_conserve_area(spark, sf_dir):
      "geo_quadtree_leaf_cells", "mm_decode_tiff_stats",
      "vdb_hard_negative_mining_lsh", "src_protobuf_packed_nested",
      "geo_rect_cover_segments", "src_avro_binary_roundtrip",
-     "geo_rect_union_length"],
+     "geo_rect_union_length", "geo_direction_rose",
+     "geo_grid_boxblur_density"],
 )
 def test_round12_schema_stable(spark, sf_dir, name):
     df = _df(spark, sf_dir, name)
