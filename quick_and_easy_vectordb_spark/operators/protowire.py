@@ -180,7 +180,11 @@ def encode_event(user_id: int, event_ids, top_type: str,
 
 
 def _decode_meta(buf: bytes) -> dict:
-    out = {"top_type": "", "n_events": 0}
+    """Returns the Meta fields plus a ``_seen`` set of field numbers
+    that occurred ON THE WIRE — the merge rule is last-OCCURRENCE
+    wins, so an explicit zero / empty string in a later occurrence
+    must overwrite (presence, not truthiness, drives the merge)."""
+    out = {"top_type": "", "n_events": 0, "_seen": set()}
     pos = 0
     while pos < len(buf):
         key, pos = decode_varint(buf, pos)
@@ -189,6 +193,7 @@ def _decode_meta(buf: bytes) -> dict:
             val, pos = decode_varint(buf, pos)
             if field == 2:
                 out["n_events"] = val
+                out["_seen"].add(2)
         elif wtype == 2:
             ln, pos = decode_varint(buf, pos)
             if pos + ln > len(buf):
@@ -197,6 +202,7 @@ def _decode_meta(buf: bytes) -> dict:
             pos += ln
             if field == 1:
                 out["top_type"] = raw.decode("utf-8")
+                out["_seen"].add(1)
         else:
             raise ValueError(f"unsupported wire type {wtype}")
     return out
@@ -240,9 +246,13 @@ def decode_event(buf: bytes) -> dict:
                     out["event_ids"].append(v)
             elif field == 3:
                 m = _decode_meta(raw)
-                if m["top_type"]:
+                # Message merge: a field PRESENT in the later
+                # occurrence overwrites, even with an explicit zero /
+                # empty value (presence, not truthiness — the falsy
+                # check was a spec deviation caught in review).
+                if 1 in m["_seen"]:
                     out["top_type"] = m["top_type"]
-                if m["n_events"]:
+                if 2 in m["_seen"]:
                     out["n_events"] = m["n_events"]
         else:
             raise ValueError(f"unsupported wire type {wtype}")

@@ -280,6 +280,16 @@ def lsh_batch_knn(
     out_cols = [query_id, corpus_id]
     if exclude_label is not None:
         q_label, c_label = exclude_label
+        if q_label == c_label:
+            raise ValueError(
+                "exclude_label needs DISTINCT column names on the two "
+                f"sides (both are {q_label!r}) — rename one before the "
+                "call, or the post-join reference is ambiguous"
+            )
+        # SQL <> semantics: a NULL label on either side drops the
+        # pair (matching the oracle's `c.label <> q.q_label`); callers
+        # with NULL-labeled corpora that should count as negatives
+        # must coalesce labels to a sentinel first.
         joined = joined.filter(F.col(c_label) != F.col(q_label))
         out_cols.append(c_label)
     scored = (

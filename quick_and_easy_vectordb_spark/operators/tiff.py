@@ -145,6 +145,7 @@ def lzw_encode_tiff(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # drop emitted bits: keep acc bounded
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -175,6 +176,16 @@ def lzw_encode_tiff(data: bytes) -> bytes:
             width = 9
     if omega:
         put(table[omega], width)
+        # The decoder adds a table entry for EVERY data code after the
+        # first — including this final one, which the encoder's
+        # mismatch loop never counted. If that phantom add lands the
+        # decoder exactly on its early-change boundary, it reads EOI
+        # at width+1, so the encoder must bump too (found by fuzzing:
+        # without this, ~1/512 strips end with an EOI that conformant
+        # readers misparse; tests/test_tiff.py pins the exact case).
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     put(_LZW_EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -200,6 +211,7 @@ def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # drop consumed bits: keep acc bounded
         return code
 
     # Pre-initialized to the post-Clear state (TIFF streams open with

@@ -2458,10 +2458,19 @@ def src_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b, r in zip(back, recs)
             ):
                 raise ValueError("avro container roundtrip mismatch")
+            # Half-away-from-zero, matching DuckDB's ROUND() (Python's
+            # built-in round() is banker's — divergent exactly on the
+            # n+0.5 doubles a future fixture generator could emit).
+            import math as _math
+
+            def _cents(v: float) -> int:
+                a = _math.floor(abs(v) * 100 + 0.5)
+                return int(a if v >= 0 else -a)
+
             yield pd.DataFrame({
                 "event_type": [r[2] for r in recs],
                 "user_id": [r[1] for r in recs],
-                "cents": [int(round(r[3] * 100)) for r in recs],
+                "cents": [_cents(r[3]) for r in recs],
                 "wire_bytes": sizes,
             })
 

@@ -90,6 +90,25 @@ def test_nested_message_merge_last_scalar_wins():
     )
     d = decode_event(buf)
     assert d["top_type"] == "click" and d["n_events"] == 8
+    # Presence, not truthiness: a later occurrence carrying an
+    # EXPLICIT zero / empty string must still overwrite (the falsy
+    # merge was a spec deviation caught in review).
+    m3 = meta("", 0)  # both fields explicitly on the wire
+    buf0 = (
+        _tag(3, 2) + encode_varint(len(m1)) + m1
+        + _tag(3, 2) + encode_varint(len(m3)) + m3
+    )
+    d0 = decode_event(buf0)
+    assert d0["top_type"] == "" and d0["n_events"] == 0
+    # ...while a later occurrence NOT carrying a field leaves the
+    # earlier value in place.
+    m_partial = _tag(2, 0) + encode_varint(0)  # only n_events=0
+    bufp = (
+        _tag(3, 2) + encode_varint(len(m1)) + m1
+        + _tag(3, 2) + encode_varint(len(m_partial)) + m_partial
+    )
+    dp = decode_event(bufp)
+    assert dp["top_type"] == "view" and dp["n_events"] == 0
 
 
 def test_unknown_fields_inside_nested_are_skipped():

@@ -11,35 +11,19 @@ import os
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_crosscheck_build_index():
-    # The tool runs its CLI at import; load it as a module with argv
-    # neutralized so only the functions come in.
-    import sys
-
+def _build_index() -> str:
+    # The tool's CLI is under a __main__ guard, so importing it is
+    # side-effect-free; call build_index() directly.
     path = os.path.join(_REPO, "tools", "survey_crosscheck.py")
     spec = importlib.util.spec_from_file_location("survey_crosscheck", path)
     mod = importlib.util.module_from_spec(spec)
-    old_argv = sys.argv
-    sys.argv = ["survey_crosscheck.py", "--index"]
-    old_index = os.path.join(_REPO, "SURVEY_INDEX.md")
-    before = open(old_index).read()
-    try:
-        try:
-            spec.loader.exec_module(mod)
-        except SystemExit:
-            pass
-    finally:
-        sys.argv = old_argv
-        # The CLI rewrote the file; restore and compare out-of-band.
-        after = open(old_index).read()
-        with open(old_index, "w") as f:
-            f.write(before)
-    return mod, before, after
+    spec.loader.exec_module(mod)
+    return mod.build_index()
 
 
 def test_survey_index_is_fresh():
-    mod, committed, regenerated = _load_crosscheck_build_index()
-    assert committed == regenerated, (
+    committed = open(os.path.join(_REPO, "SURVEY_INDEX.md")).read()
+    assert committed == _build_index(), (
         "SURVEY_INDEX.md is stale — run "
         "`python tools/survey_crosscheck.py --index` and commit"
     )

@@ -292,3 +292,72 @@ def test_predictor3_refused():
         tiff_decode_pages(fp)
     with pytest.raises(ValueError, match="predictor"):
         tiff_encode([_raster_gray(4, 4, 1)], predictor=3)
+
+
+def _strict_lzw_decode(data: bytes, expected: int) -> bytes:
+    """CONFORMANT early-change decoder that reads EOI at the correct
+    width — unlike lzw_decode_tiff it never exits early on byte
+    count, so it catches encoder width bugs at the EOI position
+    (found by review fuzzing: the final data code's phantom table add
+    can land the decoder on its width boundary, and the encoder must
+    bump before writing EOI)."""
+    acc = nbits = pos = 0
+
+    def get(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    while True:
+        code = get(width)
+        if code == 257:
+            break
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            entry = bytes([code])
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"code {code} out of range (table {len(table)}, w {width})"
+            )
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    assert len(out) == expected
+    return bytes(out)
+
+
+def test_lzw_eoi_width_against_strict_decoder():
+    """400 low-entropy fuzz cases (the family where the final data
+    code lands on the early-change boundary ~1/512 of the time) must
+    all be accepted by a decoder that reads EOI at the conformant
+    width — pre-fix, several of these seeds produced streams real
+    readers would misparse."""
+    import random
+
+    for seed in range(400):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 5000)
+        data = bytes(rng.randrange(3) for _ in range(n))
+        enc = lzw_encode_tiff(data)
+        assert _strict_lzw_decode(enc, n) == data, f"seed {seed}"

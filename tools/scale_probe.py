@@ -1844,8 +1844,7 @@ def main() -> None:
         c = corpus_df.select(
             F.col("vec_id").alias("neg_id"),
             F.col("embedding").alias("cv"),
-            F.pmod(F.col("neg_id" if "neg_id" in corpus_df.columns
-                          else "vec_id"), F.lit(8)).alias("neg_label"),
+            F.pmod(F.col("vec_id"), F.lit(8)).alias("neg_label"),
         )
         scored = c.join(
             F.broadcast(a), F.col("neg_label") != F.col("q_label")
