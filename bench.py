@@ -34,6 +34,45 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
 
+    # Host-speed calibration (round-13, VERDICT r12 item 2): three
+    # rounds of bench JSON became mutually incomparable because this
+    # VM's effective speed drifts across sessions (steal time /
+    # co-tenant load) — byte-identical plans read 1.5x apart. Two
+    # fixed-work tokens timed before the warmup and again after the
+    # isolated block quantify the host of record:
+    #   calib_1t_s  — pinned single-thread pure-Python loop
+    #                 (interpreter + one core)
+    #   calib_32t_s — pinned 32-partition Spark job on spark.range
+    #                 (JVM + all cores + scheduler)
+    # Cross-round comparisons should use query_s / calib_32t_s (the
+    # DETAIL line carries that table as queries_norm).
+    def calib_1t() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc = (acc + i * i) % 1000003
+        if acc < 0:  # keep the loop un-eliminable
+            raise AssertionError
+        return time.perf_counter() - t0
+
+    def calib_32t() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 256_000_000, 1, 32).selectExpr(
+            "sum(id * id % 1000003) as s"
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    def run_calib() -> tuple[float, float]:
+        return (
+            round(min(calib_1t() for _ in range(3)), 4),
+            round(min(calib_32t() for _ in range(3)), 4),
+        )
+
+    # One throwaway Spark job first so the calibration itself is not
+    # measuring JVM warmup.
+    spark.range(0, 1_000_000, 1, 32).selectExpr("sum(id)").collect()
+    calib_pre = run_calib()
+
     # Warmup: run every bench query once at the smallest scale factor.
     # Whole-stage codegen compiles per query *shape* (several seconds of
     # JIT for wide decimal aggregates), so this moves one-time JVM/
@@ -161,16 +200,24 @@ def main() -> None:
     isolated: dict[str, float] = {}
     isolated_runs: dict[str, list[float]] = {}
     isolated_loads: dict[str, list[float]] = {}
+    isolated_errors: dict[str, str] = {}
     for name in [n for n, t in timings.items() if t >= iso_cut]:
         try:
             runs, run_loads, _ = time_query(
                 bench_queries[name], 4, per_repeat_wait
             )
-        except Exception:  # noqa: BLE001
-            continue  # already timed in-suite; isolation is best-effort
+        except Exception as e:  # noqa: BLE001
+            # Already timed in-suite; isolation is best-effort — but a
+            # query that crashes only in isolation must leave evidence.
+            isolated_errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         isolated[name] = round(min(runs), 4)
         isolated_runs[name] = [round(r, 4) for r in runs]
         isolated_loads[name] = run_loads
+
+    calib_post = run_calib()
+    calib_1t_s = round(min(calib_pre[0], calib_post[0]), 4)
+    calib_32t_s = round(min(calib_pre[1], calib_post[1]), 4)
 
     total = round(sum(timings.values()), 4)
     # min is the headline (steady-state, comparable to a long-running
@@ -195,6 +242,16 @@ def main() -> None:
                 "load_wait_per_query_s": query_waits,
                 "isolated_runs": isolated_runs,
                 "isolated_load_1m_per_run": isolated_loads,
+                "calib_pre": {"1t": calib_pre[0], "32t": calib_pre[1]},
+                "calib_post": {"1t": calib_post[0], "32t": calib_post[1]},
+                "queries_norm_32t": {
+                    n: round(t / calib_32t_s, 3)
+                    for n, t in timings.items()
+                } if calib_32t_s > 0 else {},
+                **(
+                    {"isolated_errors": isolated_errors}
+                    if isolated_errors else {}
+                ),
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -212,6 +269,8 @@ def main() -> None:
                 "repeats": repeats,
                 "n_errors": len(errors),
                 "isolated": isolated,
+                "calib_1t_s": calib_1t_s,
+                "calib_32t_s": calib_32t_s,
                 "load_1m_start": load_start,
                 "load_1m_at_timing": load_at_timing,
                 "load_1m_end": round(os.getloadavg()[0], 2),

@@ -60,6 +60,10 @@ def zigzag_decode(u: int) -> int:
 
 def encode_long(n: int) -> bytes:
     """Zigzag + base-128 varint (LSB groups, MSB = continue)."""
+    if not -(2**63) <= n < 2**63:
+        # Out-of-domain ints would zigzag to >10-byte varints that no
+        # conformant Avro reader accepts; fail at encode time.
+        raise ValueError(f"avro long out of int64 range: {n}")
     u = zigzag_encode(n)
     out = bytearray()
     while True:
@@ -178,8 +182,11 @@ def container_write(records: list[tuple], codec: str = "null",
         chunk = records[i : i + block_size]
         payload = b"".join(encode_event_record(*r) for r in chunk)
         if codec == "deflate":
-            # Spec: raw deflate, no zlib header/checksum.
-            payload = zlib.compress(payload)[2:-4]
+            # Spec: raw deflate, no zlib header/checksum. wbits=-15
+            # produces headerless output directly (no slicing of the
+            # zlib wrapper, which would break if flags ever change).
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
         out += encode_long(len(chunk))
         out += encode_long(len(payload))
         out += payload

@@ -466,6 +466,14 @@ def tiff_decode_pages(b: bytes):
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        if rps <= 0:
+            raise ValueError(f"TIFF RowsPerStrip must be > 0, got {rps}")
+        expected_strips = -(-h // rps)  # ceil(h / rps)
+        if len(offsets) != expected_strips:
+            raise ValueError(
+                f"TIFF strip count {len(offsets)} != ceil(height/rows_"
+                f"per_strip) = {expected_strips} (h={h}, rps={rps})"
+            )
         row_bytes = w * spp
         raster = bytearray()
         for i, (off, cnt) in enumerate(zip(offsets, counts)):

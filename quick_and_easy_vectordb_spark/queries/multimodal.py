@@ -3434,9 +3434,14 @@ def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows_per_strip=3,
                 )
                 pages = tiff_decode_pages(payload)  # the real parser
-                assert len(pages) == 2
-                assert np.array_equal(pages[0], rgb)
-                assert np.array_equal(pages[1], gray[:, :, None])
+                # Explicit raises (not assert): the roundtrip gate must
+                # survive ``python -O`` like the protobuf/avro siblings.
+                if len(pages) != 2:
+                    raise ValueError("tiff roundtrip mismatch: page count")
+                if not np.array_equal(pages[0], rgb):
+                    raise ValueError("tiff roundtrip mismatch: rgb page")
+                if not np.array_equal(pages[1], gray[:, :, None]):
+                    raise ValueError("tiff roundtrip mismatch: gray page")
                 gsum = int(pages[1].astype(np.int64).sum())
                 out["doc_id"].append(d)
                 out["n_pages"].append(len(pages))
