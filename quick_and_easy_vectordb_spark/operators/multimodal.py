@@ -9,12 +9,15 @@ columnar batches (never row-at-a-time py4j).
 The codec step is REAL for the still-image/audio family (pure
 Python/numpy, no PIL/ffmpeg): PNM, BMP, non-interlaced PNG, baseline
 sequential JPEG, GIF, QOI here, baseline TIFF with none/LZW/PackBits
-in operators/tiff.py, 16-bit WAV in ``decode_audio``. VIDEO codecs
-genuinely need ffmpeg (absent in this container), so the
-frame-sample/feature paths that would touch them fall back to the
-deterministic md5-derived fake featureizer (``_fake_features``) whose
-Spark-side plumbing (schema, batching, partitioning) is identical —
-swap in a real video decode and nothing else changes.
+in operators/tiff.py, 16-bit WAV in ``decode_audio``. Video is REAL
+for MJPEG-in-AVI (round 13): operators/avi.py walks the RIFF
+container and feeds each frame chunk through the JPEG decoder;
+``sample_frames`` dispatches on the RIFF magic. Interframe codecs
+(H.264 etc.) genuinely need ffmpeg (absent in this container), so
+non-AVI payloads fall back to the deterministic md5-derived fake
+featureizer (``_fake_features``) whose Spark-side plumbing (schema,
+batching, partitioning) is identical — the AVI path shows exactly
+what swapping in a real decode looks like.
 
 Scale note: payload columns dominate row width, so every operator here
 selects the minimal column set (Parquet column pruning keeps payloads
@@ -790,24 +793,43 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
-    """Video frame sampling plumbing: ONE input row fans out to
-    ``n_frames`` output rows (the UDTF/flatMap shape) inside a single
-    mapInPandas pass — a real sampler would seek+decode n timestamps
-    per payload; the stub derives each frame's digest as
-    md5(payload || ':' || idx), keeping the whole fan-out
-    deterministic and oracle-checkable. No shuffle: row expansion
-    happens inside the map stage, and downstream per-frame operators
-    see an ordinary (doc_id, frame_idx)-keyed relation."""
+    """Video frame sampling: ONE input row fans out to ``n_frames``
+    output rows (the UDTF/flatMap shape) inside a single mapInPandas
+    pass. MJPEG-in-AVI payloads (RIFF magic) take the REAL path
+    (round-13, VERDICT r12 item 3): the container walker extracts the
+    frame chunk list, ``n_frames`` are sampled evenly across it
+    (indices floor(i*total/n), the seek points a real sampler would
+    use), each is decoded by the pure-numpy baseline-JPEG decoder, and
+    frame_md5 digests the decoded raster bytes. Non-AVI payloads keep
+    the documented deterministic stub (md5(payload || ':' || idx)) so
+    the synthetic-payload oracle queries stay reproducible. No
+    shuffle: row expansion happens inside the map stage, and
+    downstream per-frame operators see an ordinary
+    (doc_id, frame_idx)-keyed relation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quick_and_easy_vectordb_spark.operators.avi import avi_parse
+
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames = avi_parse(payload)["frames"]
+                    total = len(frames)
+                    for i in range(min(n_frames, total)):
+                        raster = decode_image(frames[i * total // min(n_frames, total)])
+                        ids.append(int(doc_id))
+                        idxs.append(i)
+                        digests.append(
+                            hashlib.md5(raster.tobytes()).hexdigest()
+                        )
+                    continue
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)
                     digests.append(
-                        hashlib.md5(bytes(payload) + b":" + str(i).encode()).hexdigest()
+                        hashlib.md5(payload + b":" + str(i).encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
