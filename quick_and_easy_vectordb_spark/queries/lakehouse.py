@@ -2484,3 +2484,72 @@ def src_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("long").alias("user_checksum"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+@query(
+    "src_corpus_sink_roundtrip",
+    oracle="""
+WITH appended AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_checksum
+FROM appended GROUP BY lang
+""",
+    tags=("sources", "sink", "partitioned-write", "append",
+          "roundtrip"),
+)
+def src_corpus_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WRITE PATH under the oracle gate (promoting
+    sources/writers.py from tests/test_writers.py-only coverage —
+    VERDICT r12 item 6's pattern applied to sinks): the documents
+    corpus is written with the canonical layout (write_corpus —
+    parquet partitioned by lang, rows sorted within files by doc_id
+    so row-group min/max stats stay tight), then a delta slice
+    (every 10th doc, re-keyed +1e6) lands via append_rows — O(new
+    rows), file-level atomic, the durable version of the reference's
+    O(N) session-state pd.concat (reference app.py:105-118). The
+    result is the corpus read BACK OFF DISK through partition
+    discovery and reduced per lang. The oracle computes the same
+    table from the source relation + the same synthetic delta — the
+    row is green iff the partitioned write, the append, and the
+    read-back preserved every value and lost/duplicated nothing.
+
+    Plan shape at 100 TB: the write shuffles nothing beyond the
+    partitionBy routing; the append touches only new files; the
+    read-back scan prunes to lang directories and reads exactly the
+    3 columns the aggregate needs."""
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.sources.writers import (
+        append_rows,
+        read_corpus,
+        write_corpus,
+    )
+
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="src_corpus_sink_"), "corpus"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_corpus(docs, path, partition_by="lang",
+                 sort_within_by="doc_id")
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_rows(delta, path, partition_by="lang")
+    return read_corpus(spark, path).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_checksum"),
+    )

@@ -3586,3 +3586,106 @@ def mm_decode_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, width long, height long,"
         " pix_sum long, mean_val double, usec_per_frame long",
     )
+
+
+@query(
+    "mm_video_temporal_diff",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 3 AS nf, 1 + doc_id % 2 AS bw,
+         1 + (doc_id // 2) % 2 AS bh
+  FROM documents
+),
+pr AS (SELECT doc_id, bw, bh, unnest(range(nf - 1)) AS pair_idx
+       FROM dims),
+blk AS (
+  SELECT doc_id, bw, bh, pair_idx, unnest(range(bw * bh)) AS b FROM pr
+),
+v AS (
+  SELECT doc_id, bw, bh, pair_idx,
+         (doc_id * 13 + pair_idx * pair_idx * 7
+          + (b % bw) * 5 + (b // bw) * 11) % 256 AS v0,
+         (doc_id * 13 + (pair_idx + 1) * (pair_idx + 1) * 7
+          + (b % bw) * 5 + (b // bw) * 11) % 256 AS v1
+  FROM blk
+)
+SELECT doc_id, CAST(pair_idx AS BIGINT) AS pair_idx,
+       CAST(SUM(ABS(v1 - v0)) * 64 AS BIGINT) AS l1_delta,
+       CAST(SUM(CASE WHEN v1 <> v0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS changed_blocks,
+       CAST(CASE WHEN SUM(ABS(v1 - v0)) * 64
+                      > MAX(bw) * MAX(bh) * 64 * 40
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM v GROUP BY doc_id, pair_idx
+""",
+    tags=("multimodal", "video", "mjpeg", "scene-cut", "mapInPandas"),
+)
+def mm_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY DETECTION ON REAL DECODED VIDEO — the upgrade of
+    mm_video_scene_cuts' pseudo-content pipeline now that MJPEG-in-AVI
+    decode is real (operators/avi.py, this round): per document an
+    nf-frame AVI is synthesized (frame f block (bx,by) flat at
+    (id*13 + f²·7 + bx·5 + by·11) mod 256 — the quadratic term makes
+    consecutive-frame deltas GROW with f, so the fixed threshold
+    splits genuinely), container-walked and JPEG-decoded, then each
+    consecutive raster pair is reduced to the standard shot-boundary
+    features: L1 pixel delta, changed-block count, and the
+    mean-delta-per-pixel > 40 cut flag. DC-exact frames keep every
+    quantity integral, so the oracle reproduces the whole pipeline —
+    container, codec, and temporal differencing — in closed form.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffles;
+    the frame-pair fan-out and the numpy |Δ| reductions happen inside
+    the map stage on decoded rasters that never leave the worker."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.avi import (
+        avi_decode_frames,
+        avi_encode_mjpeg,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "pair_idx": [], "l1_delta": [],
+                   "changed_blocks": [], "is_cut": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 3 + doc_id % 3
+                bw, bh = 1 + doc_id % 2, 1 + (doc_id // 2) % 2
+                frames = []
+                for f in range(nf):
+                    vals = [
+                        [(doc_id * 13 + f * f * 7 + bx * 5 + by * 11)
+                         % 256 for bx in range(bw)]
+                        for by in range(bh)
+                    ]
+                    frames.append(
+                        jpeg_encode_gray_dc(vals, bw * 8, bh * 8)
+                    )
+                payload = avi_encode_mjpeg(frames, bw * 8, bh * 8)
+                _, rasters = avi_decode_frames(payload)  # REAL path
+                for p in range(nf - 1):
+                    a = rasters[p].astype(np.int64)
+                    b = rasters[p + 1].astype(np.int64)
+                    d = np.abs(b - a)
+                    l1 = int(d.sum())
+                    changed = int(
+                        (d.reshape(bh, 8, bw, 8).sum(axis=(1, 3)) > 0)
+                        .sum()
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["pair_idx"].append(p)
+                    out["l1_delta"].append(l1)
+                    out["changed_blocks"].append(changed)
+                    out["is_cut"].append(int(l1 > a.size * 40))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, pair_idx long, l1_delta long,"
+        " changed_blocks long, is_cut long",
+    )

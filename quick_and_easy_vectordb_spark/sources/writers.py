@@ -55,11 +55,22 @@ def write_corpus(
     w.parquet(path)
 
 
-def append_rows(df: DataFrame, path: str) -> None:
+def append_rows(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> None:
     """Append rows to an existing parquet corpus — O(rows appended),
     never a rewrite. Parquet append is file-level atomic per task;
-    readers see whole files or nothing."""
-    df.write.mode("append").parquet(path)
+    readers see whole files or nothing.
+
+    ``partition_by`` MUST match the existing table's partitioning:
+    appending unpartitioned files into a partitioned layout drops the
+    new rows from partition-discovery reads (they sit beside the
+    ``key=value`` directories, where the discoverer doesn't look) —
+    found the hard way by src_corpus_sink_roundtrip's oracle gate."""
+    w = df.write.mode("append")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
 
 
 def write_bucketed(
