@@ -565,3 +565,75 @@ def text_mix_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("actual_share"),
         (F.col("total").cast("double") / (F.col("k") * F.col("n"))).alias("weight"),
     )
+
+
+# Affine permutation constants for the epoch shuffle: P is a Mersenne
+# prime and a is not a multiple of P, so k -> (a*k + epoch*c) % P is a
+# bijection on [0, P) — a keyed pseudo-random permutation with no RNG
+# state, the deterministic-shuffle construction streaming loaders use
+# (every worker can compute any element's position independently).
+# Constants sized so a*doc_id + c stays inside int64 under ANSI mode
+# (and inside DuckDB BIGINT) for doc_id < 2^31.
+_SHUF_P = (1 << 61) - 1
+_SHUF_A = 2654435761  # Knuth's 32-bit golden-ratio multiplier
+_SHUF_C = 671807229
+_SHUF_SHARDS = 8
+_SHUF_EPOCHS = 2
+
+
+@query(
+    "text_epoch_shuffle",
+    oracle=f"""
+WITH e AS (SELECT unnest(range({_SHUF_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         (d.doc_id * {_SHUF_A} + e.epoch * {_SHUF_C}) % {_SHUF_P} AS sk
+  FROM documents d CROSS JOIN e
+),
+sharded AS (
+  SELECT epoch, doc_id, sk, sk % {_SHUF_SHARDS} AS shard FROM keyed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY sk, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM sharded
+""",
+    tags=("curation", "training", "epoch-shuffle", "deterministic",
+          "sharding"),
+)
+def text_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE + SHARD ASSIGNMENT — the operator
+    between curation and the training loader: each epoch must visit
+    the corpus in a different pseudo-random order, reproducibly (job
+    restarts and stragglers must agree on every element's position),
+    sharded so each data-parallel rank reads one slice. RNG state
+    can't do this distributed; the standard construction is a KEYED
+    AFFINE PERMUTATION sk = (a·doc_id + epoch·c) mod P (P Mersenne
+    prime, a odd ⇒ bijection): shard = sk mod S, position = rank of
+    sk within the shard. Every property is relational, so the full
+    (epoch, shard, pos, doc_id) training manifest crosses the oracle
+    gate — including that the two epochs' orders genuinely differ.
+
+    Plan shape at 100 TB: one scan fans out ×epochs (in-map), ONE
+    shuffle on (epoch, shard) — S·E bounded partitions — and a
+    per-shard sort for rank; no global sort, no single-partition
+    window, no RNG exchange. The manifest then writes per-shard files
+    the loader streams sequentially."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_SHUF_EPOCHS).select(
+        F.col("id").alias("epoch")
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id",
+        ((F.col("doc_id") * _SHUF_A + F.col("epoch") * _SHUF_C)
+         % _SHUF_P).alias("sk"),
+    )
+    sharded = keyed.withColumn("shard", F.col("sk") % _SHUF_SHARDS)
+    w = Window.partitionBy("epoch", "shard").orderBy("sk", "doc_id")
+    return sharded.select(
+        F.col("epoch").cast("long"),
+        F.col("shard").cast("long"),
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    )

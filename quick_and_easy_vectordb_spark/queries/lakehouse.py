@@ -2553,3 +2553,52 @@ def src_corpus_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("chars_checksum"),
     )
+
+
+@query(
+    "src_jsonl_gzip_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_checksum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_checksum
+FROM documents GROUP BY lang
+""",
+    tags=("sources", "jsonl", "gzip", "compression", "roundtrip"),
+)
+def src_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSONL ingestion — the wire format scraped
+    training corpora actually arrive in (CommonCrawl-style *.jsonl.gz
+    drops): documents are WRITTEN as gzip jsonl through the built-in
+    codec, then read back with an explicit schema (no schema
+    inference pass — at 100 TB a second full scan to infer types is
+    a real cost) and reduced per lang, text length included so the
+    string payload itself — not just the numeric columns — is proven
+    through the compress/decompress/parse cycle. The oracle computes
+    the same table from the source relation: green iff the whole
+    write-compress-read path is lossless.
+
+    Scale note: gzip is NOT splittable — one .gz file = one task, so
+    the writer controls parallelism by file COUNT (each input
+    partition emits its own .gz member), which is exactly how crawl
+    drops are laid out (thousands of ~100 MB members). The read plan
+    scales with the member count, not with file size."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="src_jsonl_gz_"), "docs"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    docs.write.option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint, text string"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_checksum"),
+        F.sum(F.length("text")).cast("long").alias("text_len_checksum"),
+    )
