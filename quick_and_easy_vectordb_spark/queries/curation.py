@@ -637,3 +637,76 @@ def text_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pos"),
         "doc_id",
     )
+
+
+@query(
+    "text_source_drift_tvd",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS c
+  FROM documents GROUP BY source, lang
+),
+s AS (SELECT source, SUM(c) AS ns FROM sl GROUP BY source),
+g AS (SELECT lang, SUM(c) AS cg FROM sl GROUP BY lang),
+tot AS (SELECT SUM(c) AS n FROM sl),
+-- every (source, lang) cell, including langs a source never emits
+-- (those contribute |0*N - cg*ns| to the distance)
+grid AS (
+  SELECT s.source, s.ns, g.lang, g.cg, COALESCE(sl.c, 0) AS c
+  FROM s CROSS JOIN g
+  LEFT JOIN sl ON sl.source = s.source AND sl.lang = g.lang
+)
+SELECT grid.source,
+       CAST(MAX(ns) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_langs_present,
+       CAST(SUM(ABS(c * tot.n - cg * ns)) AS BIGINT) AS tvd_num,
+       CAST(SUM(ABS(c * tot.n - cg * ns)) AS DOUBLE)
+         / (2.0 * MAX(ns) * MAX(tot.n)) AS tvd
+FROM grid, tot
+GROUP BY grid.source
+""",
+    tags=("curation", "drift", "total-variation", "monitoring"),
+)
+def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT MONITORING per corpus source — the check a
+    training pipeline runs on every new crawl drop: how far does each
+    source's language mix sit from the corpus-wide mix? Measured as
+    TOTAL-VARIATION DISTANCE, TVD = ½·Σ|p_l − q_l|, because unlike
+    KL/JS divergence it needs NO logarithms — ln() is 1-ulp
+    engine-dependent and banned from the oracle surface repo-wide
+    (see text_zipf_fit) — and its numerator Σ|c_{s,l}·N − c_l·N_s| is
+    EXACT INTEGER arithmetic; the only division is the final
+    normalization (one double divide of integers, bitwise-identical
+    in both engines). Absent (source, lang) cells contribute their
+    full mass |0 − c_l·N_s| — the oracle's grid CROSS JOIN pins that
+    the engine doesn't silently drop zero-count cells.
+
+    Plan shape at 100 TB: one map-side-combined (source, lang) count
+    — the ONLY pass over the corpus — then everything downstream is
+    O(sources × langs) cell arithmetic: two rollups and a broadcast
+    grid join on tables the size of the schema, not the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = sl.groupBy("source").agg(F.sum("c").alias("ns"))
+    g = sl.groupBy("lang").agg(F.sum("c").alias("cg"))
+    tot = sl.agg(F.sum("c").alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(g))
+        .join(sl, ["source", "lang"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.abs(F.col("c") * F.col("n") - F.col("cg") * F.col("ns"))
+    return grid.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_langs_present"),
+        F.sum(dev).cast("long").alias("tvd_num"),
+        (
+            F.sum(dev).cast("double")
+            / (F.lit(2.0) * F.max("ns") * F.max("n"))
+        ).alias("tvd"),
+    )
