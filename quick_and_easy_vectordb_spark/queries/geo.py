@@ -3742,3 +3742,95 @@ def geo_str_rtree_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("nh", F.lit(0)).cast("long").alias("n_true_hits"),
         F.coalesce("cs", F.lit(0)).cast("long").alias("hit_checksum"),
     )
+
+
+_CP_CELL = 12500  # closest-pair cell: 8x8 grid over the 100k extent
+
+
+@query(
+    "geo_closest_pair_blocked",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % 100000 AS x,
+         (c_custkey * 104729) % 100000 AS y
+  FROM customer
+),
+c AS (
+  SELECT id, x, y, x // {_CP_CELL} AS cx, y // {_CP_CELL} AS cy FROM p
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM c a JOIN c b
+    ON a.id < b.id
+   AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+)
+SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2
+FROM cand
+ORDER BY dist2, id_a, id_b
+LIMIT 1
+""",
+    tags=("geo", "closest-pair", "grid-blocking",
+          "reference-point-dedup"),
+)
+def geo_closest_pair_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSEST PAIR via grid blocking — the minimal spatial-join
+    reduction (collision detection, dedup-by-location, sensor
+    cross-validation all bottom out here): candidate pairs are
+    points in the same or 8-adjacent cells, globally reduced to the
+    single minimum-distance pair with full (dist², id, id) tiebreak.
+    Same candidate semantics as geo_grid_knn_join, and the oracle
+    applies the IDENTICAL blocking, so the contract — candidates,
+    dedup, reduction — is pinned end to end in integers. (Exactness
+    beyond the blocking radius follows the pigeonhole argument: with
+    n ≫ 64 cells some cell holds ≥ 2 points, so the true minimum is
+    far below the {_CP_CELL}-unit cell side; a distance-vs-cell-size
+    runtime audit is the production guard.)
+
+    Plan shape at 100 TB: the left side explodes into its 3x3 cell
+    neighborhood, then ONE equi-join shuffle on the cell key gives
+    each unordered pair exactly once (the id < id guard drops the
+    mirror); the final reduce is a 1-row TakeOrdered heap, no global
+    sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("id"),
+        ((k * 7919) % 100000).alias("x"),
+        ((k * 104729) % 100000).alias("y"),
+    ).select(
+        "*",
+        (F.col("x") / _CP_CELL).cast("long").alias("cx"),
+        (F.col("y") / _CP_CELL).cast("long").alias("cy"),
+    )
+    # Left side replicates into its 3x3 neighborhood; equi-join on the
+    # cell key then gives exactly the same-or-adjacent candidate set.
+    probe = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(cx - 1, cx + 1), gx ->"
+                " transform(sequence(cy - 1, cy + 1), gy ->"
+                " struct(gx as gcx, gy as gcy))))"
+            )
+        ).alias("c"),
+    ).select("id_a", "xa", "ya",
+             F.col("c.gcx").alias("cx"), F.col("c.gcy").alias("cy"))
+    build = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), "cx", "cy",
+    )
+    cand = probe.join(build, ["cx", "cy"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    dist2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        cand.select("id_a", "id_b", dist2.cast("long").alias("dist2"))
+        .orderBy("dist2", "id_a", "id_b")
+        .limit(1)
+    )

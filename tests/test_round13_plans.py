@@ -147,3 +147,12 @@ def test_lsh_incremental_readback_groups_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_lsh_index_incremental")
     assert _hash_shuffles(plan) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_closest_pair_single_shuffle_heap_reduce(spark, sf_dir):
+    """3x3 neighbor explode -> ONE cell-key equi-join -> 1-row heap;
+    never a nested loop over points."""
+    plan = _plan(spark, sf_dir, "geo_closest_pair_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
