@@ -361,3 +361,41 @@ def test_lzw_eoi_width_against_strict_decoder():
         data = bytes(rng.randrange(3) for _ in range(n))
         enc = lzw_encode_tiff(data)
         assert _strict_lzw_decode(enc, n) == data, f"seed {seed}"
+
+
+def test_rows_per_strip_validation():
+    """Malformed strip geometry fails with a format-level diagnostic,
+    not a numpy frombuffer error (ADVICE r12)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from quick_and_easy_vectordb_spark.operators.tiff import (
+        tiff_decode_pages,
+        tiff_encode,
+    )
+
+    img = (np.arange(48, dtype=np.uint8)).reshape(6, 8, 1)
+    buf = bytearray(tiff_encode([img], rows_per_strip=3))
+    # RowsPerStrip tag is 278; find its value slot and zero it.
+    # IFD entries: tag(2) type(2) count(4) value(4), little-endian
+    # fixture. Walk the first IFD.
+    (ifd_off,) = struct.unpack("<I", buf[4:8])
+    (n_entries,) = struct.unpack("<H", buf[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack("<H", buf[at : at + 2])
+        if tag == 278:
+            buf[at + 8 : at + 12] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        tiff_decode_pages(bytes(buf))
+    # Strip-count mismatch: claim rps=6 (1 strip) while 2 strips exist.
+    buf2 = bytearray(tiff_encode([img], rows_per_strip=3))
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack("<H", buf2[at : at + 2])
+        if tag == 278:
+            buf2[at + 8 : at + 12] = struct.pack("<I", 6)
+    with pytest.raises(ValueError, match="strip count"):
+        tiff_decode_pages(bytes(buf2))

@@ -1885,6 +1885,159 @@ def main() -> None:
     probes["hard_negatives (anchor-growth, 50k corpus)"] = (
         hard_negative_anchor_probe)
 
+    # Round-13 additions: the new operator shapes of this round.
+    # str_rtree_pack — the distributed STR bulk-load rank: 8-row band
+    # offsets (broadcast) + band window + slice window + MBR agg; the
+    # claim under test is that NO single-partition data window hides
+    # in the rank path (wall should track the two bounded shuffles).
+    def str_pack_probe(n):
+        r = synth_fact(spark, n).select(
+            F.col("id"),
+            F.pmod(F.hash("id", F.lit(21)), F.lit(100_000)).alias("cx"),
+            F.pmod(F.hash("id", F.lit(22)), F.lit(100_000)).alias("cy"),
+            (F.lit(50) + F.pmod(F.hash("id", F.lit(23)), F.lit(450))).alias("wx"),
+            (F.lit(50) + F.pmod(F.hash("id", F.lit(24)), F.lit(450))).alias("wy"),
+        ).withColumn("band", (F.col("cx") / 12_500).cast("long"))
+        offs = (
+            r.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
+            .select(
+                "band",
+                F.sum("bc").over(
+                    Window.orderBy("band")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ).alias("off"),
+                F.sum("bc").over(
+                    Window.orderBy("band").rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                ).alias("ntot"),
+            )
+            .fillna({"off": 0})
+        )
+        xr = (
+            F.row_number().over(Window.partitionBy("band").orderBy("cx", "id"))
+            - 1 + F.col("off")
+        )
+        slice_sz = ((F.col("ntot") + 7) / F.lit(8)).cast("long")
+        ranked = r.join(F.broadcast(offs), "band").select(
+            "id", "cx", "cy", "wx", "wy",
+            F.floor(xr / slice_sz).alias("slice"),
+        )
+        yr = F.row_number().over(
+            Window.partitionBy("slice").orderBy("cy", "id")
+        ) - 1
+        noop(
+            ranked.select("*", F.floor(yr / 16).alias("leaf"))
+            .groupBy("slice", "leaf")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col("cx") - F.col("wx")).alias("x0"),
+                 F.max(F.col("cx") + F.col("wx")).alias("x1"),
+                 F.min(F.col("cy") - F.col("wy")).alias("y0"),
+                 F.max(F.col("cy") + F.col("wy")).alias("y1"))
+        )
+
+    probes["str_rtree_pack (band-rank + slice-rank)"] = str_pack_probe
+
+    # pbsm_rect_overlay — bipartite cell equi-join with exact area
+    # refinement; replication bounded by rect-size/cell ratio.
+    def rect_overlay_probe(n):
+        def rects(m, salt):
+            return synth_fact(spark, m).select(
+                F.col("id"),
+                F.pmod(F.hash("id", F.lit(salt)), F.lit(100_000)).alias("x0"),
+                F.pmod(F.hash("id", F.lit(salt + 1)), F.lit(100_000)).alias("y0"),
+            ).select(
+                "id", "x0", "y0",
+                (F.col("x0") + 200 + F.pmod(F.hash("id", F.lit(salt + 2)),
+                                            F.lit(1800))).alias("x1"),
+                (F.col("y0") + 200 + F.pmod(F.hash("id", F.lit(salt + 3)),
+                                            F.lit(1300))).alias("y1"),
+            )
+        cell = 4000
+        cells = F.expr(
+            f"explode(flatten(transform("
+            f"  sequence(x0 div {cell}, x1 div {cell}),"
+            f"  gx -> transform(sequence(y0 div {cell}, y1 div {cell}),"
+            f"  gy -> struct(gx as gcx, gy as gcy)))))"
+        )
+        def rep(t, p):
+            return t.select("*", cells.alias("c")).select(
+                *[F.col(c).alias(f"{p}_{c}")
+                  for c in ("id", "x0", "y0", "x1", "y1")],
+                F.col("c.gcx").alias("gcx"), F.col("c.gcy").alias("gcy"),
+            )
+        a, b = rep(rects(n // 10, 31), "a"), rep(rects(n // 10, 41), "b")
+        cand = a.join(b, ["gcx", "gcy"]).filter(
+            (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+            & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1"))
+            & (F.col("gcx") == F.floor(F.greatest("a_x0", "b_x0") / cell).cast("long"))
+            & (F.col("gcy") == F.floor(F.greatest("a_y0", "b_y0") / cell).cast("long"))
+        )
+        ox = F.least("a_x1", "b_x1") - F.greatest("a_x0", "b_x0")
+        oy = F.least("a_y1", "b_y1") - F.greatest("a_y0", "b_y0")
+        noop(cand.agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.when((ox > 0) & (oy > 0), ox * oy).otherwise(0)).alias("area"),
+        ))
+
+    probes["pbsm_rect_overlay (cell equi-join + area)"] = rect_overlay_probe
+
+    # epoch_shuffle — keyed affine permutation + (epoch, shard) rank;
+    # 2 epochs double the rows in-map before ONE bounded shuffle.
+    def epoch_shuffle_probe(n):
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        epochs = spark.range(2).select(F.col("id").alias("epoch"))
+        keyed = docs.crossJoin(F.broadcast(epochs)).select(
+            "epoch", "doc_id",
+            ((F.col("doc_id") * 2654435761 + F.col("epoch") * 671807229)
+             % ((1 << 61) - 1)).alias("sk"),
+        ).withColumn("shard", F.col("sk") % 8)
+        w = Window.partitionBy("epoch", "shard").orderBy("sk", "doc_id")
+        noop(keyed.select("epoch", "shard", F.row_number().over(w).alias("pos"),
+                          "doc_id"))
+
+    probes["epoch_shuffle (affine perm + shard rank)"] = epoch_shuffle_probe
+
+    # closest_pair — 3x3 neighbor explode + cell equi-join; the cell
+    # side SHRINKS as sqrt(n) to hold per-cell occupancy constant (the
+    # production dial), so candidates stay ~O(n).
+    def closest_pair_probe(n):
+        m = n // 10
+        cell = max(200, int(100_000 / max(1.0, (m / 4.0) ** 0.5)))
+        pts = synth_fact(spark, m).select(
+            F.col("id"),
+            F.pmod(F.hash("id", F.lit(51)), F.lit(100_000)).alias("x"),
+            F.pmod(F.hash("id", F.lit(52)), F.lit(100_000)).alias("y"),
+        ).select(
+            "*",
+            (F.col("x") / cell).cast("long").alias("cx"),
+            (F.col("y") / cell).cast("long").alias("cy"),
+        )
+        probe_side = pts.select(
+            F.col("id").alias("id_a"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            F.explode(F.expr(
+                "flatten(transform(sequence(cx - 1, cx + 1), gx ->"
+                " transform(sequence(cy - 1, cy + 1), gy ->"
+                " struct(gx as gcx, gy as gcy))))"
+            )).alias("c"),
+        ).select("id_a", "xa", "ya",
+                 F.col("c.gcx").alias("cx"), F.col("c.gcy").alias("cy"))
+        build = pts.select(F.col("id").alias("id_b"), F.col("x").alias("xb"),
+                           F.col("y").alias("yb"), "cx", "cy")
+        d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+              + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+        noop(
+            probe_side.join(build, ["cx", "cy"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", d2.alias("d2"))
+            .orderBy("d2", "id_a", "id_b").limit(1)
+        )
+
+    probes["closest_pair (3x3 explode equi-join, density-held)"] = (
+        closest_pair_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
