@@ -3534,13 +3534,29 @@ FROM nation
 """
 
 
-def _str_rect_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _str_rect_leaves(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = _STR_SLICES,
+    leaf_cap: int = _STR_LEAF_CAP,
+    band_width: int = _STR_BAND,
+) -> DataFrame:
     """Shared STR leaf assignment, distributed-rank flavor: the global
     (cx, id) rank is band-partitioned row_number + broadcast
-    cumulative band offsets (band = cx div BAND is monotone in cx, so
-    band-major order IS the global order) — no single-partition
-    window anywhere. The slice cut needs total N; it rides the same
-    8-row offsets table as a 1-row broadcast scalar attach."""
+    cumulative band offsets (band = cx div band_width is monotone in
+    cx, so band-major order IS the global order) — no
+    single-partition window anywhere. The slice cut needs total N; it
+    rides the same O(bands)-row offsets table as a broadcast scalar
+    attach.
+
+    SIZING RULE (probe-measured, tools/scale_probe.py round 13): the
+    defaults (8 slices, 12500-unit bands) fit the small oracle
+    fixtures; at scale BOTH must follow STR's own rule
+    S = ceil(sqrt(N/B)) with band_width ~ extent/(4S), or the
+    per-slice/per-band rank windows degenerate into a handful of
+    multi-million-row partitions — the first probe run measured 71x
+    wall at 30x data with fixed counts vs at-worst-linear after
+    scaling them."""
     part = load_table(spark, sf_dir, "part")
     k = F.col("p_partkey")
     r = part.select(
@@ -3549,7 +3565,7 @@ def _str_rect_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k * 104729) % 100000).alias("cy"),
         (F.lit(50) + k % 450).alias("wx"),
         (F.lit(50) + (k * 3) % 450).alias("wy"),
-    ).withColumn("band", (F.col("cx") / _STR_BAND).cast("long"))
+    ).withColumn("band", (F.col("cx") / band_width).cast("long"))
 
     offs = (
         r.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
@@ -3567,7 +3583,7 @@ def _str_rect_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .fillna({"off": 0})
     )
-    slice_sz = (F.col("n") + _STR_SLICES - 1) / F.lit(_STR_SLICES)
+    slice_sz = (F.col("n") + n_slices - 1) / F.lit(n_slices)
     xr = (
         F.row_number().over(
             Window.partitionBy("band").orderBy("cx", "id")
@@ -3582,7 +3598,7 @@ def _str_rect_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - 1
     return ranked.select(
         "id", "cx", "cy", "wx", "wy", "slice",
-        F.floor(yr / _STR_LEAF_CAP).alias("leaf_idx"),
+        F.floor(yr / leaf_cap).alias("leaf_idx"),
     )
 
 

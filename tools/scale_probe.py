@@ -1891,13 +1891,21 @@ def main() -> None:
     # claim under test is that NO single-partition data window hides
     # in the rank path (wall should track the two bounded shuffles).
     def str_pack_probe(n):
+        # Production sizing (the first probe run measured the scale
+        # bug this prevents: FIXED 8 slices/8 bands turned the
+        # per-slice rank windows into 8 multi-million-row partitions
+        # — 71x wall at 30x data. STR's own rule S = ceil(sqrt(N/B))
+        # keeps every window partition ~4*sqrt(N) rows, and the band
+        # width shrinks with S so the x-rank stays partitioned too.)
+        n_slices = max(8, int((n / 16) ** 0.5))
+        band_w = max(1, 100_000 // (4 * n_slices))
         r = synth_fact(spark, n).select(
             F.col("id"),
             F.pmod(F.hash("id", F.lit(21)), F.lit(100_000)).alias("cx"),
             F.pmod(F.hash("id", F.lit(22)), F.lit(100_000)).alias("cy"),
             (F.lit(50) + F.pmod(F.hash("id", F.lit(23)), F.lit(450))).alias("wx"),
             (F.lit(50) + F.pmod(F.hash("id", F.lit(24)), F.lit(450))).alias("wy"),
-        ).withColumn("band", (F.col("cx") / 12_500).cast("long"))
+        ).withColumn("band", (F.col("cx") / band_w).cast("long"))
         offs = (
             r.groupBy("band").agg(F.count(F.lit(1)).alias("bc"))
             .select(
@@ -1919,7 +1927,9 @@ def main() -> None:
             F.row_number().over(Window.partitionBy("band").orderBy("cx", "id"))
             - 1 + F.col("off")
         )
-        slice_sz = ((F.col("ntot") + 7) / F.lit(8)).cast("long")
+        slice_sz = (
+            (F.col("ntot") + n_slices - 1) / F.lit(n_slices)
+        ).cast("long")
         ranked = r.join(F.broadcast(offs), "band").select(
             "id", "cx", "cy", "wx", "wy",
             F.floor(xr / slice_sz).alias("slice"),
