@@ -278,3 +278,170 @@ def avi_decode_frames(buf: bytes) -> tuple[dict, list]:
             )
         rasters.append(img)
     return meta, rasters
+
+
+def avi_encode_mjpeg_pcm(
+    frames: list[bytes],
+    pcm: bytes,
+    width: int,
+    height: int,
+    rate: int = 10,
+    scale: int = 1,
+    audio_rate: int = 8000,
+) -> bytes:
+    """Two-stream AVI: stream 0 = MJPEG video, stream 1 = mono 16-bit
+    PCM audio (strh 'auds' + WAVEFORMATEX strf, movi '01wb' chunks
+    interleaved one audio slice per frame — the layout real muxers
+    emit so players can stream without seeking). ``pcm`` is raw
+    little-endian int16 bytes."""
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    if len(pcm) % 2:
+        raise ValueError("PCM payload must be whole 16-bit samples")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("frame payload is not JPEG (missing SOI)")
+    max_size = max(max(len(f) for f in frames), len(pcm))
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 * scale // rate, max_size * rate // scale, 0,
+        AVIF_HASINDEX, len(frames), 0,
+        2,              # dwStreams: video + audio
+        max_size, width, height, 0, 0, 0, 0,
+    )
+    strh_v = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0, scale, rate, 0, len(frames), max_size, 10_000, 0,
+        0, 0, width, height,
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    n_samples = len(pcm) // 2
+    strh_a = b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0,
+        1,              # dwScale (samples)
+        audio_rate,     # dwRate (samples/sec)
+        0, n_samples, len(pcm), 10_000,
+        2,              # dwSampleSize: bytes per sample block
+        0, 0, 0, 0,
+    )
+    strf_a = struct.pack(
+        "<HHIIHH",
+        1,                  # wFormatTag = WAVE_FORMAT_PCM
+        1,                  # nChannels (mono)
+        audio_rate,         # nSamplesPerSec
+        audio_rate * 2,     # nAvgBytesPerSec
+        2,                  # nBlockAlign
+        16,                 # wBitsPerSample
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+
+    # Interleave: one '01wb' audio slice after each '00dc' frame
+    # (last slice takes the remainder so every PCM byte lands).
+    nf = len(frames)
+    slice_bytes = (n_samples // nf) * 2
+    movi_payload = bytearray()
+    idx = bytearray()
+    for i, f in enumerate(frames):
+        off = 4 + len(movi_payload)
+        movi_payload += _chunk(b"00dc", f)
+        idx += b"00dc" + struct.pack("<III", AVIIF_KEYFRAME, off, len(f))
+        a0 = i * slice_bytes
+        a1 = len(pcm) if i == nf - 1 else (i + 1) * slice_bytes
+        if a1 > a0:
+            off = 4 + len(movi_payload)
+            movi_payload += _chunk(b"01wb", pcm[a0:a1])
+            idx += b"01wb" + struct.pack(
+                "<III", AVIIF_KEYFRAME, off, a1 - a0
+            )
+    movi = _list(b"movi", bytes(movi_payload))
+    return _chunk(
+        b"RIFF", b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
+    )
+
+
+def avi_parse_audio(buf: bytes) -> dict:
+    """Demux the first PCM audio stream: WAVEFORMATEX header fields +
+    the concatenated sample bytes from the stream's '##wb' chunks (in
+    movi order — the spec's stream timeline). Raises on non-PCM
+    formats and on sample-byte/header disagreements."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI file (bad RIFF/AVI magic)")
+    (riff_len,) = struct.unpack("<I", buf[4:8])
+    end = min(8 + riff_len, len(buf))
+
+    meta: dict = {}
+    stream_no = None
+    movi_span = None
+    ordinal = 0
+    for cc, p, ln in _walk_chunks(buf, 12, end):
+        if cc != b"LIST":
+            continue
+        ltype = buf[p : p + 4]
+        if ltype == b"hdrl":
+            for cc2, p2, ln2 in _walk_chunks(buf, p + 4, p + ln):
+                if cc2 == b"LIST" and buf[p2 : p2 + 4] == b"strl":
+                    this = ordinal
+                    ordinal += 1
+                    for cc3, p3, ln3 in _walk_chunks(
+                        buf, p2 + 4, p2 + ln2
+                    ):
+                        if cc3 == b"strh":
+                            if buf[p3 : p3 + 4] != b"auds":
+                                break  # not audio: skip this strl
+                            if stream_no is None:
+                                stream_no = this
+                        elif cc3 == b"strf" and stream_no == this:
+                            if ln3 < 16:
+                                raise ValueError(
+                                    "AVI audio strf shorter than "
+                                    "WAVEFORMATEX core"
+                                )
+                            (tag, nch, sps, _abps, align, bits) = (
+                                struct.unpack("<HHIIHH", buf[p3 : p3 + 16])
+                            )
+                            if tag != 1:
+                                raise NotImplementedError(
+                                    f"audio format tag {tag} not "
+                                    "supported (PCM only)"
+                                )
+                            meta.update(
+                                n_channels=nch, sample_rate=sps,
+                                block_align=align, bits=bits,
+                            )
+        elif ltype == b"movi":
+            movi_span = (p + 4, p + ln)
+
+    if stream_no is None:
+        raise ValueError("AVI has no audio stream")
+    if movi_span is None:
+        raise ValueError("AVI has no movi list")
+
+    want = b"%02dwb" % stream_no
+    pcm = bytearray()
+
+    def collect(s: int, e: int) -> None:
+        for cc, p, ln in _walk_chunks(buf, s, e):
+            if cc == b"LIST" and buf[p : p + 4] == b"rec ":
+                collect(p + 4, p + ln)
+            elif cc == want:
+                pcm.extend(buf[p : p + ln])
+
+    collect(*movi_span)
+    if meta.get("bits") == 16 and len(pcm) % 2:
+        raise ValueError("AVI PCM stream has a dangling half-sample")
+    meta["pcm"] = bytes(pcm)
+    meta["n_samples"] = (
+        len(pcm) // max(1, meta.get("block_align") or 1)
+    )
+    return meta

@@ -3689,3 +3689,105 @@ def mm_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, pair_idx long, l1_delta long,"
         " changed_blocks long, is_cut long",
     )
+
+
+@query(
+    "mm_demux_avi_audio",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n,
+         8000 * (1 + doc_id % 3) AS rate
+  FROM documents
+),
+smp AS (SELECT doc_id, n, rate, unnest(range(n)) AS i FROM dims),
+v AS (
+  SELECT doc_id, n, rate,
+         ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+  FROM smp
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(rate) AS BIGINT) AS sample_rate,
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "video", "audio", "avi", "demux",
+          "mapInPandas"),
+)
+def mm_demux_avi_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V CONTAINER DEMUX — the multi-stream step past
+    mm_decode_mjpeg_frames: a TWO-STREAM AVI (stream 0 MJPEG video,
+    stream 1 mono 16-bit PCM, '01wb' slices interleaved one per
+    frame, the layout real muxers emit) is synthesized per document
+    and REAL-demuxed twice — the video walker extracts and
+    JPEG-decodes both frames, the audio walker
+    (operators/avi.py:avi_parse_audio) validates the WAVEFORMATEX
+    header (PCM tag, mono, 16-bit), reassembles the PCM timeline from
+    the interleaved slices, and reduces it to the standard sample
+    statistics. Sample synthesis matches mm_decode_wav_stats' form so
+    the audio path's oracle algebra is already proven; the container
+    metadata (sample_rate, n_frames) rides to the output so BOTH
+    streams' header parses are oracle-checked.
+
+    Plan shape at 100 TB: one Arrow mapInPandas pass, zero shuffles,
+    pruned 1-column scan — mux, demux, decode, and reduce all inside
+    the map stage."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.avi import (
+        avi_decode_frames,
+        avi_encode_mjpeg_pcm,
+        avi_parse_audio,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "n_frames": [], "sample_sum": [], "energy": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                rate = 8000 * (1 + doc_id % 3)
+                samples = np.array(
+                    [((doc_id * 7 + i * 13) % 4096) - 2048
+                     for i in range(n)],
+                    dtype=np.int16,
+                )
+                frames = [
+                    jpeg_encode_gray_dc(
+                        [[(doc_id * 13 + f * 29) % 256]], 8, 8
+                    )
+                    for f in range(2)
+                ]
+                payload = avi_encode_mjpeg_pcm(
+                    frames, samples.tobytes(), 8, 8, audio_rate=rate
+                )
+                meta, rasters = avi_decode_frames(payload)  # video REAL
+                a = avi_parse_audio(payload)                # audio REAL
+                got = np.frombuffer(a["pcm"], dtype="<i2")
+                if not np.array_equal(got, samples):
+                    raise ValueError("avi audio roundtrip mismatch")
+                if (a["n_channels"], a["bits"]) != (1, 16):
+                    raise ValueError("avi audio header mismatch")
+                if meta["n_frames"] != 2 or len(rasters) != 2:
+                    raise ValueError("avi video stream mismatch")
+                s64 = got.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(a["n_samples"])
+                out["sample_rate"].append(a["sample_rate"])
+                out["n_frames"].append(meta["n_frames"])
+                out["sample_sum"].append(int(s64.sum()))
+                out["energy"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples long, sample_rate long, n_frames long,"
+        " sample_sum long, energy long",
+    )

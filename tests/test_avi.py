@@ -204,3 +204,43 @@ def test_sample_frames_fewer_frames_than_requested(spark):
     assert [i for i, _ in rows] == [0, 1]
     assert rows[0][1] == hashlib.md5(rasters[0].tobytes()).hexdigest()
     assert rows[1][1] == hashlib.md5(rasters[1].tobytes()).hexdigest()
+
+
+def test_audio_demux_roundtrip_and_gates():
+    import numpy as np
+
+    from quick_and_easy_vectordb_spark.operators.avi import (
+        avi_encode_mjpeg_pcm,
+        avi_parse_audio,
+    )
+
+    frames, _ = _gray_frames(3, bw=1, bh=1)
+    samples = np.array(
+        [((7 * i * 13) % 4096) - 2048 for i in range(101)],
+        dtype=np.int16,
+    )
+    buf = avi_encode_mjpeg_pcm(frames, samples.tobytes(), 8, 8,
+                               audio_rate=16000)
+    a = avi_parse_audio(buf)
+    assert np.array_equal(np.frombuffer(a["pcm"], "<i2"), samples)
+    assert (a["sample_rate"], a["n_channels"], a["bits"]) == (16000, 1, 16)
+    assert a["n_samples"] == 101
+    # video stream untouched by interleaved audio chunks
+    _, rasters = avi_decode_frames(buf)
+    assert len(rasters) == 3
+
+    # pure-video file has no audio stream
+    with pytest.raises(ValueError, match="no audio stream"):
+        avi_parse_audio(avi_encode_mjpeg(frames, 8, 8))
+    # non-PCM format tag refuses loudly
+    bad = bytearray(buf)
+    at = bytes(buf).index(b"auds")
+    # strf follows strh: 'auds' starts the 56-byte strh payload, then
+    # the 8-byte strf chunk header precedes the WAVEFORMATEX tag
+    strf_payload = at + 56 + 8
+    bad[strf_payload : strf_payload + 2] = (85).to_bytes(2, "little")  # MP3
+    with pytest.raises(NotImplementedError, match="tag 85"):
+        avi_parse_audio(bytes(bad))
+    # odd PCM payload refused at encode
+    with pytest.raises(ValueError, match="16-bit samples"):
+        avi_encode_mjpeg_pcm(frames, b"\x01", 8, 8)

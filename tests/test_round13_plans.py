@@ -156,3 +156,9 @@ def test_closest_pair_single_shuffle_heap_reduce(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_avi_audio_demux_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_demux_avi_audio")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 1
