@@ -3850,3 +3850,78 @@ def geo_closest_pair_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "id_a", "id_b")
         .limit(1)
     )
+
+
+_STR_FANOUT = 8  # leaves per level-1 internal node
+
+
+@query(
+    "geo_str_rtree_levels",
+    oracle=f"""
+WITH a AS ({_SQL_STR_LEAF_ASSIGN}),
+leaves AS (
+  SELECT slice, leaf_idx,
+         COUNT(*) AS n_rects, SUM(id) AS id_sum,
+         MIN(cx - wx) AS x0, MIN(cy - wy) AS y0,
+         MAX(cx + wx) AS x1, MAX(cy + wy) AS y1
+  FROM a GROUP BY slice, leaf_idx
+)
+SELECT CAST(slice AS BIGINT) AS slice,
+       CAST(leaf_idx // {_STR_FANOUT} AS BIGINT) AS node_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_leaves,
+       CAST(SUM(n_rects) AS BIGINT) AS n_rects,
+       CAST(MIN(x0) AS BIGINT) AS mbr_x0,
+       CAST(MIN(y0) AS BIGINT) AS mbr_y0,
+       CAST(MAX(x1) AS BIGINT) AS mbr_x1,
+       CAST(MAX(y1) AS BIGINT) AS mbr_y1,
+       CAST(SUM(leaf_idx) AS BIGINT) AS leaf_checksum,
+       CAST(SUM(id_sum) AS BIGINT) AS id_checksum
+FROM leaves
+GROUP BY slice, leaf_idx // {_STR_FANOUT}
+""",
+    tags=("geo", "rtree", "str-packing", "index-build", "hierarchy"),
+)
+def geo_str_rtree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND R-TREE LEVEL — STR applied one level up (the recursion
+    that terminates in a root): every {_STR_FANOUT} consecutive
+    leaves WITHIN a slice roll into a level-1 internal node whose MBR
+    unions its children's. Because STR leaves are already laid out in
+    the packing order (x-major by slice, y-major within), consecution
+    IS the locality ordering — no re-sort, the rollup is a plain
+    grouped aggregate keyed (slice, leaf_idx div fanout), exactly the
+    cells-not-points discipline of geo_geohash_prefix_agg. A probe
+    descends root -> internal MBRs -> leaf MBRs -> pages, pruning at
+    each level (the leaf-level probe is geo_str_rtree_query).
+
+    Plan shape at 100 TB: the leaf table is corpus/{_STR_LEAF_CAP}
+    rows and each further level shrinks by {_STR_FANOUT}x, so the
+    whole upper tree costs a vanishing fraction of the leaf build;
+    the node key is derived arithmetic — no window, no global sort,
+    one bounded shuffle per level."""
+    leaves = _str_rect_leaves(spark, sf_dir).groupBy(
+        "slice", "leaf_idx"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rects"),
+        F.sum("id").alias("id_sum"),
+        F.min(F.col("cx") - F.col("wx")).alias("x0"),
+        F.min(F.col("cy") - F.col("wy")).alias("y0"),
+        F.max(F.col("cx") + F.col("wx")).alias("x1"),
+        F.max(F.col("cy") + F.col("wy")).alias("y1"),
+    )
+    return leaves.groupBy(
+        "slice",
+        F.floor(F.col("leaf_idx") / _STR_FANOUT).alias("node_idx"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaves"),
+        F.sum("n_rects").cast("long").alias("n_rects"),
+        F.min("x0").cast("long").alias("mbr_x0"),
+        F.min("y0").cast("long").alias("mbr_y0"),
+        F.max("x1").cast("long").alias("mbr_x1"),
+        F.max("y1").cast("long").alias("mbr_y1"),
+        F.sum("leaf_idx").cast("long").alias("leaf_checksum"),
+        F.sum("id_sum").cast("long").alias("id_checksum"),
+    ).select(
+        F.col("slice").cast("long"), F.col("node_idx").cast("long"),
+        "n_leaves", "n_rects", "mbr_x0", "mbr_y0", "mbr_x1", "mbr_y1",
+        "leaf_checksum", "id_checksum",
+    )

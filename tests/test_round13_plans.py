@@ -162,3 +162,13 @@ def test_avi_audio_demux_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_demux_avi_audio")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 1
+
+
+def test_str_levels_no_window(spark, sf_dir):
+    """The level-1 rollup is pure grouped aggregation over the leaf
+    table — no Window exec (consecution comes from arithmetic on
+    leaf_idx, not a rank)."""
+    plan = _plan(spark, sf_dir, "geo_str_rtree_levels")
+    assert "CartesianProduct" not in plan
+    # the only windows allowed are the leaf build's two rank windows
+    assert plan.count("Window") <= 4  # formatted prints node + detail
