@@ -170,5 +170,7 @@ def test_str_levels_no_window(spark, sf_dir):
     leaf_idx, not a rank)."""
     plan = _plan(spark, sf_dir, "geo_str_rtree_levels")
     assert "CartesianProduct" not in plan
-    # the only windows allowed are the leaf build's two rank windows
-    assert plan.count("Window") <= 4  # formatted prints node + detail
+    # the only Window execs are the ones the leaf build already has:
+    # the rollup itself must add NONE
+    leaf_plan = _plan(spark, sf_dir, "geo_str_rtree_pack")
+    assert plan.count("Window") == leaf_plan.count("Window")
