@@ -52,8 +52,11 @@ _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
 _PREDICTOR = 317
+_COLORMAP = 320
 _TILE_WIDTH = 322
+_TILE_LENGTH = 323
 _TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
@@ -255,7 +258,8 @@ def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
-                rows_per_strip: int = 4, predictor: int = 1) -> bytes:
+                rows_per_strip: int = 4, predictor: int = 1,
+                palette=None, tile=None) -> bytes:
     """Write a (possibly multi-page) baseline TIFF.
 
     ``pages``: list of numpy uint8 arrays shaped (h, w) or (h, w, 1)
@@ -266,7 +270,14 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
     14 — the standard companion of LZW in real files: gradients
     become near-constant byte streams the dictionary loves). Strips
     of ``rows_per_strip`` rows exercise the multi-strip layout that
-    real scanners/writers emit."""
+    real scanners/writers emit.
+
+    ``palette``: 3x256 16-bit values (sequence or ndarray, R/G/B
+    planes) — 1-channel pages are then written photometric 3
+    (palette-color) with a ColorMap tag; the raster stays the index
+    plane. ``tile=(tw, th)`` (multiples of 16 per TIFF 6.0 section
+    15) writes the TILED layout instead of strips: every tile is a
+    full tw x th block, edge tiles zero-padded."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     if compression not in (1, 5, 32773):
@@ -274,6 +285,18 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
                          "32773 (PackBits) only")
     if predictor not in (1, 2):
         raise ValueError("predictor 1 (none) or 2 (horizontal) only")
+    if palette is not None:
+        import numpy as _np
+
+        palette = _np.asarray(palette, dtype=_np.uint32).reshape(3, 256)
+        if (palette > 0xFFFF).any():
+            raise ValueError("ColorMap entries are 16-bit")
+    if tile is not None:
+        tw_, th_ = tile
+        if tw_ % 16 or th_ % 16 or tw_ <= 0 or th_ <= 0:
+            raise ValueError(
+                "tile dims must be positive multiples of 16"
+            )
     bo = byteorder
     out = bytearray()
     out += b"II" if bo == "<" else b"MM"
@@ -303,39 +326,75 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
             arr = (d % 256).astype(np.uint8)
         flat = arr.tobytes()
 
-        # Strips.
+        # Strips (or tiles).
         strip_offsets: list[int] = []
         strip_counts: list[int] = []
-        for y0 in range(0, h, rows_per_strip):
-            rows = min(rows_per_strip, h - y0)
-            chunk = flat[y0 * row_bytes : (y0 + rows) * row_bytes]
-            if compression == 32773:
-                chunk = packbits_encode(chunk)
-            elif compression == 5:
-                chunk = lzw_encode_tiff(chunk)
-            strip_offsets.append(len(out))
-            strip_counts.append(len(chunk))
-            out += chunk
+        if tile is not None:
+            tw_, th_ = tile
+            ntx, nty = -(-w // tw_), -(-h // th_)
+            padded = np.zeros((nty * th_, ntx * tw_, spp), dtype=np.uint8)
+            padded[:h, :w] = arr
+            for ty in range(nty):
+                for tx in range(ntx):
+                    block = padded[ty * th_ : (ty + 1) * th_,
+                                   tx * tw_ : (tx + 1) * tw_]
+                    chunk = block.tobytes()
+                    if compression == 32773:
+                        chunk = packbits_encode(chunk)
+                    elif compression == 5:
+                        chunk = lzw_encode_tiff(chunk)
+                    strip_offsets.append(len(out))
+                    strip_counts.append(len(chunk))
+                    out += chunk
+        else:
+            for y0 in range(0, h, rows_per_strip):
+                rows = min(rows_per_strip, h - y0)
+                chunk = flat[y0 * row_bytes : (y0 + rows) * row_bytes]
+                if compression == 32773:
+                    chunk = packbits_encode(chunk)
+                elif compression == 5:
+                    chunk = lzw_encode_tiff(chunk)
+                strip_offsets.append(len(out))
+                strip_counts.append(len(chunk))
+                out += chunk
         if len(out) % 2:  # IFDs must be word-aligned
             out += b"\x00"
 
         # IFD entries (tag, type, count, values).
+        paletted = palette is not None and spp == 1
+        photo = 3 if paletted else (1 if spp == 1 else 2)
         entries = [
             (_IMAGE_WIDTH, _TYPE_LONG, 1, [w]),
             (_IMAGE_LENGTH, _TYPE_LONG, 1, [h]),
             (_BITS_PER_SAMPLE, _TYPE_SHORT, spp, [8] * spp),
             (_COMPRESSION, _TYPE_SHORT, 1, [compression]),
-            (_PHOTOMETRIC, _TYPE_SHORT, 1, [1 if spp == 1 else 2]),
-            (_STRIP_OFFSETS, _TYPE_LONG, len(strip_offsets),
-             strip_offsets),
+            (_PHOTOMETRIC, _TYPE_SHORT, 1, [photo]),
             (_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, [spp]),
-            (_ROWS_PER_STRIP, _TYPE_LONG, 1, [rows_per_strip]),
-            (_STRIP_BYTE_COUNTS, _TYPE_LONG, len(strip_counts),
-             strip_counts),
             (_PLANAR_CONFIG, _TYPE_SHORT, 1, [1]),
         ]
+        if tile is not None:
+            entries += [
+                (_TILE_WIDTH, _TYPE_LONG, 1, [tile[0]]),
+                (_TILE_LENGTH, _TYPE_LONG, 1, [tile[1]]),
+                (_TILE_OFFSETS, _TYPE_LONG, len(strip_offsets),
+                 strip_offsets),
+                (_TILE_BYTE_COUNTS, _TYPE_LONG, len(strip_counts),
+                 strip_counts),
+            ]
+        else:
+            entries += [
+                (_STRIP_OFFSETS, _TYPE_LONG, len(strip_offsets),
+                 strip_offsets),
+                (_ROWS_PER_STRIP, _TYPE_LONG, 1, [rows_per_strip]),
+                (_STRIP_BYTE_COUNTS, _TYPE_LONG, len(strip_counts),
+                 strip_counts),
+            ]
+        if paletted:
+            entries.append((_COLORMAP, _TYPE_SHORT, 3 * 256,
+                            [int(v) for v in palette.ravel()]))
         if predictor == 2:
             entries.append((_PREDICTOR, _TYPE_SHORT, 1, [2]))
+        entries.sort(key=lambda e: e[0])  # spec: tags ascending
         ifd_offset = len(out)
         # Patch the previous next-IFD pointer (or header offset).
         out[next_ptr_at : next_ptr_at + 4] = struct.pack(
@@ -419,13 +478,11 @@ def tiff_decode_pages(b: bytes):
             if tag in (_IMAGE_WIDTH, _IMAGE_LENGTH, _BITS_PER_SAMPLE,
                        _COMPRESSION, _PHOTOMETRIC, _STRIP_OFFSETS,
                        _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP,
-                       _STRIP_BYTE_COUNTS, _PLANAR_CONFIG, _PREDICTOR):
+                       _STRIP_BYTE_COUNTS, _PLANAR_CONFIG, _PREDICTOR,
+                       _COLORMAP, _TILE_WIDTH, _TILE_LENGTH,
+                       _TILE_OFFSETS, _TILE_BYTE_COUNTS):
                 tags[tag] = _read_values(b, bo, typ, count,
                                          b[pos + 8 : pos + 12])
-            elif tag in (_TILE_WIDTH, _TILE_OFFSETS):
-                raise NotImplementedError(
-                    "tiled TIFF layout not supported (strips only)"
-                )
             pos += 12
         (ifd_off,) = struct.unpack(bo + "I", b[pos : pos + 4])
 
@@ -446,11 +503,21 @@ def tiff_decode_pages(b: bytes):
                 "PackBits only; JPEG-in-TIFF and Deflate variants are "
                 "out of subset)"
             )
-        if photo not in (1, 2):
+        if photo not in (1, 2, 3):
             raise NotImplementedError(
-                f"photometric {photo} not supported (gray/RGB only; "
-                "no palette, bilevel, or YCbCr)"
+                f"photometric {photo} not supported (gray/RGB/palette "
+                "only; no bilevel or YCbCr)"
             )
+        if photo == 3:
+            if spp != 1:
+                raise ValueError("palette TIFF requires 1 sample/pixel")
+            if _COLORMAP not in tags:
+                raise ValueError("palette TIFF missing ColorMap tag")
+            cmap = tags[_COLORMAP]
+            if len(cmap) != 3 * 256:
+                raise NotImplementedError(
+                    "only 8-bit palette (3*256 ColorMap) supported"
+                )
         if planar != 1:
             raise NotImplementedError("planar configuration 2 (separate "
                                       "channel planes) not supported")
@@ -463,36 +530,88 @@ def tiff_decode_pages(b: bytes):
                 " 3 is floating-point differencing)"
             )
 
-        offsets = tags[_STRIP_OFFSETS]
-        counts = tags[_STRIP_BYTE_COUNTS]
-        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-        if rps <= 0:
-            raise ValueError(f"TIFF RowsPerStrip must be > 0, got {rps}")
-        expected_strips = -(-h // rps)  # ceil(h / rps)
-        if len(offsets) != expected_strips:
-            raise ValueError(
-                f"TIFF strip count {len(offsets)} != ceil(height/rows_"
-                f"per_strip) = {expected_strips} (h={h}, rps={rps})"
-            )
         row_bytes = w * spp
-        raster = bytearray()
-        for i, (off, cnt) in enumerate(zip(offsets, counts)):
-            rows = min(rps, h - i * rps)
-            raw = b[off : off + cnt]
-            if comp == 32773:
-                raw = packbits_decode(raw, rows * row_bytes)
-            elif comp == 5:
-                raw = lzw_decode_tiff(raw, rows * row_bytes)
-            if len(raw) < rows * row_bytes:
-                raise ValueError("TIFF strip shorter than expected")
-            raster += raw[: rows * row_bytes]
-        arr = np.frombuffer(bytes(raster), dtype=np.uint8,
-                            count=h * row_bytes).reshape(h, w, spp)
+        if _TILE_OFFSETS in tags:
+            # Tiled layout (TIFF 6.0 section 15): tiles are ALWAYS
+            # full tw x th blocks; edge tiles carry padding that is
+            # clipped on placement.
+            tw = tags.get(_TILE_WIDTH, [0])[0]
+            th = tags.get(_TILE_LENGTH, [0])[0]
+            if tw <= 0 or th <= 0:
+                raise ValueError("tiled TIFF missing TileWidth/Length")
+            if tw % 16 or th % 16:
+                raise ValueError(
+                    f"TIFF tile dims must be multiples of 16, got "
+                    f"{tw}x{th}"
+                )
+            offsets = tags[_TILE_OFFSETS]
+            counts = tags.get(_TILE_BYTE_COUNTS, [])
+            ntx, nty = -(-w // tw), -(-h // th)
+            if len(offsets) != ntx * nty or len(counts) != ntx * nty:
+                raise ValueError(
+                    f"TIFF tile count {len(offsets)}/{len(counts)} != "
+                    f"grid {ntx}x{nty}"
+                )
+            tile_bytes = tw * th * spp
+            arr = np.zeros((h, w, spp), dtype=np.uint8)
+            for t, (off, cnt) in enumerate(zip(offsets, counts)):
+                ty, tx = divmod(t, ntx)
+                raw = b[off : off + cnt]
+                if comp == 32773:
+                    raw = packbits_decode(raw, tile_bytes)
+                elif comp == 5:
+                    raw = lzw_decode_tiff(raw, tile_bytes)
+                if len(raw) < tile_bytes:
+                    raise ValueError("TIFF tile shorter than expected")
+                tile = np.frombuffer(raw, dtype=np.uint8,
+                                     count=tile_bytes).reshape(th, tw,
+                                                               spp)
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                arr[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+        else:
+            offsets = tags[_STRIP_OFFSETS]
+            counts = tags[_STRIP_BYTE_COUNTS]
+            rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+            if rps <= 0:
+                raise ValueError(
+                    f"TIFF RowsPerStrip must be > 0, got {rps}"
+                )
+            expected_strips = -(-h // rps)  # ceil(h / rps)
+            if len(offsets) != expected_strips:
+                raise ValueError(
+                    f"TIFF strip count {len(offsets)} != ceil(height/"
+                    f"rows_per_strip) = {expected_strips} "
+                    f"(h={h}, rps={rps})"
+                )
+            raster = bytearray()
+            for i, (off, cnt) in enumerate(zip(offsets, counts)):
+                rows = min(rps, h - i * rps)
+                raw = b[off : off + cnt]
+                if comp == 32773:
+                    raw = packbits_decode(raw, rows * row_bytes)
+                elif comp == 5:
+                    raw = lzw_decode_tiff(raw, rows * row_bytes)
+                if len(raw) < rows * row_bytes:
+                    raise ValueError("TIFF strip shorter than expected")
+                raster += raw[: rows * row_bytes]
+            arr = np.frombuffer(bytes(raster), dtype=np.uint8,
+                                count=h * row_bytes).reshape(h, w, spp)
         if pred == 2:
             # Undo horizontal differencing: cumulative sum per row and
             # channel, uint8 wraparound.
             arr = np.cumsum(arr.astype(np.int64), axis=1) % 256
             arr = arr.astype(np.uint8)
+        if photo == 3:
+            # Palette expansion: ColorMap holds 3 planes of 256
+            # 16-bit values (R block, G block, B block); emit 8-bit
+            # RGB via the spec's >>8 narrowing.
+            cm = np.asarray(cmap, dtype=np.uint32).reshape(3, 256)
+            idx = arr[:, :, 0]
+            arr = np.stack(
+                [(cm[c, idx] >> 8).astype(np.uint8) for c in range(3)],
+                axis=2,
+            )
         pages.append(arr)
     if not pages:
         raise ValueError("TIFF with no IFDs")

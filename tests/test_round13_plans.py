@@ -174,3 +174,9 @@ def test_str_levels_no_window(spark, sf_dir):
     # the rollup itself must add NONE
     leaf_plan = _plan(spark, sf_dir, "geo_str_rtree_pack")
     assert plan.count("Window") == leaf_plan.count("Window")
+
+
+def test_tiff_palette_tiled_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_decode_tiff_palette_tiled")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 1

@@ -205,11 +205,16 @@ def test_rejects_unsupported_compression():
         tiff_decode_pages(deflate)
 
 
-def test_rejects_tiled_layout():
-    b = tiff_encode([_raster_gray(4, 4, 1)])
-    tiled = _patch_tag(b, 278, new_tag=322)  # RowsPerStrip -> TileWidth
-    with pytest.raises(NotImplementedError, match="tiled"):
-        tiff_decode_pages(tiled)
+def test_tiled_layout_validation():
+    """Round 13: tiled layout is now SUPPORTED (roundtrips in
+    test_tiled_and_palette below); malformed tile geometry fails with
+    format-level diagnostics."""
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff_encode([_raster_gray(40, 40, 1)], tile=(10, 16))
+    b = tiff_encode([_raster_gray(40, 40, 1)], tile=(16, 16))
+    bad = _patch_tag(b, 322, new_value=48)  # TileWidth lies: 2x3 -> grid mismatch
+    with pytest.raises(ValueError, match="tile count"):
+        tiff_decode_pages(bad)
 
 
 def test_rejects_16_bit():
@@ -226,10 +231,12 @@ def test_rejects_planar_separate():
         tiff_decode_pages(planar2)
 
 
-def test_rejects_palette_photometric():
+def test_palette_requires_colormap():
+    """Round 13: palette photometric is now SUPPORTED; a palette
+    image without its ColorMap tag is malformed, not out-of-subset."""
     b = tiff_encode([_raster_gray(4, 4, 1)])
     pal = _patch_tag(b, 262, new_value=3)
-    with pytest.raises(NotImplementedError, match="photometric 3"):
+    with pytest.raises(ValueError, match="missing ColorMap"):
         tiff_decode_pages(pal)
 
 
@@ -399,3 +406,41 @@ def test_rows_per_strip_validation():
             buf2[at + 8 : at + 12] = struct.pack("<I", 6)
     with pytest.raises(ValueError, match="strip count"):
         tiff_decode_pages(bytes(buf2))
+
+
+def test_tiled_and_palette_roundtrips():
+    """Round 13 subset extension: palette-color (photometric 3 +
+    ColorMap) and the tiled layout (TIFF 6.0 section 15), in every
+    compression, both byte orders, edge tiles clipped."""
+    import numpy as np
+
+    idx = (np.arange(7 * 9, dtype=np.uint8).reshape(7, 9, 1) * 5) % 256
+    pal = np.stack(
+        [(np.arange(256) * (3 + c) % 256) * 257 for c in range(3)]
+    )
+    expect = np.stack(
+        [(idx[:, :, 0].astype(np.uint32) * (3 + c) % 256)
+         for c in range(3)],
+        axis=2,
+    ).astype(np.uint8)
+    for comp in (1, 32773, 5):
+        (page,) = tiff_decode_pages(
+            tiff_encode([idx], compression=comp, palette=pal,
+                        rows_per_strip=3)
+        )
+        assert np.array_equal(page, expect), comp
+
+    img = ((np.arange(37 * 50 * 3, dtype=np.uint32) * 7) % 256)         .astype(np.uint8).reshape(37, 50, 3)
+    for bo in ("<", ">"):
+        for comp in (1, 32773, 5):
+            (page,) = tiff_decode_pages(
+                tiff_encode([img], byteorder=bo, compression=comp,
+                            tile=(16, 16))
+            )
+            assert np.array_equal(page, img), (bo, comp)
+
+    # both at once: tiled palette, LZW
+    (page,) = tiff_decode_pages(
+        tiff_encode([idx], palette=pal, tile=(16, 16), compression=5)
+    )
+    assert np.array_equal(page, expect)
