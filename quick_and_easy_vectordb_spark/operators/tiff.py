@@ -17,10 +17,13 @@ decoders in operators/multimodal.py:
   deltas from the GIF LZW variant already implemented in
   operators/multimodal.py)
 
+Round 13 added the TILED layout (TIFF 6.0 section 15 — full
+16-multiple tiles, edge padding clipped) and PALETTE-COLOR
+(photometric 3 + 16-bit ColorMap, >>8 narrowing), both directions.
 Out-of-subset structures raise ``NotImplementedError`` with the
-reason (Deflate/JPEG-in-TIFF compression, tiled layout, planar=2,
-bits != 8, palette/bilevel photometric) — tested in
-tests/test_tiff.py, unreachable from the fixture corpora. The LZW
+reason (Deflate/JPEG-in-TIFF compression, planar=2, bits != 8,
+bilevel photometric) — tested in tests/test_tiff.py, unreachable
+from the fixture corpora. The LZW
 path is cross-validated against the JDK in BOTH directions (decode
 of JDK output bit-exact via the committed golden; JDK reads this
 encoder's output bit-exact, both byte orders — Py4J check recorded

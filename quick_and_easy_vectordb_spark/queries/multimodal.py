@@ -3909,3 +3909,190 @@ def mm_decode_tiff_palette_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         " tiled_height long, palette_rgb_sum long, tiled_gray_sum long,"
         " tiled_gray_mean double",
     )
+
+
+# Custom AC table for progressive EOBRUN scans: symbols r<<4 for
+# r = 0..14 (EOBRUN length classes), all at code length 4 — 15 codes
+# 0000..1110, leaving the all-ones code unused as T.81 requires.
+_JPEG_EOB_BITS = [0, 0, 0, 15] + [0] * 12
+_JPEG_EOB_VALS = bytes(r << 4 for r in range(15))
+
+
+def jpeg_encode_gray_dc_progressive(block_vals, w: int, h: int) -> bytes:
+    """PROGRESSIVE grayscale JPEG (SOF2) whose every 8x8 block is FLAT
+    at ``block_vals[by][bx]`` — the spectral-selection / successive-
+    approximation companion of jpeg_encode_gray_dc. Four scans:
+
+      1. DC first   (Ss=0, Se=0, Ah=0, Al=1): diffs of dc >> 1
+      2. AC first   (Ss=1, Se=63, Ah=0, Al=1): all ACs are zero, so
+         the scan is ONE EOBRUN covering every block (the custom
+         15-symbol EOBRUN table above)
+      3. DC refine  (Ah=1, Al=0): the dropped low bit, raw, per block
+      4. AC refine  (Ah=1, Al=0): zero band again — a pure EOBRUN
+         through the refinement path (no correction bits exist)
+
+    Flat DC-only blocks keep the float IDCT exact, so the decode is
+    bit-deterministic and closed-form oracle-checkable while
+    exercising every Annex G scan kind: DC first + refinement, AC
+    first + refinement, point transform, and cross-block EOBRUN."""
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_codes = _jpeg_canonical_codes(_JPEG_EOB_BITS, _JPEG_EOB_VALS)
+    nbx, nby = w // 8, h // 8
+    nblocks = nbx * nby
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _jpeg_seg(
+        0xC2,  # SOF2: progressive
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                     + _JPEG_DC_VALS)
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_EOB_BITS)
+                     + _JPEG_EOB_VALS)
+
+    def sos(ss, se, ah, al, payload_bits):
+        nonlocal out
+        out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se,
+                                      (ah << 4) | al]))
+        out += payload_bits
+
+    def dc_values():
+        return [
+            8 * (int(block_vals[by][bx]) - 128)
+            for by in range(nby) for bx in range(nbx)
+        ]
+
+    # Scan 1: DC first, Al=1.
+    bwr = _JpegBitWriter()
+    pred = 0
+    for dc in dc_values():
+        v = dc >> 1  # T.81 G.1.2.1: arithmetic shift point transform
+        diff = v - pred
+        pred = v
+        s = abs(diff).bit_length()
+        ln, code = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    sos(0, 0, 0, 1, bwr.flush())
+
+    def eobrun_scan():
+        """One EOBRUN spanning all blocks (split by length class)."""
+        bwr = _JpegBitWriter()
+        left = nblocks
+        while left > 0:
+            r = min(14, left.bit_length() - 1)
+            n = min(left, (1 << (r + 1)) - 1)
+            ln, code = eob_codes[r << 4]
+            bwr.put(code, ln)
+            if r:
+                bwr.put(n - (1 << r), r)
+            left -= n
+        return bwr.flush()
+
+    # Scan 2: AC first over the whole band, Al=1 — pure EOBRUN.
+    sos(1, 63, 0, 1, eobrun_scan())
+    # Scan 3: DC refinement — the dropped low bit, one raw bit/block.
+    bwr = _JpegBitWriter()
+    for dc in dc_values():
+        bwr.put(dc & 1, 1)
+    sos(0, 0, 1, 0, bwr.flush())
+    # Scan 4: AC refinement of the zero band — again pure EOBRUN.
+    sos(1, 63, 1, 0, eobrun_scan())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@query(
+    "mm_decode_jpeg_progressive_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, bw, bh, unnest(range(bw * bh)) AS b FROM dims
+),
+v AS (
+  SELECT doc_id, bw, bh,
+         (doc_id * 29 + (b % bw) * 7 + (b // bw) * 17) % 256 AS val
+  FROM blk
+)
+SELECT doc_id,
+       CAST(MAX(bw) * 8 AS BIGINT) AS width,
+       CAST(MAX(bh) * 8 AS BIGINT) AS height,
+       CAST(SUM(val) * 64 AS BIGINT) AS pix_sum,
+       CAST(SUM(val) * 64 AS DOUBLE)
+         / CAST(MAX(bw) * MAX(bh) * 64 AS DOUBLE) AS mean_val
+FROM v GROUP BY doc_id
+""",
+    tags=("multimodal", "decode", "jpeg", "progressive",
+          "mapInPandas"),
+)
+def mm_decode_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE-JPEG decode under the oracle gate (round 13 —
+    the last named codec-tail item): per document a grayscale SOF2
+    file is synthesized with the FULL Annex G scan structure (DC
+    first + refinement with the Al=1 point transform, AC first +
+    refinement as cross-block EOBRUNs — jpeg_encode_gray_dc_
+    progressive), then run through the actual progressive decoder
+    (operators/multimodal.py:_decode_jpeg_progressive via
+    decode_image's SOF2 dispatch: per-scan coefficient accumulation,
+    then dequantize/IDCT). Flat DC-only blocks keep the transform
+    exact, so pixel statistics are closed-form; real multi-coefficient
+    progressions are pinned by the JDK cross-validation goldens
+    (tests/test_codec_goldens.py: 6-scan grayscale within the IDCT
+    ulp, 10-scan color flat exact).
+
+    Plan shape: one Arrow mapInPandas pass, zero shuffles, pruned
+    1-column scan — the codec-family discipline."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from quick_and_easy_vectordb_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pix_sum": [], "mean_val": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+                vals = [
+                    [(doc_id * 29 + bx * 7 + by * 17) % 256
+                     for bx in range(bw)]
+                    for by in range(bh)
+                ]
+                payload = jpeg_encode_gray_dc_progressive(
+                    vals, bw * 8, bh * 8
+                )
+                img = decode_image(payload)  # SOF2 dispatch, real path
+                if img.shape != (bh * 8, bw * 8, 1):
+                    raise ValueError("progressive shape mismatch")
+                for by in range(bh):
+                    for bx in range(bw):
+                        blk = img[by * 8 : by * 8 + 8,
+                                  bx * 8 : bx * 8 + 8, 0]
+                        if not (blk == vals[by][bx]).all():
+                            raise ValueError(
+                                "progressive roundtrip mismatch"
+                            )
+                pix_sum = int(img.astype(np.int64).sum())
+                out["doc_id"].append(doc_id)
+                out["width"].append(bw * 8)
+                out["height"].append(bh * 8)
+                out["pix_sum"].append(pix_sum)
+                out["mean_val"].append(pix_sum / float(img.size))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width long, height long, pix_sum long,"
+        " mean_val double",
+    )

@@ -101,3 +101,35 @@ def test_wav_golden_external_pcm_exact():
     assert rate == g["rate"]
     assert samples.shape[1] == g["channels"]
     assert samples.reshape(-1).tolist() == g["samples"]
+
+
+def test_jpeg_progressive_golden_gray_within_idct_ulp():
+    """Full 6-scan grayscale progression (DC first/refine, AC bands
+    with successive approximation, EOBRUN): no chroma path in the
+    comparison, so the only permitted divergence from the JDK's own
+    decode is the float-IDCT rounding ulp."""
+    g = _golden("jpeg_progressive_gray")
+    img = decode_image(base64.b64decode(g["b64"]))
+    jdk = np.array(g["jdk_pixels"], dtype=np.int64)
+    assert img.shape == (g["h"], g["w"], 1)
+    diff = np.abs(img.astype(np.int64) - jdk)
+    assert diff.max() <= 1, diff.max()
+
+
+def test_jpeg_progressive_golden_flat_matches_jdk_exactly():
+    g = _golden("jpeg_progressive_flat")
+    img = decode_image(base64.b64decode(g["b64"]))
+    jdk = np.array(g["jdk_pixels"], dtype=np.uint8)
+    assert np.array_equal(img, jdk)
+
+
+def test_jpeg_progressive_golden_gradient_within_upsample_tolerance():
+    """Color gradient: bounded divergence from the JDK's triangle
+    chroma upsample (ours is the spec-conformant nearest neighbor) —
+    same class as the baseline jpeg_gradient golden."""
+    g = _golden("jpeg_progressive_gradient")
+    img = decode_image(base64.b64decode(g["b64"]))
+    jdk = np.array(g["jdk_pixels"], dtype=np.int64)
+    diff = np.abs(img.astype(np.int64) - jdk)
+    assert diff.max() <= 12, diff.max()
+    assert diff.mean() <= 3.0, diff.mean()

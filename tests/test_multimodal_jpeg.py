@@ -153,14 +153,56 @@ def test_restart_markers_reset_dc_prediction():
     assert np.abs(with_rst.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_progressive_raises():
+def test_progressive_supported_relabeled_baseline_is_malformed():
+    """Round 13: SOF2 now dispatches to the real progressive decoder.
+    A baseline stream merely RELABELED as SOF2 is malformed
+    progressive data (its single scan spans Ss=0..Se=63, which Annex
+    G forbids — DC and AC must come in separate scans) and must fail
+    with a format diagnostic, not decode garbage."""
     vals = [[100]]
     b = bytearray(jpeg_encode_gray_dc(vals, 8, 8))
-    # rewrite the SOF0 marker byte to SOF2 (progressive)
     i = b.index(b"\xff\xc0")
     b[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_image(bytes(b))
+
+
+def test_progressive_four_scan_roundtrip():
+    """The 4-scan progressive encoder (DC first Al=1, AC-first
+    EOBRUN, DC refine, AC-refine EOBRUN) decodes bit-exact for flat
+    blocks — every Annex G scan kind on one file. Odd DC parities
+    exercise the point-transform refinement bit both ways."""
+    import numpy as np
+
+    from quick_and_easy_vectordb_spark.queries.multimodal import (
+        jpeg_encode_gray_dc_progressive,
+    )
+
+    vals = [[7, 128, 255], [100, 101, 0]]
+    b = jpeg_encode_gray_dc_progressive(vals, 24, 16)
+    assert b[2:4] != b"\xff\xc0" and b"\xff\xc2" in b
+    img = decode_image(b)
+    assert img.shape == (16, 24, 1)
+    for by in range(2):
+        for bx in range(3):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            assert (blk == vals[by][bx]).all(), (bx, by)
+
+
+def test_progressive_many_blocks_eobrun_classes():
+    """37 blocks forces the EOBRUN split across length classes
+    (32 + 5) in both the first and refinement AC scans."""
+    import numpy as np
+
+    from quick_and_easy_vectordb_spark.queries.multimodal import (
+        jpeg_encode_gray_dc_progressive,
+    )
+
+    vals = [[(bx * 31 + 57) % 256 for bx in range(37)]]
+    b = jpeg_encode_gray_dc_progressive(vals, 37 * 8, 8)
+    img = decode_image(b)
+    for bx in range(37):
+        assert (img[:, bx * 8 : bx * 8 + 8, 0] == vals[0][bx]).all()
 
 
 def test_single_component_sampling_factors_ignored():

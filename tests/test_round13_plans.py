@@ -180,3 +180,9 @@ def test_tiff_palette_tiled_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_decode_tiff_palette_tiled")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 1
+
+
+def test_jpeg_progressive_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_decode_jpeg_progressive_stats")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 1

@@ -109,6 +109,65 @@ def main() -> None:
     out["jpeg_gradient"] = jpeg_golden(
         16, 16, lambda x, y: (8 * x + 64, 8 * y + 32, 4 * (x + y) + 96))
 
+    # ---- PROGRESSIVE JPEG (round 13): the JDK's default progression
+    # is 10 scans for color (DC first+refine per component, AC bands
+    # with successive approximation) and 6 for grayscale — the full
+    # Annex G surface (EOBRUN, refinement correction bits, spectral
+    # bands). Grayscale pins the coefficient pipeline to the IDCT ulp
+    # (no chroma upsample in the comparison); the flat color one must
+    # match exactly; the color gradient records the same bounded
+    # upsample-filter divergence as the baseline gradient golden. ----
+    def jpeg_progressive_golden(wj, hj, pixfn, gray=False):
+        imgj = BI(wj, hj,
+                  BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+        for y in range(hj):
+            for x in range(wj):
+                r, g, bb = pixfn(x, y)
+                imgj.setRGB(x, y, (r << 16) | (g << 8) | bb)
+        writer_j = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg").next()
+        param_j = writer_j.getDefaultWriteParam()
+        param_j.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baosj = jvm.java.io.ByteArrayOutputStream()
+        iosj = jvm.javax.imageio.ImageIO.createImageOutputStream(baosj)
+        writer_j.setOutput(iosj)
+        writer_j.write(None, jvm.javax.imageio.IIOImage(imgj, None, None),
+                       param_j)
+        iosj.flush()
+        jpg_bytes = bytes(baosj.toByteArray())
+        assert b"\xff\xc2" in jpg_bytes  # really SOF2
+        back = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(jpg_bytes))
+        jdk_pixels = []
+        raster = back.getRaster()
+        for y in range(hj):
+            row = []
+            for x in range(wj):
+                if gray:
+                    row.append([raster.getSample(x, y, 0)])
+                else:
+                    rgb = back.getRGB(x, y) & 0xFFFFFF
+                    row.append([(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF,
+                                rgb & 0xFF])
+            jdk_pixels.append(row)
+        return {
+            "encoder": "JDK javax.imageio (jpg, MODE_DEFAULT "
+                       "progressive)",
+            "b64": base64.b64encode(jpg_bytes).decode(),
+            "w": wj, "h": hj,
+            "jdk_pixels": jdk_pixels,
+        }
+
+    out["jpeg_progressive_gray"] = jpeg_progressive_golden(
+        40, 33,
+        lambda x, y: ((x * x * 7 + y * y * 13 + x * y) % 256,) * 3,
+        gray=True)
+    out["jpeg_progressive_flat"] = jpeg_progressive_golden(
+        16, 16, lambda x, y: (200, 30, 90))
+    out["jpeg_progressive_gradient"] = jpeg_progressive_golden(
+        16, 16, lambda x, y: (8 * x + 64, 8 * y + 32, 4 * (x + y) + 96))
+
     # ---- TIFF (lossless: expected pixels == the pattern). The JDK
     # writer emits big-endian ("MM") strip-layout TIFF; PackBits is
     # requested explicitly so the golden pins the RLE decode path
