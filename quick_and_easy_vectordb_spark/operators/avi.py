@@ -296,6 +296,10 @@ def avi_encode_mjpeg_pcm(
     little-endian int16 bytes."""
     if not frames:
         raise ValueError("MJPEG AVI needs at least one frame")
+    if width <= 0 or height <= 0:
+        raise ValueError("frame dimensions must be positive")
+    if rate <= 0 or scale <= 0 or audio_rate <= 0:
+        raise ValueError("rates and scale must be positive")
     if len(pcm) % 2:
         raise ValueError("PCM payload must be whole 16-bit samples")
     for f in frames:

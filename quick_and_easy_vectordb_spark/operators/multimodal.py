@@ -490,6 +490,8 @@ def _decode_jpeg_progressive(b: bytes):
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xC2:  # SOF2
+            if sof is not None:
+                raise ValueError("multiple SOF markers in JPEG stream")
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
                 int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
