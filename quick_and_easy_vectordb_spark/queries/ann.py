@@ -3246,3 +3246,75 @@ def ann_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "ann_lsh_index_compaction",
+    oracle=f"""
+SELECT {_sql_signature(8)} AS lsh_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM embeddings GROUP BY 1
+""",
+    tags=("ann", "lsh", "streaming", "compaction",
+          "small-file-problem"),
+)
+def ann_lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION under the oracle gate — the second half
+    of the index-maintenance lifecycle (the half streaming appends
+    make necessary: every micro-batch adds one file per touched
+    bucket, and a month of micro-batches drowns probe latency in
+    parquet footer opens). The corpus is streamed into the
+    bucket-partitioned index across two micro-batches (the
+    ann_lsh_index_incremental path), then
+    streaming/index_maintenance.py:compact_lsh_index rewrites it to
+    ~1 file per bucket directory at a NEW path (Spark cannot
+    atomically overwrite a path it reads; the production swap is an
+    fs rename between streaming restarts). The result is the
+    COMPACTED index read back off disk, reduced per bucket — the row
+    is green iff compaction lost/duplicated/moved nothing across
+    bucket directories, which is the rewrite's entire contract.
+
+    Plan shape at 100 TB: ONE shuffle keyed (bucket, salt) —
+    hash-distributing buckets so a hot bucket doesn't serialize the
+    rewrite — then a partitionBy write preserving the pruning layout
+    exactly."""
+    import os
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.streaming.index_maintenance import (
+        compact_lsh_index,
+        read_lsh_index,
+        stream_lsh_index_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="ann_lsh_compact_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    for part in range(4):
+        tmp = os.path.join(base, f"stage_{part}")
+        (emb.filter(F.col("vec_id") % 4 == part)
+            .coalesce(1).write.parquet(tmp))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.rename(os.path.join(tmp, f),
+                          os.path.join(src_dir, f"arrival_{part}_{f}"))
+
+    index_path = os.path.join(base, "index")
+    q = stream_lsh_index_maintenance(
+        spark, src_dir, index_path,
+        checkpoint=os.path.join(base, "ckpt"),
+        num_planes=8, dim=DIM,
+    )
+    q.awaitTermination()
+    compacted = os.path.join(base, "compacted")
+    compact_lsh_index(spark, index_path, compacted, files_per_bucket=1)
+    return (
+        read_lsh_index(spark, compacted)
+        .groupBy("lsh_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+    )
