@@ -4096,3 +4096,93 @@ def mm_decode_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id long, width long, height long, pix_sum long,"
         " mean_val double",
     )
+
+
+@query(
+    "mm_image_augment_pipeline",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h,
+         doc_id % 4 AS k, doc_id % 2 AS flip
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, k, flip, i % w AS x, i // w AS y,
+         (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256 AS v
+  FROM (SELECT doc_id, w, h, k, flip, unnest(range(w * h)) AS i
+        FROM dims)
+),
+mapped AS (
+  SELECT doc_id, v,
+         CASE WHEN k % 2 = 0 THEN w ELSE h END AS wout,
+         CASE WHEN k % 2 = 0 THEN h ELSE w END AS hout,
+         CASE k WHEN 0 THEN x WHEN 1 THEN h - 1 - y
+                WHEN 2 THEN w - 1 - x ELSE y END AS xf,
+         CASE k WHEN 0 THEN y WHEN 1 THEN x
+                WHEN 2 THEN h - 1 - y ELSE w - 1 - x END AS yf,
+         flip
+  FROM px
+)
+SELECT doc_id,
+       CAST(MAX(wout) AS BIGINT) AS out_w,
+       CAST(MAX(hout) AS BIGINT) AS out_h,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * (CASE WHEN flip = 1 THEN wout - 1 - xf ELSE xf END
+                     + 31 * yf)) AS BIGINT) AS position_checksum
+FROM mapped GROUP BY doc_id
+""",
+    tags=("multimodal", "augmentation", "training", "mapInPandas"),
+)
+def mm_image_augment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC IMAGE AUGMENTATION — the transform stage of a
+    vision training pipeline (every epoch applies a keyed transform;
+    reproducibility across job restarts demands the key derive from
+    the example, not an RNG): per document a grayscale raster is
+    rotated 90°·(id mod 4) clockwise then horizontally flipped when
+    id is odd — REAL numpy array ops (np.rot90 / fliplr) inside one
+    Arrow pass. The oracle pins ORIENTATION, not just content: the
+    position-weighted checksum Σ v·(x_final + 31·y_final) is computed
+    from the affine coordinate map each rotation k implies, so a
+    transposed, mirrored, or mis-centered output — which a plain
+    pixel sum would never see — hash-mismatches. pix_sum doubles as
+    the content invariant (augmentation must lose no pixels).
+
+    Plan shape at 100 TB: one mapInPandas pass, zero shuffles; the
+    transform key rides the row (doc_id), so any worker can transform
+    any example identically — the same restart-determinism argument
+    as text_epoch_shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "out_w": [], "out_h": [],
+                   "pix_sum": [], "position_checksum": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 8, 12 + d % 5
+                xs = np.arange(w * h, dtype=np.int64)
+                img = ((d * 7 + (xs % w) * 3 + (xs // w) * 11) % 256) \
+                    .reshape(h, w)
+                aug = np.rot90(img, k=-(d % 4))  # clockwise rotations
+                if d % 2:
+                    aug = np.fliplr(aug)
+                oh, ow = aug.shape
+                yy, xx = np.mgrid[0:oh, 0:ow]
+                out["doc_id"].append(d)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["pix_sum"].append(int(aug.sum()))
+                out["position_checksum"].append(
+                    int((aug * (xx + 31 * yy)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, out_w long, out_h long, pix_sum long,"
+        " position_checksum long",
+    )

@@ -186,3 +186,9 @@ def test_jpeg_progressive_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_decode_jpeg_progressive_stats")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") >= 1
+
+
+def test_augment_pipeline_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_image_augment_pipeline")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 1
