@@ -159,6 +159,7 @@ def avi_parse(buf: bytes) -> dict:
     frames: list[bytes] = []
     stream_no = None
     n_idx_frames = 0
+    skipped_handlers: list[bytes] = []
 
     def parse_strl(s: int, e: int, ordinal: int) -> None:
         nonlocal stream_no
@@ -171,11 +172,13 @@ def avi_parse(buf: bytes) -> dict:
                 handler = buf[p + 4 : p + 8]
                 if fcc_type != b"vids":
                     return  # audio/text stream: not ours
+                if stream_no is not None:
+                    return  # keep the FIRST MJPEG stream
                 if handler not in _MJPEG_HANDLERS:
-                    raise NotImplementedError(
-                        f"AVI video handler {handler!r} not supported "
-                        "(MJPEG only; no interframe codecs)"
-                    )
+                    # Skip this stream; raise only if NO MJPEG stream
+                    # exists anywhere (checked after the walk).
+                    skipped_handlers.append(handler)
+                    return
                 scale, rate, _start, length = struct.unpack(
                     "<IIII", buf[p + 20 : p + 36]
                 )
@@ -225,6 +228,11 @@ def avi_parse(buf: bytes) -> dict:
             movi_span = (p + 4, p + ln)
 
     if stream_no is None:
+        if skipped_handlers:
+            raise NotImplementedError(
+                f"AVI video handlers {skipped_handlers!r} not supported "
+                "(MJPEG only; no interframe codecs)"
+            )
         raise ValueError("AVI has no MJPEG video stream")
     if movi_span is None:
         raise ValueError("AVI has no movi list")

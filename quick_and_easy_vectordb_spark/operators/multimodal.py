@@ -1107,12 +1107,19 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
     frame chunk list, ``n_frames`` are sampled evenly across it
     (indices floor(i*total/n), the seek points a real sampler would
     use), each is decoded by the pure-numpy baseline-JPEG decoder, and
-    frame_md5 digests the decoded raster bytes. Non-AVI payloads keep
-    the documented deterministic stub (md5(payload || ':' || idx)) so
-    the synthetic-payload oracle queries stay reproducible. No
-    shuffle: row expansion happens inside the map stage, and
-    downstream per-frame operators see an ordinary
-    (doc_id, frame_idx)-keyed relation."""
+    frame_md5 digests the decoded raster bytes. A clip SHORTER than
+    ``n_frames`` yields one row per actual frame (min(n_frames,
+    total) rows — never duplicated seek points), so the fan-out is
+    fixed at ``n_frames`` only for non-AVI payloads and clips with at
+    least ``n_frames`` frames. A payload whose container/codec fails
+    to parse (corrupt RIFF, unsupported handler) degrades to the stub
+    digest for that ROW instead of failing the whole Spark task —
+    sampling is a featurizer; ``avi_decode_frames`` stays the strict
+    path. Non-AVI payloads keep the documented deterministic stub
+    (md5(payload || ':' || idx)) so the synthetic-payload oracle
+    queries stay reproducible. No shuffle: row expansion happens
+    inside the map stage, and downstream per-frame operators see an
+    ordinary (doc_id, frame_idx)-keyed relation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from quick_and_easy_vectordb_spark.operators.avi import avi_parse
@@ -1122,16 +1129,26 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 payload = bytes(payload)
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames = avi_parse(payload)["frames"]
-                    total = len(frames)
-                    for i in range(min(n_frames, total)):
-                        raster = decode_image(frames[i * total // min(n_frames, total)])
-                        ids.append(int(doc_id))
-                        idxs.append(i)
-                        digests.append(
-                            hashlib.md5(raster.tobytes()).hexdigest()
-                        )
-                    continue
+                    try:
+                        frames = avi_parse(payload)["frames"]
+                        total = len(frames)
+                        k = min(n_frames, total)
+                        rows = [
+                            hashlib.md5(
+                                decode_image(
+                                    frames[i * total // k]
+                                ).tobytes()
+                            ).hexdigest()
+                            for i in range(k)
+                        ]
+                    except (ValueError, NotImplementedError):
+                        rows = None  # corrupt container → stub row set
+                    if rows is not None:
+                        for i, dg in enumerate(rows):
+                            ids.append(int(doc_id))
+                            idxs.append(i)
+                            digests.append(dg)
+                        continue
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)

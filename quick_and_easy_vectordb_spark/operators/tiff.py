@@ -280,7 +280,10 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
     (palette-color) with a ColorMap tag; the raster stays the index
     plane. ``tile=(tw, th)`` (multiples of 16 per TIFF 6.0 section
     15) writes the TILED layout instead of strips: every tile is a
-    full tw x th block, edge tiles zero-padded."""
+    full tw x th block, edge tiles zero-padded. With both ``tile``
+    and ``predictor=2``, differencing is applied independently per
+    tile (column 0 of each tile stored raw), the conformant layout
+    libtiff reads/writes."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     if compression not in (1, 5, 32773):
@@ -321,9 +324,18 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
         h, w, spp = arr.shape
         if spp not in (1, 3):
             raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
+        if palette is not None and spp != 1:
+            raise ValueError(
+                "palette requires 1 sample/pixel pages (got spp="
+                f"{spp}); a ColorMap cannot apply to an RGB raster"
+            )
         row_bytes = w * spp
-        if predictor == 2:
+        if predictor == 2 and tile is None:
             # Horizontal differencing, per row and channel, uint8 wrap.
+            # Tiled pages are differenced PER TILE below: TIFF 6.0
+            # applies the predictor to each tile's rows independently
+            # (each tile decompresses standalone), not across the
+            # assembled raster.
             d = arr.astype(np.int16)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             arr = (d % 256).astype(np.uint8)
@@ -341,6 +353,12 @@ def tiff_encode(pages, byteorder: str = "<", compression: int = 1,
                 for tx in range(ntx):
                     block = padded[ty * th_ : (ty + 1) * th_,
                                    tx * tw_ : (tx + 1) * tw_]
+                    if predictor == 2:
+                        # Per-tile horizontal differencing: column 0 of
+                        # every tile is stored raw, matching libtiff.
+                        d = block.astype(np.int16)
+                        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                        block = (d % 256).astype(np.uint8)
                     chunk = block.tobytes()
                     if compression == 32773:
                         chunk = packbits_encode(chunk)
@@ -569,6 +587,12 @@ def tiff_decode_pages(b: bytes):
                 tile = np.frombuffer(raw, dtype=np.uint8,
                                      count=tile_bytes).reshape(th, tw,
                                                                spp)
+                if pred == 2:
+                    # Predictor is per tile (each tile decodes
+                    # standalone): cumsum within the tile's own rows,
+                    # BEFORE edge clipping/placement.
+                    tile = (np.cumsum(tile.astype(np.int64), axis=1)
+                            % 256).astype(np.uint8)
                 y0, x0 = ty * th, tx * tw
                 ys, xs = min(th, h - y0), min(tw, w - x0)
                 arr[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
@@ -600,9 +624,11 @@ def tiff_decode_pages(b: bytes):
                 raster += raw[: rows * row_bytes]
             arr = np.frombuffer(bytes(raster), dtype=np.uint8,
                                 count=h * row_bytes).reshape(h, w, spp)
-        if pred == 2:
+        if pred == 2 and _TILE_OFFSETS not in tags:
             # Undo horizontal differencing: cumulative sum per row and
-            # channel, uint8 wraparound.
+            # channel, uint8 wraparound. (Tiled pages were undone per
+            # tile above — full-raster cumsum there would be wrong for
+            # every tile column but the first.)
             arr = np.cumsum(arr.astype(np.int64), axis=1) % 256
             arr = arr.astype(np.uint8)
         if photo == 3:

@@ -244,3 +244,92 @@ def test_audio_demux_roundtrip_and_gates():
     # odd PCM payload refused at encode
     with pytest.raises(ValueError, match="16-bit samples"):
         avi_encode_mjpeg_pcm(frames, b"\x01", 8, 8)
+
+
+def test_multi_video_stream_selection():
+    """A non-MJPEG 'vids' stream is SKIPPED (not fatal) when an MJPEG
+    stream exists; with two MJPEG streams the FIRST wins; with only
+    unsupported video streams the parse fails loudly."""
+    from quick_and_easy_vectordb_spark.operators.avi import (
+        _chunk, _list, AVIF_HASINDEX, AVIIF_KEYFRAME,
+    )
+
+    frames, _ = _gray_frames(2, bw=1, bh=1)
+
+    def strl(fcc_type, handler, n, w=8, h=8):
+        strh = fcc_type + handler + struct.pack(
+            "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 10, 0, n, 0, 0, 0,
+            0, 0, w, h)
+        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24,
+                           handler, w * h * 3, 0, 0, 0, 0)
+        return _list(b"strl",
+                     _chunk(b"strh", strh) + _chunk(b"strf", strf))
+
+    def build(streams, frame_chunks):
+        avih = struct.pack("<14I", 100_000, 0, 0, AVIF_HASINDEX,
+                           len(frames), 0, len(streams), 0, 8, 8,
+                           0, 0, 0, 0)
+        hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                     + b"".join(streams))
+        movi_payload = bytearray()
+        idx = bytearray()
+        for cid, payload in frame_chunks:
+            off = 4 + len(movi_payload)
+            movi_payload += _chunk(cid, payload)
+            idx += cid + struct.pack("<III", AVIIF_KEYFRAME, off,
+                                     len(payload))
+        return _chunk(b"RIFF", b"AVI " + hdrl
+                      + _list(b"movi", bytes(movi_payload))
+                      + _chunk(b"idx1", bytes(idx)))
+
+    # Stream 0 = XVID (skipped), stream 1 = MJPEG: frames from 01dc.
+    buf = build(
+        [strl(b"vids", b"XVID", len(frames)),
+         strl(b"vids", b"MJPG", len(frames))],
+        [(b"01dc", f) for f in frames],
+    )
+    meta = avi_parse(buf)
+    assert meta["n_frames"] == 2 and meta["frames"] == frames
+
+    # Two MJPEG streams: the FIRST keeps the slot (00dc collected).
+    buf2 = build(
+        [strl(b"vids", b"MJPG", len(frames)),
+         strl(b"vids", b"MJPA", 7)],  # lying length: must be ignored
+        [(b"00dc", f) for f in frames],
+    )
+    meta2 = avi_parse(buf2)
+    assert meta2["n_frames"] == 2 and meta2["frames"] == frames
+
+    # Only unsupported video streams: loud refusal naming handlers.
+    buf3 = build([strl(b"vids", b"XVID", 2)],
+                 [(b"00dc", f) for f in frames])
+    with pytest.raises(NotImplementedError, match="XVID"):
+        avi_parse(buf3)
+
+
+def test_sample_frames_corrupt_avi_degrades_to_stub(spark):
+    """One corrupt RIFF container must not kill the Spark task: the
+    bad row degrades to the deterministic stub digests while good AVI
+    rows keep the real decode path."""
+    from quick_and_easy_vectordb_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    frames, _ = _gray_frames(2, bw=1, bh=1)
+    good = avi_encode_mjpeg(frames, 8, 8)
+    corrupt = good[: len(good) - 7]  # truncated mid-chunk: overrun
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, n_frames=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
+    assert sorted(i for i, _ in by_doc[1]) == [0, 1]  # short clip: 2
+    assert sorted(i for i, _ in by_doc[2]) == [0, 1, 2]  # stub: fixed 3
+    expect_stub = [
+        hashlib.md5(bytes(corrupt) + b":" + str(i).encode()).hexdigest()
+        for i in range(3)
+    ]
+    assert [d for _, d in sorted(by_doc[2])] == expect_stub

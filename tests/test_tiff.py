@@ -444,3 +444,46 @@ def test_tiled_and_palette_roundtrips():
         tiff_encode([idx], palette=pal, tile=(16, 16), compression=5)
     )
     assert np.array_equal(page, expect)
+
+
+# ---------------------------------------------------------------------------
+# Predictor 2 x tiled layout (TIFF 6.0 sections 14 + 15 combined)
+# ---------------------------------------------------------------------------
+
+def test_tiled_predictor2_roundtrip_all_compressions():
+    rng = np.random.RandomState(14)
+    rgb = rng.randint(0, 256, (23, 40, 3)).astype(np.uint8)
+    gray = (np.arange(20 * 35, dtype=np.uint32).reshape(20, 35, 1)
+            * 11 % 256).astype(np.uint8)
+    for comp in (1, 32773, 5):
+        for bo in ("<", ">"):
+            pages = tiff_decode_pages(
+                tiff_encode([rgb, gray], byteorder=bo, compression=comp,
+                            tile=(16, 16), predictor=2)
+            )
+            assert np.array_equal(pages[0], rgb), (comp, bo)
+            assert np.array_equal(pages[1], gray), (comp, bo)
+
+
+def test_tiled_predictor2_differences_per_tile_not_per_raster():
+    """Conformance pin: with tiles, column 0 of EVERY tile is stored
+    raw (each tile decompresses standalone), not differenced against
+    the previous tile's last column. libtiff/TIFF 6.0 behavior."""
+    img = (np.arange(16 * 32, dtype=np.uint32).reshape(16, 32, 1)
+           * 37 % 256).astype(np.uint8)
+    b = tiff_encode([img], compression=1, tile=(16, 16), predictor=2)
+    # Encoder layout: 8-byte header, then tiles sequentially.
+    tile1 = np.frombuffer(b[8 + 256 : 8 + 512], dtype=np.uint8)
+    tile1 = tile1.reshape(16, 16)
+    raw_col = img[:, 16, 0]
+    full_raster_diff = (img[:, 16, 0].astype(int)
+                        - img[:, 15, 0].astype(int)) % 256
+    assert np.array_equal(tile1[:, 0], raw_col)
+    assert not np.array_equal(tile1[:, 0], full_raster_diff)
+
+
+def test_palette_with_rgb_page_raises():
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    pal = np.stack([np.arange(256) * 257] * 3)
+    with pytest.raises(ValueError, match="palette requires 1 sample"):
+        tiff_encode([rgb], palette=pal)
