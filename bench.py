@@ -197,11 +197,25 @@ def main() -> None:
     # load lists say why. The isolated minimum is the steady-state
     # number for cross-round comparison of heavy movers.
     iso_cut = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_CUT", "2.0"))
+    # Round-14 (VERDICT r13 item 2): the three sub-second queries that
+    # drifted in-suite across rounds 12-13 get isolated minima too, so
+    # the calibration can arbitrate them (in-suite sub-second numbers
+    # are dominated by scheduler jitter on this VM).
+    iso_include = {
+        s
+        for s in os.environ.get(
+            "SPARK_GRAFT_BENCH_ISO_INCLUDE",
+            "ann_lsh_probe,ev_tumbling_hour,vdb_topk_dot",
+        ).split(",")
+        if s
+    }
     isolated: dict[str, float] = {}
     isolated_runs: dict[str, list[float]] = {}
     isolated_loads: dict[str, list[float]] = {}
     isolated_errors: dict[str, str] = {}
-    for name in [n for n, t in timings.items() if t >= iso_cut]:
+    for name in [
+        n for n, t in timings.items() if t >= iso_cut or n in iso_include
+    ]:
         try:
             runs, run_loads, _ = time_query(
                 bench_queries[name], 4, per_repeat_wait

@@ -2602,3 +2602,112 @@ def src_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_checksum"),
         F.sum(F.length("text")).cast("long").alias("text_len_checksum"),
     )
+
+
+@query(
+    "src_conflict_detect",
+    oracle="""
+WITH snap2 AS (
+  SELECT 2 AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(length(text)) AS BIGINT) AS total_len
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+),
+snap3 AS (
+  SELECT 3 AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(length(text)) AS BIGINT) AS total_len
+  FROM documents
+)
+SELECT CAST(snapshot AS BIGINT) AS snapshot, n, total_len,
+       TRUE AS conflict_detected
+FROM (SELECT * FROM snap2 UNION ALL SELECT * FROM snap3)
+ORDER BY snapshot
+""",
+    tags=("sources", "lakehouse", "table-format", "concurrency"),
+)
+def src_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT-WRITER CONFLICT DETECTION (round-14, VERDICT r13
+    item 4) — the optimistic-concurrency protocol every real table
+    format runs (Iceberg CommitFailedException, Delta
+    ConcurrentModificationException), executed end-to-end against the
+    manifest format: two writers STAGE their data against the same
+    base version; the first publish wins version 2; the loser's stale
+    publish at the same version must raise CommitConflict WITHOUT
+    corrupting the winner's manifest (equality-checked), and its
+    metadata-only REBASE retry lands as version 3 with both writers'
+    rows visible. The returned relation aggregates snapshots 2 and 3
+    read back through their manifests, plus the detection flag —
+    green iff the conflict fired, the winner's snapshot is intact
+    (exactly base + writer A), and the rebase lost nothing (version 3
+    is the full union).
+
+    Plan shape at 100 TB: staging is an ordinary parquet write;
+    publish/rebase are O(files) driver-side metadata with ZERO data
+    I/O on retry — the loser never rewrites its data files, exactly
+    the property that makes optimistic concurrency viable when a
+    commit stages terabytes (table_format.py:try_publish uses POSIX
+    create-exclusive, the same atomic primitive object stores expose
+    as if-none-match puts)."""
+    import json as _json
+    import tempfile
+
+    from quick_and_easy_vectordb_spark.sources.table_format import (
+        CommitConflict,
+        ManifestParquetFormat,
+    )
+
+    fmt = ManifestParquetFormat()
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="src_conflict_"), "docs_versioned"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    fmt.commit(docs.filter(F.col("doc_id") % 3 == 0), table,
+               name="base")                                      # v1
+    base_files = fmt._load(table, 1)["files"]
+
+    # Both writers stage against v1 (data written, nothing published).
+    name_a, dir_a = fmt.stage(
+        docs.filter(F.col("doc_id") % 3 == 1), table, "writer_a"
+    )
+    name_b, dir_b = fmt.stage(
+        docs.filter(F.col("doc_id") % 3 == 2), table, "writer_b"
+    )
+
+    # Writer A wins version 2.
+    fmt.try_publish(table, {**base_files, name_a: dir_a}, 2)
+    with open(os.path.join(table, "manifests", "v2.json")) as f:
+        winner_manifest = _json.load(f)
+
+    # Writer B's stale publish must conflict, leaving v2 untouched.
+    conflict_detected = False
+    try:
+        fmt.try_publish(table, {**base_files, name_b: dir_b}, 2)
+    except CommitConflict:
+        conflict_detected = True
+    if not conflict_detected:
+        raise AssertionError("stale publish did not conflict")
+    with open(os.path.join(table, "manifests", "v2.json")) as f:
+        if _json.load(f) != winner_manifest:
+            raise AssertionError("loser corrupted the winner's manifest")
+
+    # Metadata-only rebase: B lands as v3 (no data rewrite).
+    if fmt.publish_entry(table, name_b, dir_b) != 3:
+        raise AssertionError("rebase did not land as version 3")
+
+    def snap(version: int) -> DataFrame:
+        return (
+            fmt.read(spark, table, version=version)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("text_len").cast("long").alias("total_len"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("snapshot"),
+                "n",
+                "total_len",
+                F.lit(conflict_detected).alias("conflict_detected"),
+            )
+        )
+
+    return snap(2).unionAll(snap(3)).orderBy("snapshot")

@@ -34,6 +34,16 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(Exception):
+    """Another writer published the version this commit targeted.
+
+    The optimistic-concurrency signal every real table format raises
+    (Iceberg's CommitFailedException, Delta's
+    ConcurrentModificationException): the loser's staged DATA is
+    intact and unreferenced; the caller may rebase on the new latest
+    metadata and publish again — zero data I/O on retry."""
+
+
 class TableFormat(Protocol):
     """The minimum contract a versioned table format provides."""
 
@@ -93,6 +103,101 @@ class ManifestParquetFormat:
         ) as f:
             return json.load(f)
 
+    def stage(
+        self, df: DataFrame, table_path: str, name: str | None = None
+    ) -> tuple[str, str]:
+        """First half of an optimistic commit: write the immutable
+        data dir, publish NOTHING. Returns (logical name, data dir).
+
+        Retry safety (round-10, ADVICE r09): the PHYSICAL dir gets a
+        fresh uuid suffix on every attempt — ``name`` is only the
+        logical manifest key. A crash after df.write but before the
+        manifest publish leaves an orphaned dir nothing references
+        (expire() vacuums it), and the rerun writes a new dir instead
+        of failing mode('error') on the leftover path — the failure
+        the lakehouse replay guards (lakehouse.py `versions < 3`)
+        would otherwise hit after a partial first run."""
+        name = name or uuid.uuid4().hex
+        data_dir = os.path.join(
+            table_path, "data", f"{name}-{uuid.uuid4().hex}"
+        )
+        df.write.mode("error").parquet(data_dir)
+        return name, data_dir
+
+    def try_publish(
+        self, table_path: str, files: dict[str, str], version: int
+    ) -> None:
+        """Atomically publish manifest ``v<version>`` — create-if-
+        ABSENT, never replace. Raises :class:`CommitConflict` when
+        that version already exists (another writer won the race).
+        os.link() is the POSIX atomic-exclusive publish (rename would
+        silently overwrite the winner — the round-14 conflict fix)."""
+        md = self._manifest_dir(table_path)
+        os.makedirs(md, exist_ok=True)
+        tmp = os.path.join(
+            md, f".v{version}.json.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        try:
+            os.link(tmp, os.path.join(md, f"v{version}.json"))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} already published at {table_path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def publish_entry(
+        self,
+        table_path: str,
+        name: str,
+        data_dir: str,
+        replace: str | None = None,
+        max_retries: int = 16,
+    ) -> int:
+        """Second half of an optimistic commit: merge the staged entry
+        into the LATEST manifest and publish, rebasing and retrying on
+        :class:`CommitConflict` (the Iceberg/Delta optimistic loop —
+        retries are metadata-only; the staged data is never
+        rewritten). A rebase is refused — the conflict surfaces to the
+        caller — when it would be semantically unsafe: the winner
+        already published this logical ``name`` (double-commit), or
+        this commit restates an entry the winner concurrently removed
+        or restated (lost-update hazard)."""
+        last: CommitConflict | None = None
+        for _ in range(max_retries):
+            vs = self.versions(table_path)
+            prev_files: dict[str, str] = (
+                dict(self._load(table_path, vs[-1])["files"]) if vs else {}
+            )
+            files = dict(prev_files)
+            if replace is not None:
+                if replace not in files:
+                    raise CommitConflict(
+                        f"restatement target {replace!r} is gone from "
+                        f"v{vs[-1]} at {table_path} (concurrently "
+                        "removed or restated — rebase would lose that "
+                        "writer's update)"
+                    )
+                files.pop(replace)
+            if name in files:
+                # replace == name is the legit restatement-in-place
+                # pattern (popped above); any other collision means
+                # two writers chose the same logical entry.
+                raise CommitConflict(
+                    f"entry {name!r} already exists in v{vs[-1]} at "
+                    f"{table_path} (concurrent double-commit)"
+                )
+            files[name] = data_dir
+            version = (vs[-1] + 1) if vs else 1
+            try:
+                self.try_publish(table_path, files, version)
+                return version
+            except CommitConflict as e:
+                last = e  # rebase on the new latest and retry
+        raise last if last is not None else CommitConflict(table_path)
+
     def commit(
         self,
         df: DataFrame,
@@ -100,35 +205,8 @@ class ManifestParquetFormat:
         replace: str | None = None,
         name: str | None = None,
     ) -> int:
-        vs = self.versions(table_path)
-        prev_files: dict[str, str] = (
-            dict(self._load(table_path, vs[-1])["files"]) if vs else {}
-        )
-        name = name or uuid.uuid4().hex
-        # Retry safety (round-10, ADVICE r09): the PHYSICAL dir gets a
-        # fresh uuid suffix on every attempt — ``name`` is only the
-        # logical manifest key. A crash after df.write but before the
-        # manifest rename leaves an orphaned dir nothing references
-        # (expire() vacuums it), and the rerun writes a new dir instead
-        # of failing mode('error') on the leftover path — the failure
-        # the lakehouse replay guards (lakehouse.py `versions < 3`)
-        # would otherwise hit after a partial first run.
-        data_dir = os.path.join(
-            table_path, "data", f"{name}-{uuid.uuid4().hex}"
-        )
-        df.write.mode("error").parquet(data_dir)
-        files = dict(prev_files)
-        if replace is not None:
-            files.pop(replace, None)
-        files[name] = data_dir
-        version = (vs[-1] + 1) if vs else 1
-        md = self._manifest_dir(table_path)
-        os.makedirs(md, exist_ok=True)
-        tmp = os.path.join(md, f".v{version}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
-        os.rename(tmp, os.path.join(md, f"v{version}.json"))  # the commit
-        return version
+        name, data_dir = self.stage(df, table_path, name)
+        return self.publish_entry(table_path, name, data_dir, replace)
 
     def read(
         self, spark: SparkSession, table_path: str, version: int | None = None
