@@ -3925,3 +3925,236 @@ def geo_str_rtree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_leaves", "n_rects", "mbr_x0", "mbr_y0", "mbr_x1", "mbr_y1",
         "leaf_checksum", "id_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# R-tree-assisted nearest-neighbor snap + trajectory map-matching
+# (round-14, VERDICT r13 item 5: probe the STR skeleton for argmin,
+# not just range hits)
+# ---------------------------------------------------------------------------
+
+_RT_SNAP_R = 1000  # Chebyshev radius: sized so sf0.01 has BOTH hits and misses
+_RT_MM_R = 2000    # tighter radius for map-matching (some pings miss)
+
+
+def _rtree_nn_candidates(
+    points: DataFrame, rects: DataFrame, radius: int
+) -> DataFrame:
+    """Candidate (point x rect) pairs within Chebyshev ``radius`` of
+    each other's CENTERS, found through the STR leaf skeleton: probe
+    leaves whose center-MBR intersects the point's expanded box, then
+    fetch only those pages. EXACT pruning: every rect center lies
+    inside its leaf's center-MBR, so a center within the point's box
+    forces that leaf's MBR to intersect the box — no true candidate
+    is pruned. Emits dist2 (squared Euclidean center distance,
+    integer-exact in int64)."""
+    leaves = rects.groupBy("slice", "leaf_idx").agg(
+        F.min("cx").alias("cx0"), F.max("cx").alias("cx1"),
+        F.min("cy").alias("cy0"), F.max("cy").alias("cy1"),
+    )
+    return (
+        points.join(
+            F.broadcast(leaves),
+            (F.col("cx0") <= F.col("px") + radius)
+            & (F.col("px") - radius <= F.col("cx1"))
+            & (F.col("cy0") <= F.col("py") + radius)
+            & (F.col("py") - radius <= F.col("cy1")),
+        )
+        .join(
+            F.broadcast(
+                rects.select("slice", "leaf_idx", "id", "cx", "cy")
+            ),
+            ["slice", "leaf_idx"],
+        )
+        .filter(
+            (F.abs(F.col("cx") - F.col("px")) <= radius)
+            & (F.abs(F.col("cy") - F.col("py")) <= radius)
+        )
+        .withColumn(
+            "dist2",
+            (
+                (F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px"))
+                + (F.col("cy") - F.col("py")) * (F.col("cy") - F.col("py"))
+            ).cast("long"),
+        )
+    )
+
+
+_SQL_RT_CAND = """
+leaves AS (
+  SELECT slice, leaf_idx, MIN(cx) AS cx0, MAX(cx) AS cx1,
+         MIN(cy) AS cy0, MAX(cy) AS cy1
+  FROM a GROUP BY slice, leaf_idx
+),
+cand AS (
+  SELECT p.*, r.id,
+         (r.cx - p.px) * (r.cx - p.px)
+         + (r.cy - p.py) * (r.cy - p.py) AS dist2
+  FROM p
+  JOIN leaves l
+    ON l.cx0 <= p.px + {R} AND p.px - {R} <= l.cx1
+   AND l.cy0 <= p.py + {R} AND p.py - {R} <= l.cy1
+  JOIN a r
+    ON r.slice = l.slice AND r.leaf_idx = l.leaf_idx
+   AND abs(r.cx - p.px) <= {R} AND abs(r.cy - p.py) <= {R}
+)
+"""
+
+
+@query(
+    "geo_rtree_nearest_rect_snap",
+    oracle=f"""
+WITH a AS ({_SQL_STR_LEAF_ASSIGN}),
+p AS (
+  SELECT s_suppkey AS pid,
+         (s_suppkey * 48611) % 100000 AS px,
+         (s_suppkey * 80621) % 100000 AS py
+  FROM supplier
+),
+{_SQL_RT_CAND.format(R=_RT_SNAP_R).strip()},
+best AS (
+  SELECT pid, id, dist2,
+         COUNT(*) OVER (PARTITION BY pid) AS n_cand,
+         row_number() OVER (PARTITION BY pid ORDER BY dist2, id) AS rn
+  FROM cand
+)
+SELECT p.pid,
+       CAST(COALESCE(b.id, -1) AS BIGINT) AS nearest_id,
+       CAST(COALESCE(b.dist2, -1) AS BIGINT) AS dist2,
+       CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_candidates
+FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.pid = b.pid
+""",
+    tags=("geo", "rtree", "nearest-neighbor", "index-probe", "argmin"),
+)
+def geo_rtree_nearest_rect_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-RECT SNAP through the STR R-tree skeleton — the argmin
+    probe a range query can't express: each point finds its nearest
+    rectangle CENTER (squared-Euclidean, integer-exact) among
+    candidates within Chebyshev radius {_RT_SNAP_R}, visiting only
+    leaf pages whose center-MBR intersects the point's expanded box.
+    The pruning is EXACT (a center inside the point's box forces its
+    leaf MBR to intersect the box — see _rtree_nn_candidates), so the
+    index probe returns the same nearest as a full scan restricted to
+    the radius; points with NO rect in radius survive as misses
+    (nearest_id = -1) via the LEFT join.
+
+    Plan shape at 100 TB: the leaf directory is O(N/leaf_cap) and the
+    rect pages O(N) but index-small vs the point corpus, so both ride
+    BROADCAST joins; the argmin is a map-side-combinable
+    min(struct(dist2, id)) groupBy — ONE shuffle on the point key, no
+    window over data, no all-pairs (PLANS.md: no CartesianProduct).
+    Tiebreak is (dist2, id) lexicographic in both engines."""
+    rects = _str_rect_leaves(spark, sf_dir)
+    sk = F.col("s_suppkey")
+    p = load_table(spark, sf_dir, "supplier").select(
+        sk.alias("pid"),
+        ((sk * 48611) % 100000).alias("px"),
+        ((sk * 80621) % 100000).alias("py"),
+    )
+    cand = _rtree_nn_candidates(p, rects, _RT_SNAP_R)
+    best = cand.groupBy("pid").agg(
+        F.min(
+            F.struct(F.col("dist2").alias("d"), F.col("id").alias("i"))
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_cand"),
+    )
+    return p.join(best, "pid", "left").select(
+        "pid",
+        F.coalesce(F.col("b.i"), F.lit(-1)).cast("long").alias("nearest_id"),
+        F.coalesce(F.col("b.d"), F.lit(-1)).cast("long").alias("dist2"),
+        F.coalesce(F.col("n_cand"), F.lit(0)).cast("long")
+        .alias("n_candidates"),
+    )
+
+
+@query(
+    "geo_trajectory_rtree_matching",
+    oracle=f"""
+WITH a AS ({_SQL_STR_LEAF_ASSIGN}),
+p AS (
+  SELECT user_id, ts, event_id,
+         (user_id * 104729 + event_id * 7919) % 100000 AS px,
+         (user_id * 7919 + event_id * 104729) % 100000 AS py
+  FROM events
+),
+{_SQL_RT_CAND.format(R=_RT_MM_R).strip()},
+best AS (
+  SELECT user_id, ts, event_id, id AS rect_id,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist2, id)
+           AS rn
+  FROM cand
+),
+m AS (SELECT user_id, ts, event_id, rect_id FROM best WHERE rn = 1),
+step AS (
+  SELECT user_id, rect_id,
+         lag(rect_id) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM m
+)
+SELECT CAST(prev AS BIGINT) AS from_rect,
+       CAST(rect_id AS BIGINT) AS to_rect,
+       CAST(COUNT(*) AS BIGINT) AS n_traversals,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM step
+WHERE prev IS NOT NULL AND prev <> rect_id
+GROUP BY 1, 2
+""",
+    tags=("geo", "rtree", "map-matching", "trajectory", "window"),
+)
+def geo_trajectory_rtree_matching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAJECTORY MAP-MATCHING onto the STR RECT SKELETON (round-14 —
+    the index-driven upgrade of geo_map_matching's lattice snap):
+    every ping snaps to its nearest RECTANGLE (a road-segment proxy)
+    through the R-tree probe within Chebyshev radius {_RT_MM_R} —
+    pings with no rect in radius are UNMATCHED and drop out before
+    sequencing, exactly what a real matcher does with off-network
+    GPS noise — then consecutive distinct matched rects per user
+    become directed edge traversals, aggregated into the edge-load
+    table (traversals + distinct users) that congestion modeling
+    consumes.
+
+    Plan shape at 100 TB: leaf directory + rect pages are index-small
+    → both BROADCAST; per-ping argmin is a map-side-combinable
+    min(struct) groupBy on the ping key; then ONE user_id window for
+    the lag and one combinable edge-key groupBy — three bounded
+    shuffles, all on ping/edge keys, none all-pairs. Snapping and
+    sequencing never shuttle raw coordinates through Python."""
+    rects = _str_rect_leaves(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("user_id") * 104729 + F.col("event_id") * 7919) % 100000)
+        .alias("px"),
+        ((F.col("user_id") * 7919 + F.col("event_id") * 104729) % 100000)
+        .alias("py"),
+    )
+    cand = _rtree_nn_candidates(p, rects, _RT_MM_R)
+    matched = (
+        cand.groupBy("user_id", "ts", "event_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2").alias("d"), F.col("id").alias("i"))
+            ).alias("b")
+        )
+        .select("user_id", "ts", "event_id", F.col("b.i").alias("rect_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = matched.select(
+        "user_id", "rect_id", F.lag("rect_id").over(w).alias("prev")
+    )
+    return (
+        step.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("rect_id"))
+        )
+        .groupBy(
+            F.col("prev").cast("long").alias("from_rect"),
+            F.col("rect_id").cast("long").alias("to_rect"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traversals"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
