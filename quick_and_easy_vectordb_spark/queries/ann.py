@@ -598,9 +598,16 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. Scan cost per query: |corpus|·nprobe/cells code bytes +
     {IVFPQ_CAND} full vectors — the multiplicative combination of the
     two prunings, vs either alone."""
+    return ivf_pq_search_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def ivf_pq_search_df(emb: DataFrame) -> DataFrame:
+    """The IVF-PQ composite over any (vec_id, label, embedding)
+    relation — split out so tools/scale_probe.py can measure the
+    WHOLE composite's growth on synthetic corpora where the cell
+    count grows with the data (round-14, VERDICT r13 item 3)."""
     from quick_and_easy_vectordb_spark.operators.ann import pq_codebook, pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings")
     qlit = vector_literal(QUERY_VEC)
 
     # Coarse stage: top-nprobe cells by centroid distance.

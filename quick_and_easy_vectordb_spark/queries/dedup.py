@@ -1224,6 +1224,15 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_plans.py (synthetic mega-bucket: divert
     fires, no expansion; plan shows single window exchange)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return band_tuning_table(docs)
+
+
+def band_tuning_table(docs: DataFrame) -> DataFrame:
+    """The whole multi-config tuning table over any (doc_id, text)
+    relation — split out so tools/scale_probe.py can measure the
+    one-shuffle multi-config claim at 30x (round-14, VERDICT r13
+    item 3)."""
+    spark = docs.sparkSession
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES).persist()
     # ALL configs' band keys in ONE projection + ONE (config, band,

@@ -2048,6 +2048,56 @@ def main() -> None:
     probes["closest_pair (3x3 explode equi-join, density-held)"] = (
         closest_pair_probe)
 
+    # Round-14 (VERDICT r13 item 3): the two most expensive headline
+    # queries probed as WHOLES, not just their component shapes.
+    def band_tuning_probe(n: int) -> None:
+        """dedup_band_tuning end-to-end on synthetic docs: does the
+        all-configs-in-one-(cfg,band,key)-shuffle claim hold at 30x?
+        Doc count scales with n (same n//100 rule as the
+        minhash_signatures shape)."""
+        from quick_and_easy_vectordb_spark.queries.dedup import (
+            band_tuning_table,
+        )
+
+        noop(band_tuning_table(synth_docs(spark, n // 100)))
+
+    probes["band_tuning (4 configs, one banded shuffle, whole query)"] = (
+        band_tuning_probe)
+
+    def ivf_pq_probe(n: int) -> None:
+        """ann_ivf_pq_search end-to-end on a synthetic corpus whose
+        CELL COUNT grows as sqrt(vectors) (the Faiss sizing rule), so
+        the probe answers the r13 verdict's question directly: with
+        nprobe fixed, does the probed fraction shrink as cells grow —
+        i.e. does the composite stay at-worst-linear end-to-end while
+        the ADC stage itself scales as nprobe * N / cells ~ sqrt(N)?
+        Vector count scales as n // 20 (64-dim arrays are ~50x a fact
+        row)."""
+        import math
+
+        from quick_and_easy_vectordb_spark.queries.ann import (
+            ivf_pq_search_df,
+        )
+        from quick_and_easy_vectordb_spark.queries.common import DIM
+
+        n_vec = n // 20
+        cells = max(4, int(math.isqrt(n_vec)))
+        emb = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.hash("id"), F.lit(cells)).alias("label"),
+            F.array(
+                *[
+                    (F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000)
+                    / 1000.0
+                    for i in range(DIM)
+                ]
+            ).alias("embedding"),
+        )
+        noop(ivf_pq_search_df(emb))
+
+    probes["ivf_pq_search (cells ~ sqrt(N), nprobe fixed, whole query)"] = (
+        ivf_pq_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
