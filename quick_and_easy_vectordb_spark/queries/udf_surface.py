@@ -2003,3 +2003,87 @@ def udf_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewma, "user_id long, block long, n_rows long, ewma_last double"
     )
+
+
+@query(
+    "udf_udtf_table_argument",
+    oracle="""
+WITH m AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN lag(n_chars) OVER w IS NULL
+                OR n_chars <= lag(n_chars) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+),
+g AS (
+  SELECT lang, n_chars,
+         SUM(brk) OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+  FROM m
+),
+runs AS (SELECT lang, grp, COUNT(*) AS len FROM g GROUP BY lang, grp)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((SELECT MAX(len) FROM runs r WHERE r.lang = d.lang)
+            AS BIGINT) AS longest_run,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents d GROUP BY d.lang
+""",
+    tags=("udf", "udtf", "table-argument", "partition-by",
+          "sequential-state"),
+)
+def udf_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE ARGUMENT (round-14 — the last
+    uncovered Spark-4 UDTF surface after udf_udtf_chunk's LATERAL and
+    udf_udtf_analyze's dynamic schema): the function is invoked as
+    ``qev_lang_runs(TABLE(v) PARTITION BY lang ORDER BY doc_id)``, so
+    the ENGINE routes each lang's rows — in doc_id order — through a
+    fresh UDTF instance whose eval() carries sequential state
+    (longest strictly-increasing n_chars run, a computation that
+    needs ordered iteration) and whose terminate() emits one summary
+    row per partition. The oracle reproduces the run length with the
+    gaps-and-islands idiom.
+
+    Plan shape at 100 TB: PARTITION BY lang is ONE hash shuffle +
+    in-partition sort — exactly the applyInPandas distribution — but
+    rows stream through eval() one at a time with O(1) state, so a
+    partition larger than memory is fine (unlike grouped-map pandas,
+    which materializes each group); output is O(partitions) rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="lang string, n_docs bigint, longest_run bigint, "
+        "total_chars bigint"
+    )
+    class LangRuns:
+        def __init__(self) -> None:
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+            self._prev = None
+            self._run = 0
+            self._best = 0
+
+        def eval(self, row) -> None:
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+            if self._prev is not None and row["n_chars"] > self._prev:
+                self._run += 1
+            else:
+                self._run = 1
+            self._best = max(self._best, self._run)
+            self._prev = row["n_chars"]
+
+        def terminate(self):
+            if self._n:
+                yield (self._lang, self._n, self._best, self._chars)
+
+    spark.udtf.register("qev_lang_runs", LangRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_table_arg_docs"
+    )
+    return spark.sql(
+        "SELECT * FROM qev_lang_runs(TABLE(__udtf_table_arg_docs) "
+        "PARTITION BY lang ORDER BY doc_id)"
+    )
