@@ -2054,12 +2054,28 @@ def main() -> None:
         """dedup_band_tuning end-to-end on synthetic docs: does the
         all-configs-in-one-(cfg,band,key)-shuffle claim hold at 30x?
         Doc count scales with n (same n//100 rule as the
-        minhash_signatures shape)."""
+        minhash_signatures shape). DENSITY-HELD: the vocabulary scales
+        with the doc count (fixed-vocab synth_docs makes shingle
+        collisions explode quadratically, saturating the bucket cap —
+        the first probe cut measured 0.9x wall at 30x because nearly
+        every bucket diverted to the analytic path and the verify join
+        vanished; that demonstrates the CAP, not the claimed shuffle
+        growth)."""
         from quick_and_easy_vectordb_spark.queries.dedup import (
             band_tuning_table,
         )
 
-        noop(band_tuning_table(synth_docs(spark, n // 100)))
+        n_docs = n // 100
+        vocab = max(5000, n_docs)
+        word = lambda i: F.concat(  # noqa: E731
+            F.lit("w"),
+            F.pmod(F.hash("id", F.lit(i)), F.lit(vocab)).cast("string"),
+        )
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[word(i) for i in range(40)]).alias("text"),
+        )
+        noop(band_tuning_table(docs))
 
     probes["band_tuning (4 configs, one banded shuffle, whole query)"] = (
         band_tuning_probe)
