@@ -3325,3 +3325,125 @@ def ann_lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+_SPANN_EPS = "1.25e0"  # distance-ratio closure bound (1 + eps), exact in binary
+
+
+@query(
+    "ann_spann_multi_assign",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DIM} + 1)) AS pos),
+el AS (
+  SELECT label, pos.pos AS pos, CAST(embedding[pos.pos] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN pos
+),
+cent AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(val) AS c
+  FROM el GROUP BY label, pos
+),
+carr AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+ad AS (
+  SELECT e.vec_id, c.label AS cell,
+         sqrt(list_sum(list_transform(list_zip({_EMB}, c.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+  FROM embeddings e CROSS JOIN carr c
+),
+mins AS (SELECT vec_id, MIN(d) AS dmin FROM ad GROUP BY vec_id),
+home AS (
+  SELECT vec_id, cell AS home_label FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM ad) WHERE rn = 1
+),
+assign AS (
+  SELECT ad.vec_id, ad.cell
+  FROM ad JOIN mins USING (vec_id)
+  WHERE ad.d <= mins.dmin * {_SPANN_EPS}
+),
+best AS (
+  SELECT label FROM carr
+  ORDER BY sqrt(list_sum(list_transform(list_zip(cv, {sql_vec(QUERY_VEC)}),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))), label
+  LIMIT 1
+)
+SELECT a.vec_id, {sql_l2(_EMB, sql_vec(QUERY_VEC))} AS l2_dist,
+       h.home_label, (h.home_label <> b.label) AS is_boundary
+FROM assign a
+JOIN best b ON a.cell = b.label
+JOIN embeddings e ON e.vec_id = a.vec_id
+JOIN home h ON h.vec_id = a.vec_id
+ORDER BY l2_dist, a.vec_id LIMIT 5
+""",
+    tags=("ann", "ivf", "spann", "topk"),
+)
+def ann_spann_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN-style boundary replication (Chen et al., NeurIPS 2021,
+    public): each vector joins the posting list of its nearest centroid
+    AND of every centroid within (1+eps)=1.25x that nearest distance, so
+    a single-cell probe still sees vectors that straddle the Voronoi
+    boundary — the replication buys recall without probing more cells
+    (contrast ann_ivf_multiprobe, which widens the probe instead).
+
+    Plan shape: the 10 decimal-exact centroids collapse to ONE
+    collect_list row that cross-joins (broadcast, 1-row — the
+    queries/events.py scalar-broadcast pattern) onto the scan; ALL
+    per-cell distances, the min, the home argmin, and the closure
+    filter are per-row array expressions — the assignment phase is
+    zero-shuffle. At 100 TB this is the standard O(N*C*D) IVF assign
+    cost with replication factor sum(|postings|)/N <= C bounded by eps;
+    the probe side reads exactly one posting list (label-partitioned at
+    scale, so one partition). Exactness: the same sequential
+    zip_with/aggregate fold as functions/vector.py:l2_distance on both
+    sides; 1.25 is exact in binary so the closure predicate cannot
+    straddle a rounding boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(QUERY_VEC)
+    cent = centroids_by_key(emb, "embedding", "label")
+    cl = cent.agg(
+        F.array_sort(F.collect_list(F.struct("key", "centroid"))).alias("cl")
+    )
+    dists = F.transform(
+        F.col("cl"),
+        lambda c: F.struct(
+            l2_distance(F.col("embedding"), c["centroid"]).alias("d"),
+            c["key"].alias("cell"),
+        ),
+    )
+    assigned = emb.crossJoin(F.broadcast(cl)).select(
+        "vec_id",
+        l2_distance(F.col("embedding"), q).alias("l2_dist"),
+        F.array_sort(dists).alias("ds"),
+    ).select(
+        "vec_id",
+        "l2_dist",
+        F.col("ds")[0]["cell"].alias("home_label"),
+        F.explode(
+            F.filter(
+                F.col("ds"), lambda x: x["d"] <= F.col("ds")[0]["d"] * F.lit(1.25)
+            )
+        ).alias("a"),
+    )
+    best = (
+        cent.select(
+            "key", l2_distance(F.col("centroid"), q).alias("qd")
+        )
+        .orderBy("qd", "key")
+        .limit(1)
+        .select(F.col("key").alias("probe_cell"))
+    )
+    return (
+        assigned.join(
+            F.broadcast(best), F.col("a")["cell"] == F.col("probe_cell")
+        )
+        .select(
+            "vec_id",
+            "l2_dist",
+            "home_label",
+            (F.col("home_label") != F.col("probe_cell")).alias("is_boundary"),
+        )
+        .orderBy("l2_dist", "vec_id")
+        .limit(5)
+    )

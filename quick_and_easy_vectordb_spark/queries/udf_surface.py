@@ -2087,3 +2087,308 @@ def udf_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM qev_lang_runs(TABLE(__udtf_table_arg_docs) "
         "PARTITION BY lang ORDER BY doc_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: mergeable-sketch UDAFs — HyperLogLog register merge and a
+# bitwise Bloom-filter build. Both follow the module's exactness
+# discipline: the hash family is an explicit md5 formula (identical in
+# Spark and DuckDB), the mergeable state is INTEGER (register maxima /
+# bitmap words), and the only float step (the HLL harmonic mean) is a
+# sum of dyadic rationals 2^-M (M <= 43), which is EXACT in binary64
+# regardless of summation order — so even the estimate hash-matches.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6 index bits out of the 48-bit md5 prefix)
+_HLL_W = 42  # width of the rho field (48 - 6)
+
+
+@query(
+    "udf_hll_register_merge",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {_HLL_M} AS idx,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M})) END AS rho
+  FROM h
+),
+grid AS (
+  SELECT t.event_type, g.idx
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range({_HLL_M})) AS idx) g
+),
+regs AS (
+  SELECT grid.event_type, grid.idx, COALESCE(MAX(r.rho), 0) AS m
+  FROM grid LEFT JOIN r ON r.event_type = grid.event_type AND r.idx = grid.idx
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type,
+         (7.213e-1 / (1.0e0 + 1.079e0 / 6.4e1)) * 4.096e3
+           / SUM(power(2e0, -m)) AS hll_estimate,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, ex.exact_distinct, e.hll_estimate, e.n_zero_registers
+FROM est e JOIN ex USING (event_type)
+""",
+    tags=("udf", "udaf", "sketch", "distinct"),
+)
+def udf_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (m=64, explicit md5 hash family) distinct-user
+    estimate per event_type, with the register merge exposed as the
+    UDAF surface: registers are built JVM-side as a map-side-combinable
+    ``groupBy(type, idx).agg(max(rho))`` (the HLL merge IS max — the
+    canonical mergeable-sketch aggregation), then the harmonic-mean
+    estimate runs as an applyInPandas over each group's 64-row register
+    set, so Arrow ships O(m) integers per group — never the raw stream.
+
+    Exactness: rho comes from ``bin()`` string length (integer space,
+    identical in both engines); the estimate's SUM(2^-M) is a sum of
+    <= 64 dyadic rationals with exponents in [-43, 0], exact in binary64
+    in ANY order, so the float estimate hash-matches the oracle without
+    tolerance flags. The alpha_m constant is spelled as the same IEEE
+    expression tree on both sides.
+
+    Plan shape at 100 TB: the only data-sized operation is the register
+    aggregation — partial max per (type, idx) combines map-side into
+    <= G*64 cells regardless of input volume (this fixed-memory merge
+    is why HLL is THE production distinct-count sketch); the pandas
+    estimate stage sees G*64 rows. The exact COUNT(DISTINCT) column is
+    the small-scale audit path, as in udf_count_min_topk
+    (reference app.py:189-190 counts rows; this is the sketch-backed
+    generalization for counts that don't fit a scan)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    hashed = ev.select(
+        "event_type",
+        (h % _HLL_M).alias("idx"),
+        F.when(F.floor(h / _HLL_M) == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(F.floor(h / _HLL_M))))
+        .cast("int")
+        .alias("rho"),
+    )
+    maxes = hashed.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").alias("idx")))
+    )
+    regs = (
+        grid.join(maxes, ["event_type", "idx"], "left")
+        .select("event_type", "idx", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+
+    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["m"].to_numpy(dtype=np.int64)
+        alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+        est = alpha * 4096.0 / float(np.sum(np.power(2.0, -m.astype(np.float64))))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "hll_estimate": [est],
+                "n_zero_registers": [int(np.sum(m == 0))],
+            }
+        )
+
+    ests = regs.groupBy("event_type").applyInPandas(
+        estimate, "event_type string, hll_estimate double, n_zero_registers long"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(ests, "event_type").select(
+        "event_type", "exact_distinct", "hll_estimate", "n_zero_registers"
+    )
+
+
+_BLOOM_BITS = 128  # 4 words x 32 bits; sized so sf0.01's 25-doc sources
+_BLOOM_WORDS = 4   # fill ~44% and the cross-source FPR is actually visible
+_BLOOM_K = 3
+
+
+def _bloom_pos(i: int, fp) -> "F.Column":
+    """Bit position i of the k=3 explicit md5 hash family (same
+    hex-prefix construction as udf_count_min_topk, so Spark and DuckDB
+    derive identical positions)."""
+    h = F.md5(F.concat(F.lit(str(i)), F.lit(":"), fp))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % _BLOOM_BITS
+
+
+def _sql_bloom_pos(i: int, fp: str) -> str:
+    return (
+        f"('0x' || substr(md5('{i}:' || {fp}), 1, 12))::BIGINT % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "udf_bloom_bitwise_udaf",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id, md5(text) AS fp FROM documents
+),
+pos AS (
+  SELECT source, doc_id, fp, k.i AS i,
+         CASE k.i {' '.join(f"WHEN {i} THEN {_sql_bloom_pos(i, 'fp')}" for i in range(_BLOOM_K))} END AS p
+  FROM d CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) k
+),
+masks AS (
+  SELECT source, doc_id, p // 32 AS word, (1::BIGINT << (p % 32)) AS mask
+  FROM pos
+),
+bloom AS (
+  SELECT g.source, g.word, COALESCE(bit_or(m.mask), 0) AS bits
+  FROM (SELECT s.source, w.word
+        FROM (SELECT DISTINCT source FROM d) s
+        CROSS JOIN (SELECT unnest(range({_BLOOM_WORDS})) AS word) w) g
+  LEFT JOIN masks m ON m.source = g.source AND m.word = g.word
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT m.source AS src_a, b.source AS src_b, m.doc_id,
+         MIN(CASE WHEN (b.bits & m.mask) = m.mask THEN 1 ELSE 0 END) AS all_set
+  FROM masks m JOIN bloom b ON b.word = m.word AND b.source <> m.source
+  GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_a,
+         CAST(SUM(all_set) AS BIGINT) AS n_flagged
+  FROM probe GROUP BY 1, 2
+),
+dups AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_true_dup
+  FROM d a JOIN (SELECT DISTINCT source, fp FROM d) b
+    ON b.fp = a.fp AND b.source <> a.source
+  GROUP BY 1, 2
+),
+fill AS (
+  SELECT source, CAST(SUM(bit_count(bits)) AS BIGINT) AS bloom_bits_set
+  FROM bloom GROUP BY 1
+)
+SELECT f.src_a, f.src_b, f.n_docs_a, f.n_flagged,
+       COALESCE(u.n_true_dup, 0) AS n_true_dup,
+       fl.bloom_bits_set AS bits_set_b
+FROM flagged f
+LEFT JOIN dups u ON u.src_a = f.src_a AND u.src_b = f.src_b
+JOIN fill fl ON fl.source = f.src_b
+""",
+    tags=("udf", "udaf", "sketch", "bloom", "dedup"),
+)
+def udf_bloom_bitwise_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom filters (m=128 bits as 4x32-bit bitmap words,
+    k=3 explicit md5 hashes) built by a BITWISE-OR pandas UDAF, then an
+    all-pairs cross-source membership probe with a false-positive audit.
+
+    The UDAF surface under test is numpy's bitwise_or.reduce as a
+    grouped-aggregate pandas UDF over int64 words — the mergeable-state
+    shape (OR is HLL's max for bitmaps) that Spark's built-in bit_or
+    would hide. The oracle runs DuckDB's native bit_or; two's-complement
+    semantics agree because bit positions stay below 32 per word.
+
+    Audit columns: n_flagged (doc's k=3 positions all set in the OTHER
+    source's bloom) vs n_true_dup (exact md5(text) match, 0 in the
+    driver fixture by construction) — so n_flagged IS the measured
+    false-positive count; m=128 is deliberately small so the ~44% fill
+    makes FPR nonzero and the audit non-trivial.
+
+    Plan shape at 100 TB: the bloom table is O(sources x 4 words)
+    regardless of corpus size (the whole point of the sketch) — it
+    broadcasts; the probe is a map-side broadcast join on word plus a
+    combinable per-(pair, doc) min and per-pair sum; no data-sized
+    shuffle carries text (fingerprints only), matching the dedup
+    family's discipline (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5("text").alias("fp")
+    )
+    masks = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array(*[_bloom_pos(i, F.col("fp")) for i in range(_BLOOM_K)])
+        ).alias("p"),
+    ).select(
+        "source",
+        "doc_id",
+        F.floor(F.col("p") / 32).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+    )
+
+    @pandas_udf("long")
+    def bor(v: pd.Series) -> int:
+        return int(np.bitwise_or.reduce(v.to_numpy(dtype=np.int64)))
+
+    grid = (
+        d.select("source")
+        .distinct()
+        .crossJoin(spark.range(_BLOOM_WORDS).select(F.col("id").alias("word")))
+    )
+    bloom = (
+        grid.join(
+            masks.groupBy("source", "word").agg(bor("mask").alias("raw_bits")),
+            ["source", "word"],
+            "left",
+        )
+        .select("source", "word", F.coalesce("raw_bits", F.lit(0)).alias("bits"))
+    )
+    b = bloom.select(
+        F.col("source").alias("src_b"), F.col("word").alias("bword"), "bits"
+    )
+    probe = (
+        masks.join(
+            F.broadcast(b),
+            (F.col("bword") == F.col("word")) & (F.col("src_b") != F.col("source")),
+        )
+        .groupBy(F.col("source").alias("src_a"), "src_b", "doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"), 1
+                ).otherwise(0)
+            ).alias("all_set")
+        )
+    )
+    flagged = probe.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_docs_a"),
+        F.sum("all_set").cast("long").alias("n_flagged"),
+    )
+    dups = (
+        d.alias("a")
+        .join(
+            d.select("source", "fp").distinct().alias("bd"),
+            (F.col("bd.fp") == F.col("a.fp"))
+            & (F.col("bd.source") != F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("bd.source").alias("src_b")
+        )
+        .agg(F.countDistinct("a.doc_id").alias("n_true_dup"))
+    )
+    fill = bloom.groupBy(F.col("source").alias("fsrc")).agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bloom_bits_set")
+    )
+    return (
+        flagged.join(dups, ["src_a", "src_b"], "left")
+        .join(F.broadcast(fill), F.col("fsrc") == F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_docs_a",
+            "n_flagged",
+            F.coalesce("n_true_dup", F.lit(0)).alias("n_true_dup"),
+            F.col("bloom_bits_set").alias("bits_set_b"),
+        )
+    )

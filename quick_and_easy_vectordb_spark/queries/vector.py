@@ -3197,3 +3197,80 @@ def vdb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
         "coverage_radius_sq",
     )
+
+
+_GEMM_SCALE = 8192  # 2^13: quantization step exact in binary
+_GEMM_K = 10
+
+
+def _gemm_quantized_query() -> list[int]:
+    """QUERY_VEC quantized with round-half-away-from-zero, the shared
+    semantics of Spark's ROUND and DuckDB's round(); QUERY_VEC's
+    two-decimal grid cannot produce an exact .5 at scale 2^13
+    (92k = 50 mod 100 has no solution), so the three engines agree."""
+    out = []
+    for v in QUERY_VEC:
+        s = v * _GEMM_SCALE
+        out.append(int(s + 0.5) if s >= 0 else -int(-s + 0.5))
+    return out
+
+
+@query(
+    "vdb_topk_gemm_blocked",
+    oracle=f"""
+SELECT vec_id,
+       CAST(list_sum(list_transform(
+            list_zip(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_GEMM_SCALE}) AS BIGINT)),
+                     [{", ".join(str(v) for v in _gemm_quantized_query())}]::BIGINT[]),
+            p -> p[1] * p[2])) AS BIGINT) AS qscore
+FROM embeddings
+ORDER BY qscore DESC, vec_id LIMIT {_GEMM_K}
+""",
+    tags=("vdb", "topk", "gemm", "mapInPandas"),
+)
+def vdb_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k by BLOCKED GEMM: quantize embeddings JVM-side
+    to int64 (round(x * 2^13) — the SQ-style grid), ship Arrow batches
+    to numpy, score each batch as ONE matrix-vector product, and emit
+    only the batch-local top-k; a global TakeOrderedAndProject merges
+    the candidates. Batch-local top-k is a safe superset: every global
+    top-k row is top-k within its own batch.
+
+    This is the 100 TB scale path for exact search that the per-row
+    Catalyst fold (vdb_topk_dot, functions/vector.py:56) cannot reach:
+    BLAS scores a 10k x 64 Arrow batch in one call instead of 10k
+    interpreted folds, and the executor->driver traffic is k rows per
+    batch, not N. Integer quantization is what makes the result
+    hash-checkable across engines — int64 dot products are exact and
+    order-free, whereas float GEMM's pairwise summation would differ
+    from the SQL fold by ulps (the production float path is rank-stable
+    but not bitwise-stable; see SURVEY §5's exactness discipline).
+    Embedding magnitudes are < 0.53, so |q| <= 4303 < 2^13, products
+    < 2^26, and 64-term sums < 2^32 — no overflow headroom concerns."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {_GEMM_SCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qarr = np.asarray(_gemm_quantized_query(), dtype=np.int64)
+
+    def gemm_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            scores = m @ qarr
+            k = min(_GEMM_K, len(scores))
+            idx = np.argpartition(-scores, k - 1)[:k]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[idx], "qscore": scores[idx]}
+            )
+
+    return (
+        emb.mapInPandas(gemm_topk, "vec_id long, qscore long")
+        .orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(_GEMM_K)
+    )
