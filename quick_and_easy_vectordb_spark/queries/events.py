@@ -8859,3 +8859,118 @@ def ev_stream_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@query(
+    "ev_stream_hll_distinct",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % 64 AS idx,
+         CASE WHEN h // 64 = 0 THEN 43
+              ELSE 43 - length(bin(h // 64)) END AS rho
+  FROM h
+),
+grid AS (
+  SELECT t.event_type, g.idx
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(64)) AS idx) g
+),
+regs AS (
+  SELECT grid.event_type, grid.idx, COALESCE(MAX(r.rho), 0) AS m
+  FROM grid LEFT JOIN r ON r.event_type = grid.event_type AND r.idx = grid.idx
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type,
+         (7.213e-1 / (1.0e0 + 1.079e0 / 6.4e1)) * 4.096e3
+           / SUM(power(2e0, -m)) AS hll_estimate,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, ex.exact_distinct, e.hll_estimate, e.n_zero_registers
+FROM est e JOIN ex USING (event_type)
+""",
+    tags=("events", "streaming", "sketch", "distinct"),
+)
+def ev_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: the HyperLogLog registers of
+    udf_hll_register_merge (same m=64 explicit-md5 construction — see
+    queries/udf_surface.py for the exactness argument) kept live by a
+    STATEFUL streaming aggregation ``groupBy(type, idx).max(rho)`` over
+    the event file-stream, complete-mode to the memory sink; the
+    harmonic-mean estimate and the batch COUNT(DISTINCT) audit column
+    are the serving-layer rollup of the sink.
+
+    This is the production reason sketches exist in streams: exact
+    streaming COUNT(DISTINCT) state grows with the user count and is
+    why ev_distinct_users_hourly_streamed needs a watermark to bound
+    dedup state, while THIS query's state is a fixed G*64 integer
+    registers no matter how many events or users ever arrive — the
+    micro-batch merge is max-per-register, associative and idempotent,
+    so replays and reorderings cannot change the answer (the oracle
+    match certifies exactly that: the stream's final registers equal
+    the batch registers bit-for-bit).
+
+    Plan shape at 100 TB/day: partial max combines map-side within
+    each micro-batch; the state store holds G*64 rows hash-partitioned
+    by (type, idx); downstream estimate is O(G*64)."""
+    sink = "ev_stream_hll_distinct_sink"
+    spark.catalog.dropTempView(sink)
+    d = _stage_stream_dir(sf_dir, ("events",), "ev_stream_src_")
+    src = _stream_events_source(spark, d)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    regs_stream = (
+        src.select(
+            "event_type",
+            (h % 64).alias("idx"),
+            F.when(F.floor(h / 64) == 0, F.lit(43))
+            .otherwise(F.lit(43) - F.length(F.bin(F.floor(h / 64))))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(64).select(F.col("id").alias("idx")))
+    )
+    regs = grid.join(spark.table(sink), ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+    ests = regs.groupBy("event_type").agg(
+        (alpha * F.lit(4096.0) / F.sum(F.pow(F.lit(2.0), -F.col("m"))))
+        .alias("hll_estimate"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_registers"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(ests, "event_type").select(
+        "event_type", "exact_distinct", "hll_estimate", "n_zero_registers"
+    )

@@ -144,3 +144,20 @@ def test_gemm_blocked_matches_exact_int_ranking(spark, sf_dir):
         reverse=True,
     )[: len(got)]
     assert got == [(-nid, s) for s, nid in exact]
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir):
+    """Stream-batch equivalence for sketch maintenance: the streaming
+    stateful max-per-register must produce the SAME registers as the
+    batch build, so the estimates (exact dyadic sums) are equal — and
+    the fixed-size-state claim holds (sink rows <= G*64)."""
+    batch = {
+        r.event_type: (r.exact_distinct, r.hll_estimate, r.n_zero_registers)
+        for r in QUERIES["udf_hll_register_merge"].fn(spark, sf_dir).collect()
+    }
+    streamed = {
+        r.event_type: (r.exact_distinct, r.hll_estimate, r.n_zero_registers)
+        for r in QUERIES["ev_stream_hll_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(spark.table("ev_stream_hll_distinct_sink").collect()) <= len(batch) * 64
