@@ -3327,6 +3327,41 @@ def ann_lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spann_assignments(emb: DataFrame, query_vec: list[float]) -> DataFrame:
+    """The data-sized phase of ann_spann_multi_assign, extracted so
+    tools/scale_probe.py measures the registered plan itself: returns
+    one row per (vector, assigned cell) with the query distance, home
+    label, and the assigned-cell struct ``a``. Zero-shuffle apart from
+    the O(C*D) centroid build."""
+    q = vector_literal(query_vec)
+    cent = centroids_by_key(emb, "embedding", "label")
+    cl = cent.agg(
+        F.array_sort(F.collect_list(F.struct("key", "centroid"))).alias("cl")
+    )
+    dists = F.transform(
+        F.col("cl"),
+        lambda c: F.struct(
+            l2_distance(F.col("embedding"), c["centroid"]).alias("d"),
+            c["key"].alias("cell"),
+        ),
+    )
+    return emb.crossJoin(F.broadcast(cl)).select(
+        "vec_id",
+        l2_distance(F.col("embedding"), q).alias("l2_dist"),
+        F.array_sort(dists).alias("ds"),
+    ).select(
+        "vec_id",
+        "l2_dist",
+        F.col("ds")[0]["cell"].alias("home_label"),
+        F.explode(
+            F.filter(
+                F.col("ds"), lambda x: x["d"] <= F.col("ds")[0]["d"] * F.lit(1.25)
+            )
+        ).alias("a"),
+    )
+
+
+
 _SPANN_EPS = "1.25e0"  # distance-ratio closure bound (1 + eps), exact in binary
 
 
@@ -3402,30 +3437,7 @@ def ann_spann_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = vector_literal(QUERY_VEC)
     cent = centroids_by_key(emb, "embedding", "label")
-    cl = cent.agg(
-        F.array_sort(F.collect_list(F.struct("key", "centroid"))).alias("cl")
-    )
-    dists = F.transform(
-        F.col("cl"),
-        lambda c: F.struct(
-            l2_distance(F.col("embedding"), c["centroid"]).alias("d"),
-            c["key"].alias("cell"),
-        ),
-    )
-    assigned = emb.crossJoin(F.broadcast(cl)).select(
-        "vec_id",
-        l2_distance(F.col("embedding"), q).alias("l2_dist"),
-        F.array_sort(dists).alias("ds"),
-    ).select(
-        "vec_id",
-        "l2_dist",
-        F.col("ds")[0]["cell"].alias("home_label"),
-        F.explode(
-            F.filter(
-                F.col("ds"), lambda x: x["d"] <= F.col("ds")[0]["d"] * F.lit(1.25)
-            )
-        ).alias("a"),
-    )
+    assigned = spann_assignments(emb, QUERY_VEC)
     best = (
         cent.select(
             "key", l2_distance(F.col("centroid"), q).alias("qd")

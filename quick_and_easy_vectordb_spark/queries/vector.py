@@ -3228,6 +3228,7 @@ FROM embeddings
 ORDER BY qscore DESC, vec_id LIMIT {_GEMM_K}
 """,
     tags=("vdb", "topk", "gemm", "mapInPandas"),
+    bench=True,
 )
 def vdb_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k by BLOCKED GEMM: quantize embeddings JVM-side
@@ -3248,7 +3249,14 @@ def vdb_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not bitwise-stable; see SURVEY §5's exactness discipline).
     Embedding magnitudes are < 0.53, so |q| <= 4303 < 2^13, products
     < 2^26, and 64-term sums < 2^32 — no overflow headroom concerns."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    return gemm_topk_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def gemm_topk_df(emb: DataFrame) -> DataFrame:
+    """vdb_topk_gemm_blocked's whole plan over an arbitrary embeddings
+    DataFrame (vec_id, embedding) — extracted so tools/scale_probe.py
+    measures the registered plan itself."""
+    emb = emb.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"

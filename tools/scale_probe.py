@@ -2114,6 +2114,73 @@ def main() -> None:
     probes["ivf_pq_search (cells ~ sqrt(N), nprobe fixed, whole query)"] = (
         ivf_pq_probe)
 
+    # Round-14 second wave: the three new data-sized shapes, probed
+    # through the extracted df-level plans the registered queries run.
+
+    def _synth_emb(n_vec: int, cells: int = 10) -> DataFrame:
+        from quick_and_easy_vectordb_spark.queries.common import DIM
+
+        return spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.pmod(F.hash("id"), F.lit(cells)).alias("label"),
+            F.array(
+                *[
+                    (F.pmod(F.hash("id", F.lit(i)), F.lit(2001)) - 1000)
+                    / 1000.0
+                    for i in range(DIM)
+                ]
+            ).alias("embedding"),
+        )
+
+    def spann_probe(n: int) -> None:
+        """spann_assignments (the data-sized phase of
+        ann_spann_multi_assign): per-row distances to the broadcast
+        10-centroid list, closure filter, posting explode. Expect
+        linear — zero shuffles beyond the O(C*D) centroid build."""
+        from quick_and_easy_vectordb_spark.queries.ann import (
+            spann_assignments,
+        )
+        from quick_and_easy_vectordb_spark.queries.common import QUERY_VEC
+
+        noop(spann_assignments(_synth_emb(n // 20), QUERY_VEC))
+
+    probes["spann_multi_assign (broadcast closure, posting explode)"] = (
+        spann_probe)
+
+    def gemm_probe(n: int) -> None:
+        """vdb_topk_gemm_blocked whole plan: JVM int64 quantization →
+        Arrow batch GEMM → batch-local top-k → TakeOrdered merge.
+        Expect linear with a small constant — the scan dominates."""
+        from quick_and_easy_vectordb_spark.queries.vector import (
+            gemm_topk_df,
+        )
+
+        noop(gemm_topk_df(_synth_emb(n // 20).select("vec_id", "embedding")))
+
+    probes["gemm_blocked_topk (quantize + Arrow GEMM + merge)"] = gemm_probe
+
+    def bloom_probe(n: int) -> None:
+        """udf_bloom_bitwise_udaf whole plan over n//100 docs across 20
+        sources: UDAF bloom build (O(sources*4) output), broadcast
+        probe (3 positions x 19 foreign blooms per doc), fingerprint
+        equi-join for the true-dup audit. Expect linear — probe rows
+        grow as docs x const."""
+        from quick_and_easy_vectordb_spark.queries.udf_surface import (
+            bloom_pair_audit_df,
+        )
+
+        docs = spark.range(max(n // 100, 2000)).select(
+            F.concat(
+                F.lit("src"), F.pmod(F.hash("id"), F.lit(20)).cast("string")
+            ).alias("source"),
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("fp"),
+        )
+        noop(bloom_pair_audit_df(docs, spark))
+
+    probes["bloom_bitwise_udaf (build + cross-source probe + audit)"] = (
+        bloom_probe)
+
     # Optional shape filter: `python tools/scale_probe.py SUBSTR ...`
     # runs only shapes whose name contains any given substring and
     # prints results WITHOUT rewriting SCALING.md (partial tables
