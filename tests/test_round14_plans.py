@@ -161,3 +161,32 @@ def test_stream_hll_equals_batch_sketch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(spark.table("ev_stream_hll_distinct_sink").collect()) <= len(batch) * 64
+
+
+def test_sql_pipe_syntax_equivalence(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|>) is sugar over the same logical
+    plan: the piped Q1-shape aggregation must produce exactly the
+    classic SQL's rows. Surface-pin only — no registry row, because
+    the physical plan is identical to rel_q1's shape (the round-13
+    consolidation criterion)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "__pipe_li"
+    )
+    piped = spark.sql(
+        """
+FROM __pipe_li
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> AGGREGATE COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+    ).collect()
+    classic = spark.sql(
+        """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM __pipe_li WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    ).collect()
+    assert piped == classic
