@@ -2399,3 +2399,97 @@ def bloom_pair_audit_df(d: DataFrame, spark: SparkSession) -> DataFrame:
             F.col("bloom_bits_set").alias("bits_set_b"),
         )
     )
+
+
+@query(
+    "udf_cogroup_apply_in_arrow",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+),
+o AS (
+  SELECT o_custkey AS user_id, CAST(epoch_us(o_orderdate) AS BIGINT) AS t
+  FROM orders
+),
+m AS (
+  SELECT o.user_id, o.t AS ot,
+         (SELECT MAX(e.t) FROM ev e
+          WHERE e.user_id = o.user_id AND e.t <= o.t) AS et
+  FROM o
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN et IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(COALESCE(MAX(ot - et), -1) AS BIGINT) AS max_gap_us
+FROM m GROUP BY user_id
+""",
+    tags=("udf", "cogroup", "applyInArrow", "asof"),
+)
+def udf_cogroup_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInArrow — the pyarrow-native twin of the pandas
+    cogroup surface (udf_cogroup_apply), and the last Arrow extension
+    point the registry lacked (grouped applyInArrow landed as
+    udf_grouped_apply_in_arrow). The per-key computation is DIFFERENT
+    from the pandas twin on purpose: an as-of reconciliation — for
+    each of a user's orders, the most recent event at or before it via
+    one numpy searchsorted over the sorted per-user timelines (the
+    vectorized merge a pandas row loop can't match). Everything stays
+    int64 epoch micros, so the Arrow path is hash-checked exactly
+    against the oracle's correlated MAX-subquery formulation.
+
+    Plan shape at 100 TB: both relations shuffle ONCE on the user key
+    into co-partitioned slices (FlatMapCoGroupsInArrow — the
+    sort-merge-join layout); Arrow hands Python zero-copy columns per
+    key, state is one user's slices. Output is one row per user with
+    orders; users with only events yield no row (pinned by the
+    oracle's FROM-orders grouping)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("od_us"),
+    )
+
+    def reconcile(key, etab: pa.Table, otab: pa.Table) -> pa.Table:
+        empty = {
+            "user_id": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+        if otab.num_rows == 0:
+            return pa.table(empty)
+        ot = np.sort(otab.column("od_us").to_numpy(zero_copy_only=False))
+        et = (
+            np.sort(etab.column("us").to_numpy(zero_copy_only=False))
+            if etab.num_rows
+            else np.empty(0, dtype=np.int64)
+        )
+        idx = np.searchsorted(et, ot, side="right") - 1
+        matched = idx >= 0
+        gaps = ot[matched] - et[idx[matched]]
+        uid = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        return pa.table(
+            {
+                "user_id": pa.array([int(uid)], pa.int64()),
+                "n_orders": pa.array([int(len(ot))], pa.int64()),
+                "n_matched": pa.array([int(matched.sum())], pa.int64()),
+                "max_gap_us": pa.array(
+                    [int(gaps.max()) if len(gaps) else -1], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInArrow(
+            reconcile,
+            "user_id long, n_orders long, n_matched long, max_gap_us long",
+        )
+    )

@@ -190,3 +190,19 @@ ORDER BY l_returnflag, l_linestatus
 """
     ).collect()
     assert piped == classic
+
+
+def test_cogroup_apply_in_arrow_plan_and_values(spark, sf_dir):
+    """The Arrow cogroup must plan as FlatMapCoGroupsInArrow (one
+    co-partitioning shuffle per side, no join node); values: matched
+    count bounded by order count, gaps nonnegative, and a user with
+    orders but no events yields (0, -1)."""
+    plan = _plan(spark, sf_dir, "udf_cogroup_apply_in_arrow")
+    assert "FlatMapCoGroupsInArrow" in plan
+    assert "CartesianProduct" not in plan
+    rows = QUERIES["udf_cogroup_apply_in_arrow"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_matched == 0 and r.max_gap_us == -1 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_orders
+        assert r.max_gap_us >= -1
