@@ -1144,7 +1144,7 @@ cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""]
     for b, r in _TUNE_CONFIGS:
         parts.append(f"""bands_{b} AS (
   SELECT doc_id, seed // {r} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh GROUP BY doc_id, seed // {r}
 )""")
         parts.append(f"""cand_{b} AS (
@@ -1251,7 +1251,14 @@ def band_tuning_table(docs: DataFrame) -> DataFrame:
                 F.struct(
                     F.lit(b).alias("cfg"),
                     F.lit(band).alias("band"),
-                    F.md5(F.concat_ws("|", *members)).alias("key"),
+                    # 16 hex chars (64 bits), not the full 32: the key
+                    # only partitions buckets, and halving it cuts ~25%
+                    # of the (cfg, band, key) shuffle row at 100 TB;
+                    # mirrored by substr in the oracle so the grouping
+                    # stays cross-engine identical (SURVEY §7.19).
+                    F.substring(
+                        F.md5(F.concat_ws("|", *members)), 1, 16
+                    ).alias("key"),
                 )
             )
     banded = sigs.select(
