@@ -131,7 +131,17 @@ def lsh_band_table(
             for s in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *members)).alias("key"))
+            F.struct(
+                F.lit(b).alias("band"),
+                # 16 hex chars (64 bits): the key only partitions
+                # buckets, and halving it cuts ~40% of the (band, key)
+                # shuffle row; collision odds are birthday-bounded at
+                # ~2e-6 even for ~10M buckets. Oracles mirror with
+                # substr(md5(...), 1, 16). Measured on band_tuning:
+                # the 30x probe point dropped 11.9s -> 2.6-3.6s
+                # (SCALING.md round-14 re-probe).
+                F.substring(F.md5(F.concat_ws("|", *members)), 1, 16).alias("key"),
+            )
         )
     return signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")

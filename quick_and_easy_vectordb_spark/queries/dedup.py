@@ -110,7 +110,7 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 ),
 bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
@@ -200,7 +200,7 @@ mhc AS (
 ),
 bandc AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mhc GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 )
 SELECT CAST(band AS BIGINT) AS band, key,
@@ -990,7 +990,7 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 ),
 bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
@@ -2430,7 +2430,7 @@ mh AS (
 ),
 bandt AS (
   SELECT doc_id, seed // 3 AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh GROUP BY doc_id, seed // 3
 ),
 oldb AS (SELECT DISTINCT band, key FROM bandt
@@ -2728,7 +2728,7 @@ mh AS (
 ),
 bands AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}
 ),
 bsz AS (SELECT band, key, COUNT(*) AS n_members FROM bands GROUP BY band, key),
@@ -2966,7 +2966,7 @@ toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE t <> '')"""]
   GROUP BY doc_id, s.seed)""")
         parts.append(f"""bands{n} AS (
   SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS key
+         substr(md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)), 1, 16) AS key
   FROM mh{n} GROUP BY doc_id, seed // {NUM_HASHES // BANDS})""")
         parts.append(f"""bsz{n} AS (
   SELECT band, key, COUNT(*) AS n_members FROM bands{n} GROUP BY band, key)""")
