@@ -22,10 +22,28 @@ from quick_and_easy_vectordb_spark.operators.multimodal import (
     with_binary_payload,
     sample_frames,
 )
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
 _NIB = "strpos('0123456789abcdef', substr(md5({expr}), {n}, 1)) - 1"
+
+
+def _scan_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Pruned ``documents`` scan fanned out to cluster parallelism
+    before a per-row Python codec stage (optimization guide §2.6/§4):
+    a small table arrives as ONE input split, which would serialize
+    the decode work on one core no matter how many exist. At 100 TB
+    the scan has thousands of splits and ``ensure_parallelism`` is a
+    no-op; on a single-split table it buys full fan-out for one tiny
+    round-robin exchange of the pruned id/text columns — the heavy
+    payload bytes are synthesized AFTER the exchange, so nothing
+    data-sized crosses the wire (round-14 measurement: the mjpeg
+    decode ran 1-partition/1-core, 3.9 s isolated, pure Python CPU
+    ~0.85 ms/doc x 5000 docs; scattered it is bounded by CPU/32)."""
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(*cols)
+    )
 
 
 @query(
@@ -46,7 +64,7 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fake-)decoded dimensions (operators/multimodal.py — the decode
     stub is swapped for a real codec on a real cluster; the plumbing
     under test here is identical)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _scan_docs(spark, sf_dir, "doc_id", "text")
     return extract_binary_features(with_binary_payload(docs))
 
 
@@ -98,7 +116,7 @@ def mm_embed_hash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow-batched pandas UDF, dot-score against the embedded query,
     top-10. The hash backend stands in for DistilBERT
     (functions/embed.py — identical plumbing, deterministic math)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _scan_docs(spark, sf_dir, "doc_id", "text")
     embed = make_embed_udf("hash", HASH_EMBED_DIM)
     q = vector_literal(_QVEC)
     scored = docs.select(
@@ -122,7 +140,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_frames) — the row-expanding UDTF shape a video pipeline
     needs. The stub digest md5(payload||':'||idx) makes the Python
     fan-out bit-comparable to the oracle's cross join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _scan_docs(spark, sf_dir, "doc_id", "text")
     return sample_frames(with_binary_payload(docs), n_frames=4)
 
 
@@ -188,8 +206,10 @@ def vdb_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the Python embed — hash-matches the oracle."""
     from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 13 == 0) & (F.length("text") > 0)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % 13 == 0) & (F.length("text") > 0)
+        )
     )
     chunks = chunk_documents(docs, chunk_size=200, overlap=50)
     embed = make_embed_udf("hash", HASH_EMBED_DIM)
@@ -219,7 +239,7 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters so the batching/schema path is hash-verified)."""
     from quick_and_easy_vectordb_spark.operators.multimodal import resize_images
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _scan_docs(spark, sf_dir, "doc_id", "text")
     return resize_images(with_binary_payload(docs), 64, 64)
 
 
@@ -330,7 +350,7 @@ def mm_decode_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
@@ -447,7 +467,7 @@ def mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
@@ -631,7 +651,7 @@ def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
@@ -700,7 +720,7 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["energy"].append(int((a * a).sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run, "doc_id long, n_samples long, sample_sum long, energy long"
     )
@@ -784,7 +804,7 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_energy"].append(int((seg * seg).sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run, "doc_id long, frame_idx long, n_in_frame long, frame_energy long"
     )
@@ -887,7 +907,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append("".join(bits))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(run, "doc_id long, phash string")
 
 
@@ -983,7 +1003,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["total_energy"].append(te)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(run, "doc_id long, afp string, total_energy long")
 
 
@@ -1082,7 +1102,7 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["trimmed_len"].append(0)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, first_loud long, last_loud long, "
@@ -1492,7 +1512,7 @@ def mm_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long, mean_val double",
@@ -1577,7 +1597,7 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["tile_mean"].append(sums[r, c] / 48.0)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, tile_row long, tile_col long, tile_sum long, "
@@ -1664,7 +1684,7 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["energy"].append(int((ds * ds).sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, n_samples_out long, sample_sum long, energy long",
@@ -1742,7 +1762,7 @@ def mm_color_hist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out[f"h{k}"].append(int(hist[k]))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     hist = docs.mapInPandas(
         run,
         "doc_id long, w long, h long, "
@@ -1864,7 +1884,7 @@ def mm_audio_wht_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["band_energy"] = [int(x) for x in acc]
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     partials = docs.mapInPandas(
         run, "sequency long, n_frames long, band_energy long"
     )
@@ -1944,7 +1964,7 @@ def mm_integral_image_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["v"].extend(img.astype(np.int64).ravel().tolist())
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     px = docs.mapInPandas(run, "doc_id long, x long, y long, v long")
     wx = Window.partitionBy("doc_id", "y").orderBy("x").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2103,7 +2123,7 @@ def mm_median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["v"].extend(flat.ravel().tolist())
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     px = docs.mapInPandas(
         run, "doc_id long, pix long, ch long, v long"
     ).persist()
@@ -2263,9 +2283,11 @@ def mm_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 5 == 0)
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 5 == 0)
+        )
     )
     ds = docs.mapInPandas(run, "doc_id long, dv long")
     dims = docs.select(
@@ -2372,9 +2394,11 @@ def mm_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 5 == 0)
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 5 == 0)
+        )
     )
     hist = docs.mapInPandas(run, "doc_id long, v long, cnt long")
     w_cdf = Window.partitionBy("doc_id").orderBy("v").rowsBetween(
@@ -2498,9 +2522,11 @@ def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 5 == 0)
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 5 == 0)
+        )
     )
     px = docs.mapInPandas(
         run, "doc_id long, x long, y long, node long"
@@ -2614,9 +2640,11 @@ def mm_rle_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 5 == 0)
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 5 == 0)
+        )
     )
     runs = docs.mapInPandas(
         run, "doc_id long, y long, n_runs long, n_px long"
@@ -2718,7 +2746,7 @@ def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_crossings"].append(int(seg.sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run, "doc_id long, frame_idx long, n_in_frame long, n_crossings long"
     )
@@ -2813,7 +2841,7 @@ def mm_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mu11_scaled"].append(m00 * m11 - m10 * m01)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, m00 long, cx double, cy double, "
@@ -2910,7 +2938,7 @@ def mm_decode_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long,"
@@ -3141,7 +3169,7 @@ def mm_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["edge_density"].append(n_edges / float(n_int))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, n_interior long, total_mag long, n_edges long,"
@@ -3221,7 +3249,7 @@ def mm_pdf_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_pages"].append(len(pages))
             yield pd.DataFrame(out)
 
-    docs = (
+    docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.length("text") > 0)
@@ -3316,7 +3344,7 @@ def mm_pdf_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["text"].append("".join(extracted))
             yield pd.DataFrame(out)
 
-    docs = (
+    docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 11 == 0) & (F.length("text") > 0))
         .select("doc_id", "text")
@@ -3452,7 +3480,7 @@ def mm_decode_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["gray_mean"].append(gsum / float(pages[1].size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, n_pages long, width0 long, height0 long,"
@@ -3580,7 +3608,7 @@ def mm_decode_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["usec_per_frame"].append(meta["usec_per_frame"])
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, frame_idx long, width long, height long,"
@@ -3683,7 +3711,7 @@ def mm_video_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["is_cut"].append(int(l1 > a.size * 40))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, pair_idx long, l1_delta long,"
@@ -3785,7 +3813,7 @@ def mm_demux_avi_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["energy"].append(int((s64 * s64).sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, n_samples long, sample_rate long, n_frames long,"
@@ -3902,7 +3930,7 @@ def mm_decode_tiff_palette_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["tiled_gray_mean"].append(gsum / float(page1.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, n_pages long, tiled_width long,"
@@ -4090,7 +4118,7 @@ def mm_decode_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFr
                 out["mean_val"].append(pix_sum / float(img.size))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, width long, height long, pix_sum long,"
@@ -4180,7 +4208,7 @@ def mm_image_augment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _scan_docs(spark, sf_dir, "doc_id")
     return docs.mapInPandas(
         run,
         "doc_id long, out_w long, out_h long, pix_sum long,"

@@ -61,4 +61,10 @@ def test_pdf_extract_is_one_arrow_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_pdf_extract_chunks")
     assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    # the only allowed Exchange is the round-robin id/text fan-out
+    # (ensure_parallelism — no-op at scale, full-CPU parse on a
+    # single-split table); hash/range would mean a data-sized key
+    import re as _re
+    kinds = _re.findall(r"Arguments: (\w+)Partitioning", plan)
+    assert all(k == "RoundRobin" for k in kinds), kinds
+    assert "SinglePartition" not in plan

@@ -32,19 +32,34 @@ def _single_part_shuffles(plan: str) -> int:
     return len(re.findall(r"Arguments: SinglePartition", plan))
 
 
+def _payload_free_fanout_only(plan: str) -> bool:
+    """True iff every Exchange in the plan is a round-robin fan-out
+    (the scale-adaptive ``ensure_parallelism`` of the pruned id scan —
+    round-14 optimization). Round-robin moves only the tiny pre-synth
+    id/text rows; a hash/range/single-partition exchange would mean
+    payload bytes (or a data-sized key) started crossing the wire."""
+    kinds = re.findall(r"Arguments: (\w+)Partitioning", plan)
+    return all(k == "RoundRobin" for k in kinds) and (
+        "SinglePartition" not in plan
+    )
+
+
 def test_mjpeg_decode_is_one_arrow_pass_no_shuffle(spark, sf_dir):
     """The whole synth+container-walk+JPEG-decode pipeline is ONE
-    MapInPandas stage over a pruned single-column scan; any Exchange
-    means the payload bytes started crossing the wire."""
+    MapInPandas stage over a pruned single-column scan; the only
+    allowed Exchange is the round-robin id fan-out (ensure_parallelism
+    — a no-op at scale, full-CPU decode on a single-split table): a
+    hash/range exchange would mean payload bytes started crossing the
+    wire."""
     plan = _plan(spark, sf_dir, "mm_decode_mjpeg_frames")
     assert plan.count("MapInPandas") >= 1
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
 def test_video_temporal_diff_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_video_temporal_diff")
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert plan.count("MapInPandas") >= 1
 
 
@@ -160,7 +175,7 @@ def test_closest_pair_single_shuffle_heap_reduce(spark, sf_dir):
 
 def test_avi_audio_demux_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_demux_avi_audio")
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert plan.count("MapInPandas") >= 1
 
 
@@ -178,17 +193,17 @@ def test_str_levels_no_window(spark, sf_dir):
 
 def test_tiff_palette_tiled_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_decode_tiff_palette_tiled")
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert plan.count("MapInPandas") >= 1
 
 
 def test_jpeg_progressive_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_decode_jpeg_progressive_stats")
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert plan.count("MapInPandas") >= 1
 
 
 def test_augment_pipeline_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_image_augment_pipeline")
-    assert "Exchange" not in plan
+    assert _payload_free_fanout_only(plan)
     assert plan.count("MapInPandas") >= 1
