@@ -250,11 +250,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs over a
     (id, shingle) relation (build it with :func:`shingle_table` and
-    persist it — it is read three times here).
+    persist it — every verifying caller also feeds signatures from it).
 
-    |A∩B| via an equi-join of exploded shingles restricted to candidate
-    pairs; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Output:
-    (id_a, id_b, jaccard) for pairs clearing the threshold.
+    |A∩B| via one doc→shingle-array side table joined to the pair
+    table twice, then a per-row set intersection; |A∪B| =
+    |A|+|B|−|A∩B| from the array sizes. Output: (id_a, id_b, jaccard)
+    for pairs clearing the threshold (pairs with empty intersection
+    never appear, matching the inner intersection join this replaced).
 
     With ``prefilter`` (the at-scale default), the shingle relation is
     first SEMI-FILTERED to candidate docs: candidates are a vanishing
@@ -279,19 +281,36 @@ def jaccard_pairs(
         sh = shingles.join(cand_ids, "id", "left_semi")
     else:
         sh = shingles
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("id").alias("rid_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        candidates.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("rid_b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # Array-set formulation (round-14 optimization, guide §2.3/§2.4):
+    # one groupBy collapses each doc's distinct shingles to an array,
+    # the pair table joins that side-table TWICE, and |A∩B| is a
+    # per-row set intersection. The previous shape exploded
+    # (pair, shingle) rows — Σ_pairs(|A|+|B|) rows through an
+    # intersection equi-join, a re-aggregation by pair, and two count
+    # joins. Same bytes move (each doc's shingles travel once per
+    # candidate pair either way), but as ONE row per pair side instead
+    # of |doc| rows, and the count joins vanish (sizes ride the
+    # arrays). Set-intersection cardinality is order-independent, so
+    # results are bit-identical under any partitioning. n_inter = 0
+    # pairs are dropped exactly like the old inner intersection join.
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
     res = (
-        inter.join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        candidates.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -326,32 +345,29 @@ def containment_pairs(
         sh = shingles.join(cand_ids, "id", "left_semi")
     else:
         sh = shingles
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("id").alias("rid_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        candidates.join(a, "id_a")
-        .join(
-            b,
-            (F.col("id_b") == F.col("rid_b"))
-            & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # Same array-set formulation as jaccard_pairs (round-14): one
+    # doc→shingle-array side table, two pair joins, per-row set
+    # intersection — no (pair, shingle) row explosion, no re-agg, no
+    # count joins. Bit-identical: set cardinalities are
+    # order-independent and shingle relations are distinct per doc.
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
     return (
-        inter.join(
-            counts.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "n_sh", "n_a"
-            ),
+        candidates.join(
+            docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")),
             "id_a",
         )
         .join(
-            counts.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
+            docsets.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")),
             "id_b",
         )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(F.col("n_inter") > 0)
         .select(
             "id_a",
             "id_b",

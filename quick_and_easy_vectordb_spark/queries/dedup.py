@@ -1224,14 +1224,17 @@ def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_plans.py (synthetic mega-bucket: divert
     fires, no expansion; plan shows single window exchange)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return band_tuning_table(docs)
+    return band_tuning_table(docs, prefilter=_corpus_is_big(sf_dir))
 
 
-def band_tuning_table(docs: DataFrame) -> DataFrame:
+def band_tuning_table(docs: DataFrame, prefilter: bool = True) -> DataFrame:
     """The whole multi-config tuning table over any (doc_id, text)
     relation — split out so tools/scale_probe.py can measure the
     one-shuffle multi-config claim at 30x (round-14, VERDICT r13
-    item 3)."""
+    item 3). ``prefilter`` is the same size-based
+    jaccard_pairs(prefilter=...) choice the sibling queries make via
+    ``_corpus_is_big`` (round-14: the semi-filter only amortizes when
+    the corpus shingle table dwarfs the candidate materialization)."""
     spark = docs.sparkSession
     sh = shingle_table(docs, "text", "doc_id", 3).persist()
     sigs = minhash_signatures(sh, NUM_HASHES).persist()
@@ -1322,26 +1325,39 @@ def band_tuning_table(docs: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     )
-    allc = (
+    # ONE aggregation keys the candidate table by PAIR with the set of
+    # configs that proposed it (round-14: replaces a per-(cfg, pair)
+    # DISTINCT plus a second per-pair DISTINCT for the verify input —
+    # two exchanges of the same rows — with a single (id_a, id_b)
+    # exchange; a pair colliding in several bands of a config is
+    # deduped by the set semantics, exactly like the old DISTINCT).
+    pair_cfgs = (
         pairs.select("cfg", "p.id_a", "p.id_b")
-        .distinct()  # a pair can collide in several bands of a config
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_set("cfg").alias("cfgs"))
+        .persist()
+    )
+    jac = jaccard_pairs(
+        sh, pair_cfgs.select("id_a", "id_b"), threshold=0.0,
+        prefilter=prefilter,
+    )  # unthresholded: tuner judges
+    joined = pair_cfgs.join(jac, ["id_a", "id_b"], "left")
+    exact = (
+        joined.select(F.explode("cfgs").alias("cfg"), "jaccard")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count(F.when(F.col("jaccard") >= JACCARD_T, 1))
+            .cast("long")
+            .alias("n_verified"),
+        )
         .select(
             F.col("cfg").cast("long").alias("n_bands"),
             (F.lit(NUM_HASHES) / F.col("cfg")).cast("long")
             .alias("rows_per_band"),
-            "id_a",
-            "id_b",
+            "n_exact",
+            "n_verified",
         )
-        .persist()
-    )
-    dp = allc.select("id_a", "id_b").distinct()
-    jac = jaccard_pairs(sh, dp, threshold=0.0)  # unthresholded: tuner judges
-    joined = allc.join(jac, ["id_a", "id_b"], "left")
-    exact = joined.groupBy("n_bands", "rows_per_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.count(F.when(F.col("jaccard") >= JACCARD_T, 1))
-        .cast("long")
-        .alias("n_verified"),
     )
     # Fold the analytic diverted counts back in, driving the final table
     # from the config list (broadcast 4-row dim) so a config whose every
@@ -2781,9 +2797,10 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard threshold would discard.
 
     Plan: operators/dedup.py:containment_pairs — identical shape to
-    jaccard_pairs (semi-prefilter, one intersection equi-join, two
-    count joins), only the output arithmetic differs. Scale story
-    matches dedup_minhash_lsh: no pairwise blowup, hot buckets capped.
+    jaccard_pairs (semi-prefilter, doc→shingle-array side table joined
+    to the pair table twice, per-row set intersection), only the
+    output arithmetic differs. Scale story matches dedup_minhash_lsh:
+    no pairwise blowup, hot buckets capped.
     """
     from quick_and_easy_vectordb_spark.operators.dedup import (
         containment_pairs,
