@@ -41,25 +41,88 @@ __all__ = [
 ]
 
 
+def vector_literal_sql(values: Sequence[float]) -> str:
+    """The SQL text of a constant ``array<double>``. Literals go
+    through CAST('<repr>' AS DOUBLE): repr() is shortest-roundtrip, so
+    the parse reproduces the exact binary64 values (the same rule
+    operators/ann.py lsh_signature documents — a bare SQL decimal
+    literal would parse as DECIMAL and re-round)."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+        + ")"
+    )
+
+
 def vector_literal(values: Sequence[float]) -> Column:
     """A constant ``array<double>`` column. Catalyst constant-folds this
     into the projection, which is the distributed analog of broadcasting
     the query vector to every executor (cf. reference app.py:42-45 where
-    the query embedding is a Python closure variable)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    the query embedding is a Python closure variable). Built by parsing
+    ONE SQL string: ``F.array(*[F.lit(v) ...])`` costs dim+1 py4j round
+    trips (~2.7 ms each on this class of sandbox, measured round 14)
+    for the identical literal array."""
+    return F.expr(vector_literal_sql(values))
+
+
+def _sql_operand(x) -> str | None:
+    """SQL text for an operand the single-parse fast path can accept:
+    a plain column name, a float sequence (inlined literal array), or
+    an explicit SQL fragment wrapped in ``SqlFrag``. Anything else
+    (an arbitrary Column object) returns None and takes the
+    Column-composition path."""
+    if isinstance(x, SqlFrag):
+        return x.sql
+    if isinstance(x, str) and x.isidentifier():
+        return x
+    if isinstance(x, Sequence) and not isinstance(x, str):
+        return vector_literal_sql(x)
+    return None
+
+
+class SqlFrag:
+    """Marker for a trusted SQL expression fragment passed to the
+    vector functions' fast path (e.g. ``SqlFrag("bk.vec")``)."""
+
+    __slots__ = ("sql",)
+
+    def __init__(self, sql: str) -> None:
+        self.sql = sql
 
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
+_AS_DOUBLE_SQL = "transform({0}, x -> CAST(x AS DOUBLE))"
+# the fold seeds are written 0.0D (double literal): a bare SQL 0.0
+# parses as DECIMAL(1,1) and would change the accumulator type
+_DOT_SQL = (
+    "aggregate(zip_with(" + _AS_DOUBLE_SQL.format("{0}") + ", "
+    + _AS_DOUBLE_SQL.format("{1}")
+    + ", (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+)
+_NORM_SQL = (
+    "sqrt(aggregate(" + _AS_DOUBLE_SQL.format("{0}")
+    + ", 0.0D, (acc, v) -> acc + v * v))"
+)
+
+
+def dot_product(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     """Raw inner product ⟨a,b⟩ — the reference's similarity
     (/root/reference/app.py:45). ``zip_with`` multiplies element-wise,
     ``aggregate`` folds left-to-right with a double accumulator, which
     fixes a deterministic summation order (important for oracle-exact
-    comparisons)."""
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    comparisons). Name/literal operands take a single-parse SQL path
+    (one py4j call instead of ~10 + lambdas — round-14 plan-build
+    optimization); Column operands compose the identical expression."""
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        return F.expr(_DOT_SQL.format(sa, sb))
+    a = F.col(a) if isinstance(a, str) else a
+    b = vector_literal(b) if not isinstance(b, (Column, str)) else (
+        F.col(b) if isinstance(b, str) else b
+    )
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -69,15 +132,28 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 def l2_norm(a: Column | str) -> Column:
     """Euclidean norm ‖a‖₂."""
+    sa = _sql_operand(a)
+    if sa is not None:
+        return F.expr(_NORM_SQL.format(sa))
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
     )
 
 
-def l2_distance(a: Column | str, b: Column | str) -> Column:
+def l2_distance(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     """Euclidean distance ‖a−b‖₂."""
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            "sqrt(aggregate(zip_with("
+            + _AS_DOUBLE_SQL.format(sa) + ", " + _AS_DOUBLE_SQL.format(sb)
+            + ", (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v))"
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = vector_literal(b) if not isinstance(b, (Column, str)) else (
+        F.col(b) if isinstance(b, str) else b
+    )
     return F.sqrt(
         F.aggregate(
             F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
@@ -87,9 +163,20 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     """cos(a,b) = ⟨a,b⟩ / (‖a‖·‖b‖). NULL when either norm is 0."""
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is not None and sb is not None:
+        dot = _DOT_SQL.format(sa, sb)
+        na, nb = _NORM_SQL.format(sa), _NORM_SQL.format(sb)
+        return F.expr(
+            f"CASE WHEN ({na} * {nb}) != 0.0D "
+            f"THEN {dot} / ({na} * {nb}) END"
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = vector_literal(b) if not isinstance(b, (Column, str)) else (
+        F.col(b) if isinstance(b, str) else b
+    )
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0.0, dot_product(a, b) / denom)
 

@@ -81,7 +81,7 @@ def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     # anything beyond a plain identifier (backticks, dots, spaces) could
     # break or inject into the parse, so those names take the Column path.
     is_plain_name = isinstance(vec_col, str) and vec_col.isidentifier()
-    if not is_plain_name or dim > 32:
+    if not is_plain_name:
         vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         bits = [
             F.when(
@@ -90,6 +90,29 @@ def lsh_signature(vec_col: Column | str, num_planes: int, dim: int) -> Column:
             for j in range(num_planes)
         ]
         return F.concat(*bits)
+    if dim > 32:
+        # Wide vectors: the same zip_with/aggregate fold the Column
+        # path builds, but assembled as ONE SQL string (round-14: the
+        # Column assembly costs ~P·10 py4j round trips at ~2.7 ms each
+        # on this sandbox). Bitwise identical — identical expression.
+        from quick_and_easy_vectordb_spark.functions.vector import (
+            vector_literal_sql,
+        )
+
+        def fold_dot(j: int) -> str:
+            lit = vector_literal_sql(hyperplane(j, dim))
+            return (
+                f"aggregate(zip_with(transform({vec_col}, x -> "
+                f"CAST(x AS DOUBLE)), transform({lit}, x -> "
+                f"CAST(x AS DOUBLE)), (x, y) -> x * y), 0.0D, "
+                f"(acc, v) -> acc + v)"
+            )
+
+        bits = [
+            f"(CASE WHEN ({fold_dot(j)}) >= 0 THEN '1' ELSE '0' END)"
+            for j in range(num_planes)
+        ]
+        return F.expr("CONCAT(" + ", ".join(bits) + ")")
 
     # Named column: assemble ONE SQL string and parse it in a single
     # F.expr call — building the same tree with Column operators costs
@@ -180,16 +203,6 @@ def centroids_by_key(
     )
 
 
-def _pq_init_code(vec_col: Column, m: int, sub_dim: int) -> Column:
-    """Deterministic seed assignment for PQ cell ``m``: 2 sign bits
-    sampled at the subspace's first and middle positions → code ∈
-    {0..3}. This is the k-means++-free 'init' both engines can derive
-    identically; one mean step over these cells is the training."""
-    b0 = (F.element_at(vec_col, m * sub_dim + 1) >= 0).cast("int")
-    b1 = (F.element_at(vec_col, m * sub_dim + sub_dim // 2 + 1) >= 0).cast("int")
-    return (b0 * 2 + b1).cast("int")
-
-
 def pq_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -208,18 +221,23 @@ def pq_codebook(
     broadcastable, which is the entire point of PQ at 100 TB: the
     index state is O(codebook), the per-vector state is num_subs
     bytes."""
-    v = F.col(vec_col)
-    init = F.array(*[_pq_init_code(v, m, sub_dim) for m in range(num_subs)])
-    el = (
-        df.select(init.alias("ini"), F.posexplode(vec_col).alias("pos", "val"))
-        .select(
-            (F.col("pos") / sub_dim).cast("int").alias("m"),
-            (F.col("pos") % sub_dim).alias("j"),
-            F.element_at(
-                F.col("ini"), (F.col("pos") / sub_dim).cast("int") + 1
-            ).alias("k"),
-            F.col("val").cast("double").alias("val"),
-        )
+    # The projections are generated as ONE SQL string each: building
+    # the same tree Column-by-Column costs hundreds of py4j round
+    # trips (~1.2 s of pure driver latency per call, measured round
+    # 14); sqlParser builds the identical expressions in one call.
+    init_sql = "array(" + ", ".join(
+        f"CAST(CAST(element_at({vec_col}, {m * sub_dim + 1}) >= 0 AS INT)"
+        f" * 2 + CAST(element_at({vec_col}, "
+        f"{m * sub_dim + sub_dim // 2 + 1}) >= 0 AS INT) AS INT)"
+        for m in range(num_subs)
+    ) + ")"
+    el = df.selectExpr(
+        f"{init_sql} AS ini", f"posexplode({vec_col}) AS (pos, val)"
+    ).selectExpr(
+        f"CAST(pos / {sub_dim} AS INT) AS m",
+        f"pos % {sub_dim} AS j",
+        f"element_at(ini, CAST(pos / {sub_dim} AS INT) + 1) AS k",
+        "CAST(val AS DOUBLE) AS val",
     )
     return el.groupBy("m", "k", "j").agg(
         (
@@ -253,59 +271,64 @@ def pq_encode(
     oracle's SUM(CAST(diff2 AS DECIMAL(30,10))), so assignments match
     bit-for-bit."""
     # Guard against a codebook built with different num_subs/sub_dim: a
-    # mismatch would silently argmin over empty cells and emit null codes
-    # (the round-4 scale probe measured exactly that degenerate plan).
-    # The codebook is <= num_subs*4*sub_dim rows, so this driver-side
-    # check is an index-build-time constant cost.
-    shape = codebook.agg(
-        F.max("m").alias("max_m"), F.max("j").alias("max_j")
-    ).first()
-    if shape["max_m"] is None:
-        raise ValueError("pq_encode: empty codebook")
-    if shape["max_m"] + 1 != num_subs or shape["max_j"] + 1 != sub_dim:
-        raise ValueError(
-            f"pq_encode: codebook shape ({shape['max_m'] + 1} subspaces x "
-            f"{shape['max_j'] + 1} dims) does not match num_subs={num_subs}, "
-            f"sub_dim={sub_dim}"
-        )
+    # mismatch would silently argmin over empty cells and emit null
+    # codes (the round-4 scale probe measured exactly that degenerate
+    # plan). Round-14: the guard is now EMBEDDED IN THE PLAN (a CASE on
+    # the broadcast 1-row codebook shape that raise_error()s loudly)
+    # instead of an eager driver-side .first() — the old check cost a
+    # whole extra Spark job on every query that encodes.
     dense = codebook.groupBy("m", "k").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
-        ).alias("cv")
+        ).alias("cv"),
+        F.max("j").alias("mj"),
     )
     cb_row = dense.groupBy().agg(
-        F.collect_list(F.struct("m", "k", "cv")).alias("cbl")
+        F.collect_list(F.struct("m", "k", "cv")).alias("cbl"),
+        F.max("m").alias("max_m"),
+        F.max("mj").alias("max_j"),
     )
 
-    v = F.col(vec_col)
-    zero = F.lit(0).cast("decimal(38,10)")
-
-    def cell_dist(m: int, k: int):
-        entry = F.filter(
-            F.col("cbl"), lambda e: (e["m"] == m) & (e["k"] == k)
+    # The whole per-vector encode expression is generated as ONE SQL
+    # string: the identical tree built Column-by-Column costs ~2 s of
+    # py4j round trips per call (measured round 14); the parser builds
+    # it in one call and the analyzed plan is the same.
+    def cell_sql(m: int, k: int) -> str:
+        entry = f"filter(cbl, e -> e.m = {m} AND e.k = {k})"
+        sub = f"slice({vec_col}, {m * sub_dim + 1}, {sub_dim})"
+        # Spark types (38,10)+(30,10) as (38,9); the lossless cast
+        # keeps the fold's accumulator type fixed at (38,10)
+        fold = (
+            f"aggregate(zip_with({sub}, element_at({entry}, 1).cv, "
+            f"(a, b) -> CAST((a - b) * (a - b) AS DECIMAL(30,10))), "
+            f"CAST(0 AS DECIMAL(38,10)), "
+            f"(acc, x) -> CAST(acc + x AS DECIMAL(38,10)))"
         )
-        cv = F.element_at(entry, 1)["cv"]
-        sub = F.slice(v, m * sub_dim + 1, sub_dim)
-        d = F.aggregate(
-            F.zip_with(sub, cv, lambda a, b: ((a - b) * (a - b)).cast(_DEC)),
-            zero,
-            # Spark types (38,10)+(30,10) as (38,9); the lossless cast
-            # keeps the fold's accumulator type fixed at (38,10)
-            lambda acc, x: (acc + x).cast("decimal(38,10)"),
-        )
-        return F.when(F.size(entry) > 0, d)  # NULL for empty cells
+        return f"CASE WHEN size({entry}) > 0 THEN {fold} END"
 
-    def argmin(m: int):
-        cands = F.array(
-            *[
-                F.struct(cell_dist(m, k).alias("d"), F.lit(k).alias("k"))
-                for k in range(4)
-            ]
+    def argmin_sql(m: int) -> str:
+        cands = ", ".join(
+            f"named_struct('d', {cell_sql(m, k)}, 'k', {k})" for k in range(4)
         )
-        return F.array_min(F.filter(cands, lambda c: c["d"].isNotNull()))["k"]
+        return (
+            f"array_min(filter(array({cands}), c -> c.d IS NOT NULL))['k']"
+        )
 
-    codes = F.array(*[argmin(m) for m in range(num_subs)])
+    codes_sql = (
+        "array(" + ", ".join(argmin_sql(m) for m in range(num_subs)) + ")"
+    )
+    guarded_sql = (
+        f"CASE WHEN max_m = {num_subs - 1} AND max_j = {sub_dim - 1} "
+        f"THEN {codes_sql} "
+        f"WHEN max_m IS NULL THEN raise_error('pq_encode: empty codebook') "
+        f"ELSE raise_error(printf('pq_encode: codebook shape "
+        f"(%d subspaces x %d dims) does not match num_subs={num_subs}, "
+        f"sub_dim={sub_dim}', max_m + 1, max_j + 1)) END"
+    )
     return (
         df.crossJoin(F.broadcast(cb_row))
-        .select(F.col(id_col).alias("id"), F.posexplode(codes).alias("m", "k"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.expr(guarded_sql)).alias("m", "k"),
+        )
     )

@@ -100,15 +100,18 @@ def minhash_signatures(
     before the shuffle, so shuffle volume is O(docs · num_hashes)
     longs, never O(shingles).
     """
-    h = F.md5(F.col("shingle"))
-    pre = shingles.select(
+    # Single-parse SQL projections (round-14): the identical tree
+    # built with Column operators costs ~40 py4j round trips at
+    # ~2.7 ms each on this sandbox — pure driver latency per plan.
+    pre = shingles.selectExpr(
         "id",
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(h, 17, 12), 16, 10).cast("long").alias("h2"),
+        "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        " AS h1",
+        "CAST(conv(substring(md5(shingle), 17, 12), 16, 10) AS BIGINT)"
+        " AS h2",
     )
     aggs = [
-        F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}")
-        for s in range(num_hashes)
+        F.expr(f"min(h1 + {s} * h2) AS mh{s}") for s in range(num_hashes)
     ]
     return pre.groupBy("id").agg(*aggs)
 
@@ -124,28 +127,27 @@ def lsh_band_table(
     agree on ALL hashes of that band (the AND half of the classic
     AND-OR LSH construction)."""
     rows_per_band = num_hashes // bands
-    band_cols = []
+    # 16 hex chars (64 bits): the key only partitions buckets, and
+    # halving it cuts ~40% of the (band, key) shuffle row; collision
+    # odds are birthday-bounded at ~2e-6 even for ~10M buckets.
+    # Oracles mirror with substr(md5(...), 1, 16). Measured on
+    # band_tuning: the 30x probe point dropped 11.9s -> 2.6-3.6s
+    # (SCALING.md round-14 re-probe). Assembled as ONE SQL string
+    # (round-14: Column assembly of the band structs costs ~bands·10
+    # py4j round trips of driver latency per plan).
+    band_structs = []
     for b in range(bands):
-        members = [
-            F.col(f"mh{s}").cast("string")
+        members = ", ".join(
+            f"CAST(mh{s} AS STRING)"
             for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                # 16 hex chars (64 bits): the key only partitions
-                # buckets, and halving it cuts ~40% of the (band, key)
-                # shuffle row; collision odds are birthday-bounded at
-                # ~2e-6 even for ~10M buckets. Oracles mirror with
-                # substr(md5(...), 1, 16). Measured on band_tuning:
-                # the 30x probe point dropped 11.9s -> 2.6-3.6s
-                # (SCALING.md round-14 re-probe).
-                F.substring(F.md5(F.concat_ws("|", *members)), 1, 16).alias("key"),
-            )
         )
-    return signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        band_structs.append(
+            f"named_struct('band', {b}, 'key', "
+            f"substring(md5(concat_ws('|', {members})), 1, 16))"
+        )
+    return signatures.selectExpr(
+        "id", "explode(array(" + ", ".join(band_structs) + ")) AS bk"
+    ).selectExpr("id", "bk.band AS band", "bk.key AS key")
 
 
 def lsh_candidate_pairs(
@@ -464,7 +466,7 @@ def embedding_near_dups(
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        pairs.withColumn("cosine", cosine_similarity("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("blk", "id_a", "id_b", "cosine")
     )

@@ -212,14 +212,14 @@ def lsh_batch_knn(
 
     def _fdot(a: str, b: str) -> Column:
         if dim > 32:
-            return dot_product(F.col(a), F.col(b))
+            return dot_product(a, b)
         return F.expr(
             " + ".join(f"{_el(a, i)} * {_el(b, i)}" for i in range(1, dim + 1))
         )
 
     def _fl2(a: str, b: str) -> Column:
         if dim > 32:
-            return l2_distance(F.col(a), F.col(b))
+            return l2_distance(a, b)
         terms = " + ".join(
             f"({_el(a, i)} - {_el(b, i)}) * ({_el(a, i)} - {_el(b, i)})"
             for i in range(1, dim + 1)
@@ -349,7 +349,7 @@ def mmr_rerank(
         scored = (
             cand.crossJoin(selected.select(F.col("svec").alias("pvec")))
             .groupBy("cid", "cqsim")
-            .agg(F.max(cosine_similarity(F.col("cvec"), F.col("pvec"))).alias("maxdiv"))
+            .agg(F.max(cosine_similarity("cvec", "pvec")).alias("maxdiv"))
             .withColumn(
                 "score",
                 F.lit(lam) * F.col("cqsim") - F.lit(1.0 - lam) * F.col("maxdiv"),

@@ -102,7 +102,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
-        dot_product(F.col("embedding"), q).alias("similarity"),
+        dot_product("embedding", QUERY_VEC).alias("similarity"),
     )
     return (
         scored.filter(F.col("bucket").isin(probes))
@@ -163,7 +163,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(best), emb.label == F.col("blabel"))
         .select(
-            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+            "label", "vec_id", l2_distance("embedding", QUERY_VEC).alias("l2_dist")
         )
         .orderBy("l2_dist", "vec_id")
         .limit(5)
@@ -209,7 +209,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
-        dot_product(F.col("embedding"), q).alias("similarity"),
+        dot_product("embedding", QUERY_VEC).alias("similarity"),
     ).persist()
     approx = (
         scored.filter(F.col("bucket").isin(probes))
@@ -286,7 +286,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(best), emb.label == F.col("blabel"))
         .select(
-            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+            "label", "vec_id", l2_distance("embedding", QUERY_VEC).alias("l2_dist")
         )
         .orderBy("l2_dist", "vec_id")
         .limit(5)
@@ -469,7 +469,7 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "adc_dist2",
-            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+            l2_distance("embedding", QUERY_VEC).alias("l2_dist"),
         )
         .orderBy("l2_dist", "vec_id")
         .limit(10)
@@ -524,7 +524,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id")
     )
     exact = (
-        emb.select("vec_id", l2_distance(F.col("embedding"), qlit).alias("d"))
+        emb.select("vec_id", l2_distance("embedding", QUERY_VEC).alias("d"))
         .orderBy("d", "vec_id")
         .limit(10)
         .select(F.col("vec_id").alias("id"))
@@ -653,7 +653,7 @@ def ivf_pq_search_df(emb: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "adc_dist2",
-            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+            l2_distance("embedding", QUERY_VEC).alias("l2_dist"),
         )
         .orderBy("l2_dist", "vec_id")
         .limit(10)
@@ -722,7 +722,7 @@ def _sq8_scored(emb: DataFrame) -> DataFrame:
         ).alias("e8"),
     )
     q = vector_literal(QUERY_VEC)
-    return dq.select("vec_id", dot_product(F.col("e8"), q).alias("sq8_score"))
+    return dq.select("vec_id", dot_product("e8", QUERY_VEC).alias("sq8_score"))
 
 
 @query(
@@ -808,7 +808,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     exact = (
-        emb.select("vec_id", dot_product(F.col("embedding"), q).alias("s"))
+        emb.select("vec_id", dot_product("embedding", QUERY_VEC).alias("s"))
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(RECALL_K)
         .select("vec_id")
@@ -991,7 +991,7 @@ def ann_int4_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = vector_literal(QUERY_VEC)
     return (
-        dq.select("vec_id", dot_product(F.col("e4"), q).alias("int4_score"))
+        dq.select("vec_id", dot_product("e4", QUERY_VEC).alias("int4_score"))
         .orderBy(F.desc("int4_score"), F.asc("vec_id"))
         .limit(5)
     )
@@ -1197,7 +1197,7 @@ def ann_hnsw_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("level"), F.col("label"), F.col("vec_id").alias("nbr"), F.col("e").alias("eb")
     )
     w = Window.partitionBy("level", "src").orderBy(
-        F.desc(cosine_similarity(F.col("ea"), F.col("eb"))), F.asc("nbr")
+        F.desc(cosine_similarity("ea", "eb")), F.asc("nbr")
     )
     edges = (
         a.join(b, ["level", "label"])
@@ -1294,7 +1294,7 @@ def ann_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 3 == 0)
         .join(F.broadcast(best), emb.label == F.col("blabel"))
         .select(
-            "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+            "label", "vec_id", l2_distance("embedding", QUERY_VEC).alias("l2_dist")
         )
         .orderBy("l2_dist", "vec_id")
         .limit(5)
@@ -1410,7 +1410,7 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("dist2", "key")).alias("rk"),
     )
     scored = emb.select(
-        "label", "vec_id", l2_distance(F.col("embedding"), q).alias("l2_dist")
+        "label", "vec_id", l2_distance("embedding", QUERY_VEC).alias("l2_dist")
     )
     exact = scored.orderBy("l2_dist", "vec_id").limit(_CURVE_K).select("vec_id")
     frames = []
@@ -1520,7 +1520,7 @@ def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nbr_id",
             "emb",
             (
-                F.lit(1.0) - cosine_similarity(F.col("es"), F.col("emb"))
+                F.lit(1.0) - cosine_similarity("es", "emb")
             ).alias("d"),
         )
     )
@@ -1540,7 +1540,7 @@ def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_rnk") < F.col("rnk"))
         .filter(
             F.lit(_VAMANA_ALPHA)
-            * (F.lit(1.0) - cosine_similarity(F.col("p_emb"), F.col("emb")))
+            * (F.lit(1.0) - cosine_similarity("p_emb", "emb"))
             <= F.col("d")
         )
         .select("src_id", "nbr_id")
@@ -1634,7 +1634,7 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "emb", "entry_id").persist()
     qv = vector_literal(QUERY_VEC)
     scored = blk.select(
-        "vec_id", "emb", cosine_similarity(F.col("emb"), qv).alias("sim")
+        "vec_id", "emb", cosine_similarity("emb", QUERY_VEC).alias("sim")
     ).persist()
     a = blk.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"))
     b = blk.select(F.col("vec_id").alias("nbr"), F.col("emb").alias("eb"))
@@ -1646,7 +1646,7 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "nbr",
-            cosine_similarity(F.col("ea"), F.col("eb")).alias("nsim"),
+            cosine_similarity("ea", "eb").alias("nsim"),
         )
         .withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= 3)
@@ -1841,7 +1841,7 @@ def ann_residual_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "adc_dist2",
-            l2_distance(F.col("embedding"), qlit).alias("l2_dist"),
+            l2_distance("embedding", QUERY_VEC).alias("l2_dist"),
         )
         .orderBy("l2_dist", "vec_id")
         .limit(10)
@@ -1919,7 +1919,7 @@ def ann_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, app.py:40-48); this is the train step its scale-up needs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    norm = F.sqrt(dot_product("embedding", "embedding"))
     first = (
         emb.select("vec_id", "embedding", norm.alias("m"))
         .orderBy(F.desc("m"), F.asc("vec_id"))
@@ -2100,7 +2100,7 @@ def ann_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     for corpora where even one extra full pass matters.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    norm = F.sqrt(dot_product("embedding", "embedding"))
     first = (
         emb.select("vec_id", "embedding", norm.alias("m"))
         .orderBy(F.desc("m"), F.asc("vec_id"))
@@ -2293,7 +2293,7 @@ def ann_recall_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = vector_literal(QUERY_VEC)
     exact = (
         live.select(
-            "vec_id", cosine_similarity(F.col("embedding"), qv).alias("s"))
+            "vec_id", cosine_similarity("embedding", QUERY_VEC).alias("s"))
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(5)
     )
@@ -2311,7 +2311,7 @@ def ann_recall_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = live.join(F.broadcast(best), live.label == F.col("blabel"))
     ivf = (
         cell.select(
-            "vec_id", cosine_similarity(F.col("embedding"), qv).alias("s"))
+            "vec_id", cosine_similarity("embedding", QUERY_VEC).alias("s"))
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(5)
     )
@@ -2583,7 +2583,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         lsh_signature("embedding", PROBE_PLANES, DIM).alias("bucket"),
-        dot_product(F.col("embedding"), q).alias("similarity"),
+        dot_product("embedding", QUERY_VEC).alias("similarity"),
     ).persist()
     max_k = max(_CURVE_KS)
     order = [F.desc("similarity"), F.asc("vec_id")]
@@ -2798,7 +2798,7 @@ def ann_lsh_planes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         lsh_signature("embedding", _SWEEP_SIG, DIM).alias("sig"),
-        dot_product(F.col("embedding"), q).alias("dot"),
+        dot_product("embedding", QUERY_VEC).alias("dot"),
     )
     exact = (
         scored.orderBy(F.desc("dot"), F.asc("vec_id"))
@@ -2985,7 +2985,7 @@ def ann_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "nprobe",
         "vec_id",
-        l2_distance(F.col("embedding"), F.col("qv")).alias("l2_dist"),
+        l2_distance("embedding", "qv").alias("l2_dist"),
     )
     wr = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
     return (
@@ -3440,7 +3440,7 @@ def ann_spann_multi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = spann_assignments(emb, QUERY_VEC)
     best = (
         cent.select(
-            "key", l2_distance(F.col("centroid"), q).alias("qd")
+            "key", l2_distance("centroid", QUERY_VEC).alias("qd")
         )
         .orderBy("qd", "key")
         .limit(1)

@@ -1243,29 +1243,25 @@ def band_tuning_table(docs: DataFrame, prefilter: bool = True) -> DataFrame:
     # emitting the 15 band structs per doc map-side replaces the four
     # separate band shuffles (and four bucket-collect jobs) the first
     # cut ran per config. Same shuffled volume, one stage.
+    # 16 hex chars (64 bits), not the full 32: the key only partitions
+    # buckets, and halving it cuts ~25% of the (cfg, band, key) shuffle
+    # row at 100 TB; mirrored by substr in the oracle so the grouping
+    # stays cross-engine identical (SURVEY §7.19). The 15 structs are
+    # assembled as ONE SQL string (round-14: Column assembly cost
+    # ~150 py4j round trips of driver latency per plan).
     band_structs = []
     for b, r in _TUNE_CONFIGS:
         for band in range(b):
-            members = [
-                F.col(f"mh{s}").cast("string")
+            members = ", ".join(
+                f"CAST(mh{s} AS STRING)"
                 for s in range(band * r, (band + 1) * r)
-            ]
-            band_structs.append(
-                F.struct(
-                    F.lit(b).alias("cfg"),
-                    F.lit(band).alias("band"),
-                    # 16 hex chars (64 bits), not the full 32: the key
-                    # only partitions buckets, and halving it cuts ~25%
-                    # of the (cfg, band, key) shuffle row at 100 TB;
-                    # mirrored by substr in the oracle so the grouping
-                    # stays cross-engine identical (SURVEY §7.19).
-                    F.substring(
-                        F.md5(F.concat_ws("|", *members)), 1, 16
-                    ).alias("key"),
-                )
             )
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
+            band_structs.append(
+                f"named_struct('cfg', {b}, 'band', {band}, 'key', "
+                f"substring(md5(concat_ws('|', {members})), 1, 16))"
+            )
+    banded = sigs.selectExpr(
+        "id", "explode(array(" + ", ".join(band_structs) + ")) AS bk"
     ).select("id", "bk.cfg", "bk.band", "bk.key")
     # Bucket-size window BEFORE any member list materializes: the window
     # shares its (cfg, band, key) exchange with the groupBy below, so the
@@ -2378,7 +2374,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_id",
         "embedding",
-        cosine_similarity(F.col("embedding"), F.col("centroid"))
+        cosine_similarity("embedding", "centroid")
         .alias("cent_cos"),
     ).persist()
     a = cs.select(
@@ -2396,7 +2392,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated = (
         a.join(b, "label")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .filter(cosine_similarity("va", "vb") >= _SEMDEDUP_TAU)
         .filter(
             (F.col("cb") < F.col("ca"))
             | ((F.col("cb") == F.col("ca")) & (F.col("id_b") < F.col("id_a")))

@@ -1228,8 +1228,8 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact revenue total, and min/max freshness stamps.
 
     The Observation.get call is a driver-side read of one O(1) metric
-    row (the documented constant-cost exception, like pq_encode's
-    codebook-shape guard) — never a data collect.
+    row (the documented constant-cost exception) — never a data
+    collect.
 
     Plan shape at 100 TB: CollectMetrics wraps the scan; metrics
     merge per-task like any partial aggregate and add no shuffle, no

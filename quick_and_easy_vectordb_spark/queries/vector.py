@@ -126,7 +126,7 @@ def vdb_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = vector_literal(QUERY_VEC)
     scored = emb.select(
-        "vec_id", cosine_similarity(F.col("embedding"), q).alias("score")
+        "vec_id", cosine_similarity("embedding", QUERY_VEC).alias("score")
     )
     return scored.filter(F.col("score") >= 0.15)
 
@@ -280,7 +280,7 @@ def vdb_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = vector_literal(QUERY_VEC)
     scored = emb.select(
-        "label", "vec_id", dot_product(F.col("embedding"), q).alias("similarity")
+        "label", "vec_id", dot_product("embedding", QUERY_VEC).alias("similarity")
     )
     w = Window.partitionBy("label").orderBy(F.desc("similarity"), F.asc("vec_id"))
     return (
@@ -608,7 +608,7 @@ def vdb_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = vector_literal(QUERY_VEC)
     scored = emb.select(
-        "vec_id", dot_product(F.col("embedding"), q).alias("similarity")
+        "vec_id", dot_product("embedding", QUERY_VEC).alias("similarity")
     ).persist()
     cur = (
         scored.orderBy(F.desc("similarity"), F.asc("vec_id"))
@@ -702,7 +702,7 @@ def vdb_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(
             Window.orderBy(
-                F.desc(dot_product(F.col("embedding"), q)), F.asc("vec_id")
+                F.desc(dot_product("embedding", QUERY_VEC)), F.asc("vec_id")
             )
         )
         .alias("r_vec"),
@@ -749,7 +749,7 @@ def vdb_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "lang",
             "n_chars",
-            dot_product(F.col("embedding"), q).alias("similarity"),
+            dot_product("embedding", QUERY_VEC).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(5)
@@ -1046,8 +1046,8 @@ def vdb_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_label = (
         emb.select(
             "label",
-            dot_product(F.col("embedding"), q1).alias("d1"),
-            dot_product(F.col("embedding"), q2).alias("d2"),
+            dot_product("embedding", QUERY_VEC).alias("d1"),
+            dot_product("embedding", QUERY_VEC2).alias("d2"),
         )
         .groupBy("label")
         .agg(F.max("d1").alias("m1"), F.max("d2").alias("m2"))
@@ -1113,7 +1113,7 @@ def vdb_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
-            dot_product(F.col("e"), q).alias("similarity"),
+            dot_product("e", QUERY_VEC).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(5)
@@ -1153,7 +1153,7 @@ def vdb_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
-            dot_product(F.col("embedding"), q).alias("similarity"),
+            dot_product("embedding", QUERY_VEC).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(5)
@@ -1288,7 +1288,7 @@ def vdb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "src_id",
         "nbr_id",
-        cosine_similarity(F.col("e"), F.col("embedding")).alias("sim"),
+        cosine_similarity("e", "embedding").alias("sim"),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
@@ -1601,7 +1601,7 @@ def vdb_reciprocal_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = nodes.select(F.col("vec_id").alias("nbr_id"), "label", F.col("e").alias("eb"))
     pairs = a.join(b, "label").filter(F.col("nbr_id") != F.col("src_id"))
     w = Window.partitionBy("src_id").orderBy(
-        F.desc(cosine_similarity(F.col("ea"), F.col("eb"))), F.asc("nbr_id")
+        F.desc(cosine_similarity("ea", "eb")), F.asc("nbr_id")
     )
     edges = (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -1664,7 +1664,7 @@ def vdb_postfilter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vector_literal(QUERY_VEC)
     ranked = (
         emb.select(
-            "vec_id", cosine_similarity(F.col("embedding"), q).alias("score")
+            "vec_id", cosine_similarity("embedding", QUERY_VEC).alias("score")
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(20)
@@ -1726,8 +1726,8 @@ def vdb_norm_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vector_literal(QUERY_VEC)
     scored = emb.select(
         "vec_id",
-        dot_product(F.col("embedding"), q).alias("score"),
-        F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))).alias(
+        dot_product("embedding", QUERY_VEC).alias("score"),
+        F.sqrt(dot_product("embedding", "embedding")).alias(
             "xnorm"
         ),
     ).persist()  # one scoring pass feeds top-k, threshold, and audit
@@ -1849,7 +1849,7 @@ def vdb_random_projection_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select(
             "vec_id",
-            dot_product(F.col("embedding"), q).alias("score"),
+            dot_product("embedding", QUERY_VEC).alias("score"),
             "proj_rank",
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
@@ -1899,7 +1899,7 @@ def vdb_shard_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         (F.col("vec_id") % _SHARDS).cast("long").alias("shard"),
-        cosine_similarity(F.col("embedding"), q).alias("similarity"),
+        cosine_similarity("embedding", QUERY_VEC).alias("similarity"),
     )
     w = Window.partitionBy("shard").orderBy(F.desc("similarity"), F.asc("vec_id"))
     local = (
@@ -2008,7 +2008,7 @@ def vdb_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             "label",
-            cosine_similarity(F.col("embedding"), F.col("qv")).alias("score"),
+            cosine_similarity("embedding", "qv").alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -2131,7 +2131,7 @@ def vdb_hybrid_score_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vector_literal(QUERY_VEC)
     vec = emb.select(
         F.col("vec_id").alias("doc_id"),
-        cosine_similarity(F.col("embedding"), q).alias("cos"),
+        cosine_similarity("embedding", QUERY_VEC).alias("cos"),
     )
     joined = lex.join(vec, "doc_id")
     ext = joined.agg(
@@ -2472,7 +2472,7 @@ def vdb_batch_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         "corpus_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("score"),
+        cosine_similarity("qv", "cv").alias("score"),
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("corpus_id")
@@ -2618,7 +2618,7 @@ def vdb_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "nbr_id",
             F.col("label").alias("nbr_label"),
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("score"),
+            cosine_similarity("qv", "cv").alias("score"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -2724,8 +2724,8 @@ def vdb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vector_literal(QUERY_VEC)
     scored = emb.select(
         "vec_id",
-        dot_product(F.col("embedding"), q).alias("dot"),
-        cosine_similarity(F.col("embedding"), q).alias("cos"),
+        dot_product("embedding", QUERY_VEC).alias("dot"),
+        cosine_similarity("embedding", QUERY_VEC).alias("cos"),
     )
     head = scored.orderBy(F.desc("dot"), F.asc("vec_id")).limit(_RC_K)
     ranked = head.select(
@@ -2850,7 +2850,7 @@ def vdb_query_dedup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.crossJoin(F.broadcast(dq)).select(
         "rep_id",
         "corpus_id",
-        cosine_similarity(F.col("cv"), F.col("qv")).alias("score"),
+        cosine_similarity("cv", "qv").alias("score"),
     )
     wr = Window.partitionBy("rep_id").orderBy(
         F.desc("score"), F.asc("corpus_id")
@@ -2930,7 +2930,7 @@ def vdb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(anchors), F.col("neg_label") != F.col("q_label")
     ).select(
         "query_id", "neg_id", "neg_label",
-        dot_product(F.col("cv"), F.col("qv")).alias("score"),
+        dot_product("cv", "qv").alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neg_id"))
     return (

@@ -30,6 +30,35 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Plan-time metadata cache (round-14 optimization): building a scan
+# with an inferred schema costs a parquet-footer read + analysis on
+# EVERY load_table call (~130 ms measured, x several tables x several
+# bench repeats per query). The schema and the two normalization
+# decisions are pure functions of the file bytes, so they are memoized
+# per (path, mtime, size); the scan itself stays a lazy, uncached
+# parquet source — no data or results are ever cached here, and a
+# rewritten file (different mtime/size) re-infers.
+_SCAN_META: dict[tuple, tuple] = {}
+
+
+def _scan_meta(spark: SparkSession, path: str, name: str) -> tuple:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _SCAN_META.get(key)
+    if hit is None:
+        schema = spark.read.parquet(path).schema
+        ts_is_long = name == "events" and isinstance(
+            schema["ts"].dataType, T.LongType
+        )
+        ntz_cols = tuple(
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        )
+        hit = (schema, ts_is_long, ntz_cols)
+        _SCAN_META[key] = hit
+    return hit
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table. No caching, no collect — the
@@ -55,12 +84,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not os.path.isfile(path):
+        # directory-shaped tables (not produced by the fixture
+        # generator, but possible for caller-supplied dirs): no stable
+        # single-file identity to key the metadata cache on — take the
+        # uncached inference path.
+        schema = spark.read.parquet(path).schema
+        ts_is_long = name == "events" and isinstance(
+            schema["ts"].dataType, T.LongType
+        )
+        ntz_cols = tuple(
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        )
     else:
-        df = spark.read.parquet(path)
+        schema, ts_is_long, ntz_cols = _scan_meta(spark, path, name)
+    df = spark.read.schema(schema).parquet(path)
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Uniform invariant for EVERY table: temporal columns are session-tz
     # TIMESTAMP (session tz pinned UTC). The fixtures currently ship
     # orders.o_orderdate / lineitem.l_shipdate / events.ts as NTZ —
@@ -68,9 +110,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (unix_micros/unix_timestamp) throw on it, which is exactly how the
     # round-3 fixture drift broke 8 queries. Normalizing here makes the
     # whole engine independent of the writer's isAdjustedToUTC choice.
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

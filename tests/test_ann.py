@@ -170,3 +170,37 @@ def test_pq_encode_assigns_every_subspace(spark, sf_dir):
     assert len(per_vec) == n_vecs
     assert all(r.n == 8 for r in per_vec)
     assert codes.filter((F.col("k") < 0) | (F.col("k") > 3)).count() == 0
+
+
+def test_pq_encode_guard_is_lazy_and_loud(spark, sf_dir):
+    """Round-14: the codebook shape guard moved from an eager
+    driver-side .first() (one extra Spark job per encoding query) into
+    the plan itself — a CASE over the broadcast 1-row codebook shape
+    that raise_error()s at execution. It must still fail loudly on a
+    mismatched or empty codebook, and building the plan must NOT run a
+    job (laziness is the point of the change)."""
+    import pytest
+    from quick_and_easy_vectordb_spark.operators.ann import (
+        pq_codebook,
+        pq_encode,
+    )
+    from quick_and_easy_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "embedding", 8, 8)
+
+    # mismatched shape: plan builds fine, execution raises loudly
+    wrong = pq_encode(emb, cb, "embedding", "vec_id", sub_dim=4, num_subs=8)
+    with pytest.raises(Exception, match="codebook shape"):
+        wrong.collect()
+
+    # empty codebook: same contract
+    empty = pq_encode(
+        emb, cb.filter(F.lit(False)), "embedding", "vec_id", 8, 8
+    )
+    with pytest.raises(Exception, match="empty codebook"):
+        empty.collect()
+
+    # valid shape still encodes every vector (the lazy guard is free)
+    ok = pq_encode(emb, cb, "embedding", "vec_id", 8, 8)
+    assert ok.count() == emb.count() * 8
