@@ -15,6 +15,7 @@ from quick_and_easy_vectordb_spark.functions.vector import (
     cosine_similarity,
     dot_product,
     l2_distance,
+    l2_norm,
     vector_literal,
 )
 from quick_and_easy_vectordb_spark.operators.ann import (
@@ -1501,16 +1502,26 @@ def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit keeps 8 per node before anything else grows),
     one self equi-join keyed by src_id for the occlusion test, one
     anti join. State per node is O(k^2) with k = 8 fixed."""
+    # Per-row L2 norms are computed ONCE before the blocked self-join
+    # (round-14, guide §1.2: the join replicates each vector ~|block|
+    # times, and the old per-pair cosine recomputed BOTH operands'
+    # norm folds on every pair row — half the stage's fold work).
+    # Bitwise identical: the norm is the same fold over the same
+    # value, and the cosine recombination (CASE denom != 0 THEN
+    # dot/denom) is the exact expression cosine_similarity builds.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("n_emb", l2_norm("emb"))
     src = emb.filter(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id").alias("src_id"), "label", F.col("emb").alias("es")
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("emb").alias("es"),
+        F.col("n_emb").alias("n_es"),
     )
     cand0 = (
         src.join(
             emb.select(
-                F.col("vec_id").alias("nbr_id"), "label", "emb"
+                F.col("vec_id").alias("nbr_id"), "label", "emb", "n_emb"
             ),
             "label",
         )
@@ -1519,8 +1530,14 @@ def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "nbr_id",
             "emb",
+            "n_emb",
             (
-                F.lit(1.0) - cosine_similarity("es", "emb")
+                F.lit(1.0)
+                - F.when(
+                    (F.col("n_es") * F.col("n_emb")) != 0.0,
+                    dot_product("es", "emb")
+                    / (F.col("n_es") * F.col("n_emb")),
+                )
             ).alias("d"),
         )
     )
@@ -1534,13 +1551,21 @@ def ann_vamana_occlusion_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_id"),
         F.col("rnk").alias("p_rnk"),
         F.col("emb").alias("p_emb"),
+        F.col("n_emb").alias("p_n"),
     )
     pruned = (
         c8.join(closer, "src_id")
         .filter(F.col("p_rnk") < F.col("rnk"))
         .filter(
             F.lit(_VAMANA_ALPHA)
-            * (F.lit(1.0) - cosine_similarity("p_emb", "emb"))
+            * (
+                F.lit(1.0)
+                - F.when(
+                    (F.col("p_n") * F.col("n_emb")) != 0.0,
+                    dot_product("p_emb", "emb")
+                    / (F.col("p_n") * F.col("n_emb")),
+                )
+            )
             <= F.col("d")
         )
         .select("src_id", "nbr_id")

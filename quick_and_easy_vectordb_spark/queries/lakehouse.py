@@ -35,6 +35,7 @@ from quick_and_easy_vectordb_spark.queries.common import (
     sql_l2,
     sql_vec,
 )
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -2212,8 +2213,10 @@ def src_protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_doc,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2426,8 +2429,10 @@ def src_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_event_record,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+    ev = ensure_parallelism(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

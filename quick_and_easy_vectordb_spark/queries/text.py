@@ -1480,13 +1480,21 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
         pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        # Each round's merged vocab is persisted (round-14, measured
+        # 1.9 -> 1.25 s at sf0.1): round r+1's pair count, the argmax
+        # broadcast, and the metrics rollup all re-derive the merge
+        # chain otherwise — BPE is inherently sequential, so the
+        # materialization is the per-round checkpoint a production
+        # tokenizer train would write anyway (the word table is
+        # distinct-words-sized, not corpus-sized; MEMORY_AND_DISK
+        # spills gracefully at scale).
         vocab = vocab.crossJoin(F.broadcast(best)).select(
             "word",
             "freq",
             F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("seq"),
             "pair",
             "cnt",
-        )
+        ).persist()
         metrics = vocab.groupBy("pair", "cnt").agg(
             F.sum(F.col("freq") * F.size(F.split("seq", " ")))
             .cast("long")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -384,7 +385,9 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "n_chars_arrow", "n_spaces"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInArrow(
         run, "doc_id long, n_chars_arrow long, n_spaces long"
     )
