@@ -206,10 +206,13 @@ def vdb_end_to_end_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the Python embed — hash-matches the oracle."""
     from quick_and_easy_vectordb_spark.operators.chunking import chunk_documents
 
-    docs = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") % 13 == 0) & (F.length("text") > 0)
-        )
+    # NOT fanned out (round-14 measurement): the %13 filter keeps only
+    # ~1/13 of the corpus, and the exchange + 32-task stage cost more
+    # than the hash-embed of that residue (isolated min 0.47 s direct
+    # vs 0.79 s scattered at sf0.1) — the fan-out only pays ahead of
+    # heavy per-row work over the full table.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 13 == 0) & (F.length("text") > 0)
     )
     chunks = chunk_documents(docs, chunk_size=200, overlap=50)
     embed = make_embed_udf("hash", HASH_EMBED_DIM)
@@ -2282,12 +2285,13 @@ def mm_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["dv"].extend(ds.ravel().tolist())
             yield pd.DataFrame(out)
 
+    # NOT fanned out (round-14 measurement): the %5 filter keeps 1/5
+    # of the corpus and both probed queries measured slower scattered
+    # (box_downsample 0.46 -> 0.89 s, blob_labeling 8.1 -> 9.9 s).
     docs = (
-        ensure_parallelism(
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") % 5 == 0)
-        )
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
     )
     ds = docs.mapInPandas(run, "doc_id long, dv long")
     dims = docs.select(
@@ -2393,12 +2397,13 @@ def mm_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["cnt"].extend(cnts.astype(np.int64).tolist())
             yield pd.DataFrame(out)
 
+    # NOT fanned out (round-14 measurement): the %5 filter keeps 1/5
+    # of the corpus and both probed queries measured slower scattered
+    # (box_downsample 0.46 -> 0.89 s, blob_labeling 8.1 -> 9.9 s).
     docs = (
-        ensure_parallelism(
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") % 5 == 0)
-        )
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
     )
     hist = docs.mapInPandas(run, "doc_id long, v long, cnt long")
     w_cdf = Window.partitionBy("doc_id").orderBy("v").rowsBetween(
@@ -2521,12 +2526,13 @@ def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["node"].extend((doc_id * 100000 + flat).tolist())
             yield pd.DataFrame(out)
 
+    # NOT fanned out (round-14 measurement): the %5 filter keeps 1/5
+    # of the corpus and both probed queries measured slower scattered
+    # (box_downsample 0.46 -> 0.89 s, blob_labeling 8.1 -> 9.9 s).
     docs = (
-        ensure_parallelism(
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") % 5 == 0)
-        )
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
     )
     px = docs.mapInPandas(
         run, "doc_id long, x long, y long, node long"
@@ -2639,12 +2645,13 @@ def mm_rle_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_px"].extend([w] * h)
             yield pd.DataFrame(out)
 
+    # NOT fanned out (round-14 measurement): the %5 filter keeps 1/5
+    # of the corpus and both probed queries measured slower scattered
+    # (box_downsample 0.46 -> 0.89 s, blob_labeling 8.1 -> 9.9 s).
     docs = (
-        ensure_parallelism(
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .filter(F.col("doc_id") % 5 == 0)
-        )
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
     )
     runs = docs.mapInPandas(
         run, "doc_id long, y long, n_runs long, n_px long"
@@ -3344,7 +3351,10 @@ def mm_pdf_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["text"].append("".join(extracted))
             yield pd.DataFrame(out)
 
-    docs = ensure_parallelism(
+    # NOT fanned out (round-14 measurement): the %11 filter keeps only
+    # ~1/11 of the corpus — isolated min 0.63 s direct vs 1.05 s
+    # scattered at sf0.1; same reasoning as vdb_end_to_end_pipeline.
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 11 == 0) & (F.length("text") > 0))
         .select("doc_id", "text")
