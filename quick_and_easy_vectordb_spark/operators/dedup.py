@@ -116,6 +116,37 @@ def minhash_signatures(
     return pre.groupBy("id").agg(*aggs)
 
 
+def minhash_doc_table(
+    shingles: DataFrame,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Signatures AND the per-doc distinct-shingle array in ONE
+    aggregation: (id, mh0..mh{n-1}, shs). The verify-and-band
+    pipelines each need both — computing them separately shuffles the
+    shingle relation twice (minhash partials, then collect_list) and
+    forces a persist of the exploded shingle table between them
+    (round-14 measurement: the split shape cost ~1 s extra per dedup
+    bench query at sf0.1). One groupBy(id) carries the min partials
+    and the list partials through the same exchange; downstream
+    projections prune whichever half they don't read (InMemoryTableScan
+    column-prunes cached batches). Results are identical to
+    :func:`minhash_signatures` + a separate collect_list by
+    construction — same aggregates, same grouping."""
+    pre = shingles.selectExpr(
+        "id",
+        "shingle",
+        "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        " AS h1",
+        "CAST(conv(substring(md5(shingle), 17, 12), 16, 10) AS BIGINT)"
+        " AS h2",
+    )
+    aggs = [
+        F.expr(f"min(h1 + {s} * h2) AS mh{s}") for s in range(num_hashes)
+    ]
+    aggs.append(F.collect_list("shingle").alias("shs"))
+    return pre.groupBy("id").agg(*aggs)
+
+
 def lsh_band_table(
     signatures: DataFrame,
     num_hashes: int = 12,
@@ -245,10 +276,11 @@ def lsh_mega_clusters(
 
 
 def jaccard_pairs(
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     candidates: DataFrame,
     threshold: float = 0.5,
     prefilter: bool = True,
+    docsets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs over a
     (id, shingle) relation (build it with :func:`shingle_table` and
@@ -280,9 +312,6 @@ def jaccard_pairs(
             .unionByName(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        sh = shingles.join(cand_ids, "id", "left_semi")
-    else:
-        sh = shingles
     # Array-set formulation (round-14 optimization, guide §2.3/§2.4):
     # one groupBy collapses each doc's distinct shingles to an array,
     # the pair table joins that side-table TWICE, and |A∩B| is a
@@ -295,7 +324,24 @@ def jaccard_pairs(
     # arrays). Set-intersection cardinality is order-independent, so
     # results are bit-identical under any partitioning. n_inter = 0
     # pairs are dropped exactly like the old inner intersection join.
-    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shs"))
+    #
+    # Callers whose pipeline already aggregated per-doc state can pass
+    # ``docsets`` (id, ..., shs) directly — typically
+    # :func:`minhash_doc_table`, which carries signatures and shingle
+    # arrays through ONE exchange — and the grouping here is skipped.
+    if docsets is None:
+        sh = (
+            shingles.join(cand_ids, "id", "left_semi")
+            if prefilter
+            else shingles
+        )
+        docsets = sh.groupBy("id").agg(
+            F.collect_list("shingle").alias("shs")
+        )
+    else:
+        docsets = docsets.select("id", "shs")
+        if prefilter:
+            docsets = docsets.join(cand_ids, "id", "left_semi")
     res = (
         candidates.join(
             docsets.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")),

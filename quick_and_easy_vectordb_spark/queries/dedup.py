@@ -16,6 +16,7 @@ from quick_and_easy_vectordb_spark.operators.dedup import (
     jaccard_pairs,
     lsh_band_table,
     lsh_candidate_pairs,
+    minhash_doc_table,
     minhash_signatures,
     shingle_table,
     simhash_signatures,
@@ -156,10 +157,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's bsz CTE; dedup_minhash_lsh_capped exercises the divert
     path with a corpus that actually trips it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_table(docs, "text", "doc_id", 3).persist()
-    sigs = minhash_signatures(sh, NUM_HASHES)
-    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
-    return jaccard_pairs(sh, cands, JACCARD_T, prefilter=_corpus_is_big(sf_dir))
+    # ONE aggregation carries signatures AND the per-doc shingle arrays
+    # (round-14: the split sh.persist + two aggregations shuffled the
+    # shingle relation twice); dt acts as the signature table for the
+    # band pipeline and as the docsets side of the verify join.
+    dt = minhash_doc_table(
+        shingle_table(docs, "text", "doc_id", 3), NUM_HASHES
+    ).persist()
+    cands = lsh_candidate_pairs(dt, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    return jaccard_pairs(
+        None, cands, JACCARD_T,
+        prefilter=_corpus_is_big(sf_dir), docsets=dt,
+    )
 
 
 # 10-word boilerplate: normalizes to itself, ≥3 words → real shingles.
@@ -1236,8 +1245,14 @@ def band_tuning_table(docs: DataFrame, prefilter: bool = True) -> DataFrame:
     ``_corpus_is_big`` (round-14: the semi-filter only amortizes when
     the corpus shingle table dwarfs the candidate materialization)."""
     spark = docs.sparkSession
-    sh = shingle_table(docs, "text", "doc_id", 3).persist()
-    sigs = minhash_signatures(sh, NUM_HASHES).persist()
+    # Fused signature + shingle-array aggregation (round-14): sigs and
+    # the verify join's docsets come out of ONE groupBy(id) exchange
+    # and ONE persist (the materialization point ahead of the band
+    # window — an earlier experiment that removed it measured 2-3 s
+    # worse, so it stays).
+    sigs = minhash_doc_table(
+        shingle_table(docs, "text", "doc_id", 3), NUM_HASHES
+    ).persist()
     # ALL configs' band keys in ONE projection + ONE (config, band,
     # key) shuffle — every factoring reads the same signature row, so
     # emitting the 15 band structs per doc map-side replaces the four
@@ -1334,8 +1349,8 @@ def band_tuning_table(docs: DataFrame, prefilter: bool = True) -> DataFrame:
         .persist()
     )
     jac = jaccard_pairs(
-        sh, pair_cfgs.select("id_a", "id_b"), threshold=0.0,
-        prefilter=prefilter,
+        None, pair_cfgs.select("id_a", "id_b"), threshold=0.0,
+        prefilter=prefilter, docsets=sigs,
     )  # unthresholded: tuner judges
     joined = pair_cfgs.join(jac, ["id_a", "id_b"], "left")
     exact = (
@@ -1457,10 +1472,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pairs + a broadcast-sized left join back to the batch
     roster."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_table(docs).persist()
-    sig = minhash_signatures(sh, NUM_HASHES)
-    cand = lsh_candidate_pairs(sig, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
-    pairs = jaccard_pairs(sh, cand, JACCARD_T, prefilter=False)
+    # fused signature + shingle-array aggregation (round-14, same
+    # shape as dedup_minhash_lsh): one exchange, one persist
+    dt = minhash_doc_table(shingle_table(docs), NUM_HASHES).persist()
+    cand = lsh_candidate_pairs(dt, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(
+        None, cand, JACCARD_T, prefilter=False, docsets=dt
+    )
     hits = pairs.filter(F.col("id_b") >= _INCR_NEW_START).select(
         F.col("id_b").alias("doc_id"),
         F.col("id_a").alias("partner"),
@@ -1545,10 +1563,13 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale: localCheckpoint per round to cut lineage). Edge
     lists come from the capped LSH pipeline, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_table(docs).persist()
-    sig = minhash_signatures(sh, NUM_HASHES)
-    cand = lsh_candidate_pairs(sig, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
-    pairs = jaccard_pairs(sh, cand, JACCARD_T, prefilter=False)
+    # fused signature + shingle-array aggregation (round-14, same
+    # shape as dedup_minhash_lsh): one exchange, one persist
+    dt = minhash_doc_table(shingle_table(docs), NUM_HASHES).persist()
+    cand = lsh_candidate_pairs(dt, NUM_HASHES, BANDS, LSH_MAX_BUCKET)
+    pairs = jaccard_pairs(
+        None, cand, JACCARD_T, prefilter=False, docsets=dt
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
