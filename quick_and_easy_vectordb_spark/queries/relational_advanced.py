@@ -330,6 +330,23 @@ def rel_q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     n_parts = scaled_shuffle_partitions(li, target_bytes=8 << 20)
     if n_parts:
         li = li.repartition(n_parts, "l_orderkey")
+    # Round-14: SEMI-FILTER lineitem to finished orders BEFORE the
+    # per-order aggregate — the old shape aggregated every order and
+    # discarded the non-finished ones only at the join. Equivalence is
+    # exact: the stats are per-order over all that order's lines, and
+    # the semi-filter drops whole orders the inner join dropped anyway.
+    # The semi join keys on l_orderkey, the same partitioning the
+    # aggregate and the join-back already use, so at scale it rides
+    # the existing exchange; and because o_orderkey is unique, the
+    # later l1 ⋈ fin_orders membership join became redundant and is
+    # GONE (one fewer join). Measured isolated min 1.77 -> 1.50 s at
+    # sf0.1; results identical row-for-row.
+    fin_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = li.join(fin_orders, "l_orderkey", "left_semi")
     ord_stats = (
         li
         .groupBy(F.col("l_orderkey").alias("st_orderkey"))
@@ -340,16 +357,10 @@ def rel_q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("n_r_supp"),
         )
     )
-    fin_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
     l1 = li.filter(F.col("l_returnflag") == "R")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(fin_orders, l1["l_orderkey"] == fin_orders["o_orderkey"])
-        .join(ord_stats, F.col("l_orderkey") == ord_stats["st_orderkey"])
+        l1.join(ord_stats, F.col("l_orderkey") == ord_stats["st_orderkey"])
         .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
         .groupBy("s_name")

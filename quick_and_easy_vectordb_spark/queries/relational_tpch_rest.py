@@ -150,7 +150,14 @@ def rel_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # year() is evaluated on the orders rows BEFORE the broadcast
+    # (round-14, guide §2.3 "narrower types"): the broadcast relation
+    # carries a 4-byte int instead of a timestamp, and the extraction
+    # runs once per order instead of once per joined lineitem row.
+    # Same integer either way — bitwise identical.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
@@ -165,7 +172,7 @@ def rel_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            "o_year",
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
