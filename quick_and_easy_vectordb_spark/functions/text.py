@@ -18,6 +18,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "word_shingles",
+    "bind_once",
     "char_shingles",
     "punct_ratio",
     "stopword_ratio",
@@ -72,35 +73,62 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))
 
 
+def bind_once(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and evaluate ``body`` over
+    it ONCE PER ROW — the transform-over-single-element-array idiom.
+
+    Why this exists (round-14 measurement): an expression referenced
+    inside a higher-order-function lambda is RE-EVALUATED PER ELEMENT
+    — CollapseProject inlines any alias right back into the lambda, so
+    there is no way to materialize it with a projection. For
+    char_shingles that meant the normalized_text regexp ran once per
+    GRAM (~290x per row; text_fingerprint measured 15.2 s -> 2.3 s at
+    sf0.1 from this change alone). A lambda VARIABLE, by contrast, is
+    bound once when the enclosing transform evaluates its input."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text, as
     ``array<string>`` of space-joined shingles. Texts shorter than *n*
     words yield the whole (normalized) text as a single shingle so every
     non-empty document has ≥1 shingle."""
-    toks = tokens(col)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(
-            F.array().cast("array<string>")
+
+    def body(tk: Column) -> Column:
+        k = F.size(tk)
+        grams = F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
         )
-    )
+        return F.when(k >= n, F.array_distinct(grams)).otherwise(
+            F.when(k > 0, F.array(F.array_join(tk, " "))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    # tokens() (a regexp + split) is bound once per row — inside the
+    # gram lambda it would re-run per shingle (see bind_once).
+    return bind_once(tokens(col), body)
 
 
 def char_shingles(col: Column | str, n: int = 8) -> Column:
     """Distinct character n-grams of the normalized text."""
-    norm = normalized_text(col)
-    length = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), length - n + 1),
-        lambda i: F.substring(norm, i, n),
-    )
-    return F.when(length >= n, F.array_distinct(grams)).otherwise(
-        F.when(length > 0, F.array(norm)).otherwise(F.array().cast("array<string>"))
-    )
+
+    def body(nm: Column) -> Column:
+        length = F.length(nm)
+        grams = F.transform(
+            F.sequence(F.lit(1), length - n + 1),
+            lambda i: F.substring(nm, i, n),
+        )
+        return F.when(length >= n, F.array_distinct(grams)).otherwise(
+            F.when(length > 0, F.array(nm)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    # normalized_text (a regexp) is bound once per row — inside the
+    # gram lambda it would re-run per gram (see bind_once).
+    return bind_once(normalized_text(col), body)
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.numeric import dsum
-from quick_and_easy_vectordb_spark.functions.text import quality_score, tokens
+from quick_and_easy_vectordb_spark.functions.text import bind_once, quality_score, tokens
 from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.queries.text import SQL_NORM, SQL_QUALITY_CTES
@@ -194,10 +194,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; one shuffle groups scores per doc. O(corpus) work, two
     broadcasts, no cartesian anywhere."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    w = tokens("text")
-    bigrams = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    # bind_once: tokens() re-runs per bigram when referenced inside
+    # the lambda (round-14; see functions/text.py:bind_once)
+    bigrams = bind_once(
+        tokens("text"),
+        lambda tk: F.transform(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        ),
     )
     bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
     cab = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
@@ -224,14 +228,18 @@ def _word_ngrams(col, n: int):
     """Distinct word n-grams as array<string>; docs shorter than *n*
     words yield an empty array (too short to share an n-gram — the
     right semantics for decontamination, unlike word_shingles' fallback)."""
-    w = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    def body(tk):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )
+        return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # bind_once: tokens() re-runs per gram inside the lambda otherwise
+    # (round-14; see functions/text.py:bind_once)
+    return bind_once(tokens(col), body)
 
 
 _SQL_NGRAMS4 = (
@@ -378,19 +386,32 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — the arrays never leave the row), then a single exact
     int/int→double division; zero shuffles, scan speed."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    w = tokens("text")
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+    # bind_once at two levels (round-14; functions/text.py:bind_once):
+    # tokens() re-ran per trigram inside the gram lambda, and the
+    # trigram array itself was built twice (size + distinct).
+    def tri_of(tk):
+        return F.when(
+            F.size(tk) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 3),
+                lambda i: F.array_join(F.slice(tk, i + 1, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    stats = bind_once(
+        tokens("text"),
+        lambda tk: bind_once(
+            tri_of(tk),
+            lambda t: F.struct(
+                F.size(t).cast("long").alias("n_tri"),
+                F.size(F.array_distinct(t)).cast("long").alias("n_uniq"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    s = docs.select(
-        "doc_id",
-        F.size(tri).cast("long").alias("n_tri"),
-        F.size(F.array_distinct(tri)).cast("long").alias("n_uniq"),
     )
+    # F.inline is a generator: the stats struct is evaluated ONCE per
+    # row (a follow-up select extracting two fields would be collapsed
+    # into two copies of the expression by CollapseProject).
+    s = docs.select("doc_id", F.inline(F.array(stats)))
     return s.filter(F.col("n_tri") > F.col("n_uniq")).select(
         "doc_id",
         "n_tri",

@@ -275,7 +275,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a blocking key (source). The shingle equi-join *within source* is
     the blocking that keeps this O(Σ block-pair shingles), not O(N²) —
     at 100 TB the block key would be an LSH band or URL host."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     sh = docs.select(
         "source",
         "doc_id",
@@ -2380,7 +2382,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — this is precisely why SemDeDup scales to web
     corpora. Reference basis: app.py:105-118 appends raw rows with no
     dedup at all; this is the missing admission gate."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
+        load_table(spark, sf_dir, "embeddings")
+    )
     from quick_and_easy_vectordb_spark.functions.vector import (
         cosine_similarity,
     )

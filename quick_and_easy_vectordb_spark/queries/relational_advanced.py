@@ -1367,7 +1367,9 @@ def rel_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the survivor pick is one window over candidates, never the
     corpus."""
     max_block_size = 4096
-    c = load_table(spark, sf_dir, "customer")
+    c = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
+        load_table(spark, sf_dir, "customer")
+    )
     dirty = c.select(
         F.col("c_custkey").alias("orig_key"),
         F.concat(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quick_and_easy_vectordb_spark.functions.text import (
+    bind_once,
     BPE_ISH_PATTERN,
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -216,7 +217,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: min-md5 over the distinct
     char-8-gram shingles (a 1-hash MinHash). Computed entirely inside a
     per-row array expression — zero shuffles, no explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
+        load_table(spark, sf_dir, "documents")
+    )
     grams = char_shingles("text", 8)
     fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return docs.select("doc_id", fp.alias("fingerprint")).filter(
@@ -247,10 +250,14 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ORDER BY+LIMIT is TakeOrderedAndProject — the shape that
     makes corpus vocabulary statistics cheap at any scale."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    w = tokens("text")
-    bigrams = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    # bind_once: tokens() re-runs per bigram when referenced inside
+    # the lambda (round-14; see functions/text.py:bind_once)
+    bigrams = bind_once(
+        tokens("text"),
+        lambda tk: F.transform(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        ),
     )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
@@ -685,9 +692,14 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(F.explode(w).alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     utot = uni.agg(F.count(F.lit(1)).alias("n"))
-    bigrams = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    # bind_once: tokens() re-runs per bigram when referenced inside
+    # the lambda (round-14; see functions/text.py:bind_once)
+    bigrams = bind_once(
+        w,
+        lambda tk: F.transform(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        ),
     )
     bg = docs.select(F.explode(bigrams).alias("bigram"))
     bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
@@ -1689,12 +1701,19 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs ONE doc-keyed shuffle (same partitioning serves the
     distinct); pairing is an equi-join on the fingerprint VALUE —
     cap-bounded fan-out, never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
+        load_table(spark, sf_dir, "documents")
+    )
     toks = tokens("text")
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - 2),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    # bind_once: tokens() re-runs per gram inside the lambda otherwise
+    # (round-14; see functions/text.py:bind_once)
+    grams = bind_once(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.array_join(F.slice(tk, i, 3), " "),
+        ),
     )
     g = (
         docs.filter(k >= 3)
@@ -3459,8 +3478,11 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     source aggregates (map-side-combinable). A real dedup store would
     then anti-join chunk hashes against the chunk index — exactly
     dedup_exact's shape over the chunk table."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", normalized_text("text").alias("t")
+    # round-14: single-split scan fed heavy per-row work
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", normalized_text("text").alias("t")
+        )
     ).filter(F.col("t") != "")
     n = F.length("t")
     bpos = F.when(
@@ -3977,9 +3999,14 @@ def text_dictionary_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.posexplode(w).alias("pos", "w")
     ).persist()
-    bigrams = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    # bind_once: tokens() re-runs per bigram when referenced inside
+    # the lambda (round-14; see functions/text.py:bind_once)
+    bigrams = bind_once(
+        w,
+        lambda tk: F.transform(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(tk, i + 2)),
+        ),
     )
     dic = (
         docs.select(F.explode(bigrams).alias("bigram"))
