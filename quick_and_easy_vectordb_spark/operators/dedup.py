@@ -459,23 +459,55 @@ def simhash_signatures(
         F.array_distinct(F.split(normalized_text(text_col), " ")),
         lambda w: w != "",
     )
-    scattered = ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(words, lambda w: F.md5(w)).alias("hs"),
+    # Round-15: the hash-array projection moved ABOVE the fan-out
+    # exchange, inside an explode(array(...)) generator. Before, the
+    # select sat below ensure_parallelism, so the per-word md5
+    # transform ran on the single-split scan side (serial at bench
+    # scale) — TWICE, because the size(hs) > 0 filter was pushed below
+    # the exchange with the whole transform inlined as its condition.
+    # The generator output is a materialization point: the 64 bit-vote
+    # expressions and the filter reference the attribute, not the
+    # expression, so the transform is evaluated exactly once per row,
+    # in parallel. Rows out are identical (explode of a 1-element
+    # array is 1:1; the filter semantics are unchanged).
+    scattered = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .select(
+            "id",
+            # Round-15 (§1.2 per-task work): parse each word's md5 into
+            # ceil(bits/32) 32-bit integers ONCE, instead of running a
+            # substring + conv STRING PARSE per (word, bit) inside all
+            # `bits` vote folds (64 convs/word -> 2). Bit b of the old
+            # formulation — bit (3 - b%4) of hex nibble (b div 4 + 1) —
+            # is exactly bit (31 - b%32) of word (b div 32) when the
+            # nibbles are packed MSB-first, so the votes are unchanged
+            # integer-for-integer.
+            F.explode(
+                F.array(
+                    F.transform(
+                        F.transform(words, lambda w: F.md5(w)),
+                        lambda h: F.array(*[
+                            F.conv(F.substring(h, 8 * k + 1, 8), 16, 10)
+                            .cast("long")
+                            for k in range((bits + 31) // 32)
+                        ]),
+                    )
+                )
+            ).alias("hs"),
         )
-    ).filter(F.size("hs") > 0)
+        .filter(F.size("hs") > 0)
+    )
 
     def bit_char(b: int) -> Column:
-        nib_pos, shift = b // 4 + 1, 3 - b % 4
+        word, shift = b // 32 + 1, 31 - b % 32
         vote = F.aggregate(
             F.col("hs"),
             F.lit(0),
             lambda acc, h: acc
             + (
-                F.shiftright(
-                    F.conv(F.substring(h, nib_pos, 1), 16, 10).cast("int"), shift
-                ).bitwiseAND(F.lit(1))
+                F.shiftright(F.element_at(h, word), shift)
+                .bitwiseAND(F.lit(1))
+                .cast("int")
                 * 2
                 - 1
             ),

@@ -2478,38 +2478,45 @@ FROM blobs GROUP BY doc_id
 def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONNECTED-COMPONENT LABELING of thresholded images (blob
     detection — the segmentation primitive behind OCR region finding,
-    foreground extraction, and document-layout analysis), run as a
-    GRAPH problem on the engine's distributed CC operator
-    (operators/graph.py pointer-jumping, the same machinery that
-    resolves dup clusters): pixels with value ≥ 128 from the real
-    P5 decoder become nodes (globally unique ids = doc·10⁵ + flat
-    index, so per-image blobs can never merge across images),
-    4-connectivity edges link masked neighbors, and min-label CC
-    labels each blob. Isolated masked pixels (no masked neighbor)
-    are their own blobs — restored by the self-edge union, matching
-    the oracle's recursive-CTE reachability.
+    foreground extraction, and document-layout analysis): pixels with
+    value ≥ 128 from the real P5 decoder are the mask, 4-connectivity
+    defines blobs, and per image the query emits blob count, largest
+    blob area, and total mask area — all integers.
 
-    Per image: blob count, largest blob area, total mask area — all
-    integers.
-
-    100 TB shape: edge generation is doc-local (a self-join on the
-    (doc, y) row key adjacency — never cross-image); CC converges in
-    O(log diameter) rounds with diameter bounded by image perimeter,
-    and every round's join partitions on the node id. Labeling a
-    billion images is the dup-cluster plan with a different edge
-    generator."""
+    Round-15 optimization (guide §8 — use what the optimizer cannot
+    know): blobs are provably IMAGE-LOCAL (the oracle's edge relation
+    requires b.doc_id = a.doc_id) and every image is tiny (w ≤ 15,
+    h ≤ 12 → ≤ 180 pixels), so the labeling runs as a per-image
+    union-find INSIDE the decode map stage — zero shuffles, zero
+    iterative rounds. Rounds 9-14 ran the pixel graph through the
+    distributed alternating-star CC operator (operators/graph.py, the
+    machinery dup-cluster resolution still exercises): correct, but
+    every star round cost two groupBy+join shuffles plus a convergence
+    check over a graph whose components are all doc-local — at sf0.1
+    that was ~8-9 s of pure round latency for <1 ms of actual
+    union-find work; at 100 TB it would shuffle trillions of pixel
+    rows O(log²) times for components of ≤ 180 members. The map-local
+    form is embarrassingly parallel at any scale. Equivalence: same
+    mask, same 4-neighbor reachability (isolated masked pixels are
+    their own blobs in both), same per-doc aggregates; docs with an
+    empty mask emit no row in both (oracle-checked bitwise at sf0.001
+    / sf0.01 / sf0.1)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    from quick_and_easy_vectordb_spark.operators.graph import (
-        connected_components,
-    )
     from quick_and_easy_vectordb_spark.operators.multimodal import decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def find(parent: list, i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]  # path halving
+                i = parent[i]
+            return i
+
         for pdf in batches:
-            out = {"doc_id": [], "x": [], "y": [], "node": []}
+            out = {"doc_id": [], "n_blobs": [], "largest_blob": [],
+                   "n_mask_px": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = 8 + doc_id % 8, 8 + doc_id % 5
@@ -2518,13 +2525,41 @@ def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
                 img = decode_image(payload)[:, :, 0]
-                ys, xs = np.nonzero(img >= 128)
-                flat = ys.astype(np.int64) * w + xs.astype(np.int64)
-                out["doc_id"].extend([doc_id] * len(flat))
-                out["x"].extend(xs.astype(np.int64).tolist())
-                out["y"].extend(ys.astype(np.int64).tolist())
-                out["node"].extend((doc_id * 100000 + flat).tolist())
-            yield pd.DataFrame(out)
+                mask = img >= 128
+                n_mask = int(mask.sum())
+                if n_mask == 0:
+                    continue  # no masked pixels -> no output row
+                # per-image union-find over 4-connectivity (right and
+                # down edges cover the symmetric closure)
+                idx = -np.ones((h, w), dtype=np.int64)
+                ys, xs = np.nonzero(mask)
+                idx[ys, xs] = np.arange(len(ys))
+                parent = list(range(len(ys)))
+                right = mask[:, :-1] & mask[:, 1:]
+                down = mask[:-1, :] & mask[1:, :]
+                for ay, ax in zip(*np.nonzero(right)):
+                    ra, rb = find(parent, int(idx[ay, ax])), find(
+                        parent, int(idx[ay, ax + 1]))
+                    if ra != rb:
+                        parent[rb] = ra
+                for ay, ax in zip(*np.nonzero(down)):
+                    ra, rb = find(parent, int(idx[ay, ax])), find(
+                        parent, int(idx[ay + 1, ax]))
+                    if ra != rb:
+                        parent[rb] = ra
+                sizes: dict[int, int] = {}
+                for i in range(len(parent)):
+                    r = find(parent, i)
+                    sizes[r] = sizes.get(r, 0) + 1
+                out["doc_id"].append(doc_id)
+                out["n_blobs"].append(len(sizes))
+                out["largest_blob"].append(max(sizes.values()))
+                out["n_mask_px"].append(n_mask)
+            # explicit int64 so an all-filtered batch still yields the
+            # declared schema (empty object columns break Arrow)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
 
     # NOT fanned out (round-14 measurement): the %5 filter keeps 1/5
     # of the corpus and both probed queries measured slower scattered
@@ -2534,42 +2569,8 @@ def mm_blob_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") % 5 == 0)
     )
-    px = docs.mapInPandas(
-        run, "doc_id long, x long, y long, node long"
-    ).persist()
-    b = px.select(
-        F.col("doc_id").alias("b_doc"), F.col("x").alias("bx"),
-        F.col("y").alias("by"), F.col("node").alias("b_node"),
-    )
-    edges = (
-        px.join(
-            b,
-            (F.col("b_doc") == F.col("doc_id"))
-            & (
-                ((F.col("bx") == F.col("x") + 1) & (F.col("by") == F.col("y")))
-                | ((F.col("bx") == F.col("x")) & (F.col("by") == F.col("y") + 1))
-            ),
-        )
-        .select(F.col("node").alias("id_a"), F.col("b_node").alias("id_b"))
-        # self-edges keep isolated masked pixels in the vertex set
-        .unionByName(
-            px.select(F.col("node").alias("id_a"), F.col("node").alias("id_b"))
-        )
-    )
-    comp = connected_components(edges, "id_a", "id_b")
-    blobs = (
-        px.join(comp, px.node == comp.id, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("node")).alias("component"),
-        )
-        .groupBy("doc_id", "component")
-        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    )
-    return blobs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_blobs"),
-        F.max("sz").cast("long").alias("largest_blob"),
-        F.sum("sz").cast("long").alias("n_mask_px"),
+    return docs.mapInPandas(
+        run, "doc_id long, n_blobs long, largest_blob long, n_mask_px long"
     )
 
 

@@ -190,8 +190,17 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword terms, functions/text.py:quality_score) with a ≥ 0.5 keep
     threshold — the canonical 'filter the crawl' operator."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # explode(array(expr)) is a pushdown BARRIER (round-15): a filter on
+    # a generator output cannot be pushed below the Generate, so the
+    # composite score is evaluated ONCE, above the fan-out exchange.
+    # Filtering on a plain alias inlines the whole score into the Filter
+    # and Catalyst pushes it below the exchange — the entire scoring
+    # expression then runs twice, once SERIALLY on the single-split scan
+    # side (measured on text_fingerprint: half the query's wall).
     return (
-        docs.select("doc_id", quality_score("text").alias("quality"))
+        docs.select(
+            "doc_id", F.explode(F.array(quality_score("text"))).alias("quality")
+        )
         .filter(F.col("quality") >= 0.5)
     )
 
@@ -220,10 +229,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(  # round-14: single-split scan fed heavy per-row work
         load_table(spark, sf_dir, "documents")
     )
-    grams = char_shingles("text", 8)
-    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return docs.select("doc_id", fp.alias("fingerprint")).filter(
-        F.col("fingerprint").isNotNull()
+    # Round-15: fold min(md5(gram)) directly over the gram index
+    # instead of array_min(transform(char_shingles(...), md5)).
+    # Equivalent because min over a multiset ignores duplicates, so
+    # char_shingles' array_distinct is a no-op under the min — and
+    # skipping it also skips materializing two corpus-sized gram/hash
+    # arrays per row. "g" > every md5 hex char ([0-9a-f]), so it is a
+    # safe fold identity; a non-empty sequence always replaces it.
+    fp = bind_once(
+        normalized_text("text"),
+        lambda nm: F.when(
+            F.length(nm) >= 8,
+            F.aggregate(
+                F.sequence(F.lit(1), F.length(nm) - 7),
+                F.lit("g"),
+                lambda acc, i: F.least(acc, F.md5(F.substring(nm, i, F.lit(8)))),
+            ),
+        ).when(F.length(nm) > 0, F.md5(nm)),
+    )
+    # Filter on the CHEAP equivalent predicate, not on the fingerprint
+    # itself: fingerprint IS NULL iff normalized_text is NULL/empty, and
+    # a filter referencing the fold would be pushed BELOW the fan-out
+    # exchange, re-evaluating the whole per-row md5 fold serially on the
+    # single-split scan side (measured: the pushed Filter carried the
+    # entire fold as its condition — half the query's work on one core).
+    return docs.filter(F.length(normalized_text("text")) > 0).select(
+        "doc_id", fp.alias("fingerprint")
     )
 
 
@@ -847,12 +878,24 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
+    # explode(array(struct(...))) is a pushdown barrier (round-15, see
+    # text_quality_filter): without it the quality filter is pushed
+    # below the fan-out exchange with the whole scoring expression
+    # inlined, re-running it serially on the single-split scan side.
     kept = docs.select(
         "doc_id",
         "lang",
-        normalized_text("text").alias("t"),
-        quality_score("text").alias("quality"),
-        token_count("text").alias("n_tok"),
+        F.explode(
+            F.array(
+                F.struct(
+                    normalized_text("text").alias("t"),
+                    quality_score("text").alias("quality"),
+                    token_count("text").alias("n_tok"),
+                )
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id", "lang", "s.t", "s.quality", "s.n_tok"
     ).filter(F.col("quality") >= 0.5)
     surv = (
         kept.select(F.md5("t").alias("h"), "doc_id")
